@@ -1,0 +1,63 @@
+"""Aggregation operators.
+
+The reference's only aggregation is a sort-based streaming per-key MAX in
+user code (``/root/reference/reducer.py:16-40``) with NO map-side combine
+— every record crosses the shuffle (``Worker/worker.py:120-127``).
+Spark's hash aggregate does partial (map-side) + final aggregation
+automatically, so each helper here is strictly stronger than the
+reference's substrate by construction.
+
+Scale notes:
+- partial agg means shuffle volume is O(groups), not O(rows);
+- high-cardinality DISTINCT should use ``approx_count_distinct`` (HLL)
+  — exact distinct at 100 TB is a full shuffle of the key space;
+- rollup/cube expand to grouping sets on the map side, still one shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def group_agg(df: DataFrame, keys: list[str], aggs: list[Column]) -> DataFrame:
+    """groupBy().agg() — hash agg with automatic partial/final split."""
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def distinct_count(df: DataFrame, keys: list[str], col: str, alias: str) -> DataFrame:
+    """Exact COUNT(DISTINCT col) per group (two-phase shuffle)."""
+    return df.groupBy(*keys).agg(F.countDistinct(col).alias(alias))
+
+
+def approx_distinct_count(df: DataFrame, keys: list[str], col: str, alias: str, rsd: float = 0.05) -> DataFrame:
+    """HyperLogLog++ COUNT(DISTINCT) — the 100 TB path: fixed-size sketch
+    per group instead of shuffling every distinct value."""
+    return df.groupBy(*keys).agg(F.approx_count_distinct(col, rsd).alias(alias))
+
+
+def rollup_agg(df: DataFrame, keys: list[str], aggs: list[Column], fill: str = "(all)") -> DataFrame:
+    """GROUP BY ROLLUP with subtotal key levels COALESCEd to ``fill`` so
+    results are unambiguous even when real data contains NULL keys."""
+    out = df.rollup(*keys).agg(*aggs)
+    for k in keys:
+        out = out.withColumn(k, F.coalesce(F.col(k), F.lit(fill)))
+    return out
+
+
+def cube_agg(df: DataFrame, keys: list[str], aggs: list[Column], fill: str = "(all)") -> DataFrame:
+    """GROUP BY CUBE — all 2^k grouping sets in one pass."""
+    out = df.cube(*keys).agg(*aggs)
+    for k in keys:
+        out = out.withColumn(k, F.coalesce(F.col(k), F.lit(fill)))
+    return out
+
+
+def percentiles(df: DataFrame, keys: list[str], col: str, probs: list[float]) -> DataFrame:
+    """Approximate percentiles (t-digest style) — mergeable sketches, the
+    only sane percentile at scale."""
+    aggs = [
+        F.percentile_approx(col, p).alias(f"p{int(p * 100)}")
+        for p in probs
+    ]
+    return df.groupBy(*keys).agg(*aggs)

@@ -1,0 +1,211 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Not present in the reference (its data model is opaque lines); mandated
+by the north star.  All variants are pure DataFrame expressions — no
+Python UDFs — so they run in whole-stage codegen and scale linearly:
+
+- exact:        hash-groupBy on normalized text (one shuffle on a hash,
+                never on the full document body);
+- minhash LSH:  shingle → k min-hashes → b bands → self-join on band
+                signature.  Candidate generation is an equi-join on
+                (band, band_hash), NOT an O(n²) cross join;
+- simhash:      64-bit sign-aggregated fingerprint; near-dups share the
+                fingerprint (or a band of it);
+- ngram jaccard: exact verification on LSH candidates;
+- embedding:    cosine near-dup, blocked to avoid the cross product.
+
+Hashing uses the portable md5-based ``md5_hash64`` so every stage is
+reproducible in an ANSI-SQL oracle (see functions/__init__.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from yet_another_map_reduce_spark.functions import (
+    cosine_similarity,
+    md5_hash64,
+    normalize_text,
+    shingles,
+)
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id document per distinct normalized text.
+
+    Shuffles on md5(normalized text) — a fixed-width key — instead of the
+    document body, which matters when documents are megabytes.
+    """
+    return (
+        df.withColumn("__fp", F.md5(normalize_text(text_col)))
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+        .drop("__fp")
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str, id_col: str, num_hashes: int = 12, shingle_k: int = 3) -> DataFrame:
+    """id → array of ``num_hashes`` min-hash values over word-shingles.
+
+    Min-wise hashing per seed: min over shingles of md5(seed:shingle).
+    Documents with < shingle_k words get an empty signature and are
+    excluded (they can't be meaningfully near-dup'd by shingling).
+    """
+    sh = df.select(F.col(id_col), shingles(text_col, shingle_k).alias("__sh")).where(F.size("__sh") > 0)
+
+    def min_hash(seed: int):
+        # NB: the lambda must take exactly one parameter — a second
+        # parameter would make Spark bind it to the array index.
+        return F.array_min(F.transform("__sh", lambda s: md5_hash64(s, seed=seed)))
+
+    sig = sh.select(
+        F.col(id_col),
+        F.array(*[min_hash(i) for i in range(num_hashes)]).alias("signature"),
+    )
+    return sig
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    Signature is split into ``bands`` bands of ``num_hashes/bands`` rows;
+    two docs are candidates iff some band is identical.  Join key is
+    (band_index, band_signature) — an equi-join Spark executes as a
+    shuffled hash join, linear in data size.  Returns distinct pairs
+    (id_a < id_b).
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    banded = sig.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws("_", *[F.element_at("signature", b * rows + r + 1) for r in range(rows)])
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_sig"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.band_sig") == F.col("b.band_sig"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """LSH candidates verified with exact shingle-set Jaccard.
+
+    The classic two-stage near-dup pipeline: cheap banded-LSH candidate
+    generation, then exact ``|A∩B| / |A∪B|`` only on candidates.
+    """
+    cands = minhash_lsh_pairs(df, text_col, id_col, num_hashes, bands, shingle_k)
+    sets_ = df.select(
+        F.col(id_col),
+        F.array_distinct(shingles(text_col, shingle_k)).alias("__set"),
+    ).where(F.size("__set") > 0)
+    j = (
+        cands.join(sets_.select(F.col(id_col).alias("id_a"), F.col("__set").alias("set_a")), "id_a")
+        .join(sets_.select(F.col(id_col).alias("id_b"), F.col("__set").alias("set_b")), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("set_a", "set_b")))
+        .withColumn("uni", F.size(F.array_union("set_a", "set_b")))
+        .withColumn("jaccard", F.round(F.col("inter") / F.col("uni"), 6))
+    )
+    return j.where(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash fingerprint per document.
+
+    Each token hashes to 64 bits; fingerprint bit i is 1 iff more tokens
+    have bit i set than unset.  Expressed as explode → per-bit vote sums
+    → bit reassembly; one shuffle on doc id, all JVM expressions.
+    """
+    if bits > 60:
+        bits = 60  # md5_hash64 yields 60 usable bits
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split(normalize_text(text_col), " "))).alias("__tok"),
+    )
+    hashed = tok.withColumn("__h", md5_hash64("__tok"))
+    votes = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"__v{i}")
+            for i in range(bits)
+        ]
+    )
+    fp = votes.select(
+        F.col(id_col),
+        sum(
+            [F.when(F.col(f"__v{i}") > 0, F.lit(2 ** i).cast("bigint")).otherwise(F.lit(0).cast("bigint")) for i in range(bits)],
+            F.lit(0).cast("bigint"),
+        ).alias("simhash"),
+    )
+    return fp
+
+
+def simhash_dup_groups(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:
+    """Documents sharing an identical SimHash fingerprint (cheap
+    exact-collision variant; hamming-distance banding would split the
+    fingerprint into bands exactly like MinHash-LSH)."""
+    fp = simhash(df, text_col, id_col, bits)
+    return (
+        fp.groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Cosine near-duplicate pairs, blocked on ``block_col``.
+
+    The join is an equi-join on the block key — never an unconstrained
+    cross product.  At 100 TB the block key would be an LSH bucket or
+    coarse cluster id (see similarity.lsh_bucket); any equality-blocked
+    scheme slots in unchanged.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col(block_col).alias("__blk"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col(block_col).alias("__blk"))
+    return (
+        a.join(b, on="__blk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine_similarity(F.col("va"), F.col("vb")), 6))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

@@ -1,0 +1,162 @@
+"""Join operators.
+
+The reference has NO joins (SURVEY.md §2.3); its per-key hash co-location
+(``/root/reference/Worker/worker.py:111-169``) is merely the substrate a
+join would need.  Here the full join surface is provided Spark-first:
+Catalyst picks broadcast-hash vs sort-merge vs shuffled-hash, and AQE can
+switch strategy and split skewed partitions at runtime.
+
+Scale notes (100 TB posture):
+- Dimension tables (region/nation/supplier at any realistic scale) must
+  broadcast — ``broadcast_join`` forces it; the plain ``join`` leaves the
+  choice to Catalyst + ``spark.sql.autoBroadcastJoinThreshold``.
+- ``asof_join`` is implemented as union + single sort-shuffle (one wide
+  exchange, no per-row subquery) — the only scalable shape for as-of at
+  billions of rows.
+- ``range_join`` buckets both sides on a coarse grid first so the join is
+  an equi-join on bucket + residual predicate, not a cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: join types supported verbatim by df.join
+JOIN_TYPES = (
+    "inner",
+    "left",
+    "right",
+    "full",
+    "left_semi",
+    "left_anti",
+    "cross",
+)
+
+
+def join(left: DataFrame, right: DataFrame, on: list[str] | Column, how: str = "inner") -> DataFrame:
+    """Equi/theta join; ``how`` ∈ JOIN_TYPES.  Declarative so Catalyst
+    reorders and pushes predicates through it."""
+    return left.join(right, on=on, how=how)
+
+
+def broadcast_join(left: DataFrame, small_right: DataFrame, on: list[str] | Column, how: str = "inner") -> DataFrame:
+    """Map-side join: ships the small side to every executor, eliminating
+    the shuffle of the big side entirely."""
+    return left.join(F.broadcast(small_right), on=on, how=how)
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: list[str] | Column) -> DataFrame:
+    """EXISTS — left rows with at least one match; never duplicates."""
+    return left.join(right, on=on, how="left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: list[str] | Column) -> DataFrame:
+    """NOT EXISTS — left rows with no match."""
+    return left.join(right, on=on, how="left_anti")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: float,
+    extra_on: list[str] | None = None,
+) -> DataFrame:
+    """Point-in-interval join: left.point ∈ [right.lo, right.hi].
+
+    Naive theta-join is O(|L|·|R|).  Instead each right interval is
+    exploded onto the coarse buckets it covers and the join becomes an
+    equi-join on bucket (+ optional keys) with a residual range filter —
+    the standard trick behind Databricks' range-join hints, expressed in
+    plain DataFrame ops.  Choose ``bucket_width`` ≈ typical interval
+    length so intervals explode into O(1) buckets.
+    """
+    lb = F.floor(F.col(left_point) / F.lit(bucket_width))
+    l2 = left.withColumn("__bucket", lb)
+    r2 = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(right_lo) / F.lit(bucket_width)),
+                F.floor(F.col(right_hi) / F.lit(bucket_width)),
+            )
+        ),
+    )
+    on = ["__bucket"] + (extra_on or [])
+    return (
+        l2.join(r2, on=on, how="inner")
+        .where((F.col(left_point) >= F.col(right_lo)) & (F.col(left_point) <= F.col(right_hi)))
+        .drop("__bucket")
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_values: list[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: for each left row, the most recent right row with
+    ``right_time <= left_time`` (direction='backward'; 'forward' gives the
+    earliest right row at-or-after), matched on key ``on``.
+
+    Implementation: tag and union both sides, then one window pass
+    ordered by (time, side) carrying the last non-null right values
+    forward within each key.  Exactly one shuffle (partition by key),
+    no per-row probe — survives arbitrarily large sides.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
+
+    lcols = left.columns
+    tagged_left = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_time).alias("__t"),
+        F.lit(0).alias("__side"),
+        F.struct(*[F.col(c) for c in lcols]).alias("__l"),
+        *[F.lit(None).cast(right.schema[v].dataType).alias(f"__r_{v}") for v in right_values],
+    )
+    tagged_right = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(
+            tagged_left.schema["__l"].dataType
+        ).alias("__l"),
+        *[F.col(v).alias(f"__r_{v}") for v in right_values],
+    )
+    both = tagged_left.unionByName(tagged_right)
+
+    if direction == "backward":
+        # right rows sort before left rows at equal time => <= semantics
+        w = (
+            Window.partitionBy("__k")
+            .orderBy(F.col("__t").asc(), F.col("__side").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    else:
+        w = (
+            Window.partitionBy("__k")
+            .orderBy(F.col("__t").desc(), F.col("__side").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+
+    filled = both.select(
+        "__side",
+        "__l",
+        *[
+            F.last(F.col(f"__r_{v}"), ignorenulls=True).over(w).alias(f"__rv_{v}")
+            for v in right_values
+        ],
+    ).where(F.col("__side") == 0)
+
+    return filled.select(
+        *[F.col(f"__l.{c}").alias(c) for c in lcols],
+        *[F.col(f"__rv_{v}").alias(v) for v in right_values],
+    )

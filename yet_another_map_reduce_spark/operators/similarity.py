@@ -1,0 +1,132 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+North-star extension (no analog in the reference).  Two tiers:
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline.
+  Query side must be small (it is broadcast); corpus side streams.
+  Cost O(|Q|·|C|·d) but perfectly parallel, no shuffle of the corpus.
+- ``lsh_bucket`` + ``lsh_topk``: random-hyperplane LSH — the scale path.
+  Corpus is bucketed once by sign-bit signature; queries probe only
+  matching buckets, turning the scan into an equi-join.
+
+Hyperplanes are derived deterministically from md5 (no RNG state to
+ship), so results are reproducible run-to-run and testable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from yet_another_map_reduce_spark.functions import cosine_similarity, md5_hash64
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k nearest corpus vectors per query vector (cosine).
+
+    ``queries`` is broadcast (small side by contract); ranking uses a
+    window partitioned by query id, so the shuffle is O(|Q|·|C|) scored
+    pairs *after* per-partition pre-filtering by Spark's TakeOrdered-like
+    window — acceptable because |Q| is small.
+    """
+    query_id_col = query_id_col or id_col
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", F.round(cosine_similarity(F.col("__cv"), F.col("__qv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def _hyperplane(dim: int, plane_idx: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane from md5 bytes.
+
+    Component j of plane i = (md5(f"{i}:{j}") first-8-hex as int,
+    centered to ±) — good enough for sign-LSH, fully reproducible in any
+    engine with md5.
+    """
+    import hashlib
+
+    comps = []
+    for j in range(dim):
+        h = hashlib.md5(f"{plane_idx}:{j}".encode()).hexdigest()
+        v = int(h[:8], 16) / float(0xFFFFFFFF) - 0.5
+        comps.append(v)
+    return comps
+
+
+def lsh_bucket(df: DataFrame, vec_col: str, num_planes: int = 8, dim: int = 64) -> DataFrame:
+    """Add a ``bucket`` column: sign-bit signature over ``num_planes``
+    fixed random hyperplanes (2^num_planes possible buckets).
+
+    Pure expressions: each sign bit is a dot product against a literal
+    array — broadcast as part of the plan, vectorized by codegen.
+    """
+    out = df
+    bit_cols = []
+    for i in range(num_planes):
+        plane = _hyperplane(dim, i)
+        dot_i = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(v) for v in plane]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+        bit_cols.append(F.when(dot_i >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    return out.withColumn("bucket", sum(bit_cols[1:], bit_cols[0]))
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str | None = None,
+    k: int = 10,
+    num_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: probe only the query's LSH bucket.
+
+    Recall is tunable via ``num_planes`` (fewer planes → bigger buckets
+    → higher recall, more compute).  At 100 TB the bucketed corpus would
+    be written out partitioned by bucket so probes prune at the file
+    level.
+    """
+    query_id_col = query_id_col or id_col
+    cb = lsh_bucket(corpus, vec_col, num_planes, dim).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"), "bucket"
+    )
+    qb = lsh_bucket(queries, vec_col, num_planes, dim).select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv"), "bucket"
+    )
+    scored = (
+        cb.join(F.broadcast(qb), on="bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", F.round(cosine_similarity(F.col("__cv"), F.col("__qv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

@@ -1,0 +1,137 @@
+"""Text-analysis operators for training-data pipelines (north-star
+extension; the reference's text handling is opaque line splitting in user
+code, ``/root/reference/mapper.py:27-31``).
+
+All pure ``pyspark.sql.functions`` expressions — reproducible in an
+ANSI-SQL oracle and fully codegen'd.  Each operator returns per-document
+columns; compose them freely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from yet_another_map_reduce_spark.functions import normalize_text, tokens
+
+#: tiny per-language stopword marker sets for the n-gram/stopword
+#: language heuristic.  Deliberately small + deterministic: language ID
+#: at pipeline scale is a scoring heuristic, not a model.
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "es": ("el", "la", "de", "que", "y"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "de": ("der", "die", "und", "das", "ist"),
+}
+
+_STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count of normalized text."""
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Sub-word-ish token count: alpha→digit / digit→alpha boundaries
+    also split, the usual cheap proxy for BPE token counts when no real
+    tokenizer is available cluster-side.
+
+    Implemented as two boundary-inserting replaces + a split (instead of
+    lookaheads) so an RE2-based SQL oracle can express the identical
+    algorithm.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.regexp_replace(F.lower(c), r"([a-z])([0-9])", r"$1 $2")
+    s = F.regexp_replace(s, r"([0-9])([a-z])", r"$1 $2")
+    pieces = F.split(s, r"[^a-z0-9]+")
+    return F.size(F.filter(pieces, lambda p: p != ""))
+
+
+def char_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c)
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Fraction of characters that are not alphanumeric/space."""
+    c = F.col(col) if isinstance(col, str) else col
+    stripped = F.regexp_replace(c, r"[A-Za-z0-9\s]", "")
+    return F.round(F.length(stripped) / F.greatest(F.length(c), F.lit(1)), 6)
+
+
+def stopword_ratio(col: Column | str) -> Column:
+    """Fraction of tokens that are common English stopwords — a crude
+    fluency signal (high ≈ natural prose, low ≈ tables/code/boilerplate)."""
+    toks = tokens(col)
+    stop = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
+    return F.round(stop / F.greatest(F.size(toks), F.lit(1)), 6)
+
+
+def mean_word_length(col: Column | str) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(toks, F.lit(0).cast("double"), lambda acc, t: acc + F.length(t))
+    return F.round(total / F.greatest(F.size(toks), F.lit(1)), 6)
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: rewards prose-like stopword
+    density, moderate word length, and low punctuation noise.  The exact
+    weights are arbitrary but fixed — the point is a deterministic,
+    order-free scalar every engine computes identically."""
+    sw = stopword_ratio(col)
+    pr = punct_ratio(col)
+    mwl = mean_word_length(col)
+    score = (
+        F.least(sw * 4, F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - F.least(pr * 5, F.lit(1.0))) * 0.3
+        + F.when((mwl >= 3) & (mwl <= 8), F.lit(1.0)).otherwise(F.lit(0.3)) * 0.3
+    )
+    return F.round(score, 6)
+
+
+def lang_id(col: Column | str) -> Column:
+    """Marker-word language heuristic: the language whose marker set hits
+    the most tokens; 'und' (undetermined) on a 0-0-0-0 tie.
+
+    Ties between languages break by fixed language order (en, es, fr,
+    de) — deterministic by construction.
+    """
+    toks = tokens(col)
+
+    def marker_hits(markers: tuple[str, ...]) -> Column:
+        # single-parameter lambda only: a second (defaulted) parameter
+        # would be bound to the array index by Spark
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    scores = {lang: marker_hits(markers) for lang, markers in _LANG_MARKERS.items()}
+    langs = list(_LANG_MARKERS)
+    best = F.greatest(*[scores[lang] for lang in langs])
+    # wrap inside-out so langs[0]'s WHEN ends up outermost → first
+    # language in fixed order wins ties
+    expr = F.lit("und")
+    for lang in reversed(langs):
+        expr = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Canonical document fingerprint: md5 of normalized text — the
+    content-addressable key used by exact dedup and incremental loads."""
+    return F.md5(normalize_text(col))
+
+
+def text_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """All per-document text metrics in one projection (single scan)."""
+    return df.select(
+        F.col(id_col),
+        token_count(text_col).alias("n_tokens"),
+        bpe_ish_token_count(text_col).alias("n_subtokens"),
+        char_count(text_col).alias("n_chars2"),
+        punct_ratio(text_col).alias("punct_ratio"),
+        stopword_ratio(text_col).alias("stopword_ratio"),
+        mean_word_length(text_col).alias("mean_word_len"),
+        quality_score(text_col).alias("quality"),
+        lang_id(text_col).alias("lang_pred"),
+        fingerprint(text_col).alias("fingerprint"),
+    )

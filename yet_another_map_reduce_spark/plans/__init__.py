@@ -1,0 +1,76 @@
+"""Plan introspection utilities — the feedback loop for scale hygiene.
+
+The reference has no plan representation at all (SURVEY.md §3: the
+"plan" is a hardcoded phase sequence).  Here Catalyst owns planning; these
+helpers make its choices *checkable in tests* so regressions like a lost
+filter-pushdown or an accidental cartesian product fail CI instead of
+melting a 1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    """The physical plan as text (explain mode 'formatted')."""
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def assert_pushed_filters(df: DataFrame, *fragments: str) -> None:
+    """Assert the scan node carries PushedFilters containing each
+    fragment — i.e. the predicate reached parquet, not a post-scan
+    Filter over full row-groups."""
+    plan = formatted_plan(df)
+    if "PushedFilters" not in plan:
+        raise AssertionError(f"no PushedFilters in plan:\n{plan}")
+    for frag in fragments:
+        if frag not in plan:
+            raise AssertionError(f"expected pushed filter {frag!r} not in plan:\n{plan}")
+
+
+def assert_pruned_columns(df: DataFrame, max_cols: int) -> None:
+    """Assert the parquet ReadSchema projects at most ``max_cols``
+    columns (column pruning reached the scan)."""
+    plan = formatted_plan(df)
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            schema_part = line.split("ReadSchema:", 1)[1]
+            ncols = schema_part.count(":")
+            if ncols > max_cols:
+                raise AssertionError(
+                    f"scan reads {ncols} columns, expected <= {max_cols}: {line.strip()}"
+                )
+            return
+    raise AssertionError(f"no ReadSchema found in plan:\n{plan}")
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of shuffle Exchange operators in the physical plan — the
+    scale-cost headline.  Use in tests: assert an op has exactly the
+    shuffles its algorithm needs and no more."""
+    plan = formatted_plan(df)
+    return sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange" in line and "Broadcast" not in line and "reuses" not in line
+    )
+
+
+def uses_broadcast_join(df: DataFrame) -> bool:
+    plan = formatted_plan(df)
+    return "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def whole_stage_codegen_ids(df: DataFrame) -> int:
+    """How many WholeStageCodegen spans the plan compiled — wider spans
+    = fewer virtual-call boundaries.  0 means the hot path fell out of
+    codegen (e.g. a Python UDF snuck in)."""
+    plan = formatted_plan(df)
+    ids = set()
+    for line in plan.splitlines():
+        if "WholeStageCodegen" in line:
+            ids.add(line.strip())
+    return len(ids)

@@ -1,0 +1,1063 @@
+"""Query registry: every operator from SURVEY.md §2 as a named query with
+a DuckDB oracle.
+
+Each ``q_*`` function takes ``(spark, sf_dir)`` and returns a DataFrame;
+``ORACLES[name]`` is the ANSI-SQL equivalent DuckDB runs on the same
+parquet tables.  Parity rules (SURVEY.md §7 "oracle-parity traps"):
+
+- every computed column is aliased identically on both sides;
+- computed integers are cast to BIGINT on both sides (Spark ``size``/
+  ``rank`` yield int32, DuckDB ``len``/``count`` yield int64);
+- float aggregates are ROUNDed identically on both sides (double
+  accumulation order differs across engines);
+- hashing uses the md5-prefix scheme from ``functions.md5_hash64`` —
+  bit-identical in both engines;
+- timestamps stay naive (session TZ pinned to UTC in session.py).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from yet_another_map_reduce_spark.functions import md5_hash64, normalize_text
+from yet_another_map_reduce_spark.operators import (
+    aggregates,
+    dedup,
+    joins,
+    setops,
+    similarity,
+    sorts,
+    text,
+    windows,
+)
+from yet_another_map_reduce_spark.sources.readers import read_table
+from yet_another_map_reduce_spark.streaming.windows import (
+    session_windowed,
+    sliding_windowed,
+    tumbling_windowed,
+)
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB side)
+# ---------------------------------------------------------------------------
+
+#: normalized text — must mirror functions.normalize_text exactly
+_NORM = r"trim(regexp_replace(lower({c}), '\s+', ' ', 'g'))"
+
+
+def _norm(c: str) -> str:
+    return _NORM.format(c=c)
+
+
+def _sql_hash64(expr: str, seed: int | None = None) -> str:
+    """DuckDB twin of functions.md5_hash64."""
+    inner = f"'{seed}:' || {expr}" if seed is not None else expr
+    return f"('0x' || substr(md5({inner}), 1, 15))::BIGINT"
+
+
+# ===========================================================================
+# core relational queries
+# ===========================================================================
+
+
+def q_flagship_max_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's golden query (max cost per location,
+    ``/root/reference/reducer.py:16-40``) transposed to driver tables:
+    max extended price per return flag."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        aggregates.group_agg(
+            li,
+            ["l_returnflag"],
+            [F.round(F.max("l_extendedprice"), 2).alias("max_price")],
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: scan → filter → hash agg with
+    automatic partial aggregation (the map-side combine the reference
+    lacks, SURVEY.md §4.1)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate + projection — both must reach the parquet scan
+    (asserted in tests/test_plans.py)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") <= 0.02)
+    ).select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_shipdate")
+
+
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String / date / math scalar surface over orders."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.upper("o_orderpriority").alias("prio_upper"),
+        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+        F.length("o_orderpriority").cast("bigint").alias("prio_len"),
+        F.concat(F.col("o_orderstatus"), F.lit("-"), F.col("o_orderpriority")).alias("status_prio"),
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mon"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        # floor-based instead of round: round(x, n) at representation
+        # boundaries differs between BigDecimal (Spark) and
+        # multiply-round (DuckDB); floor of the same double is identical
+        (F.floor(F.col("o_totalprice") * 10) / 100).alias("tithe"),
+        F.floor(F.col("o_totalprice") / 1000).cast("bigint").alias("price_bucket"),
+        (F.col("o_orderkey") % 97).alias("key_mod"),
+        F.abs(F.col("o_totalprice") - 1000.0).alias("abs_delta"),
+    )
+
+
+def q_sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k — planned as TakeOrderedAndProject, not a full sort."""
+    o = read_table(spark, sf_dir, "orders")
+    return sorts.top_k(
+        o.select("o_orderkey", "o_custkey", "o_totalprice"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        10,
+    )
+
+
+# ---- joins ----------------------------------------------------------------
+
+
+def q_join_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast equi-join (dim side forced map-side) + agg."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    joined = joins.broadcast_join(o, c, on=[F.col("o_custkey") == F.col("c_custkey")])
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_totalprice"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def q_join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way join (fact ⋈ fact ⋈ dims) with region filter — the
+    filter is pushed through the join chain by Catalyst; dims broadcast."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy("n_name")
+    )
+
+
+def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        joins.join(c, o, on=[F.col("c_custkey") == F.col("o_custkey")], how="left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
+        )
+    )
+
+
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with at least one finished order (EXISTS)."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    return joins.semi_join(c, o, on=[F.col("c_custkey") == F.col("o_custkey")]).select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no pending orders (NOT EXISTS)."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "P")
+    return joins.anti_join(c, o, on=[F.col("c_custkey") == F.col("o_custkey")]).select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join via bucketed range_join (no cross product):
+    lineitem quantity ∈ [p_size, p_size+4]."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    p = read_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        F.col("p_size").cast("double").alias("size_lo"),
+        (F.col("p_size") + 4).cast("double").alias("size_hi"),
+    )
+    matched = joins.range_join(li, p, "l_quantity", "size_lo", "size_hi", bucket_width=5.0)
+    return (
+        matched.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event paired with the user's most
+    recent signup at-or-before it (union + single sort-shuffle; DuckDB's
+    native ASOF JOIN is the oracle)."""
+    e = read_table(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts", "value")
+    signups = e.where(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("signup_ts"), F.col("value").alias("signup_value")
+    )
+    return joins.asof_join(
+        purchases,
+        signups,
+        on="user_id",
+        left_time="ts",
+        right_time="signup_ts",
+        right_values=["signup_ts", "signup_value"],
+    )
+
+
+# ---- aggregations ---------------------------------------------------------
+
+
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return aggregates.rollup_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        ],
+    )
+
+
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return aggregates.cube_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        ],
+    )
+
+
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("yamr_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, '(all)') AS rf,
+               coalesce(l_linestatus, '(all)') AS ls,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM yamr_gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+def q_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median + interpolated quartiles (mergeable sketch variants
+    live in aggregates.percentiles for the 100 TB path)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.median("l_extendedprice"), 4).alias("median_price"),
+            F.round(F.percentile("l_extendedprice", 0.25), 4).alias("p25_price"),
+            F.round(F.percentile("l_extendedprice", 0.75), 4).alias("p75_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "l_linestatus",
+        F.coalesce(F.col("A"), F.lit(0)).cast("bigint").alias("n_a"),
+        F.coalesce(F.col("N"), F.lit(0)).cast("bigint").alias("n_n"),
+        F.coalesce(F.col("R"), F.lit(0)).cast("bigint").alias("n_r"),
+    ).orderBy("l_linestatus")
+
+
+# ---- windows --------------------------------------------------------------
+
+
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    ranked = windows.ranked(
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        partition_by=["l_orderkey"],
+        order_by=[F.col("l_extendedprice").desc()],
+        alias="price_rank",
+    )
+    return ranked.withColumn("price_rank", F.col("price_rank").cast("bigint"))
+
+
+def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return windows.top_k_per_group(
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        partition_by=["l_orderkey"],
+        order_by=[F.col("l_extendedprice").desc(), F.col("l_linenumber").asc()],
+        k=3,
+    )
+
+
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    run = windows.running(
+        o.select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"),
+        partition_by=["o_custkey"],
+        order_by=[F.col("o_orderdate").asc(), F.col("o_orderkey").asc()],
+        agg_col=F.sum("o_totalprice"),
+        alias="running_spend",
+    )
+    return run.withColumn("running_spend", F.round("running_spend", 2))
+
+
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    return windows.lagged(
+        o.select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"),
+        partition_by=["o_custkey"],
+        order_by=[F.col("o_orderdate").asc(), F.col("o_orderkey").asc()],
+        col="o_totalprice",
+        alias="prev_totalprice",
+    )
+
+
+# ---- set ops --------------------------------------------------------------
+
+
+def _status_custkeys(spark: SparkSession, sf_dir: str, status: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    return o.where(F.col("o_orderstatus") == status).select(F.col("o_custkey").alias("custkey"))
+
+
+def q_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return setops.union_distinct(
+        _status_custkeys(spark, sf_dir, "O"), _status_custkeys(spark, sf_dir, "F")
+    )
+
+
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return setops.intersect(
+        _status_custkeys(spark, sf_dir, "O"), _status_custkeys(spark, sf_dir, "F")
+    )
+
+
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return setops.except_(
+        _status_custkeys(spark, sf_dir, "O"), _status_custkeys(spark, sf_dir, "F")
+    )
+
+
+# ---- array / JSON ---------------------------------------------------------
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+    ).where(F.col("k_val") >= 50)
+
+
+def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split → explode → count → top-20: the wordcount shape, DataFrame
+    edition."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split(normalize_text("text"), " ")).alias("token"))
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+def q_rdd_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical MapReduce job on the RDD compat path: flatMap →
+    reduceByKey (map-side combine included, unlike the reference's
+    shuffle-everything dataflow, ``/root/reference/Worker/worker.py:120-127``)."""
+    d = read_table(spark, sf_dir, "documents")
+
+    def tokenize(row) -> list[tuple[str, int]]:
+        norm = re.sub(r"\s+", " ", row["text"].lower()).strip()
+        return [(t, 1) for t in norm.split(" ")]
+
+    counts = d.select("text").rdd.flatMap(tokenize).reduceByKey(lambda a, b: a + b)
+    return spark.createDataFrame(counts, "token string, cnt bigint")
+
+
+# ---- event-time windows (batch mode; same code path as streaming) ---------
+
+
+def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    out = tumbling_windowed(
+        e,
+        ts_col="ts",
+        width="1 hour",
+        keys=["event_type"],
+        aggs=[
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        ],
+    )
+    return out.select("window_start", "event_type", "n", "sum_value")
+
+
+def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    out = sliding_windowed(
+        e,
+        ts_col="ts",
+        width="1 hour",
+        slide="30 minutes",
+        keys=["event_type"],
+        aggs=[F.count(F.lit(1)).alias("n")],
+    )
+    return out.select("window_start", "event_type", "n")
+
+
+def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    out = session_windowed(
+        e,
+        ts_col="ts",
+        gap="2 hours",
+        keys=["user_id"],
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        ],
+    )
+    return out.select("user_id", "session_start", "session_end", "n_events", "sum_value")
+
+
+# ===========================================================================
+# pipeline extensions: dedup / text / similarity / multimodal
+# ===========================================================================
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(d, "text", "doc_id")
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return text.text_stats(d, "text", "doc_id")
+
+
+def q_dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(d, "text", "doc_id", num_hashes=12, shingle_k=3)
+    return sig.select(
+        "doc_id",
+        F.posexplode("signature").alias("hash_idx", "minhash"),
+    ).select("doc_id", F.col("hash_idx").cast("bigint").alias("hash_idx"), "minhash")
+
+
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(d, "text", "doc_id", num_hashes=12, bands=4, shingle_k=3)
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(
+        d, "text", "doc_id", threshold=0.5, num_hashes=12, bands=4, shingle_k=3
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return dedup.simhash(d, "text", "doc_id", bits=32)
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    # the synthetic embeddings are near-orthogonal random vectors (max
+    # same-label cosine ≈ 0.47) — 0.35 exercises the operator with a
+    # real candidate set; production near-dup would use ~0.9+
+    return dedup.embedding_near_dup_pairs(
+        emb, id_col="vec_id", vec_col="embedding", block_col="label", threshold=0.35
+    )
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = similarity.cosine_topk(
+        corpus=emb,
+        queries=emb.where(F.col("vec_id") < 5),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=10,
+    )
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN via sign-LSH buckets — no SQL oracle (hyperplane
+    constants are code-side); driver records rows-only."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = similarity.lsh_topk(
+        corpus=emb,
+        queries=emb.where(F.col("vec_id") < 5),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=10,
+        num_planes=6,
+        dim=64,
+    )
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yet_another_map_reduce_spark.operators import multimodal
+
+    d = read_table(spark, sf_dir, "documents")
+    media = multimodal.media_from_text(d, "doc_id", "text", kind="image")
+    meta = multimodal.media_metadata(media)
+    return meta.withColumn("n_bytes", F.col("n_bytes").cast("bigint"))
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction (stub kernel) — rows-only check."""
+    from yet_another_map_reduce_spark.operators import multimodal
+
+    d = read_table(spark, sf_dir, "documents")
+    media = multimodal.media_from_text(d, "doc_id", "text", kind="image")
+    return multimodal.extract_features(media)
+
+
+def q_agg_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile sketch — algorithm-specific results, rows-only."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return aggregates.percentiles(li, ["l_returnflag"], "l_extendedprice", [0.5, 0.95])
+
+
+# ===========================================================================
+# oracle SQL (DuckDB)
+# ===========================================================================
+
+
+def _minhash_cte() -> str:
+    """Shared CTE chain: docs → shingles → 12-hash signatures."""
+    sig_elems = ", ".join(
+        f"list_min(list_transform(s, x -> {_sql_hash64('x', seed=i)}))" for i in range(12)
+    )
+    return f"""
+        docs AS (SELECT doc_id, string_split({_norm('text')}, ' ') AS w FROM documents),
+        sh AS (
+            SELECT doc_id,
+                   list_transform(generate_series(1, len(w) - 2),
+                                  i -> array_to_string(w[i:i+2], ' ')) AS s
+            FROM docs WHERE len(w) >= 3
+        ),
+        sig AS (SELECT doc_id, [{sig_elems}] AS sig FROM sh)
+    """
+
+
+def _banded_cte() -> str:
+    return f"""
+        WITH {_minhash_cte()},
+        banded AS (
+            SELECT doc_id, b.i AS band,
+                   concat_ws('_', sig[b.i*3+1], sig[b.i*3+2], sig[b.i*3+3]) AS band_sig
+            FROM sig, generate_series(0, 3) AS b(i)
+        )
+    """
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    votes = ", ".join(
+        f"SUM(CASE WHEN (hv >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}" for i in range(bits)
+    )
+    fp = " + ".join(f"(CASE WHEN v{i} > 0 THEN {2**i} ELSE 0 END)" for i in range(bits))
+    return f"""
+        WITH d AS (
+            SELECT doc_id, list_distinct(string_split({_norm('text')}, ' ')) AS toks
+            FROM documents WHERE doc_id < 200
+        ),
+        t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+        h AS (SELECT doc_id, {_sql_hash64('tok')} AS hv FROM t),
+        v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
+        SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM v
+    """
+
+
+_TEXT_NORM = _norm("text")
+_N_TOK = f"len(string_split({_TEXT_NORM}, ' '))"
+_SUBTOK_PREP = (
+    "regexp_replace(regexp_replace(lower(text), '([a-z])([0-9])', '\\1 \\2', 'g'),"
+    " '([0-9])([a-z])', '\\1 \\2', 'g')"
+)
+_STOPLIST = "('the','a','an','and','or','of','to','in','is','it')"
+_SW_RATIO = (
+    f"round(len(list_filter(string_split({_TEXT_NORM}, ' '), t -> t IN {_STOPLIST})) * 1.0"
+    f" / greatest({_N_TOK}, 1), 6)"
+)
+_PUNCT_RATIO = (
+    "round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0"
+    " / greatest(length(text), 1), 6)"
+)
+_MWL = (
+    f"round((length({_TEXT_NORM}) - ({_N_TOK} - 1)) * 1.0 / greatest({_N_TOK}, 1), 6)"
+)
+
+_LANG_SCORES = {
+    "en": "('the','and','of','to','is')",
+    "es": "('el','la','de','que','y')",
+    "fr": "('le','la','et','les','des')",
+    "de": "('der','die','und','das','ist')",
+}
+_LANG_SCORE_EXPRS = {
+    lang: f"len(list_filter(string_split({_TEXT_NORM}, ' '), t -> t IN {markers}))"
+    for lang, markers in _LANG_SCORES.items()
+}
+_LANG_BEST = "greatest(" + ", ".join(f"s_{lang}" for lang in _LANG_SCORES) + ")"
+_LANG_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN best > 0 AND s_{lang} = best THEN '{lang}'" for lang in _LANG_SCORES
+    )
+    + " ELSE 'und' END"
+)
+
+
+ORACLES: dict[str, str] = {
+    "flagship_max_price": """
+        SELECT l_returnflag, round(max(l_extendedprice), 2) AS max_price
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_quantity), 4) AS avg_qty,
+               CAST(count(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "filter_project": """
+        SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice, l_shipdate
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_discount <= 0.02
+    """,
+    "scalar_functions": """
+        SELECT o_orderkey,
+               upper(o_orderpriority) AS prio_upper,
+               substr(o_orderpriority, 1, 1) AS prio_code,
+               CAST(length(o_orderpriority) AS BIGINT) AS prio_len,
+               o_orderstatus || '-' || o_orderpriority AS status_prio,
+               CAST(year(o_orderdate) AS INTEGER) AS yr,
+               CAST(month(o_orderdate) AS INTEGER) AS mon,
+               date_trunc('month', o_orderdate) AS month_start,
+               floor(o_totalprice * 10) / 100 AS tithe,
+               CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_bucket,
+               o_orderkey % 97 AS key_mod,
+               abs(o_totalprice - 1000.0) AS abs_delta
+        FROM orders
+    """,
+    "sort_topk": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+    "join_customer_orders": """
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o_totalprice), 2) AS sum_totalprice
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    "join_revenue_by_nation": """
+        SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name ORDER BY n_name
+    """,
+    "join_left_outer": """
+        SELECT c_custkey, c_name,
+               CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+               round(coalesce(sum(o_totalprice), 0), 2) AS total_spend
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey, c_name
+    """,
+    "join_semi": """
+        SELECT c_custkey, c_name, c_acctbal FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    """,
+    "join_anti": """
+        SELECT c_custkey, c_name, c_acctbal FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    """,
+    "range_join": """
+        SELECT p_brand,
+               CAST(count(*) AS BIGINT) AS n_matches,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem JOIN part
+          ON l_quantity >= CAST(p_size AS DOUBLE)
+         AND l_quantity <= CAST(p_size + 4 AS DOUBLE)
+        GROUP BY p_brand ORDER BY p_brand
+    """,
+    "asof_join": """
+        SELECT l.event_id, l.user_id, l.ts, l.value, r.signup_ts, r.signup_value
+        FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+              FROM events WHERE event_type = 'purchase') l
+        ASOF LEFT JOIN (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS signup_ts, value AS signup_value
+            FROM events WHERE event_type = 'signup'
+        ) r ON l.user_id = r.user_id AND l.ts >= r.signup_ts
+    """,
+    "agg_distinct": """
+        SELECT l_returnflag,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+               CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "agg_rollup": """
+        SELECT coalesce(l_returnflag, '(all)') AS l_returnflag,
+               coalesce(l_linestatus, '(all)') AS l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "agg_cube": """
+        SELECT coalesce(l_returnflag, '(all)') AS l_returnflag,
+               coalesce(l_linestatus, '(all)') AS l_linestatus,
+               round(sum(l_extendedprice), 2) AS sum_price,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "agg_grouping_sets": """
+        SELECT coalesce(l_returnflag, '(all)') AS rf,
+               coalesce(l_linestatus, '(all)') AS ls,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+    "agg_median": """
+        SELECT l_returnflag,
+               round(median(l_extendedprice), 4) AS median_price,
+               round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+               round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "pivot": """
+        SELECT l_linestatus,
+               CAST(count(*) FILTER (WHERE l_returnflag = 'A') AS BIGINT) AS n_a,
+               CAST(count(*) FILTER (WHERE l_returnflag = 'N') AS BIGINT) AS n_n,
+               CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT) AS n_r
+        FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+    "window_rank": """
+        SELECT l_orderkey, l_linenumber, l_extendedprice,
+               CAST(rank() OVER (PARTITION BY l_orderkey ORDER BY l_extendedprice DESC) AS BIGINT)
+                   AS price_rank
+        FROM lineitem
+    """,
+    "window_topk_per_group": """
+        SELECT l_orderkey, l_linenumber, l_extendedprice FROM (
+            SELECT l_orderkey, l_linenumber, l_extendedprice,
+                   row_number() OVER (PARTITION BY l_orderkey
+                                      ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rn
+            FROM lineitem
+        ) WHERE rn <= 3
+    """,
+    "window_running_sum": """
+        SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+               round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                             ORDER BY o_orderdate ASC, o_orderkey ASC
+                                             ROWS UNBOUNDED PRECEDING), 2) AS running_spend
+        FROM orders
+    """,
+    "window_lag": """
+        SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+               lag(o_totalprice) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate ASC, o_orderkey ASC)
+                   AS prev_totalprice
+        FROM orders
+    """,
+    "set_union": """
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        UNION
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    "set_intersect": """
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        INTERSECT
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    "set_except": """
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        EXCEPT
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    "json_extract": """
+        SELECT event_id, event_type,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        FROM events
+        WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+    """,
+    "explode_tokens": f"""
+        SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM (
+            SELECT unnest(string_split({_TEXT_NORM}, ' ')) AS token FROM documents
+        ) GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 20
+    """,
+    "rdd_wordcount": f"""
+        SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM (
+            SELECT unnest(string_split({_TEXT_NORM}, ' ')) AS token FROM documents
+        ) GROUP BY token
+    """,
+    "window_tumbling": """
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 4) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "window_sliding": """
+        SELECT CAST(time_bucket(INTERVAL '30 minutes', ts)
+                    - off.o * INTERVAL '30 minutes' AS TIMESTAMP) AS window_start,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events, (VALUES (0), (1)) AS off(o)
+        GROUP BY 1, 2
+    """,
+    "window_session": """
+        WITH flagged AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w >= INTERVAL '2 hours'
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        grouped AS (
+            SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+            FROM flagged
+        )
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL '2 hours' AS session_end,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM grouped GROUP BY user_id, sid
+    """,
+    "dedup_exact": f"""
+        SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+               CAST(count(*) AS BIGINT) AS dup_count
+        FROM documents GROUP BY md5({_TEXT_NORM})
+    """,
+    "text_stats": f"""
+        WITH scored AS (
+            SELECT doc_id,
+                   CAST({_N_TOK} AS BIGINT) AS n_tokens,
+                   CAST(len(list_filter(regexp_split_to_array({_SUBTOK_PREP},
+                            '[^a-z0-9]+'), p -> p <> '')) AS BIGINT) AS n_subtokens,
+                   CAST(length(text) AS BIGINT) AS n_chars2,
+                   {_PUNCT_RATIO} AS punct_ratio,
+                   {_SW_RATIO} AS stopword_ratio,
+                   {_MWL} AS mean_word_len,
+                   {_LANG_SCORE_EXPRS['en']} AS s_en,
+                   {_LANG_SCORE_EXPRS['es']} AS s_es,
+                   {_LANG_SCORE_EXPRS['fr']} AS s_fr,
+                   {_LANG_SCORE_EXPRS['de']} AS s_de,
+                   md5({_TEXT_NORM}) AS fingerprint
+            FROM documents
+        ),
+        with_best AS (
+            SELECT *, {_LANG_BEST} AS best FROM scored
+        )
+        SELECT doc_id, n_tokens, n_subtokens, n_chars2, punct_ratio, stopword_ratio,
+               mean_word_len,
+               round(least(stopword_ratio * 4, 1.0) * 0.4
+                     + (1.0 - least(punct_ratio * 5, 1.0)) * 0.3
+                     + (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 8
+                             THEN 1.0 ELSE 0.3 END) * 0.3, 6) AS quality,
+               {_LANG_CASE} AS lang_pred,
+               fingerprint
+        FROM with_best
+    """,
+    "dedup_minhash_signatures": f"""
+        WITH {_minhash_cte()}
+        SELECT doc_id, CAST(g.i - 1 AS BIGINT) AS hash_idx, sig[g.i] AS minhash
+        FROM sig, generate_series(1, 12) AS g(i)
+    """,
+    "dedup_minhash_pairs": _banded_cte()
+    + """
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    """,
+    "dedup_ngram_jaccard": _banded_cte()
+    + """
+        , pairs AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+        ),
+        sets AS (SELECT doc_id, list_distinct(s) AS st FROM sh)
+        SELECT id_a, id_b,
+               round(len(list_intersect(sa.st, sb.st)) * 1.0
+                     / len(list_distinct(list_concat(sa.st, sb.st))), 6) AS jaccard
+        FROM pairs
+        JOIN sets sa ON sa.doc_id = id_a
+        JOIN sets sb ON sb.doc_id = id_b
+        WHERE round(len(list_intersect(sa.st, sb.st)) * 1.0
+                    / len(list_distinct(list_concat(sa.st, sb.st))), 6) >= 0.5
+    """,
+    "dedup_simhash": _simhash_sql(32),
+    "embedding_near_dup": """
+        SELECT * FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 6) AS cos
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+        ) WHERE cos >= 0.35
+    """,
+    "ann_cosine_topk": """
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+        s AS (
+            SELECT query_id, neighbor_id,
+                   round(list_cosine_similarity(CAST(cv AS DOUBLE[]),
+                                                CAST(qv AS DOUBLE[])), 6) AS cos
+            FROM c, q WHERE neighbor_id <> query_id
+        ),
+        r AS (
+            SELECT query_id, neighbor_id, cos,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id ASC) AS rn
+            FROM s
+        )
+        SELECT query_id, neighbor_id, cos, CAST(rn AS BIGINT) AS rank
+        FROM r WHERE rn <= 10
+    """,
+    "multimodal_meta": """
+        SELECT CAST(doc_id AS BIGINT) AS media_id,
+               'image' AS kind,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               sha256(text) AS content_sha256,
+               'application/octet-stream' AS mime
+        FROM documents
+    """,
+}
+
+
+# ===========================================================================
+# registry
+# ===========================================================================
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "flagship_max_price": q_flagship_max_price,
+    "pricing_summary": q_pricing_summary,
+    "filter_project": q_filter_project,
+    "scalar_functions": q_scalar_functions,
+    "sort_topk": q_sort_topk,
+    "join_customer_orders": q_join_customer_orders,
+    "join_revenue_by_nation": q_join_revenue_by_nation,
+    "join_left_outer": q_join_left_outer,
+    "join_semi": q_join_semi,
+    "join_anti": q_join_anti,
+    "range_join": q_range_join,
+    "asof_join": q_asof_join,
+    "agg_distinct": q_agg_distinct,
+    "agg_rollup": q_agg_rollup,
+    "agg_cube": q_agg_cube,
+    "agg_grouping_sets": q_agg_grouping_sets,
+    "agg_median": q_agg_median,
+    "pivot": q_pivot,
+    "window_rank": q_window_rank,
+    "window_topk_per_group": q_window_topk_per_group,
+    "window_running_sum": q_window_running_sum,
+    "window_lag": q_window_lag,
+    "set_union": q_set_union,
+    "set_intersect": q_set_intersect,
+    "set_except": q_set_except,
+    "json_extract": q_json_extract,
+    "explode_tokens": q_explode_tokens,
+    "rdd_wordcount": q_rdd_wordcount,
+    "window_tumbling": q_window_tumbling,
+    "window_sliding": q_window_sliding,
+    "window_session": q_window_session,
+    "dedup_exact": q_dedup_exact,
+    "text_stats": q_text_stats,
+    "dedup_minhash_signatures": q_dedup_minhash_signatures,
+    "dedup_minhash_pairs": q_dedup_minhash_pairs,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_simhash": q_dedup_simhash,
+    "embedding_near_dup": q_embedding_near_dup,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "multimodal_meta": q_multimodal_meta,
+    "multimodal_features": q_multimodal_features,
+    "agg_percentiles_approx": q_agg_percentiles_approx,
+}

@@ -1,0 +1,33 @@
+"""Sources & sinks (reference F1/F2/F9/F10 → Spark readers/writers/catalog)."""
+
+from yet_another_map_reduce_spark.sources.catalog import Catalog
+from yet_another_map_reduce_spark.sources.readers import (
+    TABLES,
+    load_tables,
+    read_csv,
+    read_json,
+    read_parquet,
+    read_table,
+    read_text,
+)
+from yet_another_map_reduce_spark.sources.writers import (
+    write_csv,
+    write_json,
+    write_parquet,
+    write_text,
+)
+
+__all__ = [
+    "TABLES",
+    "Catalog",
+    "load_tables",
+    "read_csv",
+    "read_json",
+    "read_parquet",
+    "read_table",
+    "read_text",
+    "write_csv",
+    "write_json",
+    "write_parquet",
+    "write_text",
+]

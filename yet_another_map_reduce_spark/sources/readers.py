@@ -1,0 +1,95 @@
+"""Distributed scans (reference F2 "READ" → Spark readers).
+
+The reference's READ verb fetches every partition of a named text file
+over HTTP, merges, and globally sorts (``/root/reference/Client/client.py:74-112``).
+In Spark the transfer/merge plumbing is the scheduler's job; a scan is a
+declarative ``spark.read`` so Catalyst can push filters and prune columns
+down to the format (parquet row-group/page pruning at scale).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+#: Canonical test-table names (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Columnar scan. Predicate/projection pushdown and partition pruning
+    are free as long as callers keep filters declarative (no UDF in the
+    WHERE clause)."""
+    return spark.read.parquet(path)
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    """Line-text scan: one ``value: string`` row per line — the exact
+    model of a reference partition file (``Worker/worker.py:85``)."""
+    return spark.read.text(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    sep: str = ",",
+    header: bool = False,
+    mode: str = "PERMISSIVE",
+) -> DataFrame:
+    """Delimited scan. ``sep='\\t'`` + an explicit schema reproduces the
+    reference's implied TSV transactions table (``mapper.py:4-5``) with
+    real types instead of opaque lines."""
+    reader = spark.read.option("sep", sep).option("header", header).option("mode", mode)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: StructType | str | None = None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one canonical test table from a scale-factor directory.
+
+    ``events.parquet`` stores TIMESTAMP(NANOS) which Spark's parquet
+    reader rejects; it is read with ``nanosAsLong`` and converted to a
+    microsecond timestamp (truncation — the same thing DuckDB's
+    ns→µs cast does, keeping oracle parity).
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name != "events":
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    from pyspark.sql.types import LongType
+
+    if isinstance(df.schema["ts"].dataType, LongType):
+        # integer `div` — float division would lose precision on int64 nanos
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    """Load several test tables at once; keys are table names."""
+    return {name: read_table(spark, sf_dir, name) for name in names}

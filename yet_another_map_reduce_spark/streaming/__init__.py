@@ -1,0 +1,28 @@
+"""Structured Streaming operators (ABSENT in the reference — its
+"streaming" is stdin pipes, ``/root/reference/Worker/worker.py:88``).
+
+Batch/stream parity by construction: every windowing helper takes a
+DataFrame, so the SAME function body serves a ``spark.read`` batch frame
+(oracle-checkable against SQL) and a ``spark.readStream`` frame
+(production).  Stream-only pieces (watermark policy, stateful dedup,
+sinks) live beside them.
+"""
+
+from yet_another_map_reduce_spark.streaming.windows import (
+    session_windowed,
+    sliding_windowed,
+    tumbling_windowed,
+    with_watermark,
+)
+from yet_another_map_reduce_spark.streaming.stateful import streaming_dedup
+from yet_another_map_reduce_spark.streaming.sources import file_stream, rate_stream
+
+__all__ = [
+    "file_stream",
+    "rate_stream",
+    "session_windowed",
+    "sliding_windowed",
+    "streaming_dedup",
+    "tumbling_windowed",
+    "with_watermark",
+]

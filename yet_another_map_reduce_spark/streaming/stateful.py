@@ -1,0 +1,93 @@
+"""Custom stateful streaming operators.
+
+``streaming_dedup`` uses Spark's built-in ``dropDuplicates`` +
+watermark (state = seen keys within the watermark horizon — bounded).
+
+``sessionize_with_state`` shows the ``applyInPandasWithState`` shape for
+semantics the built-ins can't express (custom session payloads,
+per-key timeouts).  State is per-key, timeouts evict it, output is an
+Arrow batch per group — the scalable custom-operator pattern.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def streaming_dedup(df: DataFrame, key_cols: list[str], ts_col: str, watermark: str) -> DataFrame:
+    """Exactly-once-per-key within the watermark horizon.  The watermark
+    bounds the dedup state store — without it state grows unboundedly."""
+    return df.withWatermark(ts_col, watermark).dropDuplicates(key_cols)
+
+
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("last_ts", TimestampType()),
+    ]
+)
+
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+
+def sessionize_with_state(events: DataFrame, timeout_ms: int = 30_000) -> DataFrame:
+    """Per-user running session aggregate via applyInPandasWithState.
+
+    Emits the updated (user, count, sum, last_ts) row on every
+    micro-batch; evicts a user's state after ``timeout_ms`` of
+    processing-time silence.  Grouping key partitions state across the
+    cluster; each executor holds only its keys' state.
+    """
+
+    def fn(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        (user_id,) = key
+        n, total = state.get if state.exists else (0, 0.0)
+        last_ts = None
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            m = pdf["ts"].max()
+            last_ts = m if last_ts is None else max(last_ts, m)
+        state.update((n, total))
+        state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "total_value": [total],
+                "last_ts": [last_ts],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
