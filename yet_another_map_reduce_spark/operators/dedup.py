@@ -20,15 +20,38 @@ reproducible in an ANSI-SQL oracle (see functions/__init__.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from yet_another_map_reduce_spark.functions import (
     cosine_similarity,
     md5_hash64,
     normalize_text,
-    shingles,
+    tokens,
 )
+
+
+def exploded_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """One row per word-k-gram shingle: (id, shingle).
+
+    posexplode the token array once, then assemble shingles with
+    ``lead()`` over (id, position).  An array-side ``transform(sequence,
+    slice(tokens...))`` looks cheaper (no shuffle) but Catalyst's
+    project-collapsing re-evaluates the tokenizer *per element* —
+    measured ~10× slower — and the exploded shape feeds the downstream
+    groupBys without an extra exchange anyway.
+    """
+    tok = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("__pos", "__tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    parts = [F.col("__tok")] + [F.lead("__tok", j).over(w) for j in range(1, k)]
+    with_lead = tok.select(
+        F.col(id_col),
+        F.concat_ws(" ", *parts).alias("shingle"),
+        parts[-1].isNotNull().alias("__ok"),
+    )
+    return with_lead.where(F.col("__ok")).drop("__ok")
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -52,18 +75,30 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str, num_hashes: in
     Documents with < shingle_k words get an empty signature and are
     excluded (they can't be meaningfully near-dup'd by shingling).
     """
-    sh = df.select(F.col(id_col), shingles(text_col, shingle_k).alias("__sh")).where(F.size("__sh") > 0)
-
-    def min_hash(seed: int):
-        # NB: the lambda must take exactly one parameter — a second
-        # parameter would make Spark bind it to the array index.
-        return F.array_min(F.transform("__sh", lambda s: md5_hash64(s, seed=seed)))
-
-    sig = sh.select(
-        F.col(id_col),
-        F.array(*[min_hash(i) for i in range(num_hashes)]).alias("signature"),
+    # One md5 per shingle; the i-th hash family is the affine combination
+    # h_a + i*h_b (Kirsch-Mitzenmacher double hashing) — k families for
+    # the price of one digest.  h_a uses 60 bits, h_b is folded to 32,
+    # so h_a + 11*h_b < 2^61 never overflows int64 in any engine.
+    # Row-per-shingle shape keeps map-side partial aggregation in play
+    # (shuffle is O(docs), not O(shingles)).
+    exploded = exploded_shingles(df, text_col, id_col, shingle_k).select(
+        F.col(id_col), F.md5("shingle").alias("__hex")
     )
-    return sig
+    hashed = exploded.select(
+        F.col(id_col),
+        F.conv(F.substring("__hex", 1, 15), 16, 10).cast("bigint").alias("__ha"),
+        F.conv(F.substring("__hex", 16, 8), 16, 10).cast("bigint").alias("__hb"),
+    )
+    mins = hashed.groupBy(id_col).agg(
+        *[
+            F.min(F.col("__ha") + F.lit(i) * F.col("__hb")).alias(f"__m{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return mins.select(
+        F.col(id_col),
+        F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("signature"),
+    )
 
 
 def minhash_lsh_pairs(
@@ -128,10 +163,11 @@ def ngram_jaccard_pairs(
     generation, then exact ``|A∩B| / |A∪B|`` only on candidates.
     """
     cands = minhash_lsh_pairs(df, text_col, id_col, num_hashes, bands, shingle_k)
-    sets_ = df.select(
-        F.col(id_col),
-        F.array_distinct(shingles(text_col, shingle_k)).alias("__set"),
-    ).where(F.size("__set") > 0)
+    sets_ = (
+        exploded_shingles(df, text_col, id_col, shingle_k)
+        .groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("__set"))
+    )
     j = (
         cands.join(sets_.select(F.col(id_col).alias("id_a"), F.col("__set").alias("set_a")), "id_a")
         .join(sets_.select(F.col(id_col).alias("id_b"), F.col("__set").alias("set_b")), "id_b")

@@ -64,6 +64,7 @@ def range_join(
     right_hi: str,
     bucket_width: float,
     extra_on: list[str] | None = None,
+    broadcast_right: bool = True,
 ) -> DataFrame:
     """Point-in-interval join: left.point ∈ [right.lo, right.hi].
 
@@ -73,6 +74,13 @@ def range_join(
     the standard trick behind Databricks' range-join hints, expressed in
     plain DataFrame ops.  Choose ``bucket_width`` ≈ typical interval
     length so intervals explode into O(1) buckets.
+
+    ``broadcast_right=True`` (default) broadcasts the exploded interval
+    side: bucket keys are inherently low-cardinality, so a shuffled join
+    on them is pathologically skewed — statistics after the explode are
+    unknown to Catalyst, which otherwise picks exactly that plan.  Set
+    it False only when the interval side is itself huge (then also pass
+    ``extra_on`` keys to give the shuffle real cardinality).
     """
     lb = F.floor(F.col(left_point) / F.lit(bucket_width))
     l2 = left.withColumn("__bucket", lb)
@@ -85,6 +93,8 @@ def range_join(
             )
         ),
     )
+    if broadcast_right:
+        r2 = F.broadcast(r2)
     on = ["__bucket"] + (extra_on or [])
     return (
         l2.join(r2, on=on, how="inner")

@@ -213,7 +213,9 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-interval join via bucketed range_join (no cross product):
     lineitem quantity ∈ [p_size, p_size+4]."""
     li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
-    p = read_table(spark, sf_dir, "part").select(
+    # small-part subset keeps join output ~25M rows at sf0.1 (every part
+    # would be ~1.15B — valid but a bench hog, not a better test)
+    p = read_table(spark, sf_dir, "part").where(F.col("p_size") <= 10).select(
         "p_partkey",
         "p_brand",
         F.col("p_size").cast("double").alias("size_lo"),
@@ -600,10 +602,11 @@ def q_agg_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_cte() -> str:
-    """Shared CTE chain: docs → shingles → 12-hash signatures."""
-    sig_elems = ", ".join(
-        f"list_min(list_transform(s, x -> {_sql_hash64('x', seed=i)}))" for i in range(12)
-    )
+    """Shared CTE chain: docs → shingles → 12-hash signatures.
+
+    Mirrors dedup.minhash_signatures: one md5 per shingle, i-th hash =
+    h_a + i*h_b (Kirsch-Mitzenmacher)."""
+    sig_elems = ", ".join(f"min(ha + {i} * hb)" for i in range(12))
     return f"""
         docs AS (SELECT doc_id, string_split({_norm('text')}, ' ') AS w FROM documents),
         sh AS (
@@ -612,7 +615,13 @@ def _minhash_cte() -> str:
                                   i -> array_to_string(w[i:i+2], ' ')) AS s
             FROM docs WHERE len(w) >= 3
         ),
-        sig AS (SELECT doc_id, [{sig_elems}] AS sig FROM sh)
+        hashed AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(u.sng), 1, 15))::BIGINT AS ha,
+                   ('0x' || substr(md5(u.sng), 16, 8))::BIGINT AS hb
+            FROM (SELECT doc_id, unnest(s) AS sng FROM sh) u
+        ),
+        sig AS (SELECT doc_id, [{sig_elems}] AS sig FROM hashed GROUP BY doc_id)
     """
 
 
@@ -761,7 +770,7 @@ ORACLES: dict[str, str] = {
         SELECT p_brand,
                CAST(count(*) AS BIGINT) AS n_matches,
                round(sum(l_quantity), 2) AS sum_qty
-        FROM lineitem JOIN part
+        FROM lineitem JOIN (SELECT * FROM part WHERE p_size <= 10) p
           ON l_quantity >= CAST(p_size AS DOUBLE)
          AND l_quantity <= CAST(p_size + 4 AS DOUBLE)
         GROUP BY p_brand ORDER BY p_brand
