@@ -1,0 +1,100 @@
+"""Fidelity tests for the generic MapReduce surface (reference F3-F7).
+
+The strongest check in the repo: run the reference's OWN mapper.py and
+reducer.py (unmodified, from /root/reference) through the Spark compat
+layer over the reference's own data.txt, and require byte-equality with
+the golden output the reference repo committed from a real 3-worker run
+(/root/reference/Client/temp/data_part-00000.txt — verified in
+SURVEY.md §5 to be a true input→output golden pair).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+from yet_another_map_reduce_spark.operators.mapreduce import (
+    run_inprocess,
+    run_streaming_job,
+)
+
+REF = "/root/reference"
+GOLDEN = os.path.join(REF, "Client", "temp", "data_part-00000.txt")
+
+needs_reference = pytest.mark.skipif(
+    not os.path.exists(GOLDEN), reason="reference repo not present"
+)
+
+
+def _golden_lines() -> list[str]:
+    with open(GOLDEN) as fh:
+        return sorted(line.rstrip("\n") for line in fh if line.strip())
+
+
+@needs_reference
+def test_streaming_job_matches_reference_golden(spark):
+    """rdd.pipe with the verbatim reference programs reproduces the
+    reference's committed end-to-end result, byte for byte."""
+    out = run_streaming_job(
+        spark,
+        input_path=os.path.join(REF, "data.txt"),
+        mapper_cmd=f"{sys.executable} {os.path.join(REF, 'mapper.py')}",
+        reducer_cmd=f"{sys.executable} {os.path.join(REF, 'reducer.py')}",
+        num_reducers=3,
+    )
+    got = sorted(r["value"] for r in out.collect() if r["value"].strip())
+    assert got == _golden_lines()
+
+
+@needs_reference
+def test_inprocess_matches_reference_golden(spark):
+    """The in-process fast path computes the same result with Python
+    callables implementing the same contract (no subprocess pipes)."""
+
+    def mapper(line: str):
+        data = line.strip().split("\t")
+        if len(data) == 6:
+            yield f"{data[2]},{data[4]}"
+
+    def reducer(key: str, values):
+        best = 0.0
+        for v in values:
+            if float(v) > best:
+                best = float(v)
+        yield f"{key},{best}"
+
+    out = run_inprocess(
+        spark,
+        input_path=os.path.join(REF, "data.txt"),
+        mapper=mapper,
+        reducer=reducer,
+        num_reducers=3,
+    )
+    got = sorted(r["value"] for r in out.collect() if r["value"].strip())
+    assert got == _golden_lines()
+
+
+def test_wordcount_roundtrip(spark, tmp_path):
+    """Generic contract on fresh data: wordcount via the in-process
+    surface, output written as text part files (F10) and read back."""
+    src = tmp_path / "input.txt"
+    src.write_text("a b a\nc b a\n")
+
+    def mapper(line: str):
+        for tok in line.split():
+            yield f"{tok},1"
+
+    def reducer(key: str, values):
+        yield f"{key},{sum(int(v) for v in values)}"
+
+    out_dir = str(tmp_path / "out")
+    out = run_inprocess(
+        spark, str(src), mapper, reducer, num_reducers=2, output_path=out_dir
+    )
+    got = dict(line.split(",") for line in (r["value"] for r in out.collect()))
+    assert got == {"a": "3", "b": "2", "c": "1"}
+    # part files exist and round-trip
+    back = spark.read.text(out_dir)
+    assert back.count() == 3

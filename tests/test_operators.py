@@ -1,0 +1,162 @@
+"""Unit tests for operator semantics on small hand-built frames
+(oracle parity at sf0.01 is covered by scripts/check_parity.py and the
+driver; these pin edge-case semantics)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from yet_another_map_reduce_spark.operators import dedup, joins, setops, similarity, windows
+from yet_another_map_reduce_spark.operators.text import lang_id, quality_score
+from yet_another_map_reduce_spark.functions import md5_hash64, shingles
+
+
+def test_asof_join_backward(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "p1"), (1, 25, "p2"), (2, 5, "p3")], "k int, t int, name string"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 20, 200.0), (1, 30, 300.0), (3, 1, 999.0)],
+        "k int, rt int, val double",
+    )
+    out = joins.asof_join(
+        left, right, on="k", left_time="t", right_time="rt", right_values=["rt", "val"]
+    )
+    rows = {r["name"]: (r["rt"], r["val"]) for r in out.collect()}
+    assert rows["p1"] == (10, 100.0)  # equal timestamps match (<=)
+    assert rows["p2"] == (20, 200.0)  # latest at-or-before 25
+    assert rows["p3"] == (None, None)  # no match -> left row kept, nulls
+
+
+def test_asof_join_forward(spark):
+    left = spark.createDataFrame([(1, 15, "p1")], "k int, t int, name string")
+    right = spark.createDataFrame(
+        [(1, 10, 1.0), (1, 20, 2.0)], "k int, rt int, val double"
+    )
+    out = joins.asof_join(
+        left, right, on="k", left_time="t", right_time="rt",
+        right_values=["val"], direction="forward",
+    )
+    assert out.collect()[0]["val"] == 2.0
+
+
+def test_range_join_inclusive_bounds(spark):
+    pts = spark.createDataFrame([(1, 5.0), (2, 10.0), (3, 10.5)], "id int, x double")
+    iv = spark.createDataFrame([(100, 5.0, 10.0)], "iid int, lo double, hi double")
+    out = joins.range_join(pts, iv, "x", "lo", "hi", bucket_width=2.0)
+    assert sorted(r["id"] for r in out.collect()) == [1, 2]  # both ends inclusive
+
+
+def test_semi_anti_partition(spark):
+    a = spark.createDataFrame([(1,), (2,), (3,)], "k int")
+    b = spark.createDataFrame([(2,), (3,), (4,)], "k int")
+    semi = joins.semi_join(a, b, on="k")
+    anti = joins.anti_join(a, b, on="k")
+    assert sorted(r["k"] for r in semi.collect()) == [2, 3]
+    assert sorted(r["k"] for r in anti.collect()) == [1]
+    # semi ∪ anti == left, disjoint
+    assert semi.count() + anti.count() == a.count()
+
+
+def test_top_k_per_group_ties(spark):
+    df = spark.createDataFrame(
+        [("g", 1, 5.0), ("g", 2, 5.0), ("g", 3, 4.0)], "grp string, id int, v double"
+    )
+    out = windows.top_k_per_group(
+        df, ["grp"], [F.col("v").desc(), F.col("id").asc()], k=2
+    )
+    assert sorted(r["id"] for r in out.collect()) == [1, 2]  # deterministic tiebreak
+
+
+def test_setops_bag_vs_set(spark):
+    a = spark.createDataFrame([(1,), (1,), (2,)], "k int")
+    b = spark.createDataFrame([(1,), (3,)], "k int")
+    assert setops.union_all(a, b).count() == 5
+    assert setops.union_distinct(a, b).count() == 3
+    assert setops.except_all(a, b).count() == 2  # one 1 survives bag-minus
+    assert setops.except_(a, b).count() == 1  # set-minus removes all 1s
+    assert setops.intersect_all(a, b).count() == 1
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "Same  Text"), (2, "same text"), (3, "other")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["dup_count"] for r in dedup.exact_dedup(df, "text", "doc_id").collect()}
+    # normalization folds case+whitespace: docs 1 and 2 are duplicates
+    assert out == {1: 2, 3: 1}
+
+
+def test_minhash_identical_docs_collide(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over dogs"),
+         (2, "the quick brown fox jumps over dogs"),
+         (3, "completely different words entirely here now")],
+        "doc_id long, text string",
+    )
+    pairs = dedup.minhash_lsh_pairs(df, "text", "doc_id", num_hashes=12, bands=4).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+
+
+def test_jaccard_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "z y x w v")],
+        "doc_id long, text string",
+    )
+    out = dedup.ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.5)
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["jaccard"] == 1.0
+
+
+def test_simhash_is_deterministic_and_collides_for_dups(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    fps = [r["simhash"] for r in dedup.simhash(df, "text", "doc_id", bits=32).collect()]
+    assert fps[0] == fps[1]
+    groups = dedup.simhash_dup_groups(df, "text", "doc_id", bits=32).collect()
+    assert len(groups) == 1 and groups[0]["n_docs"] == 2
+
+
+def test_cosine_topk_self_excluded_and_ordered(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = similarity.cosine_topk(df, df.where(F.col("vec_id") == 1), "vec_id", "embedding", k=2)
+    rows = sorted(out.collect(), key=lambda r: r["rank"])
+    assert [r["neighbor_id"] for r in rows] == [2, 3]
+    assert rows[0]["cos"] > rows[1]["cos"]
+
+
+def test_lsh_bucket_is_stable(spark):
+    df = spark.createDataFrame([(1, [float(i) for i in range(64)])], "id long, v array<float>")
+    b1 = similarity.lsh_bucket(df, "v", num_planes=8, dim=64).collect()[0]["bucket"]
+    b2 = similarity.lsh_bucket(df, "v", num_planes=8, dim=64).collect()[0]["bucket"]
+    assert b1 == b2 and 0 <= b1 < 256
+
+
+def test_shingles_edge_short_doc(spark):
+    df = spark.createDataFrame([("one two",)], "text string")
+    assert df.select(shingles("text", 3).alias("s")).collect()[0]["s"] == []
+
+
+def test_md5_hash64_range(spark):
+    h = spark.range(1).select(md5_hash64(F.lit("x")).alias("h")).collect()[0]["h"]
+    assert 0 <= h < 2**60
+
+
+def test_lang_id_and_quality(spark):
+    df = spark.createDataFrame(
+        [("the cat and the dog of the house is big",),
+         ("el perro y la casa de que grande y bonita",),
+         ("zzz qqq",)],
+        "text string",
+    )
+    out = df.select(lang_id("text").alias("lang"), quality_score("text").alias("q")).collect()
+    assert out[0]["lang"] == "en"
+    assert out[1]["lang"] == "es"
+    assert out[2]["lang"] == "und"
+    for r in out:
+        assert 0.0 <= r["q"] <= 1.0

@@ -1,0 +1,59 @@
+"""Physical-plan hygiene — the 100 TB discipline, enforced in CI.
+
+A regression that silently drops predicate pushdown or flips a
+broadcast join to a shuffled one doesn't change results at sf0.001, but
+melts a 1000-executor cluster.  These tests pin the plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from yet_another_map_reduce_spark import plans
+from yet_another_map_reduce_spark.queries import QUERIES
+from yet_another_map_reduce_spark.sources.readers import read_table
+
+
+def test_filter_and_projection_reach_parquet(spark, sf_dir):
+    df = QUERIES["filter_project"](spark, sf_dir)
+    plans.assert_pushed_filters(df, "l_discount", "l_shipdate")
+    # 5 projected + 1 filter-only column -> scan must not read all 11
+    plans.assert_pruned_columns(df, 6)
+
+
+def test_broadcast_join_is_broadcast(spark, sf_dir):
+    df = QUERIES["join_customer_orders"](spark, sf_dir)
+    assert plans.uses_broadcast_join(df)
+
+
+def test_range_join_broadcasts_intervals(spark, sf_dir):
+    df = QUERIES["range_join"](spark, sf_dir)
+    assert plans.uses_broadcast_join(df), "interval side must broadcast (skew guard)"
+
+
+def test_agg_has_single_shuffle(spark, sf_dir):
+    li = read_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s"))
+    # partial+final hash agg -> exactly one exchange
+    assert plans.count_exchanges(agg) == 1
+
+
+def test_flagship_uses_whole_stage_codegen(spark, sf_dir):
+    # AQE wraps the plan and hides codegen subtrees until execution —
+    # disable it for the static inspection only
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = QUERIES["flagship_max_price"](spark, sf_dir)
+        assert plans.whole_stage_codegen_ids(df) >= 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    """The as-of union+window design promises exactly one wide exchange."""
+    df = QUERIES["asof_join"](spark, sf_dir)
+    assert plans.count_exchanges(df) == 1
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    df = QUERIES["sort_topk"](spark, sf_dir)
+    assert "TakeOrderedAndProject" in plans.formatted_plan(df)

@@ -1,0 +1,76 @@
+"""Sources/sinks/catalog tests (reference verbs F1/F2/F9/F10)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from yet_another_map_reduce_spark.sources import Catalog, write_parquet, write_text
+from yet_another_map_reduce_spark.sources.catalog import DatasetNotFound
+from yet_another_map_reduce_spark.sources.readers import read_csv, read_table, read_text
+
+
+def test_catalog_write_read_roundtrip(spark, tmp_path):
+    cat = Catalog(root=str(tmp_path / "meta"))
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    cat.write(df, "hundred", str(tmp_path / "hundred"), num_partitions=4)
+    back = cat.read(spark, "hundred")
+    assert back.count() == 100
+    assert sorted(back.columns) == ["id", "v"]
+    # manifest persisted: a fresh catalog instance resolves the name (F9)
+    cat2 = Catalog(root=str(tmp_path / "meta"))
+    assert cat2.read(spark, "hundred").count() == 100
+
+
+def test_catalog_miss_raises(spark, tmp_path):
+    cat = Catalog(root=str(tmp_path / "meta2"))
+    with pytest.raises(DatasetNotFound):
+        cat.resolve("nope")
+
+
+def test_text_roundtrip_with_part_files(spark, tmp_path):
+    """W-way partitioned text write -> part-* files -> merged read (F1+F2+F10)."""
+    df = spark.createDataFrame([(f"line{i}",) for i in range(10)], "value string")
+    out = str(tmp_path / "txt")
+    write_text(df, out, num_partitions=3)
+    parts = [f for f in os.listdir(out) if f.startswith("part-")]
+    assert len(parts) == 3
+    back = read_text(spark, out)
+    assert sorted(r["value"] for r in back.collect()) == sorted(f"line{i}" for i in range(10))
+
+
+def test_empty_partitions_are_legal(spark, tmp_path):
+    """The reference pads blank files when lines < W
+    (Client/client.py:164-175); Spark needs no padding."""
+    df = spark.createDataFrame([("only",)], "value string")
+    out = str(tmp_path / "pad")
+    write_text(df, out, num_partitions=4)
+    assert read_text(spark, out).count() == 1
+
+
+def test_tsv_read_types_the_reference_schema(spark, tmp_path):
+    """The reference's implied transactions schema (mapper.py:4-5),
+    read as typed columns instead of opaque lines."""
+    p = tmp_path / "tx.tsv"
+    p.write_text("2012-07-16\t15:43\tLas Vegas\tMen's Clothing\t208.97\tVisa\n")
+    schema = "date date, time string, location string, item string, cost double, payment string"
+    df = read_csv(spark, str(p), schema=schema, sep="\t")
+    row = df.collect()[0]
+    assert row["location"] == "Las Vegas" and row["cost"] == 208.97
+
+
+def test_parquet_partition_by(spark, tmp_path):
+    df = spark.createDataFrame([(i, i % 3) for i in range(30)], "id long, g int")
+    out = str(tmp_path / "pq")
+    write_parquet(df, out, partition_by=["g"])
+    assert sorted(d for d in os.listdir(out) if d.startswith("g=")) == ["g=0", "g=1", "g=2"]
+    # partition pruning path: reading one partition sees only its rows
+    assert spark.read.parquet(out).where(F.col("g") == 1).count() == 10
+
+
+def test_events_nanos_timestamp_readable(spark, sf_dir):
+    df = read_table(spark, sf_dir, "events")
+    assert df.schema["ts"].dataType.typeName() == "timestamp"
+    assert df.count() > 0

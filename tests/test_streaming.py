@@ -1,0 +1,128 @@
+"""Structured Streaming tests: real readStream micro-batch execution
+with file replay, watermarks, windows, and stateful dedup.
+
+Strategy (FIXTURES.md §4): events replayed as a file stream; window
+aggregations are checked against the batch-mode result of the SAME
+helper functions (batch/stream parity by construction), which are in
+turn oracle-checked against DuckDB by the driver."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from yet_another_map_reduce_spark.sources.readers import read_table
+from yet_another_map_reduce_spark.streaming import (
+    file_stream,
+    streaming_dedup,
+    tumbling_windowed,
+    with_watermark,
+)
+
+
+def _events_stream(spark, sf_dir, tmp_path, n_files=4):
+    """Replay the events table as n_files micro-batch files."""
+    src = read_table(spark, sf_dir, "events")
+    replay_dir = os.path.join(str(tmp_path), "replay")
+    src.repartition(n_files).write.mode("overwrite").parquet(replay_dir)
+    schema = src.schema
+    return src, file_stream(spark, replay_dir, schema, fmt="parquet", max_files_per_trigger=1)
+
+
+def test_tumbling_window_stream_equals_batch(spark, sf_dir, tmp_path):
+    batch_src, stream = _events_stream(spark, sf_dir, tmp_path)
+    aggs = [F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value")]
+
+    windowed = tumbling_windowed(
+        with_watermark(stream, "ts", "1 hour"), "ts", "1 hour", ["event_type"], aggs
+    )
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName("tumbling_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM tumbling_out").collect()
+    }
+    expected = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in tumbling_windowed(batch_src, "ts", "1 hour", ["event_type"], aggs).collect()
+    }
+    assert got == expected
+
+
+def test_streaming_dedup_drops_repeats(spark, tmp_path):
+    src_dir = os.path.join(str(tmp_path), "dup_src")
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:05:00"), (2, "2024-01-01 00:06:00")],
+        "k long, ts_str string",
+    ).withColumn("ts", F.col("ts_str").cast("timestamp")).drop("ts_str")
+    df.coalesce(1).write.mode("overwrite").parquet(src_dir)
+
+    stream = file_stream(spark, src_dir, df.schema, fmt="parquet")
+    deduped = streaming_dedup(stream, ["k"], "ts", watermark="1 hour")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    ks = sorted(r["k"] for r in spark.sql("SELECT k FROM dedup_out").collect())
+    assert ks == [1, 2]
+
+
+def test_late_data_dropped_by_watermark(spark, tmp_path):
+    """An event older than the established watermark horizon must not
+    open a new window.  Ordering is made deterministic by running two
+    availableNow passes over one checkpoint: pass 1 sees only fresh
+    events and persists watermark=11:50; pass 2 ingests the late event
+    against that restored watermark."""
+    base = os.path.join(str(tmp_path), "late_src")
+    ckpt = os.path.join(str(tmp_path), "late_ckpt")
+    os.makedirs(base, exist_ok=True)
+    fresh = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 1.0), (2, "2024-01-01 12:00:00", 1.0)],
+        "id long, ts_str string, v double",
+    ).withColumn("ts", F.col("ts_str").cast("timestamp")).drop("ts_str")
+    late = spark.createDataFrame(
+        [(3, "2024-01-01 00:30:00", 1.0)],  # 11.5h older than max seen
+        "id long, ts_str string, v double",
+    ).withColumn("ts", F.col("ts_str").cast("timestamp")).drop("ts_str")
+
+    out_dir = os.path.join(str(tmp_path), "late_out")
+
+    def run_pass() -> None:
+        stream = file_stream(spark, base, fresh.schema, fmt="parquet")
+        windowed = tumbling_windowed(
+            with_watermark(stream, "ts", "10 minutes"),
+            "ts", "1 hour", [], [F.count(F.lit(1)).alias("n")],
+        )
+        q = (
+            windowed.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    fresh.coalesce(1).write.mode("append").parquet(base)
+    run_pass()
+    late.coalesce(1).write.mode("append").parquet(base)
+    run_pass()
+
+    try:
+        emitted = spark.read.parquet(out_dir).collect()
+    except Exception:  # no window finalized at all — also a valid drop
+        emitted = []
+    # the late event's 00:00 window must never be emitted
+    assert all(r["window_start"].hour >= 10 for r in emitted)

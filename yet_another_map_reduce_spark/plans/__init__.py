@@ -51,12 +51,12 @@ def count_exchanges(df: DataFrame) -> int:
     """Number of shuffle Exchange operators in the physical plan — the
     scale-cost headline.  Use in tests: assert an op has exactly the
     shuffles its algorithm needs and no more."""
+    import re
+
     plan = formatted_plan(df)
-    return sum(
-        1
-        for line in plan.splitlines()
-        if "Exchange" in line and "Broadcast" not in line and "reuses" not in line
-    )
+    # count node-detail headers "(N) Exchange" only — each node also
+    # appears once in the tree summary, which would double-count
+    return len(re.findall(r"^\(\d+\) Exchange$", plan, flags=re.MULTILINE))
 
 
 def uses_broadcast_join(df: DataFrame) -> bool:
@@ -65,12 +65,16 @@ def uses_broadcast_join(df: DataFrame) -> bool:
 
 
 def whole_stage_codegen_ids(df: DataFrame) -> int:
-    """How many WholeStageCodegen spans the plan compiled — wider spans
-    = fewer virtual-call boundaries.  0 means the hot path fell out of
-    codegen (e.g. a Python UDF snuck in)."""
-    plan = formatted_plan(df)
-    ids = set()
-    for line in plan.splitlines():
-        if "WholeStageCodegen" in line:
-            ids.add(line.strip())
-    return len(ids)
+    """How many WholeStageCodegen subtrees the plan compiles — wider
+    spans = fewer virtual-call boundaries.  0 means the hot path fell
+    out of codegen (e.g. a Python UDF snuck in).
+
+    Uses explain mode 'codegen': AQE's formatted plan hides codegen
+    markers until execution."""
+    import re
+
+    plan = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "codegen"
+    )
+    m = re.search(r"Found (\d+) WholeStageCodegen subtrees", plan)
+    return int(m.group(1)) if m else 0
