@@ -493,6 +493,132 @@ def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "session_start", "session_end", "n_events", "sum_value")
 
 
+# ---- more TPC-H-shaped queries --------------------------------------------
+
+
+def q_tpch_q6_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan+filter+agg — the pushdown showcase
+    (every predicate reaches the parquet scan)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+def q_tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join, group, global top-10 by revenue."""
+    c = read_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+# ---- more window functions ------------------------------------------------
+
+
+def q_window_rank_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / percent_rank / cume_dist over a deterministic total order."""
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.first("o_totalprice").over(w).alias("first_spend"),
+        F.last("o_totalprice").over(w_full).alias("last_spend"),
+    )
+
+
+# ---- UDF / UDAF / UDTF surface --------------------------------------------
+
+
+def q_udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized scalar pandas_udf (net price)."""
+    from yet_another_map_reduce_spark.operators import udxf
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return udxf.with_discounted_price(
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"),
+        "l_extendedprice",
+        "l_discount",
+        "net_price",
+    )
+
+
+def q_udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped UDAF via applyInPandas: quantity-weighted avg price."""
+    from yet_another_map_reduce_spark.operators import udxf
+
+    li = read_table(spark, sf_dir, "lineitem")
+    out = udxf.grouped_weighted_avg(
+        li, ["l_returnflag"], "l_extendedprice", "l_quantity", alias="wavg_price"
+    )
+    return out.withColumn("wavg_price", F.round("wavg_price", 4))
+
+
+def q_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (1 doc row → N token rows) via LATERAL join."""
+    from yet_another_map_reduce_spark.operators import udxf
+
+    d = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    out = udxf.token_explode_udtf(d, "text", "doc_id")
+    return out.withColumn("pos", F.col("pos").cast("int"))
+
+
+def q_udf_mapinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas partition-streaming UDF."""
+    from yet_another_map_reduce_spark.operators import udxf
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return udxf.mapinpandas_batch_stats(li, ["l_quantity", "l_discount", "l_tax"])
+
+
+# ---- array functions ------------------------------------------------------
+
+
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.element_at("embedding", 3).alias("third"),
+        F.array_max("embedding").alias("vmax"),
+        F.array_min("embedding").alias("vmin"),
+    )
+
+
 # ===========================================================================
 # pipeline extensions: dedup / text / similarity / multimodal
 # ===========================================================================
@@ -1010,6 +1136,80 @@ ORACLES: dict[str, str] = {
         SELECT query_id, neighbor_id, cos, CAST(rn AS BIGINT) AS rank
         FROM r WHERE rn <= 10
     """,
+    "tpch_q6_revenue": """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """,
+    "tpch_q3_shipping": """
+        SELECT o_orderkey, o_orderdate, o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+    """,
+    "window_rank_extras": """
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice ASC, o_orderkey ASC)
+    """,
+    "window_first_last": """
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               first_value(o_totalprice) OVER w AS first_spend,
+               last_value(o_totalprice) OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate ASC, o_orderkey ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                   AS last_spend
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate ASC, o_orderkey ASC)
+    """,
+    "udf_pandas_scalar": """
+        SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount,
+               l_extendedprice * (1.0 - l_discount) AS net_price
+        FROM lineitem
+    """,
+    "udaf_weighted_avg": """
+        SELECT l_returnflag,
+               round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4)
+                   AS wavg_price
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "udtf_tokenize": f"""
+        WITH docs AS (
+            SELECT doc_id, string_split({_TEXT_NORM}, ' ') AS toks
+            FROM documents WHERE doc_id < 50
+        )
+        SELECT doc_id,
+               unnest(toks) AS token,
+               CAST(unnest(generate_series(0, len(toks) - 1)) AS INTEGER) AS pos
+        FROM docs
+    """,
+    "udf_mapinpandas": """
+        SELECT CAST(l_quantity AS DOUBLE) AS l_quantity,
+               CAST(l_discount AS DOUBLE) AS l_discount,
+               CAST(l_tax AS DOUBLE) AS l_tax,
+               abs(l_quantity) + abs(l_discount) + abs(l_tax) AS row_abs_sum
+        FROM lineitem
+    """,
+    "array_functions": """
+        SELECT vec_id,
+               CAST(len(embedding) AS BIGINT) AS dim,
+               embedding[3] AS third,
+               CAST(list_aggregate(embedding, 'max') AS FLOAT) AS vmax,
+               CAST(list_aggregate(embedding, 'min') AS FLOAT) AS vmin
+        FROM embeddings
+    """,
     "multimodal_meta": """
         SELECT CAST(doc_id AS BIGINT) AS media_id,
                'image' AS kind,
@@ -1054,6 +1254,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_extract": q_json_extract,
     "explode_tokens": q_explode_tokens,
     "rdd_wordcount": q_rdd_wordcount,
+    "tpch_q6_revenue": q_tpch_q6_revenue,
+    "tpch_q3_shipping": q_tpch_q3_shipping,
+    "window_rank_extras": q_window_rank_extras,
+    "window_first_last": q_window_first_last,
+    "udf_pandas_scalar": q_udf_pandas_scalar,
+    "udaf_weighted_avg": q_udaf_weighted_avg,
+    "udtf_tokenize": q_udtf_tokenize,
+    "udf_mapinpandas": q_udf_mapinpandas,
+    "array_functions": q_array_functions,
     "window_tumbling": q_window_tumbling,
     "window_sliding": q_window_sliding,
     "window_session": q_window_session,
