@@ -1,0 +1,79 @@
+"""Property-based tests (hypothesis): the MapReduce compat contract and
+dedup invariants hold for arbitrary generated inputs.
+
+Strategy note: one shared SparkSession, small cases, deadline disabled
+(JVM round-trips dwarf hypothesis's default budget)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from yet_another_map_reduce_spark.operators.mapreduce import run_inprocess
+
+KEYS = ["alpha", "beta", "gamma", "delta", "x"]
+
+lines_strategy = st.lists(
+    st.tuples(st.sampled_from(KEYS), st.integers(min_value=0, max_value=1000)),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pairs=lines_strategy)
+def test_inprocess_mr_equals_python_fold(spark, tmp_path_factory, pairs):
+    """sum-per-key via the generic MR surface == a plain Python fold,
+    for any input multiset and any reducer count."""
+    tmp = tmp_path_factory.mktemp("mrprop")
+    src = tmp / "in.txt"
+    src.write_text("".join(f"{k}\t{v}\n" for k, v in pairs))
+
+    def mapper(line: str):
+        k, v = line.split("\t")
+        yield f"{k},{v}"
+
+    def reducer(key: str, values):
+        yield f"{key},{sum(int(v) for v in values)}"
+
+    out = run_inprocess(spark, str(src), mapper, reducer, num_reducers=3)
+    got = dict(r["value"].split(",") for r in out.collect())
+
+    want = Counter()
+    for k, v in pairs:
+        want[k] += v
+    assert got == {k: str(v) for k, v in want.items()}
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab cd", min_size=0, max_size=40), min_size=1, max_size=12
+    )
+)
+def test_exact_dedup_partitions_ids(spark, texts):
+    """exact_dedup: dup_counts sum to row count; each surviving id is the
+    min of its normalization class."""
+    from yet_another_map_reduce_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = exact_dedup(df, "text", "doc_id").collect()
+    assert sum(r["dup_count"] for r in rows) == len(texts)
+    # surviving ids are distinct and each is a legitimate min
+    norm = lambda s: " ".join(s.lower().split())  # noqa: E731
+    classes: dict[str, int] = {}
+    for i, t in enumerate(texts):
+        classes.setdefault(norm(t), i)
+    assert sorted(r["doc_id"] for r in rows) == sorted(classes.values())

@@ -1,0 +1,81 @@
+"""applyInPandasWithState sessionization: custom stateful operator over
+a real micro-batch stream."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from yet_another_map_reduce_spark.streaming.stateful import sessionize_with_state
+from yet_another_map_reduce_spark.streaming.sources import file_stream
+
+
+def test_sessionize_with_state_accumulates(spark, tmp_path):
+    src = os.path.join(str(tmp_path), "sess_src")
+    events = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 10.0),
+            (1, "2024-01-01 00:01:00", 5.0),
+            (2, "2024-01-01 00:02:00", 7.0),
+        ],
+        "user_id long, ts_str string, value double",
+    ).withColumn("ts", F.col("ts_str").cast("timestamp")).drop("ts_str")
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = file_stream(spark, src, events.schema, fmt="parquet")
+    out = sessionize_with_state(stream, timeout_ms=60_000)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = {r["user_id"]: r for r in spark.sql("SELECT * FROM sess_out").collect()}
+    assert rows[1]["n_events"] == 2 and rows[1]["total_value"] == 15.0
+    assert rows[2]["n_events"] == 1 and rows[2]["total_value"] == 7.0
+
+
+def test_sessionize_state_carries_across_batches(spark, tmp_path):
+    """Second batch for the same key must see the state from the first
+    (checkpointed across two availableNow passes)."""
+    src = os.path.join(str(tmp_path), "sess2_src")
+    ckpt = os.path.join(str(tmp_path), "sess2_ckpt")
+    out_rows = []
+
+    def run(batch_df):
+        stream = file_stream(spark, src, batch_df.schema, fmt="parquet")
+        out = sessionize_with_state(stream, timeout_ms=600_000)
+        # foreachBatch: the only sink that supports update mode AND
+        # checkpoint recovery (memory sink can't resume; file sink is
+        # append-only)
+        q = (
+            out.writeStream.foreachBatch(
+                lambda bdf, _bid: out_rows.extend(bdf.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    b1 = spark.createDataFrame(
+        [(7, "2024-01-01 00:00:00", 1.0)], "user_id long, ts_str string, value double"
+    ).withColumn("ts", F.col("ts_str").cast("timestamp")).drop("ts_str")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    run(b1)
+    b2 = spark.createDataFrame(
+        [(7, "2024-01-01 00:05:00", 2.0)], "user_id long, ts_str string, value double"
+    ).withColumn("ts", F.col("ts_str").cast("timestamp")).drop("ts_str")
+    b2.coalesce(1).write.mode("append").parquet(src)
+    run(b2)
+
+    # the last update for user 7 reflects accumulated state: 2 events, 3.0
+    last = max(
+        (r for r in out_rows if r["user_id"] == 7), key=lambda r: r["n_events"]
+    )
+    assert last["n_events"] == 2 and last["total_value"] == 3.0

@@ -33,6 +33,7 @@ def md5_hash64(col: Column | str, seed: int | None = None) -> Column:
     MinHash signatures.
     """
     c = F.col(col) if isinstance(col, str) else col
+    c = c.cast("string")  # md5 needs string/binary; numeric keys welcome
     if seed is not None:
         c = F.concat(F.lit(f"{seed}:"), c)
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")

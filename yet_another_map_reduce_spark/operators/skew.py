@@ -1,0 +1,103 @@
+"""Skew mitigation: salted aggregation and salted (replicated) joins.
+
+At 100 TB a handful of hot keys (the reference's md5-mod-W placement has
+the same failure mode, ``/root/reference/Worker/worker.py:213-214``)
+turn one reducer into the whole job's critical path.  Two standard
+counter-moves, expressed as result-identical DataFrame rewrites:
+
+- **salted aggregation**: split each hot group into ``salt`` subgroups
+  (phase 1: shuffle on (key, salt) — parallel), then merge subaggregates
+  (phase 2: shuffle on key — tiny).  Works for any algebraic aggregate
+  (sum/count/min/max and anything with a merge function).
+- **salted join**: salt the big side deterministically; replicate each
+  small-side row to every salt bucket.  The join key becomes
+  (key, salt) — hot keys fan out over ``salt`` tasks.
+
+AQE's skew-join splitting handles many cases automatically; these
+explicit forms cover aggregations (where AQE doesn't re-split) and
+joins whose skew is known up front.
+
+Salts are derived from existing columns (md5-based), not ``rand()`` —
+deterministic results, replay-safe, oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from yet_another_map_reduce_spark.functions import md5_hash64
+
+#: aggregate -> (phase-1 partial fn, phase-2 merge fn)
+_ALGEBRAIC = {
+    "sum": (F.sum, F.sum),
+    "count": (F.count, F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+}
+
+
+def salted_group_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: list[tuple[str, str, str]],
+    salt_col: str,
+    salt: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation over salted groups.
+
+    ``aggs`` is a list of (column, fn, alias) with fn in
+    {sum, count, min, max}.  ``salt_col`` is any reasonably-distributed
+    existing column used to derive the deterministic salt.
+    """
+    for _, fn, _ in aggs:
+        if fn not in _ALGEBRAIC:
+            raise ValueError(f"{fn} is not algebraic-mergeable; use plain groupBy")
+    salted = df.withColumn("__salt", F.pmod(md5_hash64(salt_col), F.lit(salt)))
+    phase1 = salted.groupBy(*keys, "__salt").agg(
+        *[_ALGEBRAIC[fn][0](c).alias(f"__p_{alias}") for c, fn, alias in aggs]
+    )
+    phase2 = phase1.groupBy(*keys).agg(
+        *[_ALGEBRAIC[fn][1](f"__p_{alias}").alias(alias) for _, fn, alias in aggs]
+    )
+    return phase2
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    salt_col: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Replicated salted join: big side salted on an existing column,
+    small side exploded onto all ``salt`` buckets.
+
+    Result-identical to ``big.join(small, big_key == small_key)``; the
+    shuffle key (key, salt) spreads each hot key over ``salt`` tasks at
+    the cost of replicating the small side ``salt`` times.
+    """
+    b = big.withColumn("__salt", F.pmod(md5_hash64(salt_col), F.lit(salt)))
+    s = small.withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
+    joined = b.join(
+        s,
+        on=[F.col(big_key) == F.col(small_key), b["__salt"] == s["__salt"]],
+        how=how,
+    )
+    return joined.drop("__salt")
+
+
+def skew_stats(df: DataFrame, key: str | Column, top: int = 10) -> DataFrame:
+    """Key-frequency diagnostic: the lookahead you run BEFORE deciding
+    to salt.  Returns the ``top`` heaviest keys with row counts and
+    share of total."""
+    total = df.count()
+    return (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .withColumn("share", F.round(F.col("n_rows") / F.lit(float(total)), 6))
+        .orderBy(F.col("n_rows").desc())
+        .limit(top)
+    )

@@ -605,6 +605,81 @@ def q_udf_mapinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return udxf.mapinpandas_batch_stats(li, ["l_quantity", "l_discount", "l_tax"])
 
 
+# ---- skew mitigation ------------------------------------------------------
+
+
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation — lineitem has only 3 return-flag
+    groups, the textbook hot-key layout; result is identical to the
+    plain groupBy (the oracle)."""
+    from yet_another_map_reduce_spark.operators import skew
+
+    li = read_table(spark, sf_dir, "lineitem")
+    out = skew.salted_group_agg(
+        li,
+        keys=["l_returnflag"],
+        aggs=[
+            ("l_quantity", "sum", "sum_qty"),
+            ("l_orderkey", "count", "n_rows"),
+            ("l_extendedprice", "max", "max_price"),
+        ],
+        salt_col="l_orderkey",
+        salt=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        F.col("n_rows"),
+        F.col("max_price"),
+    )
+
+
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replicated salted join — result-identical to the plain join."""
+    from yet_another_map_reduce_spark.operators import skew
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    joined = skew.salted_join(
+        li, o, big_key="l_orderkey", small_key="o_orderkey", salt_col="l_orderkey", salt=8
+    )
+    return (
+        joined.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---- map / JSON struct parsing --------------------------------------------
+
+
+def q_json_from_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json into a typed struct + map_keys over a built map —
+    the schema-full JSON path (vs. get_json_object's stringly path)."""
+    e = read_table(spark, sf_dir, "events")
+    parsed = e.select(
+        "event_id",
+        F.from_json("props", "k int").alias("p"),
+        F.create_map(F.lit("type"), F.col("event_type")).alias("m"),
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p.k").cast("bigint").alias("k_val"),
+        F.map_keys("m").getItem(0).alias("first_key"),
+        F.element_at("m", "type").alias("type_val"),
+    )
+
+
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct — sketch output is algorithm-specific, so
+    this is a rows-only check; the exact twin is agg_distinct."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return aggregates.approx_distinct_count(li, ["l_returnflag"], "l_partkey", "approx_parts")
+
+
 # ---- array functions ------------------------------------------------------
 
 
@@ -1202,6 +1277,27 @@ ORACLES: dict[str, str] = {
                abs(l_quantity) + abs(l_discount) + abs(l_tax) AS row_abs_sum
         FROM lineitem
     """,
+    "salted_agg": """
+        SELECT l_returnflag,
+               round(sum(l_quantity), 2) AS sum_qty,
+               CAST(count(l_orderkey) AS BIGINT) AS n_rows,
+               max(l_extendedprice) AS max_price
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "salted_join": """
+        SELECT o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    "json_from_struct": """
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+               'type' AS first_key,
+               event_type AS type_val
+        FROM events
+    """,
     "array_functions": """
         SELECT vec_id,
                CAST(len(embedding) AS BIGINT) AS dim,
@@ -1263,6 +1359,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "udtf_tokenize": q_udtf_tokenize,
     "udf_mapinpandas": q_udf_mapinpandas,
     "array_functions": q_array_functions,
+    "salted_agg": q_salted_agg,
+    "salted_join": q_salted_join,
+    "json_from_struct": q_json_from_struct,
+    "agg_approx_distinct": q_agg_approx_distinct,
     "window_tumbling": q_window_tumbling,
     "window_sliding": q_window_sliding,
     "window_session": q_window_session,
