@@ -160,3 +160,17 @@ def test_lang_id_and_quality(spark):
     assert out[2]["lang"] == "und"
     for r in out:
         assert 0.0 <= r["q"] <= 1.0
+
+
+def test_interval_overlap_join_no_duplicates(spark):
+    a = spark.createDataFrame(
+        [(1, 0.0, 10.0), (2, 20.0, 21.0)], "aid int, alo double, ahi double"
+    )
+    b = spark.createDataFrame(
+        [(10, 5.0, 25.0), (11, 11.0, 12.0)], "bid int, blo double, bhi double"
+    )
+    out = joins.interval_overlap_join(a, b, "alo", "ahi", "blo", "bhi", bucket_width=2.0)
+    pairs = sorted((r["aid"], r["bid"]) for r in out.collect())
+    # (1,10): overlap [5,10]; (2,10): overlap [20,21]; (1,11) disjoint
+    assert pairs == [(1, 10), (2, 10)]
+    assert out.count() == len(set(pairs))  # duplicate-free by construction

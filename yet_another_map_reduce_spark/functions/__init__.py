@@ -102,4 +102,5 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     """
     ad = F.transform(a, lambda x: x.cast("double"))
     bd = F.transform(b, lambda x: x.cast("double"))
-    return dot(ad, bd) / (norm(ad) * norm(bd))
+    # try_divide: zero-norm input gives NULL, not an ANSI error
+    return F.try_divide(dot(ad, bd), norm(ad) * norm(bd))

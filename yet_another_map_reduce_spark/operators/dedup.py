@@ -24,7 +24,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from yet_another_map_reduce_spark.functions import (
-    cosine_similarity,
     md5_hash64,
     normalize_text,
     tokens,
@@ -236,12 +235,30 @@ def embedding_near_dup_pairs(
     coarse cluster id (see similarity.lsh_bucket); any equality-blocked
     scheme slots in unchanged.
     """
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col(block_col).alias("__blk"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col(block_col).alias("__blk"))
+    from yet_another_map_reduce_spark.functions import dot, norm
+
+    def side(suffix: str) -> DataFrame:
+        # precompute the double-cast vector AND its norm once per vector
+        # — per-pair norm recomputation is 3x the flops for nothing, and
+        # sqrt of the same fold is bit-identical wherever it's computed
+        vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        return df.select(
+            F.col(id_col).alias(f"id_{suffix}"),
+            F.col(block_col).alias("__blk"),
+            vd.alias(f"v{suffix}"),
+            norm(vd).alias(f"n{suffix}"),
+        )
+
+    a, b = side("a"), side("b")
     return (
         a.join(b, on="__blk")
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", F.round(cosine_similarity(F.col("va"), F.col("vb")), 6))
+        .withColumn(
+            "cos",
+            # try_divide: zero-norm vectors yield NULL (excluded by the
+            # threshold filter) instead of an ANSI divide-by-zero error
+            F.round(F.try_divide(dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")), 6),
+        )
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )

@@ -103,6 +103,53 @@ def range_join(
     )
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: float,
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """Interval-interval overlap join: [l_lo,l_hi] ∩ [r_lo,r_hi] ≠ ∅.
+
+    Both sides explode onto the coarse buckets their interval covers and
+    join as an equi-join on bucket.  A pair overlapping several buckets
+    would match multiple times — instead of a dedup shuffle, a match is
+    only accepted in the single bucket containing the overlap's start
+    (``bucket == floor(max(lo_l, lo_r)/width)``), so the output is
+    duplicate-free by construction.
+    """
+
+    def exploded(df: DataFrame, lo: str, hi: str) -> DataFrame:
+        return df.withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(lo) / F.lit(bucket_width)),
+                    F.floor(F.col(hi) / F.lit(bucket_width)),
+                )
+            ),
+        )
+
+    l2 = exploded(left, left_lo, left_hi)
+    r2 = exploded(right, right_lo, right_hi)
+    if broadcast_right:
+        r2 = F.broadcast(r2)
+    overlap_start = F.greatest(F.col(left_lo), F.col(right_lo))
+    return (
+        l2.join(r2, on="__bucket", how="inner")
+        .where(
+            (F.col(left_lo) <= F.col(right_hi))
+            & (F.col(right_lo) <= F.col(left_hi))
+            & (F.col("__bucket") == F.floor(overlap_start / F.lit(bucket_width)))
+        )
+        .drop("__bucket")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -36,15 +36,28 @@ def cosine_topk(
     pairs *after* per-partition pre-filtering by Spark's TakeOrdered-like
     window — acceptable because |Q| is small.
     """
+    from yet_another_map_reduce_spark.functions import dot, norm
+
     query_id_col = query_id_col or id_col
+    qv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        F.col(query_id_col).alias("query_id"), qv.alias("__qv"), norm(qv).alias("__qn")
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    cv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), cv.alias("__cv"), norm(cv).alias("__cn")
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", F.round(cosine_similarity(F.col("__cv"), F.col("__qv")), 6))
+        .withColumn(
+            "cos",
+            # try_divide: zero-norm vectors rank last (NULL) instead of
+            # raising ANSI divide-by-zero
+            F.round(
+                F.try_divide(dot(F.col("__cv"), F.col("__qv")), F.col("__cn") * F.col("__qn")), 6
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (
