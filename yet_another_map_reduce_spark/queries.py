@@ -617,6 +617,44 @@ def q_udf_mapinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return udxf.mapinpandas_batch_stats(li, ["l_quantity", "l_discount", "l_tax"])
 
 
+# ---- SQL surface: correlated subquery + CTE -------------------------------
+
+
+def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — Catalyst decorrelates it into a
+    join+agg (the reference has no subqueries at all, SURVEY.md §4.1)."""
+    read_table(spark, sf_dir, "customer").createOrReplaceTempView("yamr_sq_customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+        FROM yamr_sq_customer c
+        WHERE c_acctbal > (
+            SELECT avg(c2.c_acctbal) FROM yamr_sq_customer c2
+            WHERE c2.c_nationkey = c.c_nationkey
+        )
+        """
+    )
+
+
+def q_sql_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH-clause pipeline through the SQL surface."""
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("yamr_cte_orders")
+    return spark.sql(
+        """
+        WITH big AS (
+            SELECT o_custkey, o_totalprice FROM yamr_cte_orders
+            WHERE o_totalprice > 100000
+        ),
+        per_cust AS (
+            SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_big,
+                   round(sum(o_totalprice), 2) AS total_big
+            FROM big GROUP BY o_custkey
+        )
+        SELECT * FROM per_cust WHERE n_big >= 2
+        """
+    )
+
+
 # ---- skew mitigation ------------------------------------------------------
 
 
@@ -1289,6 +1327,25 @@ ORACLES: dict[str, str] = {
                abs(l_quantity) + abs(l_discount) + abs(l_tax) AS row_abs_sum
         FROM lineitem
     """,
+    "subquery_correlated": """
+        SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+        FROM customer c
+        WHERE c_acctbal > (
+            SELECT avg(c2.c_acctbal) FROM customer c2
+            WHERE c2.c_nationkey = c.c_nationkey
+        )
+    """,
+    "sql_cte": """
+        WITH big AS (
+            SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 100000
+        ),
+        per_cust AS (
+            SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_big,
+                   round(sum(o_totalprice), 2) AS total_big
+            FROM big GROUP BY o_custkey
+        )
+        SELECT * FROM per_cust WHERE n_big >= 2
+    """,
     "salted_agg": """
         SELECT l_returnflag,
                round(sum(l_quantity), 2) AS sum_qty,
@@ -1371,6 +1428,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "udtf_tokenize": q_udtf_tokenize,
     "udf_mapinpandas": q_udf_mapinpandas,
     "array_functions": q_array_functions,
+    "subquery_correlated": q_subquery_correlated,
+    "sql_cte": q_sql_cte,
     "salted_agg": q_salted_agg,
     "salted_join": q_salted_join,
     "json_from_struct": q_json_from_struct,

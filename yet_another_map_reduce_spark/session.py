@@ -61,6 +61,7 @@ def build_session(
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         # --- python interop: Arrow batches, never row-at-a-time pickling ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         # --- determinism ---
         .config("spark.sql.session.timeZone", "UTC")
         # keep the UI off in test/bench containers
