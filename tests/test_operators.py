@@ -174,3 +174,18 @@ def test_interval_overlap_join_no_duplicates(spark):
     # (1,10): overlap [5,10]; (2,10): overlap [20,21]; (1,11) disjoint
     assert pairs == [(1, 10), (2, 10)]
     assert out.count() == len(set(pairs))  # duplicate-free by construction
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    from yet_another_map_reduce_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame([(1, " ".join(f"t{i}" for i in range(10)))], "doc_id long, text string")
+    out = {r["chunk_id"]: r for r in chunk_documents(df, "text", "doc_id", chunk_tokens=4, stride=3).collect()}
+    # chunks start at 0,3,6,9 -> 4 chunks; tail has 1 token
+    assert sorted(out) == [0, 1, 2, 3]
+    assert out[0]["chunk_text"] == "t0 t1 t2 t3"
+    assert out[1]["chunk_text"] == "t3 t4 t5 t6"  # 1-token overlap
+    assert out[3]["chunk_text"] == "t9" and out[3]["n_tokens"] == 1
+    # no-overlap default: stride == chunk size, token-count conserved
+    flat = chunk_documents(df, "text", "doc_id", chunk_tokens=4).collect()
+    assert sum(r["n_tokens"] for r in flat) == 10

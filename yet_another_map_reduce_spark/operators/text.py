@@ -121,6 +121,52 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(normalize_text(col))
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = 128,
+    stride: int | None = None,
+) -> DataFrame:
+    """Split documents into fixed-size (optionally overlapping) token
+    windows — the standard LLM-pipeline chunking step.
+
+    Chunk k covers token positions [k*stride, k*stride + chunk_tokens);
+    chunks start while k*stride < n_tokens, so the tail chunk may be
+    short.  ``stride`` defaults to ``chunk_tokens`` (no overlap).
+
+    Shape: explode tokens once (single evaluation of the tokenizer),
+    explode each token onto the chunks containing it, then group by
+    (doc, chunk) reassembling order via sort_array over (pos, token)
+    structs — collect_list alone has no ordering guarantee.  Two
+    shuffles, linear in total tokens × overlap factor; works for
+    documents of any length (no per-doc array materialization).
+    """
+    stride = stride or chunk_tokens
+    tok = df.select(F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok"))
+    # chunk indices containing position p: ceil((p-W+1)/s) .. floor(p/s)
+    first_chunk = F.greatest(
+        F.lit(0), F.ceil((F.col("pos") - chunk_tokens + 1) / F.lit(stride))
+    )
+    last_chunk = F.floor(F.col("pos") / F.lit(stride))
+    membered = tok.select(
+        F.col(id_col),
+        "pos",
+        "tok",
+        F.explode(F.sequence(first_chunk, last_chunk)).alias("chunk_id"),
+    )
+    return (
+        membered.groupBy(id_col, "chunk_id")
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "tok"))).alias("__ordered"))
+        .select(
+            F.col(id_col),
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.concat_ws(" ", F.transform("__ordered", lambda s: s["tok"])).alias("chunk_text"),
+            F.size("__ordered").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
 def text_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """All per-document text metrics in one projection (single scan)."""
     return df.select(

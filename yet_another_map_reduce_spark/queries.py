@@ -759,6 +759,12 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.text_stats(d, "text", "doc_id")
 
 
+def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (32-token chunks, stride 24)."""
+    d = read_table(spark, sf_dir, "documents")
+    return text.chunk_documents(d, "text", "doc_id", chunk_tokens=32, stride=24)
+
+
 def q_dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     sig = dedup.minhash_signatures(d, "text", "doc_id", num_hashes=12, shingle_k=3)
@@ -1205,6 +1211,18 @@ ORACLES: dict[str, str] = {
                fingerprint
         FROM with_best
     """,
+    "text_chunking": f"""
+        WITH docs AS (
+            SELECT doc_id, string_split({_TEXT_NORM}, ' ') AS toks FROM documents
+        )
+        SELECT doc_id,
+               CAST(k.k AS BIGINT) AS chunk_id,
+               array_to_string(toks[k.k*24 + 1 : k.k*24 + 32], ' ') AS chunk_text,
+               CAST(len(toks[k.k*24 + 1 : k.k*24 + 32]) AS BIGINT) AS n_tokens
+        FROM docs,
+             LATERAL (SELECT unnest(generate_series(0,
+                          CAST(floor((len(toks) - 1) * 1.0 / 24) AS BIGINT))) AS k) k
+    """,
     "dedup_minhash_signatures": f"""
         WITH {_minhash_cte()}
         SELECT doc_id, CAST(g.i - 1 AS BIGINT) AS hash_idx, sig[g.i] AS minhash
@@ -1439,6 +1457,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_session": q_window_session,
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
+    "text_chunking": q_text_chunking,
     "dedup_minhash_signatures": q_dedup_minhash_signatures,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
