@@ -126,3 +126,40 @@ def test_late_data_dropped_by_watermark(spark, tmp_path):
         emitted = []
     # the late event's 00:00 window must never be emitted
     assert all(r["window_start"].hour >= 10 for r in emitted)
+
+
+def test_session_window_stream_equals_batch(spark, sf_dir, tmp_path):
+    """Session windows in real streaming mode (single micro-batch so
+    update-mode emissions are final) must equal the batch-mode result
+    of the same helper."""
+    from yet_another_map_reduce_spark.streaming import session_windowed
+
+    src = read_table(spark, sf_dir, "events")
+    replay = os.path.join(str(tmp_path), "sess_replay")
+    src.coalesce(1).write.mode("overwrite").parquet(replay)
+    stream = file_stream(spark, replay, src.schema, fmt="parquet", max_files_per_trigger=10)
+
+    aggs = [F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sv")]
+    windowed = session_windowed(
+        with_watermark(stream, "ts", "1 hour"), "ts", "2 hours", ["user_id"], aggs
+    )
+    # session-window streaming aggs reject update mode; complete works
+    # (and with a single availableNow batch its emissions are final)
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName("sess_stream_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["user_id"], r["session_start"]): (r["n"], r["sv"])
+        for r in spark.sql("SELECT * FROM sess_stream_out").collect()
+    }
+    expected = {
+        (r["user_id"], r["session_start"]): (r["n"], r["sv"])
+        for r in session_windowed(src, "ts", "2 hours", ["user_id"], aggs).collect()
+    }
+    assert got == expected

@@ -67,6 +67,29 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def keep_best_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Policy dedup: among exact duplicates (same normalized text), keep
+    the row with the highest ``score_col`` (ties → lowest id).
+
+    The usual refinement of exact_dedup once a quality signal exists:
+    dedup decisions should keep the *best* copy, not an arbitrary one.
+    One window pass over fingerprint groups.
+    """
+    w = Window.partitionBy(F.md5(normalize_text(text_col))).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str, num_hashes: int = 12, shingle_k: int = 3) -> DataFrame:
     """id → array of ``num_hashes`` min-hash values over word-shingles.
 

@@ -121,6 +121,26 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(normalize_text(col))
 
 
+#: PII patterns kept RE2-compatible (no lookarounds/backrefs) so SQL
+#: oracles and other engines can apply the identical regexes.
+_PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?[0-9][0-9()\-\s]{7,}[0-9]", "<PHONE>"),
+    (r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+)
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace email / phone / SSN-shaped substrings with typed
+    placeholder tokens — the standard scrubbing pass before training-
+    data release.  Pattern-based (not NER): deterministic, cheap, and
+    runs fully JVM-side."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pattern, token in _PII_PATTERNS:
+        c = F.regexp_replace(c, pattern, token)
+    return c
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str,

@@ -759,6 +759,47 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.text_stats(d, "text", "doc_id")
 
 
+def q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over synthetic strings injected into doc text (the
+    corpus itself has no PII, so the query plants one marker per doc)."""
+    d = read_table(spark, sf_dir, "documents")
+    seeded = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-123-4567 re: "),
+            F.col("text"),
+        ).alias("raw"),
+    )
+    return seeded.select("doc_id", text.redact_pii("raw").alias("clean"))
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the highest-quality copy per duplicate class (here every
+    class is a singleton — the policy still must pick deterministically)."""
+    d = read_table(spark, sf_dir, "documents")
+    scored = d.withColumn("q", text.quality_score("text"))
+    return dedup.keep_best_dedup(scored, "text", "doc_id", "q").select("doc_id", "q")
+
+
+def q_cross_join_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian product of two dims (the one place cross join
+    is legitimate: tiny × tiny grid construction)."""
+    r = read_table(spark, sf_dir, "region").select(F.col("r_name"))
+    n = read_table(spark, sf_dir, "nation").select(F.col("n_name"))
+    return r.crossJoin(n).orderBy("r_name", "n_name")
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling (sampleBy) — seeded but partition-layout
+    dependent, so rows-only check."""
+    li = read_table(spark, sf_dir, "lineitem")
+    frac = {"A": 0.1, "N": 0.2, "R": 0.1}
+    return li.sampleBy("l_returnflag", fractions=frac, seed=42).select(
+        "l_orderkey", "l_linenumber", "l_returnflag"
+    )
+
+
 def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (32-token chunks, stride 24)."""
     d = read_table(spark, sf_dir, "documents")
@@ -927,6 +968,12 @@ _PUNCT_RATIO = (
 )
 _MWL = (
     f"round((length({_TEXT_NORM}) - ({_N_TOK} - 1)) * 1.0 / greatest({_N_TOK}, 1), 6)"
+)
+
+_QUALITY_SQL = (
+    f"round(least({_SW_RATIO} * 4, 1.0) * 0.4"
+    f" + (1.0 - least({_PUNCT_RATIO} * 5, 1.0)) * 0.3"
+    f" + (CASE WHEN {_MWL} >= 3 AND {_MWL} <= 8 THEN 1.0 ELSE 0.3 END) * 0.3, 6)"
 )
 
 _LANG_SCORES = {
@@ -1211,6 +1258,30 @@ ORACLES: dict[str, str] = {
                fingerprint
         FROM with_best
     """,
+    "text_redact_pii": """
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     'contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or 555-123-4567 re: ' || text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\\+?[0-9][0-9()\\-\\s]{7,}[0-9]', '<PHONE>', 'g'),
+                 '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<SSN>', 'g') AS clean
+        FROM documents
+    """,
+    "dedup_keep_best": f"""
+        SELECT doc_id, q FROM (
+            SELECT doc_id, q,
+                   row_number() OVER (PARTITION BY md5({_TEXT_NORM})
+                                      ORDER BY q DESC, doc_id ASC) AS rn
+            FROM (SELECT doc_id, text, {_QUALITY_SQL} AS q FROM documents)
+        ) WHERE rn = 1
+    """,
+    "cross_join_small": """
+        SELECT r_name, n_name FROM region CROSS JOIN nation
+        ORDER BY r_name, n_name
+    """,
     "text_chunking": f"""
         WITH docs AS (
             SELECT doc_id, string_split({_TEXT_NORM}, ' ') AS toks FROM documents
@@ -1458,6 +1529,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
     "text_chunking": q_text_chunking,
+    "text_redact_pii": q_text_redact_pii,
+    "dedup_keep_best": q_dedup_keep_best,
+    "cross_join_small": q_cross_join_small,
+    "sample_stratified": q_sample_stratified,
     "dedup_minhash_signatures": q_dedup_minhash_signatures,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
