@@ -125,8 +125,10 @@ def fingerprint(col: Column | str) -> Column:
 #: oracles and other engines can apply the identical regexes.
 _PII_PATTERNS: tuple[tuple[str, str], ...] = (
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    (r"\+?[0-9][0-9()\-\s]{7,}[0-9]", "<PHONE>"),
+    # SSN before phone: the greedy phone pattern would otherwise
+    # swallow 123-45-6789 and mislabel it
     (r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    (r"\+?[0-9][0-9()\-\s]{7,}[0-9]", "<PHONE>"),
 )
 
 

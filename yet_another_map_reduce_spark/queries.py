@@ -800,6 +800,21 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-load dedup: an incoming batch keeps only documents
+    whose fingerprint is unseen in the existing corpus (anti join on
+    the fixed-width fingerprint, never on document bodies) — the
+    composition every nightly ingest runs."""
+    d = read_table(spark, sf_dir, "documents")
+    existing = d.where(F.col("doc_id") < 250)
+    incoming = d.where(F.col("doc_id") >= 250)
+    fp = text.fingerprint("text")
+    new_docs = incoming.withColumn("__fp", fp).join(
+        existing.select(fp.alias("__fp")).distinct(), on="__fp", how="left_anti"
+    )
+    return new_docs.select("doc_id", "__fp").withColumnRenamed("__fp", "fingerprint")
+
+
 def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (32-token chunks, stride 24)."""
     d = read_table(spark, sf_dir, "documents")
@@ -1266,8 +1281,8 @@ ORACLES: dict[str, str] = {
                      'contact user' || CAST(doc_id AS VARCHAR)
                        || '@example.com or 555-123-4567 re: ' || text,
                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-                   '\\+?[0-9][0-9()\\-\\s]{7,}[0-9]', '<PHONE>', 'g'),
-                 '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<SSN>', 'g') AS clean
+                   '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<SSN>', 'g'),
+                 '\\+?[0-9][0-9()\\-\\s]{7,}[0-9]', '<PHONE>', 'g') AS clean
         FROM documents
     """,
     "dedup_keep_best": f"""
@@ -1277,6 +1292,14 @@ ORACLES: dict[str, str] = {
                                       ORDER BY q DESC, doc_id ASC) AS rn
             FROM (SELECT doc_id, text, {_QUALITY_SQL} AS q FROM documents)
         ) WHERE rn = 1
+    """,
+    "dedup_incremental": f"""
+        SELECT doc_id, md5({_TEXT_NORM}) AS fingerprint
+        FROM documents
+        WHERE doc_id >= 250
+          AND md5({_TEXT_NORM}) NOT IN (
+              SELECT md5({_TEXT_NORM}) FROM documents WHERE doc_id < 250
+          )
     """,
     "cross_join_small": """
         SELECT r_name, n_name FROM region CROSS JOIN nation
@@ -1531,6 +1554,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_chunking": q_text_chunking,
     "text_redact_pii": q_text_redact_pii,
     "dedup_keep_best": q_dedup_keep_best,
+    "dedup_incremental": q_dedup_incremental,
     "cross_join_small": q_cross_join_small,
     "sample_stratified": q_sample_stratified,
     "dedup_minhash_signatures": q_dedup_minhash_signatures,
