@@ -4,6 +4,7 @@ a real micro-batch stream."""
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import functions as F
 
@@ -32,7 +33,12 @@ def test_sessionize_with_state_accumulates(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # a ProcessingTimeTimeout stateful query stays alive after draining
+    # the data (waiting to fire timeouts) — poll for output, then stop
+    deadline = time.time() + 90
+    while time.time() < deadline and spark.sql("SELECT * FROM sess_out").count() < 2:
+        time.sleep(1)
+    q.stop()
 
     rows = {r["user_id"]: r for r in spark.sql("SELECT * FROM sess_out").collect()}
     assert rows[1]["n_events"] == 2 and rows[1]["total_value"] == 15.0
@@ -52,6 +58,7 @@ def test_sessionize_state_carries_across_batches(spark, tmp_path):
         # foreachBatch: the only sink that supports update mode AND
         # checkpoint recovery (memory sink can't resume; file sink is
         # append-only)
+        n_before = len(out_rows)
         q = (
             out.writeStream.foreachBatch(
                 lambda bdf, _bid: out_rows.extend(bdf.collect())
@@ -61,7 +68,12 @@ def test_sessionize_state_carries_across_batches(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        # poll-then-stop: see sess_out comment
+        deadline = time.time() + 90
+        while time.time() < deadline and len(out_rows) == n_before:
+            time.sleep(1)
+        time.sleep(2)  # let the in-flight batch finish appending
+        q.stop()
 
     b1 = spark.createDataFrame(
         [(7, "2024-01-01 00:00:00", 1.0)], "user_id long, ts_str string, value double"

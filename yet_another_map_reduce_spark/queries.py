@@ -350,6 +350,35 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- windows --------------------------------------------------------------
 
 
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt: wide metric columns → (metric, value) rows."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax").unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame window: peers counted by value distance, not rows —
+    tie-independent by construction."""
+    o = read_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy(F.col("o_totalprice").asc())
+        .rangeBetween(-1000, 0)  # int offsets only in the PySpark API
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.count(F.lit(1)).over(w).alias("n_within_1k"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("sum_within_1k"),
+    )
+
+
 def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     ranked = windows.ranked(
@@ -1144,6 +1173,21 @@ ORACLES: dict[str, str] = {
                CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT) AS n_r
         FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
     """,
+    "unpivot": """
+        SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    """,
+    "window_range_frame": """
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               CAST(count(*) OVER w AS BIGINT) AS n_within_1k,
+               round(sum(o_totalprice) OVER w, 2) AS sum_within_1k
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC
+                     RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW)
+    """,
     "window_rank": """
         SELECT l_orderkey, l_linenumber, l_extendedprice,
                CAST(rank() OVER (PARTITION BY l_orderkey ORDER BY l_extendedprice DESC) AS BIGINT)
@@ -1521,6 +1565,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_grouping_sets": q_agg_grouping_sets,
     "agg_median": q_agg_median,
     "pivot": q_pivot,
+    "unpivot": q_unpivot,
+    "window_range_frame": q_window_range_frame,
     "window_rank": q_window_rank,
     "window_topk_per_group": q_window_topk_per_group,
     "window_running_sum": q_window_running_sum,
