@@ -1160,6 +1160,183 @@ def q_tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# scalar / aggregate function surfaces (breadth coverage of the built-in
+# function library, each paired with a DuckDB oracle)
+# ===========================================================================
+
+
+def q_hof_array_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions: transform / filter / exists /
+    aggregate / zip_with over the embedding column, all JVM-side
+    (no Python UDF in the plan)."""
+    e = read_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    dbl = F.transform(emb, lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.round(F.element_at(F.transform(dbl, lambda x: F.round(x * 2, 4)), 1), 4).alias(
+            "first_doubled"
+        ),
+        F.size(F.filter(dbl, lambda x: x > 0)).cast("bigint").alias("n_positive"),
+        F.exists(dbl, lambda x: x > 0.9).alias("has_big"),
+        F.round(F.aggregate(dbl, F.lit(0.0), lambda a, x: a + x), 4).alias("vsum"),
+        F.round(
+            F.aggregate(
+                F.zip_with(dbl, dbl, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            4,
+        ).alias("norm_sq"),
+    )
+
+
+def q_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar surface: trunc, parts, last_day, add_months,
+    datediff, epoch seconds, formatting."""
+    o = read_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", d).alias("month_start"),
+        F.year(d).cast("bigint").alias("yr"),
+        F.month(d).cast("bigint").alias("mo"),
+        F.dayofmonth(d).cast("bigint").alias("dom"),
+        F.quarter(d).cast("bigint").alias("qtr"),
+        F.dayofweek(d).cast("bigint").alias("dow"),
+        F.last_day(d).cast("timestamp").alias("month_end"),
+        F.add_months(d, 3).cast("timestamp").alias("plus3mo"),
+        F.datediff(F.lit("2000-01-01").cast("date"), d.cast("date"))
+        .cast("bigint")
+        .alias("days_to_y2k"),
+        F.unix_timestamp(d).alias("epoch_s"),
+        F.date_format(d, "yyyy-MM").alias("ym"),
+    )
+
+
+def q_string_functions_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar surface: levenshtein, pad/repeat/reverse, translate,
+    split_part, strpos, left/right, printf formatting."""
+    d = read_table(spark, sf_dir, "documents")
+    s = F.col("source")
+    return d.select(
+        "doc_id",
+        F.levenshtein(s, F.lit("webcrawl")).cast("bigint").alias("lev_web"),
+        F.lpad(F.col("lang"), 5, "_").alias("lang_pad"),
+        F.rpad(F.col("lang"), 5, "*").alias("lang_rpad"),
+        F.repeat(F.col("lang"), 2).alias("lang2"),
+        F.reverse(s).alias("src_rev"),
+        F.translate(s, "aeiou", "AEIOU").alias("src_vowel"),
+        F.split_part(F.col("text"), F.lit(" "), F.lit(2)).alias("second_word"),
+        F.instr(s, "a").cast("bigint").alias("first_a"),
+        F.substring(s, 1, 3).alias("src3"),
+        F.format_string("%05d", F.col("doc_id")).alias("id5"),
+        F.concat_ws("|", F.col("lang"), s).alias("lang_src"),
+    )
+
+
+def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregates: count_if, bool_and/bool_or, filtered sums,
+    and max_by/min_by with a composite (value, key) order for
+    deterministic tie-breaks."""
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
+            F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+            F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice")
+                    ).otherwise(F.lit(0.0))
+                ),
+                2,
+            ).alias("urgent_spend"),
+            F.max_by(
+                "o_orderkey", F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
+            ).alias("priciest_order"),
+            F.min_by(
+                "o_orderkey", F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
+            ).alias("cheapest_order"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def q_agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list → dedup → sort → join: deterministic array aggregation
+    rendered as a string so the oracle compare stays scalar."""
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.array_join(
+                F.array_sort(F.array_distinct(F.collect_list("o_orderpriority"))), ","
+            ).alias("priorities"),
+            F.array_join(
+                F.array_sort(
+                    F.array_distinct(
+                        F.collect_list(F.year("o_orderdate").cast("string"))
+                    )
+                ),
+                ",",
+            ).alias("active_years"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+def q_regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar surface: extract, extract_all + count, boolean match."""
+    d = read_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.regexp_extract(t, r"([A-Za-z]+)", 1).alias("first_word"),
+        F.size(F.regexp_extract_all(t, F.lit(r"(\d+)"), 1))
+        .cast("bigint")
+        .alias("n_numbers"),
+        t.rlike(r"\d").alias("has_digit"),
+        F.regexp_replace(t, r"\d+", "#").alias("masked"),
+    )
+
+
+def q_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization in pure SQL-window form: a new
+    session starts after a >30-minute silence; one shuffle on user_id."""
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gapped = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        (
+            F.col("ts").cast("long")
+            - F.lag(F.col("ts").cast("long"), 1, None).over(w)
+            > 1800
+        )
+        .cast("int")
+        .alias("new_sess"),
+    ).fillna({"new_sess": 1})
+    sess = gapped.withColumn(
+        "session_id", F.sum("new_sess").over(w).cast("bigint")
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("sess_start"),
+            F.max("ts").alias("sess_end"),
+            F.round(F.sum("value"), 2).alias("sess_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+# ===========================================================================
 # oracle SQL (DuckDB)
 # ===========================================================================
 
@@ -1656,6 +1833,121 @@ ORACLES: dict[str, str] = {
         GROUP BY o_orderkey, o_orderdate, o_orderpriority
         ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
     """,
+    "hof_array_pipeline": """
+        SELECT vec_id,
+               round(list_transform(embedding,
+                                    x -> round(CAST(x AS DOUBLE) * 2, 4))[1],
+                     4) AS first_doubled,
+               CAST(len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0))
+                    AS BIGINT) AS n_positive,
+               len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.9)) > 0
+                   AS has_big,
+               round(list_aggregate(list_transform(embedding,
+                                                   x -> CAST(x AS DOUBLE)),
+                                    'sum'), 4) AS vsum,
+               round(list_aggregate(list_transform(embedding,
+                                                   x -> CAST(x AS DOUBLE)
+                                                        * CAST(x AS DOUBLE)),
+                                    'sum'), 4) AS norm_sq
+        FROM embeddings
+    """,
+    "datetime_functions": """
+        SELECT o_orderkey,
+               date_trunc('month', o_orderdate) AS month_start,
+               CAST(year(o_orderdate) AS BIGINT) AS yr,
+               CAST(month(o_orderdate) AS BIGINT) AS mo,
+               CAST(day(o_orderdate) AS BIGINT) AS dom,
+               CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+               CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+               CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
+               CAST(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS TIMESTAMP)
+                   AS plus3mo,
+               CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01')
+                    AS BIGINT) AS days_to_y2k,
+               CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+               strftime(o_orderdate, '%Y-%m') AS ym
+        FROM orders
+    """,
+    "string_functions_extra": """
+        SELECT doc_id,
+               CAST(levenshtein(source, 'webcrawl') AS BIGINT) AS lev_web,
+               lpad(lang, 5, '_') AS lang_pad,
+               rpad(lang, 5, '*') AS lang_rpad,
+               repeat(lang, 2) AS lang2,
+               reverse(source) AS src_rev,
+               translate(source, 'aeiou', 'AEIOU') AS src_vowel,
+               split_part(text, ' ', 2) AS second_word,
+               CAST(strpos(source, 'a') AS BIGINT) AS first_a,
+               substr(source, 1, 3) AS src3,
+               printf('%05d', doc_id) AS id5,
+               concat_ws('|', lang, source) AS lang_src
+        FROM documents
+    """,
+    "agg_conditional": """
+        WITH ranked AS (
+            SELECT o_orderstatus, o_orderkey, o_totalprice, o_orderpriority,
+                   row_number() OVER (PARTITION BY o_orderstatus
+                                      ORDER BY o_totalprice DESC, o_orderkey DESC)
+                       AS rn_max,
+                   row_number() OVER (PARTITION BY o_orderstatus
+                                      ORDER BY o_totalprice ASC, o_orderkey ASC)
+                       AS rn_min
+            FROM orders
+        )
+        SELECT o_orderstatus,
+               CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_big,
+               bool_and(o_totalprice > 0) AS all_positive,
+               bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+               round(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                              THEN o_totalprice ELSE 0.0 END), 2) AS urgent_spend,
+               max(CASE WHEN rn_max = 1 THEN o_orderkey END) AS priciest_order,
+               max(CASE WHEN rn_min = 1 THEN o_orderkey END) AS cheapest_order
+        FROM ranked GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    "agg_collect_sorted": """
+        SELECT o_custkey,
+               array_to_string(list_sort(list_distinct(
+                   array_agg(o_orderpriority))), ',') AS priorities,
+               array_to_string(list_sort(list_distinct(
+                   array_agg(CAST(year(o_orderdate) AS VARCHAR)))), ',')
+                   AS active_years
+        FROM orders GROUP BY o_custkey ORDER BY o_custkey
+    """,
+    "regexp_functions": """
+        SELECT doc_id,
+               regexp_extract(text, '([A-Za-z]+)', 1) AS first_word,
+               CAST(len(regexp_extract_all(text, '(\\d+)', 1)) AS BIGINT)
+                   AS n_numbers,
+               regexp_matches(text, '\\d') AS has_digit,
+               regexp_replace(text, '\\d+', '#', 'g') AS masked
+        FROM documents
+    """,
+    "sessionize_gaps": """
+        WITH ev AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS tse, event_id, value
+            FROM events
+        ),
+        gapped AS (
+            SELECT user_id, tse, event_id, value,
+                   CASE WHEN lag(tse) OVER w IS NULL
+                             OR CAST(floor(epoch(tse)) AS BIGINT)
+                                - CAST(floor(epoch(lag(tse) OVER w)) AS BIGINT)
+                                > 1800
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM ev
+            WINDOW w AS (PARTITION BY user_id ORDER BY tse, event_id)
+        ),
+        sess AS (
+            SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+                                               ORDER BY tse, event_id)
+                           AS BIGINT) AS session_id
+            FROM gapped
+        )
+        SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+               min(tse) AS sess_start, max(tse) AS sess_end,
+               round(sum(value), 2) AS sess_value
+        FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id
+    """,
     "tpch_q4_priority": """
         SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
         FROM orders
@@ -1907,6 +2199,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
     "tpch_q18_large_orders": q_tpch_q18_large_orders,
     "tpch_q22_idle_customers": q_tpch_q22_idle_customers,
+    "hof_array_pipeline": q_hof_array_pipeline,
+    "datetime_functions": q_datetime_functions,
+    "string_functions_extra": q_string_functions_extra,
+    "agg_conditional": q_agg_conditional,
+    "agg_collect_sorted": q_agg_collect_sorted,
+    "regexp_functions": q_regexp_functions,
+    "sessionize_gaps": q_sessionize_gaps,
     "window_rank_extras": q_window_rank_extras,
     "window_first_last": q_window_first_last,
     "udf_pandas_scalar": q_udf_pandas_scalar,
