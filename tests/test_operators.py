@@ -189,3 +189,33 @@ def test_chunk_documents_overlap_and_tail(spark):
     # no-overlap default: stride == chunk size, token-count conserved
     flat = chunk_documents(df, "text", "doc_id", chunk_tokens=4).collect()
     assert sum(r["n_tokens"] for r in flat) == 10
+
+
+def test_ivf_full_probe_equals_brute_force(spark, sf_dir):
+    from yet_another_map_reduce_spark.sources.readers import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 3)
+    brute = similarity.cosine_topk(emb, q, "vec_id", "embedding", k=5)
+    ivf = similarity.ivf_topk(
+        emb, q, "vec_id", "embedding", k=5, nlist=8, nprobe=8
+    )
+    b = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in brute.collect()}
+    i = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in ivf.collect()}
+    assert b == i
+
+
+def test_ivf_partial_probe_is_subset_scan(spark, sf_dir):
+    from yet_another_map_reduce_spark.sources.readers import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 2)
+    out = similarity.ivf_topk(
+        emb, q, "vec_id", "embedding", k=5, nlist=8, nprobe=2
+    ).collect()
+    # every query returns ranked neighbors, ranks dense from 1
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))

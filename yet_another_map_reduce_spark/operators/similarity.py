@@ -108,6 +108,108 @@ def lsh_bucket(df: DataFrame, vec_col: str, num_planes: int = 8, dim: int = 64) 
     return out.withColumn("bucket", sum(bit_cols[1:], bit_cols[0]))
 
 
+def ivf_centroids(corpus: DataFrame, id_col: str, vec_col: str, nlist: int) -> DataFrame:
+    """Deterministic seed centroids: the ``nlist`` lowest-id corpus
+    vectors.
+
+    At production scale this is the pluggable training step (k-means over
+    a sample); seeding by id keeps results reproducible and engine-
+    independent for the correctness gate.  The centroid set is tiny
+    (``nlist`` rows) and always broadcast.
+    """
+    cv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(nlist)
+        .select(F.col(id_col).alias("centroid_id"), cv.alias("__centv"))
+    )
+
+
+def _nearest_centroids(
+    df: DataFrame, id_out: str, vec_col: str, cent: DataFrame, nprobe: int
+) -> DataFrame:
+    """Per row: the ``nprobe`` nearest centroids by cosine (broadcast
+    scan of the tiny centroid set; no corpus shuffle)."""
+    from yet_another_map_reduce_spark.functions import dot, norm
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scored = (
+        df.select(F.col(id_out).alias("__rid"), v.alias("__v"))
+        .crossJoin(F.broadcast(cent))
+        .withColumn(
+            "__cos",
+            F.try_divide(
+                dot(F.col("__v"), F.col("__centv")),
+                norm(F.col("__v")) * norm(F.col("__centv")),
+            ),
+        )
+    )
+    w = Window.partitionBy("__rid").orderBy(
+        F.col("__cos").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        scored.withColumn("__crank", F.row_number().over(w))
+        .where(F.col("__crank") <= nprobe)
+        .select("__rid", "__v", "centroid_id")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str | None = None,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-style approximate top-k: inverted-file partitioning by nearest
+    centroid, probing only ``nprobe`` of ``nlist`` cells per query.
+
+    Scale path: each corpus vector is assigned to exactly one cell
+    (nprobe=1 on the build side), so at 100 TB the assigned corpus is
+    written out partitioned by ``centroid_id`` and a probe touches
+    ~``nprobe/nlist`` of the data at the file-pruning level.  With
+    ``nprobe == nlist`` the search is exhaustive and equals
+    ``cosine_topk`` exactly (pinned by test).
+    """
+    from yet_another_map_reduce_spark.functions import dot, norm
+
+    query_id_col = query_id_col or id_col
+    cent = ivf_centroids(corpus, id_col, vec_col, nlist)
+    assigned = _nearest_centroids(corpus, id_col, vec_col, cent, 1).select(
+        F.col("__rid").alias("neighbor_id"),
+        F.col("__v").alias("__cv"),
+        "centroid_id",
+    )
+    probes = _nearest_centroids(queries, query_id_col, vec_col, cent, nprobe).select(
+        F.col("__rid").alias("query_id"), F.col("__v").alias("__qv"), "centroid_id"
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), on="centroid_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cos",
+            F.round(
+                F.try_divide(
+                    dot(F.col("__cv"), F.col("__qv")),
+                    norm(F.col("__cv")) * norm(F.col("__qv")),
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

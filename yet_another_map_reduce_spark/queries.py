@@ -914,6 +914,48 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN via IVF inverted lists (nprobe of nlist cells
+    searched) — approximate by construction, driver records rows-only;
+    exhaustive-probe equivalence to brute force is pinned by test."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = similarity.ivf_topk(
+        corpus=emb,
+        queries=emb.where(F.col("vec_id") < 5),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=10,
+        nlist=16,
+        nprobe=4,
+    )
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+def q_lateral_topk_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated lateral join via the DataFrame ``lateralJoin`` API
+    (Spark 4): per order, the two priciest line items."""
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    top2 = (
+        li.where(F.col("l_orderkey") == F.col("o_orderkey").outer())
+        .orderBy(F.col("l_extendedprice").desc(), F.col("l_linenumber").asc())
+        .limit(2)
+        .select("l_linenumber", "l_extendedprice")
+    )
+    return (
+        o.lateralJoin(top2)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.col("l_linenumber").cast("bigint").alias("line_no"),
+            "l_extendedprice",
+        )
+        .orderBy("o_orderkey", F.col("l_extendedprice").desc())
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yet_another_map_reduce_spark.operators import multimodal
 
@@ -1833,6 +1875,17 @@ ORACLES: dict[str, str] = {
         GROUP BY o_orderkey, o_orderdate, o_orderpriority
         ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
     """,
+    "lateral_topk_per_order": """
+        SELECT o_orderkey, o_orderstatus,
+               CAST(t.l_linenumber AS BIGINT) AS line_no, t.l_extendedprice
+        FROM orders, LATERAL (
+            SELECT l_linenumber, l_extendedprice
+            FROM lineitem
+            WHERE l_orderkey = o_orderkey
+            ORDER BY l_extendedprice DESC, l_linenumber ASC LIMIT 2
+        ) t
+        ORDER BY o_orderkey, t.l_extendedprice DESC
+    """,
     "hof_array_pipeline": """
         SELECT vec_id,
                round(list_transform(embedding,
@@ -2237,6 +2290,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "lateral_topk_per_order": q_lateral_topk_per_order,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_features": q_multimodal_features,
     "agg_percentiles_approx": q_agg_percentiles_approx,
