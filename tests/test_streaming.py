@@ -163,3 +163,73 @@ def test_session_window_stream_equals_batch(spark, sf_dir, tmp_path):
         for r in session_windowed(src, "ts", "2 hours", ["user_id"], aggs).collect()
     }
     assert got == expected
+
+
+def test_streaming_dedup_fuzzy_collapses_resends(spark, tmp_path):
+    """Same key re-sent with a different event time within the horizon
+    must be emitted once (dropDuplicatesWithinWatermark)."""
+    from yet_another_map_reduce_spark.streaming import streaming_dedup_fuzzy
+
+    src_dir = os.path.join(str(tmp_path), "fuzzy_src")
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00"),
+            (1, "2024-01-01 00:02:00"),  # resend, different ts
+            (2, "2024-01-01 00:03:00"),
+        ],
+        "k long, ts_str string",
+    ).withColumn("ts", F.col("ts_str").cast("timestamp")).drop("ts_str")
+    df.coalesce(1).write.mode("overwrite").parquet(src_dir)
+
+    stream = file_stream(spark, src_dir, df.schema, fmt="parquet")
+    deduped = streaming_dedup_fuzzy(stream, ["k"], "ts", watermark="1 hour")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("fuzzy_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    ks = sorted(r["k"] for r in spark.sql("SELECT k FROM fuzzy_out").collect())
+    assert ks == [1, 2]
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Clicks join impressions with the same ad id within 10 minutes;
+    a click outside the interval must not match."""
+    from yet_another_map_reduce_spark.streaming import stream_stream_interval_join
+
+    imp_dir = os.path.join(str(tmp_path), "imp_src")
+    clk_dir = os.path.join(str(tmp_path), "clk_src")
+    imp = spark.createDataFrame(
+        [(10, "2024-01-01 00:00:00"), (20, "2024-01-01 00:00:00")],
+        "ad long, ts_str string",
+    ).withColumn("imp_ts", F.col("ts_str").cast("timestamp")).drop("ts_str")
+    clk = spark.createDataFrame(
+        [(10, "2024-01-01 00:05:00"), (20, "2024-01-01 00:30:00")],  # 20 too late
+        "ad long, ts_str string",
+    ).withColumn("clk_ts", F.col("ts_str").cast("timestamp")).drop("ts_str")
+    imp.coalesce(1).write.mode("overwrite").parquet(imp_dir)
+    clk.coalesce(1).write.mode("overwrite").parquet(clk_dir)
+
+    joined = stream_stream_interval_join(
+        file_stream(spark, imp_dir, imp.schema, fmt="parquet"),
+        file_stream(spark, clk_dir, clk.schema, fmt="parquet"),
+        key="ad",
+        left_ts="imp_ts",
+        right_ts="clk_ts",
+        watermark="1 hour",
+        within="10 minutes",
+    ).select("imp_ts", "clk_ts")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM ssj_out").collect()
+    assert len(rows) == 1
+    assert str(rows[0]["clk_ts"]) == "2024-01-01 00:05:00"

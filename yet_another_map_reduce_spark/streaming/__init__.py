@@ -14,7 +14,11 @@ from yet_another_map_reduce_spark.streaming.windows import (
     tumbling_windowed,
     with_watermark,
 )
-from yet_another_map_reduce_spark.streaming.stateful import streaming_dedup
+from yet_another_map_reduce_spark.streaming.stateful import (
+    stream_stream_interval_join,
+    streaming_dedup,
+    streaming_dedup_fuzzy,
+)
 from yet_another_map_reduce_spark.streaming.sources import file_stream, rate_stream
 
 __all__ = [
@@ -22,7 +26,9 @@ __all__ = [
     "rate_stream",
     "session_windowed",
     "sliding_windowed",
+    "stream_stream_interval_join",
     "streaming_dedup",
+    "streaming_dedup_fuzzy",
     "tumbling_windowed",
     "with_watermark",
 ]

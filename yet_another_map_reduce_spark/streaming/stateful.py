@@ -15,6 +15,7 @@ from collections.abc import Iterable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
@@ -91,3 +92,44 @@ def sessionize_with_state(events: DataFrame, timeout_ms: int = 30_000) -> DataFr
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def streaming_dedup_fuzzy(
+    df: DataFrame, key_cols: list[str], ts_col: str, watermark: str
+) -> DataFrame:
+    """Dedup records whose keys repeat within the watermark horizon even
+    when their event times differ (``dropDuplicatesWithinWatermark``).
+
+    Unlike ``streaming_dedup`` (exact key+ts dedup), this collapses
+    near-duplicate emissions — e.g. at-least-once sources that re-send
+    the same logical event with a slightly different timestamp.  State
+    per key is evicted once the watermark passes it, so the state store
+    stays bounded by the horizon, not the stream length."""
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    watermark: str,
+    within: str,
+) -> DataFrame:
+    """Event-time interval join of two streams.
+
+    Both sides are watermarked (required: the watermark + interval bound
+    lets Spark evict buffered rows — an unbounded stream-stream join
+    would hold both streams in state forever).  A right row matches a
+    left row with the same ``key`` when it arrives in
+    ``[left_ts, left_ts + within]``.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_ts] >= lw[left_ts])
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {within}"))
+    )
+    return lw.join(rw, cond)
