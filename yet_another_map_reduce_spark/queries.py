@@ -1201,6 +1201,338 @@ def q_tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated-min subquery decorrelated to an
+    aggregate + equi-join back onto the derived relation.
+
+    The reference schema has no ``partsupp``; supply cost is derived as
+    the minimum observed unit price per (part, supplier) — ``min`` over
+    exact doubles is accumulation-order-independent, so the equality
+    join against the per-part minimum is bit-stable across engines."""
+    li = read_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 0)
+    supply = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost")
+    )
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    p = read_table(spark, sf_dir, "part").where(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD")
+    )
+    eligible = (
+        supply.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    mincost = eligible.groupBy(F.col("l_partkey").alias("mk")).agg(
+        F.min("supplycost").alias("mc")
+    )
+    return (
+        eligible.join(
+            mincost,
+            (F.col("l_partkey") == F.col("mk")) & (F.col("supplycost") == F.col("mc")),
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.round("supplycost", 2).alias("supplycost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — conditional-sum ratio per
+    order year over a 7-way join (nation joined twice)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = read_table(spark, sf_dir, "customer")
+    s = read_table(spark, sf_dir, "supplier")
+    p = read_table(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.round(
+                F.try_divide(
+                    F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0))),
+                    F.sum(vol),
+                ),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def q_tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-type profit by nation and year.
+
+    No ``partsupp.ps_supplycost`` in the schema — cost is proxied as 60%
+    of ``p_retailprice`` per unit, keeping the profit expression's
+    fact×dim arithmetic shape."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    s = read_table(spark, sf_dir, "supplier")
+    p = read_table(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    n = read_table(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.6) * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+def q_tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: group-by + scalar-subquery HAVING threshold.
+
+    Stock value is the total quantity shipped by NATION_1 suppliers per
+    part (bigint — the ``value*1000 > total`` comparison is exact
+    integer arithmetic on both engines, no float-threshold flakiness)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_1")
+    scoped = li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey")).join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    per_part = scoped.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("value")
+    )
+    total = per_part.agg(F.sum("value").alias("tot"))
+    return (
+        per_part.join(F.broadcast(total))
+        .where(F.col("value") * 1000 > F.col("tot"))
+        .select("l_partkey", "value")
+        .orderBy(F.col("value").desc(), "l_partkey")
+    )
+
+
+def q_tpch_q12_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional counts per shipping class.
+
+    No ``l_shipmode``/``l_receiptdate`` in the schema — the class is
+    derived from shipping latency (shipdate − orderdate), keeping the
+    group-by-derived-column + CASE-sum shape."""
+    li = read_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = read_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    slow = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.when(slow, "SLOW").otherwise("FAST").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )
+
+
+def q_tpch_q13_cust_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: left-outer join preserving order-less customers,
+    then a second aggregation over the first's result (count distribution)."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    counts = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        counts.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q_tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-project of the fact table as the
+    part↔supplier relation, NOT-IN decorrelated to a broadcast anti
+    join, count-distinct per part attribute triple."""
+    li = read_table(spark, sf_dir, "lineitem")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    p = read_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 4, 7, 10, 15, 20, 25, 30))
+    )
+    complaints = read_table(spark, sf_dir, "supplier").where(
+        F.col("s_name").like("%7")
+    ).select("s_suppkey")
+    return (
+        ps.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(complaints),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+def q_tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-part average decorrelated to an
+    aggregate + join, filtering rows below 20% of their group's mean."""
+    p = read_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") == "Brand#13") & (F.col("p_size") < 10)
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    scoped = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    lim = scoped.groupBy(F.col("l_partkey").alias("ak")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_lim")
+    )
+    return (
+        scoped.join(F.broadcast(lim), F.col("l_partkey") == F.col("ak"))
+        .where(F.col("l_quantity") < F.col("qty_lim"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+def q_tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of brand/size/quantity predicate
+    triples across the join — tests OR-predicate handling and partial
+    pushdown (the part-only conjuncts prune the broadcast side)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    cond = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#15")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#18")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .where(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def q_tpch_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: doubly-nested subquery — suppliers of red parts
+    who shipped more than half of a part's 1997 volume, semi-joined to
+    the NATION_1 supplier list.  The ``qty*2 > tot`` comparison is exact
+    bigint arithmetic (no float threshold)."""
+    p = read_table(spark, sf_dir, "part").where(F.col("p_name").like("red%"))
+    li = read_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    scoped = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    pair_qty = scoped.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("qty")
+    )
+    part_tot = pair_qty.groupBy(F.col("l_partkey").alias("tk")).agg(
+        F.sum("qty").alias("tot")
+    )
+    dominant = (
+        pair_qty.join(part_tot, F.col("l_partkey") == F.col("tk"))
+        .where(F.col("qty") * 2 > F.col("tot"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_1")
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("s_name")
+    )
+
+
+def q_tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT-EXISTS self-joins with non-equi
+    residuals — the sole late supplier on multi-supplier finished
+    orders.  Lateness is shipdate > orderdate + 60 days (the schema has
+    no commit/receipt dates)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    late = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("o3_orderkey"), F.col("l_suppkey").alias("o3_suppkey")
+    )
+    sole_late = (
+        late.join(
+            others,
+            (F.col("l_orderkey") == F.col("o2_orderkey"))
+            & (F.col("l_suppkey") != F.col("o2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            late_others,
+            (F.col("l_orderkey") == F.col("o3_orderkey"))
+            & (F.col("l_suppkey") != F.col("o3_suppkey")),
+            "left_anti",
+        )
+    )
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_1")
+    return (
+        sole_late.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
 # ===========================================================================
 # scalar / aggregate function surfaces (breadth coverage of the built-in
 # function library, each paired with a DuckDB oracle)
@@ -2100,6 +2432,186 @@ ORACLES: dict[str, str] = {
                             AND o_orderpriority = '1-URGENT')
         GROUP BY c_nationkey ORDER BY c_nationkey
     """,
+    "tpch_q2_min_cost_supplier": """
+        WITH supply AS (
+            SELECT l_partkey, l_suppkey,
+                   min(l_extendedprice / l_quantity) AS supplycost
+            FROM lineitem WHERE l_quantity > 0
+            GROUP BY l_partkey, l_suppkey
+        ),
+        eligible AS (
+            SELECT l_partkey, supplycost, s_acctbal, s_name, n_name
+            FROM supply
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+        ),
+        mincost AS (
+            SELECT l_partkey AS mk, min(supplycost) AS mc
+            FROM eligible GROUP BY l_partkey
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+               round(supplycost, 2) AS supplycost
+        FROM eligible
+        JOIN mincost ON l_partkey = mk AND supplycost = mc
+        JOIN part    ON l_partkey = p_partkey
+        WHERE p_size <= 15 AND p_type = 'STANDARD'
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+    """,
+    "tpch_q8_market_share": """
+        SELECT o_year,
+               round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                              ELSE 0.0 END) / sum(volume), 6) AS mkt_share
+        FROM (
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   l_extendedprice * (1 - l_discount) AS volume,
+                   n2.n_name AS supp_nation
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region   ON n1.n_regionkey = r_regionkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1998-01-01'
+        ) all_nations
+        GROUP BY o_year ORDER BY o_year
+    """,
+    "tpch_q9_product_profit": """
+        SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+        FROM (
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   l_extendedprice * (1 - l_discount)
+                     - 0.6 * p_retailprice * l_quantity AS amount
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%red%'
+        ) profit
+        GROUP BY nation, o_year ORDER BY nation, o_year DESC
+    """,
+    "tpch_q11_important_parts": """
+        WITH per_part AS (
+            SELECT l_partkey, sum(CAST(l_quantity AS BIGINT)) AS value
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_1'
+            GROUP BY l_partkey
+        )
+        SELECT l_partkey, value FROM per_part
+        WHERE value * 1000 > (SELECT sum(value) FROM per_part)
+        ORDER BY value DESC, l_partkey
+    """,
+    "tpch_q12_ship_priority": """
+        SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                    THEN 'SLOW' ELSE 'FAST' END AS ship_class,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY ship_class ORDER BY ship_class
+    """,
+    "tpch_q13_cust_distribution": """
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM (
+            SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+            FROM customer
+            LEFT OUTER JOIN orders ON c_custkey = o_custkey
+                                  AND o_orderpriority <> '1-URGENT'
+            GROUP BY c_custkey
+        ) c_orders
+        GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+    "tpch_q16_supplier_cnt": """
+        SELECT p_brand, p_type, p_size,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+          AND p_size IN (1, 4, 7, 10, 15, 20, 25, 30)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_name LIKE '%7')
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    "tpch_q17_small_qty_revenue": """
+        WITH scoped AS (
+            SELECT l_partkey, l_quantity, l_extendedprice
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand = 'Brand#13' AND p_size < 10
+        ),
+        lim AS (
+            SELECT l_partkey AS ak, 0.2 * avg(l_quantity) AS qty_lim
+            FROM scoped GROUP BY l_partkey
+        )
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM scoped JOIN lim ON l_partkey = ak
+        WHERE l_quantity < qty_lim
+    """,
+    "tpch_q19_discounted_revenue": """
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#18' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "tpch_q20_excess_suppliers": """
+        WITH pair_qty AS (
+            SELECT l_partkey, l_suppkey,
+                   sum(CAST(l_quantity AS BIGINT)) AS qty
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_name LIKE 'red%'
+              AND l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+            GROUP BY l_partkey, l_suppkey
+        ),
+        part_tot AS (
+            SELECT l_partkey AS tk, sum(qty) AS tot
+            FROM pair_qty GROUP BY l_partkey
+        )
+        SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_1'
+          AND s_suppkey IN (SELECT DISTINCT l_suppkey
+                            FROM pair_qty JOIN part_tot ON l_partkey = tk
+                            WHERE qty * 2 > tot)
+        ORDER BY s_name
+    """,
+    "tpch_q21_waiting_suppliers": """
+        WITH late AS (
+            SELECT l_orderkey, l_suppkey
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderstatus = 'F'
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        )
+        SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM late l1
+        JOIN supplier ON l1.l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_1'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM late l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey)
+        GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100
+    """,
     "window_rank_extras": """
         SELECT o_orderkey, o_orderstatus, o_totalprice,
                CAST(ntile(4) OVER w AS BIGINT) AS quartile,
@@ -2252,6 +2764,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
     "tpch_q18_large_orders": q_tpch_q18_large_orders,
     "tpch_q22_idle_customers": q_tpch_q22_idle_customers,
+    "tpch_q2_min_cost_supplier": q_tpch_q2_min_cost_supplier,
+    "tpch_q8_market_share": q_tpch_q8_market_share,
+    "tpch_q9_product_profit": q_tpch_q9_product_profit,
+    "tpch_q11_important_parts": q_tpch_q11_important_parts,
+    "tpch_q12_ship_priority": q_tpch_q12_ship_priority,
+    "tpch_q13_cust_distribution": q_tpch_q13_cust_distribution,
+    "tpch_q16_supplier_cnt": q_tpch_q16_supplier_cnt,
+    "tpch_q17_small_qty_revenue": q_tpch_q17_small_qty_revenue,
+    "tpch_q19_discounted_revenue": q_tpch_q19_discounted_revenue,
+    "tpch_q20_excess_suppliers": q_tpch_q20_excess_suppliers,
+    "tpch_q21_waiting_suppliers": q_tpch_q21_waiting_suppliers,
     "hof_array_pipeline": q_hof_array_pipeline,
     "datetime_functions": q_datetime_functions,
     "string_functions_extra": q_string_functions_extra,
