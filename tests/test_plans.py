@@ -57,3 +57,33 @@ def test_asof_join_single_shuffle(spark, sf_dir):
 def test_topk_is_take_ordered(spark, sf_dir):
     df = QUERIES["sort_topk"](spark, sf_dir)
     assert "TakeOrderedAndProject" in plans.formatted_plan(df)
+
+
+def test_tpch_q2_pushes_part_filters(spark, sf_dir):
+    """Q2's part-attribute conjuncts must reach the parquet scan."""
+    df = QUERIES["tpch_q2_min_cost_supplier"](spark, sf_dir)
+    plans.assert_pushed_filters(df, "p_size", "p_type")
+
+
+def test_tpch_q9_broadcasts_dimensions(spark, sf_dir):
+    df = QUERIES["tpch_q9_product_profit"](spark, sf_dir)
+    assert plans.uses_broadcast_join(df)
+
+
+def test_tpch_q12_pushes_date_range(spark, sf_dir):
+    df = QUERIES["tpch_q12_ship_priority"](spark, sf_dir)
+    plans.assert_pushed_filters(df, "l_shipdate")
+
+
+def test_tpch_q21_no_cartesian(spark, sf_dir):
+    """The EXISTS/NOT-EXISTS self-joins carry equi components on
+    orderkey — the != residual must not degrade to a cartesian."""
+    df = QUERIES["tpch_q21_waiting_suppliers"](spark, sf_dir)
+    assert "CartesianProduct" not in plans.formatted_plan(df)
+
+
+def test_tpch_q11_threshold_is_broadcast(spark, sf_dir):
+    """The 1-row scalar total joins the per-part aggregate via
+    broadcast, never a shuffle."""
+    df = QUERIES["tpch_q11_important_parts"](spark, sf_dir)
+    assert plans.uses_broadcast_join(df)
