@@ -9,7 +9,8 @@ from pyspark.sql import functions as F
 
 from yet_another_map_reduce_spark.sources import Catalog, write_parquet, write_text
 from yet_another_map_reduce_spark.sources.catalog import DatasetNotFound
-from yet_another_map_reduce_spark.sources.readers import read_csv, read_table, read_text
+from yet_another_map_reduce_spark.sources.readers import read_csv, read_orc, read_table, read_text
+from yet_another_map_reduce_spark.sources.writers import write_orc
 
 
 def test_catalog_write_read_roundtrip(spark, tmp_path):
@@ -68,6 +69,16 @@ def test_parquet_partition_by(spark, tmp_path):
     assert sorted(d for d in os.listdir(out) if d.startswith("g=")) == ["g=0", "g=1", "g=2"]
     # partition pruning path: reading one partition sees only its rows
     assert spark.read.parquet(out).where(F.col("g") == 1).count() == 10
+
+
+def test_orc_roundtrip_with_partitioning(spark, tmp_path):
+    df = spark.createDataFrame([(i, i % 3) for i in range(30)], "id long, g int")
+    out = str(tmp_path / "orc")
+    write_orc(df, out, partition_by=["g"])
+    assert sorted(d for d in os.listdir(out) if d.startswith("g=")) == ["g=0", "g=1", "g=2"]
+    back = read_orc(spark, out)
+    assert back.count() == 30
+    assert back.where(F.col("g") == 2).count() == 10
 
 
 def test_events_nanos_timestamp_readable(spark, sf_dir):

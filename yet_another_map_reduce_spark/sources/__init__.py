@@ -6,6 +6,7 @@ from yet_another_map_reduce_spark.sources.readers import (
     load_tables,
     read_csv,
     read_json,
+    read_orc,
     read_parquet,
     read_table,
     read_text,
@@ -13,6 +14,7 @@ from yet_another_map_reduce_spark.sources.readers import (
 from yet_another_map_reduce_spark.sources.writers import (
     write_csv,
     write_json,
+    write_orc,
     write_parquet,
     write_text,
 )
@@ -23,11 +25,13 @@ __all__ = [
     "load_tables",
     "read_csv",
     "read_json",
+    "read_orc",
     "read_parquet",
     "read_table",
     "read_text",
     "write_csv",
     "write_json",
+    "write_orc",
     "write_parquet",
     "write_text",
 ]

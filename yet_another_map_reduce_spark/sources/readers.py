@@ -69,6 +69,12 @@ def read_json(spark: SparkSession, path: str, schema: StructType | str | None = 
     return reader.json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """Columnar ORC scan — same pushdown/pruning properties as parquet
+    (stripe-level predicate pushdown via ORC statistics)."""
+    return spark.read.orc(path)
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one canonical test table from a scale-factor directory.
 

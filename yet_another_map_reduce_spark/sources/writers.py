@@ -60,3 +60,19 @@ def write_csv(
 
 def write_json(df: DataFrame, path: str, mode: str = "overwrite", num_partitions: int | None = None) -> None:
     _prep(df, num_partitions, None).write.mode(mode).json(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    num_partitions: int | None = None,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Columnar ORC sink with the same hive-partitioning contract as
+    :func:`write_parquet`."""
+    out = _prep(df, num_partitions, partition_by)
+    writer = out.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
