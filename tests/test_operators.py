@@ -219,3 +219,28 @@ def test_ivf_partial_probe_is_subset_scan(spark, sf_dir):
         by_q.setdefault(r["query_id"], []).append(r["rank"])
     for ranks in by_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_connected_components_chain_merges_transitively(spark):
+    """a-b, b-c, c-d is one component labeled by its min node even
+    though a-d was never an edge; e-f is separate; propagation needs
+    multiple rounds (diameter 3)."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "src long, dst long"
+    )
+    got = {
+        (r["id"], r["component"])
+        for r in dedup.connected_components(edges).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+
+
+def test_connected_components_label_direction(spark):
+    """The min label must flow against edge direction too (edge given
+    as (high, low))."""
+    edges = spark.createDataFrame([(9, 1), (9, 5)], "src long, dst long")
+    got = {
+        (r["id"], r["component"])
+        for r in dedup.connected_components(edges).collect()
+    }
+    assert got == {(1, 1), (5, 1), (9, 1)}

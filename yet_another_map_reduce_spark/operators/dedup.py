@@ -285,3 +285,64 @@ def embedding_near_dup_pairs(
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list → (id, component),
+    where ``component`` is the minimum node id in each component.
+
+    This is the clustering step after candidate-pair generation: LSH
+    emits *pairs*, but keep/drop decisions need whole duplicate
+    *clusters* (a~b, b~c must collapse a,b,c together even though a~c
+    was never emitted).
+
+    Semi-naive min-label propagation: each round every node adopts the
+    smallest label among itself and its neighbors; converges in
+    O(component diameter) rounds.  Near-dup clusters are shallow (pairs
+    all share shingles), so 3-5 rounds is typical.  Each round is one
+    shuffle (join + groupBy on node id); ``localCheckpoint`` truncates
+    lineage so round N's plan doesn't replay rounds 1..N-1 — without it
+    the DAG doubles every pass, which is fatal long before 100 TB.
+
+    The convergence probe is a count() per round — a scalar aggregate,
+    not a collect; driver memory stays O(1).
+    """
+    # materialize the edge list first: the symmetrizing union would
+    # otherwise evaluate the (possibly expensive — e.g. full LSH
+    # pipeline) upstream plan once per branch
+    edges = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint()
+    sym = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().localCheckpoint()
+    labels = (
+        sym.select(F.col("a").alias("id")).distinct().withColumn("component", F.col("id"))
+    ).localCheckpoint()
+    for _ in range(max_iterations):
+        nbr_min = (
+            sym.join(labels, sym["b"] == labels["id"])
+            .groupBy(F.col("a").alias("id2"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        merged = labels.join(nbr_min, labels["id"] == nbr_min["id2"], "left").select(
+            "id",
+            "component",
+            F.least(
+                F.col("component"), F.coalesce("nbr_component", "component")
+            ).alias("new_component"),
+        )
+        # checkpoint FIRST, then probe the materialized rows — probing the
+        # lazy plan would evaluate the join once for the count and again
+        # for the next round's lineage (2x the work per round)
+        merged = merged.localCheckpoint()
+        changed = merged.where(
+            F.col("new_component") < F.col("component")
+        ).limit(1).count()
+        labels = merged.select("id", F.col("new_component").alias("component"))
+        if changed == 0:
+            break
+    return labels

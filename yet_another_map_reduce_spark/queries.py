@@ -871,6 +871,42 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs → connected components: the clustering step
+    that turns pairwise near-dup evidence into whole duplicate clusters
+    (a~b, b~c collapse even though a~c was never emitted)."""
+    d = read_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(d, "text", "doc_id", num_hashes=12, bands=4, shingle_k=3)
+    comp = dedup.connected_components(pairs, "id_a", "id_b")
+    return comp.select(F.col("id").alias("doc_id"), "component").orderBy("doc_id")
+
+
+def q_pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep in one plan: language-ID + quality
+    scoring → keep English above threshold → exact dedup (keep lowest
+    id per fingerprint) → token + chunk accounting.  One scan, one
+    window shuffle on the fixed-width fingerprint — the composition a
+    100 TB corpus-prep job runs nightly."""
+    d = read_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        text.lang_id("text").alias("lang"),
+        text.quality_score("text").alias("quality"),
+        text.token_count("text").cast("bigint").alias("n_tokens"),
+        text.fingerprint("text").alias("fp"),
+    )
+    kept = scored.where((F.col("quality") >= 0.5) & (F.col("lang") == "en"))
+    w = Window.partitionBy("fp").orderBy(F.col("doc_id").asc())
+    deduped = kept.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return deduped.select(
+        "doc_id",
+        "lang",
+        "quality",
+        "n_tokens",
+        (F.floor((F.col("n_tokens") - 1) / 24) + 1).cast("bigint").alias("n_chunks"),
+    ).orderBy("doc_id")
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
     return dedup.simhash(d, "text", "doc_id", bits=32)
@@ -2144,6 +2180,49 @@ ORACLES: dict[str, str] = {
         FROM banded a JOIN banded b
           ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
     """,
+    "dedup_components": _banded_cte().replace("WITH ", "WITH RECURSIVE ", 1)
+    + """
+        , pairs AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+        ),
+        edges AS (
+            SELECT id_a AS s, id_b AS t FROM pairs
+            UNION ALL
+            SELECT id_b AS s, id_a AS t FROM pairs
+        ),
+        reach AS (
+            SELECT s AS id, s AS comp FROM edges
+            UNION
+            SELECT e.s AS id, r.comp FROM edges e JOIN reach r ON e.t = r.id
+        )
+        SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS component
+        FROM reach GROUP BY id ORDER BY doc_id
+    """,
+    "pipeline_training_data": f"""
+        WITH scored AS (
+            SELECT doc_id,
+                   {_LANG_SCORE_EXPRS['en']} AS s_en,
+                   {_LANG_SCORE_EXPRS['es']} AS s_es,
+                   {_LANG_SCORE_EXPRS['fr']} AS s_fr,
+                   {_LANG_SCORE_EXPRS['de']} AS s_de,
+                   {_QUALITY_SQL} AS quality,
+                   CAST({_N_TOK} AS BIGINT) AS n_tokens,
+                   md5({_TEXT_NORM}) AS fp
+            FROM documents
+        ),
+        with_best AS (SELECT *, {_LANG_BEST} AS best FROM scored),
+        labeled AS (
+            SELECT doc_id, {_LANG_CASE} AS lang, quality, n_tokens, fp
+            FROM with_best
+        )
+        SELECT doc_id, lang, quality, n_tokens,
+               CAST(floor((n_tokens - 1) / 24) + 1 AS BIGINT) AS n_chunks
+        FROM (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+              FROM labeled WHERE quality >= 0.5 AND lang = 'en')
+        WHERE rn = 1 ORDER BY doc_id
+    """,
     "dedup_ngram_jaccard": _banded_cte()
     + """
         , pairs AS (
@@ -2808,6 +2887,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_stratified": q_sample_stratified,
     "dedup_minhash_signatures": q_dedup_minhash_signatures,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
+    "dedup_components": q_dedup_components,
+    "pipeline_training_data": q_pipeline_training_data,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_simhash": q_dedup_simhash,
     "embedding_near_dup": q_embedding_near_dup,
