@@ -87,3 +87,18 @@ def test_tpch_q11_threshold_is_broadcast(spark, sf_dir):
     broadcast, never a shuffle."""
     df = QUERIES["tpch_q11_important_parts"](spark, sf_dir)
     assert plans.uses_broadcast_join(df)
+
+
+def test_observe_metrics_piggyback_on_action(spark, sf_dir):
+    """Metrics accumulate during the consuming action — no second scan."""
+    li = read_table(spark, sf_dir, "lineitem")
+    observed, obs = plans.observe_metrics(
+        li, "audit",
+        rows=F.count(F.lit(1)),
+        null_keys=F.count_if(F.col("l_orderkey").isNull()),
+        max_qty=F.max("l_quantity"),
+    )
+    n = observed.count()
+    assert obs.get["rows"] == n
+    assert obs.get["null_keys"] == 0
+    assert obs.get["max_qty"] > 0

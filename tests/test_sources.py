@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 from yet_another_map_reduce_spark.sources import Catalog, write_parquet, write_text
 from yet_another_map_reduce_spark.sources.catalog import DatasetNotFound
 from yet_another_map_reduce_spark.sources.readers import read_csv, read_orc, read_table, read_text
-from yet_another_map_reduce_spark.sources.writers import write_orc
+from yet_another_map_reduce_spark.sources.writers import overwrite_partitions, write_orc
 
 
 def test_catalog_write_read_roundtrip(spark, tmp_path):
@@ -85,3 +85,18 @@ def test_events_nanos_timestamp_readable(spark, sf_dir):
     df = read_table(spark, sf_dir, "events")
     assert df.schema["ts"].dataType.typeName() == "timestamp"
     assert df.count() > 0
+
+
+def test_dynamic_partition_overwrite_preserves_siblings(spark, tmp_path):
+    """Rewriting one partition must not truncate the others (the
+    idempotent-backfill contract)."""
+    out = str(tmp_path / "dpo")
+    base = spark.createDataFrame([(i, i % 3) for i in range(30)], "id long, g int")
+    write_parquet(base, out, partition_by=["g"])
+    patch = spark.createDataFrame([(100, 1), (101, 1)], "id long, g int")
+    overwrite_partitions(patch, out, partition_by=["g"])
+    back = spark.read.parquet(out)
+    assert back.where(F.col("g") == 0).count() == 10      # untouched
+    assert back.where(F.col("g") == 2).count() == 10      # untouched
+    got = sorted(r["id"] for r in back.where(F.col("g") == 1).collect())
+    assert got == [100, 101]                              # replaced

@@ -12,6 +12,7 @@ from yet_another_map_reduce_spark.sources.readers import (
     read_text,
 )
 from yet_another_map_reduce_spark.sources.writers import (
+    overwrite_partitions,
     write_csv,
     write_json,
     write_orc,
@@ -29,6 +30,7 @@ __all__ = [
     "read_parquet",
     "read_table",
     "read_text",
+    "overwrite_partitions",
     "write_csv",
     "write_json",
     "write_orc",

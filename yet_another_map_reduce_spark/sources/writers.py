@@ -62,6 +62,29 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite", num_partitions
     _prep(df, num_partitions, None).write.mode(mode).json(path)
 
 
+def overwrite_partitions(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    num_partitions: int | None = None,
+) -> None:
+    """Dynamic partition overwrite: replace ONLY the hive partitions
+    present in ``df``, leaving sibling partitions untouched.
+
+    This is the idempotent-backfill primitive at scale — re-running one
+    day's job rewrites ``dt=2026-08-13`` without truncating the other
+    3649 partitions of a 10-year table.  Plain ``mode("overwrite")``
+    with static overwrite mode would delete the whole root path first.
+    """
+    out = _prep(df, num_partitions, partition_by)
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
+
+
 def write_orc(
     df: DataFrame,
     path: str,
