@@ -1237,6 +1237,70 @@ def q_tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate surface: stddev/variance/corr/covar/
+    skewness/kurtosis per group.
+
+    Spark's skewness/kurtosis are population moments; DuckDB's are
+    bias-corrected sample moments.  Converted Spark-side with the exact
+    factors (G1 = g1·√(n(n−1))/(n−2); G2 = (n−1)/((n−2)(n−3))·
+    ((n+1)·g2 + 6)) so both engines emit the sample statistic."""
+    li = read_table(spark, sf_dir, "lineitem")
+    n = F.col("n").cast("double")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+            F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias("covar_qp"),
+            F.skewness("l_quantity").alias("_g1"),
+            F.kurtosis("l_quantity").alias("_g2"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            "sd_qty",
+            "var_qty",
+            "corr_qp",
+            "covar_qp",
+            F.round(
+                F.col("_g1") * F.sqrt(n * (n - 1)) / (n - 2), 6
+            ).alias("skew_qty"),
+            F.round(
+                (n - 1) / ((n - 2) * (n - 3)) * ((n + 1) * F.col("_g2") + 6), 6
+            ).alias("kurt_qty"),
+            "n",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT surface (Spark 4): serialize → parse_json
+    into an open-schema variant → typed path extraction.  The scale
+    story: variant columns shred into parquet without a fixed schema,
+    and extraction pushes into the scan."""
+    o = read_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 2000)
+    j = o.select(
+        "o_orderkey",
+        F.to_json(
+            F.struct(
+                F.col("o_totalprice").alias("price"),
+                F.col("o_orderpriority").alias("prio"),
+                F.struct(F.col("o_orderstatus").alias("s")).alias("nested"),
+            )
+        ).alias("payload"),
+    )
+    v = j.select("o_orderkey", F.parse_json("payload").alias("v"))
+    return v.select(
+        "o_orderkey",
+        F.expr("variant_get(v, '$.price', 'double')").alias("price"),
+        F.expr("variant_get(v, '$.prio', 'string')").alias("prio"),
+        F.expr("variant_get(v, '$.nested.s', 'string')").alias("status"),
+    ).orderBy("o_orderkey")
+
+
 def q_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: correlated-min subquery decorrelated to an
     aggregate + equi-join back onto the derived relation.
@@ -2511,6 +2575,30 @@ ORACLES: dict[str, str] = {
                             AND o_orderpriority = '1-URGENT')
         GROUP BY c_nationkey ORDER BY c_nationkey
     """,
+    "agg_statistics": """
+        SELECT l_returnflag,
+               round(stddev_samp(l_quantity), 6) AS sd_qty,
+               round(var_samp(l_quantity), 6) AS var_qty,
+               round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+               round(covar_samp(l_quantity, l_extendedprice), 6) AS covar_qp,
+               round(skewness(l_quantity), 6) AS skew_qty,
+               round(kurtosis(l_quantity), 6) AS kurt_qty,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "json_variant": """
+        SELECT o_orderkey,
+               CAST(json_extract(payload, '$.price') AS DOUBLE) AS price,
+               json_extract_string(payload, '$.prio') AS prio,
+               json_extract_string(payload, '$.nested.s') AS status
+        FROM (
+            SELECT o_orderkey,
+                   to_json(struct_pack(price := o_totalprice,
+                                       prio := o_orderpriority,
+                                       nested := struct_pack(s := o_orderstatus))) AS payload
+            FROM orders WHERE o_orderkey < 2000
+        ) ORDER BY o_orderkey
+    """,
     "tpch_q2_min_cost_supplier": """
         WITH supply AS (
             SELECT l_partkey, l_suppkey,
@@ -2843,6 +2931,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
     "tpch_q18_large_orders": q_tpch_q18_large_orders,
     "tpch_q22_idle_customers": q_tpch_q22_idle_customers,
+    "agg_statistics": q_agg_statistics,
+    "json_variant": q_json_variant,
     "tpch_q2_min_cost_supplier": q_tpch_q2_min_cost_supplier,
     "tpch_q8_market_share": q_tpch_q8_market_share,
     "tpch_q9_product_profit": q_tpch_q9_product_profit,
