@@ -102,3 +102,41 @@ def test_observe_metrics_piggyback_on_action(spark, sf_dir):
     assert obs.get["rows"] == n
     assert obs.get["null_keys"] == 0
     assert obs.get["max_qty"] > 0
+
+
+def test_dynamic_partition_pruning_triggers(spark, tmp_path):
+    """A join on a hive-partition column against a filtered dim must
+    inject a dynamic-pruning subquery into the fact scan — at 100 TB
+    this is the difference between scanning 2 partitions and 3650."""
+    fact = spark.range(2000).withColumn("g", (F.col("id") % 10).cast("int"))
+    fact.write.partitionBy("g").mode("overwrite").parquet(str(tmp_path / "fact"))
+    dim = spark.createDataFrame(
+        [(i, "keep" if i < 2 else "drop") for i in range(10)], "g int, attr string"
+    )
+    f = spark.read.parquet(str(tmp_path / "fact"))
+    j = f.join(dim.where(F.col("attr") == "keep"), "g")
+    assert "dynamicpruning" in plans.formatted_plan(j).lower()
+
+
+def test_runtime_bloom_filter_injects_on_shuffle_join(spark, sf_dir):
+    """With a selective creation side, the optimizer should build a
+    bloom filter and push might_contain into the big side's scan —
+    row-level runtime pruning for non-partition keys."""
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = read_table(spark, sf_dir, "lineitem")
+        o = read_table(spark, sf_dir, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan = plans.formatted_plan(j)
+        assert "might_contain" in plan or "bloom" in plan.lower()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
