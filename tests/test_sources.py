@@ -100,3 +100,32 @@ def test_dynamic_partition_overwrite_preserves_siblings(spark, tmp_path):
     assert back.where(F.col("g") == 2).count() == 10      # untouched
     got = sorted(r["id"] for r in back.where(F.col("g") == 1).collect())
     assert got == [100, 101]                              # replaced
+
+
+def test_yamr_format_roundtrip_and_manifest(spark, tmp_path):
+    """Write through the custom `yamr` DataSource (two-phase commit:
+    chunks from tasks, manifest from the driver), read back with one
+    input partition per manifest entry."""
+    from yet_another_map_reduce_spark.sources import yamr_format
+
+    yamr_format.register(spark)
+    out = str(tmp_path / "ds")
+    src = spark.createDataFrame(
+        [(f"city{i},{i * 1.5:.2f}",) for i in range(40)], "value string"
+    ).repartition(3)
+    src.write.format("yamr").option("path", out).option("name", "tx").mode("append").save()
+
+    manifest = yamr_format.read_manifest(out, "tx")
+    assert len(manifest) == 3
+    assert all(f.startswith("tx_part-") for f, _ in manifest)
+    # sizes in the manifest match the bytes on disk (the reference's contract)
+    for fname, fsize in manifest:
+        assert os.path.getsize(os.path.join(out, fname)) == fsize
+
+    back = spark.read.format("yamr").option("path", out).option("name", "tx").load()
+    assert back.rdd.getNumPartitions() == 3
+    assert sorted(r["value"] for r in back.collect()) == sorted(
+        r["value"] for r in src.collect()
+    )
+    # line numbers are per-chunk ordinals starting at 0
+    assert back.where((F.col("line_no") == 0)).count() == 3

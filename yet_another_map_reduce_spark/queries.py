@@ -1237,6 +1237,63 @@ def q_tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → later click → later purchase) as
+    conditional-min aggregates chained by per-user joins — each stage
+    is one shuffle on user_id, no per-user event collection, so a
+    billion-user funnel stays distributed."""
+    e = read_table(spark, sf_dir, "events")
+    t1 = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        e.where(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        e.where(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    stage = lambda df, name: df.agg(  # noqa: E731
+        F.lit(name).alias("stage"), F.count("*").alias("users")
+    )
+    return (
+        stage(t1, "1_view")
+        .union(stage(t2, "2_click"))
+        .union(stage(t3, "3_purchase"))
+        .orderBy("stage")
+    )
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by first-seen week,
+    distinct-active counted per week offset.  Two shuffles (per-user
+    min, then cohort-grid count-distinct)."""
+    e = read_table(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts"))
+    first = e.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    active = e.select("user_id", wk.alias("wk")).distinct()
+    return (
+        active.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
 def q_agg_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregate surface: stddev/variance/corr/covar/
     skewness/kurtosis per group.
@@ -2575,6 +2632,48 @@ ORACLES: dict[str, str] = {
                             AND o_orderpriority = '1-URGENT')
         GROUP BY c_nationkey ORDER BY c_nationkey
     """,
+    "events_funnel": """
+        WITH t1 AS (
+            SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t1
+            FROM events WHERE event_type = 'view' GROUP BY user_id
+        ),
+        t2 AS (
+            SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t2
+            FROM events e JOIN t1 ON e.user_id = t1.user_id
+            WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > t1.t1
+            GROUP BY e.user_id
+        ),
+        t3 AS (
+            SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t3
+            FROM events e JOIN t2 ON e.user_id = t2.user_id
+            WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > t2.t2
+            GROUP BY e.user_id
+        )
+        SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS users FROM t1
+        UNION ALL
+        SELECT '2_click', CAST(count(*) AS BIGINT) FROM t2
+        UNION ALL
+        SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM t3
+        ORDER BY stage
+    """,
+    "events_retention": """
+        WITH first AS (
+            SELECT user_id,
+                   min(date_trunc('week', CAST(ts AS TIMESTAMP))) AS cohort_week
+            FROM events GROUP BY user_id
+        ),
+        active AS (
+            SELECT DISTINCT user_id,
+                   date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk
+            FROM events
+        )
+        SELECT cohort_week,
+               CAST(datediff('day', cohort_week, wk) / 7 AS BIGINT) AS week_offset,
+               CAST(count(DISTINCT active.user_id) AS BIGINT) AS active_users
+        FROM active JOIN first ON active.user_id = first.user_id
+        GROUP BY cohort_week, week_offset
+        ORDER BY cohort_week, week_offset
+    """,
     "agg_statistics": """
         SELECT l_returnflag,
                round(stddev_samp(l_quantity), 6) AS sd_qty,
@@ -2931,6 +3030,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
     "tpch_q18_large_orders": q_tpch_q18_large_orders,
     "tpch_q22_idle_customers": q_tpch_q22_idle_customers,
+    "events_funnel": q_events_funnel,
+    "events_retention": q_events_retention,
     "agg_statistics": q_agg_statistics,
     "json_variant": q_json_variant,
     "tpch_q2_min_cost_supplier": q_tpch_q2_min_cost_supplier,

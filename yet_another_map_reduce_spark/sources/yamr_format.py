@@ -1,0 +1,137 @@
+"""Custom connector for the reference's on-disk dataset format
+(Spark 4 Python DataSource API).
+
+The reference stores a dataset as chunk text files plus a manifest CSV
+``<name>_manifest`` with rows ``filename,filesize,header``
+(``/root/reference/Client/client.py:147-191`` writes it;
+``/root/reference/Master/metadata/data_manifest`` is a live example).
+This DataSource makes that layout a first-class Spark format:
+
+- **read**: one ``InputPartition`` per manifest entry — each chunk is
+  scanned by its own task, the exact parallelism model of the
+  reference's per-worker READ (F2).  Rows are
+  ``(part string, line_no bigint, value string)``.
+- **write**: each Spark task writes one ``<name>_part-NNNNN.txt`` chunk
+  and reports ``(filename, size)`` in its commit message; the driver
+  writes the manifest only in ``commit()`` — a two-phase commit, so a
+  half-failed job leaves no manifest and readers never see partial
+  output (the atomicity the reference's direct-write protocol lacks,
+  SURVEY.md §3.2).
+
+Registered under the short name ``yamr``.  Options:
+``path`` (directory) and ``name`` (dataset name, default ``data``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+
+
+def _manifest_path(path: str, name: str) -> str:
+    return os.path.join(path, f"{name}_manifest")
+
+
+def read_manifest(path: str, name: str) -> list[tuple[str, int]]:
+    """Parse ``filename,filesize,header`` rows (header line skipped)."""
+    entries: list[tuple[str, int]] = []
+    with open(_manifest_path(path, name), encoding="utf-8") as fh:
+        next(fh)  # "filename,filesize,header"
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            fname, fsize, _header = line.split(",")
+            entries.append((fname, int(fsize)))
+    return entries
+
+
+class _ChunkPartition(InputPartition):
+    def __init__(self, directory: str, filename: str):
+        self.directory = directory
+        self.filename = filename
+
+
+class YamrReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.name = options.get("name", "data")
+
+    def partitions(self):
+        return [
+            _ChunkPartition(self.path, fname)
+            for fname, _ in read_manifest(self.path, self.name)
+        ]
+
+    def read(self, partition: _ChunkPartition):
+        with open(
+            os.path.join(partition.directory, partition.filename), encoding="utf-8"
+        ) as fh:
+            for i, line in enumerate(fh):
+                yield (partition.filename, i, line.rstrip("\n"))
+
+
+class _PartCommit(WriterCommitMessage):
+    def __init__(self, filename: str, filesize: int):
+        self.filename = filename
+        self.filesize = filesize
+
+
+class YamrWriter(DataSourceWriter):
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.name = options.get("name", "data")
+
+    def write(self, iterator):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        fname = f"{self.name}_part-{pid:05d}.txt"
+        full = os.path.join(self.path, fname)
+        os.makedirs(self.path, exist_ok=True)
+        with open(full, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(f"{row[0]}\n")
+        return _PartCommit(fname, os.path.getsize(full))
+
+    def commit(self, messages):
+        # manifest written LAST, driver-side: readers can never observe
+        # a dataset whose chunks aren't all on disk
+        with open(_manifest_path(self.path, self.name), "w", encoding="utf-8") as fh:
+            fh.write("filename,filesize,header\n")
+            for m in sorted(messages, key=lambda m: m.filename):
+                fh.write(f"{m.filename},{m.filesize},False\n")
+
+    def abort(self, messages):
+        for m in messages:
+            try:
+                os.remove(os.path.join(self.path, m.filename))
+            except OSError:
+                pass
+
+
+class YamrDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "yamr"
+
+    def schema(self) -> str:
+        return "part string, line_no bigint, value string"
+
+    def reader(self, schema) -> YamrReader:
+        return YamrReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> YamrWriter:
+        return YamrWriter(self.options)
+
+
+def register(spark) -> None:
+    """Idempotently register the ``yamr`` format on a session."""
+    spark.dataSource.register(YamrDataSource)
