@@ -244,3 +244,18 @@ def test_connected_components_label_direction(spark):
         for r in dedup.connected_components(edges).collect()
     }
     assert got == {(1, 1), (5, 1), (9, 1)}
+
+
+def test_hll_sketch_merge_matches_full(spark, sf_dir):
+    """Sketches built on disjoint halves and unioned must estimate like
+    a straight re-aggregation — the incremental-rollup contract."""
+    from yet_another_map_reduce_spark.operators import aggregates
+    from yet_another_map_reduce_spark.sources.readers import read_table
+
+    li = read_table(spark, sf_dir, "lineitem").withColumn(
+        "half", (F.col("l_orderkey") % 2).cast("int")
+    )
+    exact = li.select("l_orderkey").distinct().count()
+    partials = aggregates.hll_sketch_partials(li, ["half"], "l_orderkey")
+    merged = aggregates.hll_merge(partials, [], alias="est").collect()[0]["est"]
+    assert abs(merged - exact) / exact < 0.05

@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 from yet_another_map_reduce_spark.sources import Catalog, write_parquet, write_text
 from yet_another_map_reduce_spark.sources.catalog import DatasetNotFound
 from yet_another_map_reduce_spark.sources.readers import read_csv, read_orc, read_table, read_text
-from yet_another_map_reduce_spark.sources.writers import overwrite_partitions, write_orc
+from yet_another_map_reduce_spark.sources.writers import compact_parquet, overwrite_partitions, write_orc
 
 
 def test_catalog_write_read_roundtrip(spark, tmp_path):
@@ -129,3 +129,14 @@ def test_yamr_format_roundtrip_and_manifest(spark, tmp_path):
     )
     # line numbers are per-chunk ordinals starting at 0
     assert back.where((F.col("line_no") == 0)).count() == 3
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    src, dst = str(tmp_path / "frag"), str(tmp_path / "compact")
+    spark.range(5000).withColumn("v", F.col("id") * 2).repartition(40).write.parquet(src)
+    n_before = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert n_before == 40
+    compact_parquet(spark, src, dst, target_file_bytes=64 * 1024 * 1024)
+    n_after = len([f for f in os.listdir(dst) if f.endswith(".parquet")])
+    assert n_after == 1
+    assert spark.read.parquet(dst).count() == 5000

@@ -61,3 +61,31 @@ def percentiles(df: DataFrame, keys: list[str], col: str, probs: list[float]) ->
         for p in probs
     ]
     return df.groupBy(*keys).agg(*aggs)
+
+
+def hll_sketch_count(
+    df: DataFrame, keys: list[str], col: str, alias: str = "distinct_est"
+) -> DataFrame:
+    """Apache DataSketches HLL distinct count (Spark 4 ``hll_sketch_agg``).
+
+    Unlike ``approx_count_distinct`` this exposes the *sketch itself* as
+    a binary column upstream, so partial sketches from independent jobs
+    (per-day, per-region) union losslessly via ``hll_union_agg`` —
+    re-aggregation without re-scanning, the property that makes
+    incremental 100 TB rollups possible.
+    """
+    return df.groupBy(*keys).agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg(col)).alias(alias)
+    )
+
+
+def hll_sketch_partials(df: DataFrame, keys: list[str], col: str) -> DataFrame:
+    """Per-group reusable HLL sketches (binary) for later union."""
+    return df.groupBy(*keys).agg(F.hll_sketch_agg(col).alias("sketch"))
+
+
+def hll_merge(partials: DataFrame, keys: list[str], alias: str = "distinct_est") -> DataFrame:
+    """Merge previously materialized sketches to a coarser grouping."""
+    return partials.groupBy(*keys).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(alias)
+    )

@@ -1237,6 +1237,16 @@ def q_tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataSketches HLL distinct estimate per group (rows-only check:
+    the sketch internals aren't reproducible in the oracle engine;
+    mergeability is pinned by test_hll_sketch_merge_matches_full)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return aggregates.hll_sketch_count(
+        li, ["l_returnflag"], "l_orderkey", alias="distinct_orders_est"
+    ).orderBy("l_returnflag")
+
+
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel (view → later click → later purchase) as
     conditional-min aggregates chained by per-user joins — each stage
@@ -3030,6 +3040,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
     "tpch_q18_large_orders": q_tpch_q18_large_orders,
     "tpch_q22_idle_customers": q_tpch_q22_idle_customers,
+    "agg_hll_sketch": q_agg_hll_sketch,
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
     "agg_statistics": q_agg_statistics,

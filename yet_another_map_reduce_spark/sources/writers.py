@@ -99,3 +99,31 @@ def write_orc(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.orc(path)
+
+
+def compact_parquet(
+    spark,
+    src: str,
+    dst: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-files compaction: rewrite ``src`` into ``dst`` with file
+    sizes near ``target_file_bytes``.  Returns the output file count.
+
+    The small-files problem is the classic slow death of a streaming
+    ingest at scale (every micro-batch a sliver; a year later the
+    listing alone takes minutes).  Sizing uses the actual on-disk bytes
+    — never ``count()`` — so the planning cost is one file listing.
+    """
+    import math
+    import os
+
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(src)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n = max(1, math.ceil(total / target_file_bytes))
+    spark.read.parquet(src).repartition(n).write.mode("overwrite").parquet(dst)
+    return n
