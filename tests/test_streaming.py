@@ -233,3 +233,51 @@ def test_stream_stream_interval_join(spark, tmp_path):
     rows = spark.sql("SELECT * FROM ssj_out").collect()
     assert len(rows) == 1
     assert str(rows[0]["clk_ts"]) == "2024-01-01 00:05:00"
+
+
+def test_yamr_stream_sink_commits_manifest_per_batch(spark, tmp_path):
+    """The custom-format stream sink: chunks land per micro-batch, the
+    manifest is rewritten atomically on commit, and a batch reader over
+    the manifest sees exactly the streamed rows."""
+    from yet_another_map_reduce_spark.sources import yamr_format
+
+    yamr_format.register(spark)
+    src_dir, out, ck = (str(tmp_path / d) for d in ("src", "out", "ck"))
+    spark.createDataFrame(
+        [(f"row{i}",) for i in range(20)], "value string"
+    ).coalesce(1).write.mode("overwrite").parquet(src_dir)
+
+    stream = spark.readStream.schema("value string").parquet(src_dir)
+    q = (
+        stream.writeStream.format("yamr")
+        .option("path", out)
+        .option("name", "ev")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    manifest = yamr_format.read_manifest(out, "ev")
+    assert manifest, "manifest must exist after commit"
+    assert all(f.startswith("ev_part-b") for f, _ in manifest)
+    back = spark.read.format("yamr").option("path", out).option("name", "ev").load()
+    assert sorted(r["value"] for r in back.collect()) == sorted(
+        f"row{i}" for i in range(20)
+    )
+
+    # second batch appends under a new batch id; reader sees the union
+    spark.createDataFrame([("extra1",), ("extra2",)], "value string").coalesce(
+        1
+    ).write.mode("append").parquet(src_dir)
+    q2 = (
+        stream.writeStream.format("yamr")
+        .option("path", out)
+        .option("name", "ev")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    back2 = spark.read.format("yamr").option("path", out).option("name", "ev").load()
+    assert back2.count() == 22

@@ -29,6 +29,7 @@ import os
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -117,6 +118,69 @@ class YamrWriter(DataSourceWriter):
                 pass
 
 
+class YamrStreamWriter(DataSourceStreamWriter):
+    """Structured-Streaming sink for the manifest format.
+
+    Exactly-once at the manifest level: chunk files carry the batch id
+    in their name (``<name>_part-bNNNNN-PPPPP.txt``), and ``commit``
+    rewrites the manifest as (previous entries minus this batch's
+    prefix) + (this batch's commit messages).  A replayed batch
+    therefore *replaces* its own entries instead of duplicating them,
+    and readers — which only trust the manifest — never see uncommitted
+    or doubled chunks.  Orphan chunk files from failed attempts are
+    invisible garbage, collectable by listing against the manifest.
+    """
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.name = options.get("name", "data")
+
+    def write(self, iterator):
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        batch = int(tc.getLocalProperty("streaming.sql.batchId"))
+        fname = f"{self.name}_part-b{batch:05d}-{tc.partitionId():05d}.txt"
+        full = os.path.join(self.path, fname)
+        os.makedirs(self.path, exist_ok=True)
+        wrote = 0
+        with open(full, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(f"{row[0]}\n")
+                wrote += 1
+        if wrote == 0:
+            os.remove(full)  # empty partitions add no chunk
+            return _PartCommit("", 0)
+        return _PartCommit(fname, os.path.getsize(full))
+
+    def commit(self, messages, batchId: int) -> None:
+        prefix = f"{self.name}_part-b{batchId:05d}-"
+        try:
+            previous = [
+                e for e in read_manifest(self.path, self.name)
+                if not e[0].startswith(prefix)
+            ]
+        except FileNotFoundError:
+            previous = []
+        entries = previous + [
+            (m.filename, m.filesize) for m in messages if m.filename
+        ]
+        tmp = _manifest_path(self.path, self.name) + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write("filename,filesize,header\n")
+            for fname, fsize in sorted(entries):
+                fh.write(f"{fname},{fsize},False\n")
+        os.replace(tmp, _manifest_path(self.path, self.name))
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m.filename:
+                try:
+                    os.remove(os.path.join(self.path, m.filename))
+                except OSError:
+                    pass
+
+
 class YamrDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -130,6 +194,9 @@ class YamrDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> YamrWriter:
         return YamrWriter(self.options)
+
+    def streamWriter(self, schema, overwrite: bool) -> YamrStreamWriter:
+        return YamrStreamWriter(self.options)
 
 
 def register(spark) -> None:
