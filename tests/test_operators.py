@@ -259,3 +259,27 @@ def test_hll_sketch_merge_matches_full(spark, sf_dir):
     partials = aggregates.hll_sketch_partials(li, ["half"], "l_orderkey")
     merged = aggregates.hll_merge(partials, [], alias="est").collect()[0]["est"]
     assert abs(merged - exact) / exact < 0.05
+
+
+def test_zorder_key_matches_bit_interleave(spark):
+    """The Morton key equals a driver-side bit interleave, and its
+    quartiles carve a 16x16 grid into exactly the four 8x8 quadrants
+    (the property that makes parquet min/max stats prune 2-D ranges)."""
+    from yet_another_map_reduce_spark.functions import zorder_key
+
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(16) for y in range(16)], "x int, y int"
+    )
+    rows = grid.select("x", "y", zorder_key(["x", "y"], bits=4).alias("z")).collect()
+
+    def interleave(x, y, bits=4):
+        z = 0
+        for b in range(bits):
+            z |= ((x >> b) & 1) << (2 * b) | ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    assert all(r["z"] == interleave(r["x"], r["y"]) for r in rows)
+    for q in range(4):
+        quad = [(r["x"], r["y"]) for r in rows if q * 64 <= r["z"] < (q + 1) * 64]
+        xs, ys = {x for x, _ in quad}, {y for _, y in quad}
+        assert len(quad) == 64 and max(xs) - min(xs) == 7 and max(ys) - min(ys) == 7

@@ -140,3 +140,24 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
     n_after = len([f for f in os.listdir(dst) if f.endswith(".parquet")])
     assert n_after == 1
     assert spark.read.parquet(dst).count() == 5000
+
+
+def test_json_corrupt_records_captured_permissive(spark, tmp_path):
+    """Malformed rows land in _corrupt_record instead of failing the
+    job — ingestion at scale must quarantine, not crash."""
+    p = tmp_path / "mixed.jsonl"
+    p.write_text('{"id": 1, "v": "ok"}\n{broken json!\n{"id": 3, "v": "ok2"}\n')
+    df = spark.read.schema("id long, v string, _corrupt_record string").json(str(p))
+    rows = df.collect()
+    good = [r for r in rows if r["_corrupt_record"] is None]
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert {r["id"] for r in good} == {1, 3}
+    assert len(bad) == 1 and bad[0]["_corrupt_record"].startswith("{broken")
+
+
+def test_json_failfast_raises_on_corrupt(spark, tmp_path):
+    p = tmp_path / "bad.jsonl"
+    p.write_text('{"id": 1}\nnot json\n')
+    df = spark.read.schema("id long").option("mode", "FAILFAST").json(str(p))
+    with pytest.raises(Exception, match="(?i)malformed|failfast"):
+        df.collect()

@@ -104,3 +104,25 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     bd = F.transform(b, lambda x: x.cast("double"))
     # try_divide: zero-norm input gives NULL, not an ANSI error
     return F.try_divide(dot(ad, bd), norm(ad) * norm(bd))
+
+
+def zorder_key(cols: list[Column | str], bits: int = 16) -> Column:
+    """Morton (Z-order) interleaved key over non-negative int columns.
+
+    Sorting or range-partitioning by this key clusters rows that are
+    close in EVERY dimension into the same files, so parquet min/max
+    row-group stats prune multi-dimension range predicates — the
+    data-skipping trick behind Delta/Iceberg ZORDER, here as a plain
+    expression (pure bit arithmetic, whole-stage codegen, no UDF).
+
+    Columns must already be non-negative ints < 2**bits (rank/bucket
+    upstream values first when they aren't).
+    """
+    ncols = [F.col(c) if isinstance(c, str) else c for c in cols]
+    n = len(ncols)
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, c in enumerate(ncols):
+            bit = F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit, b * n + i)
+    return z
