@@ -283,3 +283,23 @@ def test_zorder_key_matches_bit_interleave(spark):
         quad = [(r["x"], r["y"]) for r in rows if q * 64 <= r["z"] < (q + 1) * 64]
         xs, ys = {x for x, _ in quad}, {y for _, y in quad}
         assert len(quad) == 64 and max(xs) - min(xs) == 7 and max(ys) - min(ys) == 7
+
+
+def test_pack_sequences_respects_budget(spark, sf_dir):
+    """Every bin's token total stays within budget (oversized docs get
+    singleton bins), and every doc is packed exactly once."""
+    from yet_another_map_reduce_spark.operators.text import pack_sequences, token_count
+    from yet_another_map_reduce_spark.sources.readers import read_table
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("n_tok")
+    )
+    packed = pack_sequences(d, "doc_id", "n_tok", budget=128)
+    joined = packed.join(d, "doc_id")
+    per_bin = joined.groupBy("bin_id").agg(
+        F.sum("n_tok").alias("tot"), F.count("*").alias("n_docs")
+    )
+    over = per_bin.where((F.col("tot") > 128) & (F.col("n_docs") > 1)).count()
+    assert over == 0, "multi-doc bins must fit the budget"
+    assert packed.count() == d.count()
+    assert packed.select("doc_id").distinct().count() == d.count()

@@ -203,3 +203,62 @@ def text_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         lang_id(text_col).alias("lang_pred"),
         fingerprint(text_col).alias("fingerprint"),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: str,
+    budget: int,
+    sort_col: str | None = None,
+) -> DataFrame:
+    """Greedy first-fit packing of documents into fixed-token-budget
+    bins — the batch-construction step of an LLM pretraining pipeline
+    (minimize padding by filling each sequence close to ``budget``).
+
+    Packing is per-partition (``mapInPandas``): a global optimal
+    bin-packing is NP-hard and needs a serial pass, but per-partition
+    greedy over length-sorted docs is the standard at-scale
+    approximation — each partition packs independently, so a 100 TB
+    corpus packs in one Arrow-streaming pass with zero shuffles beyond
+    the optional sort.  Bin ids are globally unique via
+    (partition_id << 32) | local_bin.
+
+    Documents longer than ``budget`` get a singleton bin (truncation is
+    the caller's policy, not the packer's).
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark import TaskContext
+
+    src = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(token_count_col).cast("long").alias("n_tokens"),
+    )
+    if sort_col is not None:
+        src = src.sortWithinPartitions(F.col(sort_col).desc())
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        bins: list[tuple[int, int]] = []  # (bin_local_id, remaining)
+        out_ids, out_bins = [], []
+        next_bin = 0
+        for b in batches:
+            for doc, n in zip(b["doc_id"], b["n_tokens"]):
+                placed = None
+                for i, (bid, rem) in enumerate(bins):
+                    if n <= rem:
+                        bins[i] = (bid, rem - n)
+                        placed = bid
+                        break
+                if placed is None:
+                    placed = next_bin
+                    bins.append((next_bin, max(0, budget - n)))
+                    next_bin += 1
+                out_ids.append(int(doc))
+                out_bins.append((pid << 32) | placed)
+            yield pd.DataFrame({"doc_id": out_ids, "bin_id": out_bins})
+            out_ids, out_bins = [], []
+
+    return src.mapInPandas(fn, schema="doc_id long, bin_id long")

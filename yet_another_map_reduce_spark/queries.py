@@ -1237,6 +1237,16 @@ def q_tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing for pretraining batches (rows-only:
+    bin assignment is partition-layout dependent; the budget invariant
+    is pinned by test_pack_sequences_respects_budget)."""
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", text.token_count("text").alias("n_tok")
+    )
+    return text.pack_sequences(d, "doc_id", "n_tok", budget=128)
+
+
 def q_agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DataSketches HLL distinct estimate per group (rows-only check:
     the sketch internals aren't reproducible in the oracle engine;
@@ -3041,6 +3051,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q18_large_orders": q_tpch_q18_large_orders,
     "tpch_q22_idle_customers": q_tpch_q22_idle_customers,
     "agg_hll_sketch": q_agg_hll_sketch,
+    "pack_sequences": q_pack_sequences,
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
     "agg_statistics": q_agg_statistics,
