@@ -281,3 +281,35 @@ def test_yamr_stream_sink_commits_manifest_per_batch(spark, tmp_path):
     q2.awaitTermination(120)
     back2 = spark.read.format("yamr").option("path", out).option("name", "ev").load()
     assert back2.count() == 22
+
+
+def test_yamr_stream_source_reads_manifest_chunks(spark, tmp_path):
+    """The custom-format stream source: offsets are manifest-prefix
+    lengths, each chunk becomes one input partition, a fresh availableNow
+    run drains exactly the committed dataset."""
+    from yet_another_map_reduce_spark.sources import yamr_format
+
+    yamr_format.register(spark)
+    out = str(tmp_path / "ds")
+    spark.createDataFrame(
+        [(f"v{i}",) for i in range(30)], "value string"
+    ).repartition(3).write.format("yamr").option("path", out).option(
+        "name", "tx"
+    ).mode("append").save()
+
+    stream = (
+        spark.readStream.format("yamr")
+        .option("path", out)
+        .option("name", "tx")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("yamr_src_sink")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select value from yamr_src_sink").collect()
+    assert sorted(r["value"] for r in got) == sorted(f"v{i}" for i in range(30))

@@ -29,6 +29,7 @@ import os
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
@@ -118,6 +119,49 @@ class YamrWriter(DataSourceWriter):
                 pass
 
 
+class YamrStreamReader(DataSourceStreamReader):
+    """Structured-Streaming source tailing a manifest dataset.
+
+    The offset is the count of manifest entries consumed (the manifest
+    is append-ordered by the sink's sorted rewrite, so a prefix length
+    is a stable cursor).  Each micro-batch reads the chunk files in
+    ``[start, end)`` with one input partition per chunk — the same
+    parallelism as the batch reader.  Chunks are immutable once listed
+    (the manifest is only rewritten atomically), so replaying an offset
+    range re-reads identical data: exactly-once downstream composes.
+    """
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.name = options.get("name", "data")
+
+    def _entries(self) -> list[tuple[str, int]]:
+        try:
+            return read_manifest(self.path, self.name)
+        except FileNotFoundError:
+            return []
+
+    def initialOffset(self) -> dict:
+        return {"n": 0}
+
+    def latestOffset(self) -> dict:
+        return {"n": len(self._entries())}
+
+    def partitions(self, start: dict, end: dict):
+        entries = self._entries()[start["n"] : end["n"]]
+        return [_ChunkPartition(self.path, fname) for fname, _ in entries]
+
+    def read(self, partition: _ChunkPartition):
+        with open(
+            os.path.join(partition.directory, partition.filename), encoding="utf-8"
+        ) as fh:
+            for i, line in enumerate(fh):
+                yield (partition.filename, i, line.rstrip("\n"))
+
+    def commit(self, end: dict) -> None:
+        pass  # no source-side cleanup: chunks stay readable for replay
+
+
 class YamrStreamWriter(DataSourceStreamWriter):
     """Structured-Streaming sink for the manifest format.
 
@@ -197,6 +241,9 @@ class YamrDataSource(DataSource):
 
     def streamWriter(self, schema, overwrite: bool) -> YamrStreamWriter:
         return YamrStreamWriter(self.options)
+
+    def streamReader(self, schema) -> YamrStreamReader:
+        return YamrStreamReader(self.options)
 
 
 def register(spark) -> None:
