@@ -1,0 +1,97 @@
+"""Semantics tests for operators/timeseries.py and operators/upsert.py
+on tiny hand-built frames (oracle parity at scale is covered by the
+`merge_upsert`/`events_ohlc`/`timeseries_gapfill`/`outlier_zscore`
+registry entries)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from yet_another_map_reduce_spark.operators import timeseries, upsert
+
+
+def _ts(h: int, m: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+def test_resample_ohlc_open_close_ordering(spark):
+    # same bucket, out-of-order arrival; tie on ts broken by id
+    rows = [
+        ("a", 3, _ts(9, 30), 50.0),
+        ("a", 1, _ts(9, 0), 10.0),
+        ("a", 2, _ts(9, 0), 20.0),  # ties with id=1 on ts; id orders them
+        ("a", 4, _ts(9, 59), 5.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, id long, ts timestamp, v double")
+    out = timeseries.resample_ohlc(df, ["k"], "ts", "id", "v", unit="hour").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["open"] == 10.0  # id=1 wins the ts tie
+    assert r["close"] == 5.0
+    assert r["high"] == 50.0 and r["low"] == 5.0
+    assert r["n_ticks"] == 4
+
+
+def test_gapfill_inserts_zero_rows_and_ffills(spark):
+    rows = [("u", _ts(9), 2, 1.5), ("u", _ts(12), 4, 9.0)]
+    df = spark.createDataFrame(rows, "k string, hr timestamp, n long, avg double")
+    out = timeseries.gapfill(
+        df, "k", "hr", "interval 1 hour", count_col="n", ffill_cols=["avg"]
+    )
+    got = {r["hr"].hour: (r["n"], r["avg"]) for r in out.collect()}
+    assert got == {9: (2, 1.5), 10: (0, 1.5), 11: (0, 1.5), 12: (4, 9.0)}
+
+
+def test_zscore_outliers_flags_only_extremes(spark):
+    vals = [10.0] * 20 + [1000.0]
+    rows = [(i, "t", v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, k string, v double")
+    out = timeseries.zscore_outliers(df, ["k"], "v", threshold=2.5, z_alias="z")
+    got = out.collect()
+    assert [r["id"] for r in got] == [20]
+    assert got[0]["z"] > 2.5
+
+
+def test_zscore_single_row_group_is_dropped_not_nan(spark):
+    df = spark.createDataFrame([(1, "solo", 5.0)], "id long, k string, v double")
+    assert timeseries.zscore_outliers(df, ["k"], "v").count() == 0
+
+
+def test_upsert_update_insert_passthrough(spark):
+    base = spark.createDataFrame(
+        [(1, "old", 10.0), (2, "keep", 20.0)], "k long, s string, v double"
+    )
+    updates = spark.createDataFrame(
+        [(1, "new", 11.0), (3, "ins", 30.0)], "k long, s string, v double"
+    )
+    out = upsert.upsert(base, updates, ["k"], flag_col="updated", broadcast_updates=True)
+    got = {r["k"]: (r["s"], r["v"], r["updated"]) for r in out.collect()}
+    assert got == {
+        1: ("new", 11.0, True),
+        2: ("keep", 20.0, False),
+        3: ("ins", 30.0, True),
+    }
+
+
+def test_upsert_null_update_value_does_not_clobber_flag(spark):
+    # an update row carrying a NULL attribute still counts as an update
+    base = spark.createDataFrame([(1, "old")], "k long, s string")
+    updates = spark.createDataFrame([(1, None)], "k long, s string")
+    out = upsert.upsert(base, updates, ["k"], flag_col="updated").collect()
+    assert out[0]["updated"] is True
+    # NULL from updates falls back to base's value (coalesce semantics)
+    assert out[0]["s"] == "old"
+
+
+def test_histogram_fixed_clamps_edges(spark):
+    from yet_another_map_reduce_spark.operators import aggregates
+
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (15.0,), (99.0,), (250.0,)], "x double"
+    )
+    out = aggregates.histogram_fixed(df, "x", 0.0, 100.0, 10)
+    got = {r["bucket"]: r["n"] for r in out.collect()}
+    # -5 clamps into bucket 0; 99 → bucket 9; 250 clamps into bucket 9
+    assert got == {0: 2, 1: 1, 9: 2}

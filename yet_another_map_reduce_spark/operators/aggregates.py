@@ -89,3 +89,38 @@ def hll_merge(partials: DataFrame, keys: list[str], alias: str = "distinct_est")
     return partials.groupBy(*keys).agg(
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(alias)
     )
+
+
+def histogram_fixed(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    nbuckets: int,
+) -> DataFrame:
+    """Fixed-width histogram: one row per non-empty bucket with count and
+    value range.  Out-of-range values clamp into the edge buckets.
+
+    The bucket index is plain ``floor((x - lo) / step)`` (not
+    ``width_bucket``) so the exact same double expression runs in the
+    SQL oracle; single shuffle with map-side partials, fully codegen'd.
+    """
+    step = (hi - lo) / nbuckets
+    bucket = (
+        F.least(
+            F.greatest(F.floor((F.col(col) - F.lit(lo)) / F.lit(step)), F.lit(0)),
+            F.lit(nbuckets - 1),
+        )
+        .cast("bigint")
+        .alias("bucket")
+    )
+    return (
+        df.groupBy(bucket)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min(col), 2).alias("lo_seen"),
+            F.round(F.max(col), 2).alias("hi_seen"),
+        )
+        .withColumn("bucket_lo", F.round(F.col("bucket") * F.lit(step) + F.lit(lo), 2))
+        .orderBy("bucket")
+    )

@@ -262,3 +262,49 @@ def pack_sequences(
             out_ids, out_bins = [], []
 
     return src.mapInPandas(fn, schema="doc_id long, bin_id long")
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k characteristic terms per document by a tf-idf-style score.
+
+    score = tf * (N / df) — a log-free idf so the value is a ratio of
+    exact integers (bit-identical across engines; ln() would depend on
+    the platform libm).  Ties break on the term string, so the top-k is
+    total-ordered and deterministic.
+
+    Scale notes: tf is a (doc, term) groupBy with map-side partials over
+    the exploded tokens; df re-aggregates the (already tiny) tf relation
+    by term; N rides along as a broadcast nested-loop join of a 1-row
+    aggregate — no collect, no driver round-trip.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(text_col)).alias("term"),
+    ).where(F.length("term") > 0)
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * (F.col("n_docs").cast("double") / F.col("df")), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("term_rank") <= k)
+        .select("doc_id", "term", F.col("tf").cast("bigint").alias("tf"),
+                F.col("df").cast("bigint").alias("df"), "tfidf", "term_rank")
+    )

@@ -32,6 +32,8 @@ from yet_another_map_reduce_spark.operators import (
     similarity,
     sorts,
     text,
+    timeseries,
+    upsert,
     windows,
 )
 from yet_another_map_reduce_spark.sources.readers import read_table
@@ -1887,6 +1889,79 @@ def q_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-MERGE-shaped upsert (operators/upsert.py): the latest order
+    per customer from 1997-07-01 onward merged over the pre-cutoff
+    snapshot — matched keys updated, new keys inserted."""
+    o = read_table(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_orderkey", "o_totalprice", "o_orderdate"]
+    cut = F.lit("1997-07-01").cast("timestamp")
+
+    def latest(df: DataFrame) -> DataFrame:
+        return windows.top_k_per_group(
+            df.select(*cols),
+            ["o_custkey"],
+            [F.col("o_orderdate").desc(), F.col("o_orderkey").desc()],
+            1,
+        )
+
+    base = latest(o.where(F.col("o_orderdate") < cut))
+    updates = latest(o.where(F.col("o_orderdate") >= cut))
+    return upsert.upsert(base, updates, ["o_custkey"], flag_col="updated")
+
+
+def q_events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(event_type, day) OHLC downsample — associative min_by/max_by
+    partials instead of a window sort over raw events."""
+    e = read_table(spark, sf_dir, "events")
+    return timeseries.resample_ohlc(
+        e, ["event_type"], "ts", "event_id", "value", unit="day"
+    )
+
+
+def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-user activity with missing hours materialized (count 0)
+    and the rolling average forward-filled from the last active hour."""
+    e = read_table(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+    return timeseries.gapfill(
+        hourly,
+        "user_id",
+        "hr",
+        step="interval 1 hour",
+        count_col="n_events",
+        ffill_cols=["avg_value"],
+    )
+
+
+def q_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outliers (|z| > 2.5) — stats pass +
+    broadcast join back, not a window over raw events."""
+    e = read_table(spark, sf_dir, "events")
+    return timeseries.zscore_outliers(
+        e.select("event_id", "event_type", "value"), ["event_type"], "value", 2.5
+    ).select("event_id", "event_type", "value", "z")
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by log-free tf-idf
+    (operators/text.tfidf_top_terms)."""
+    d = read_table(spark, sf_dir, "documents")
+    return text.tfidf_top_terms(d, k=3)
+
+
+def q_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-bucket fixed-width histogram of order totals
+    (aggregates.histogram_fixed; single shuffle, codegen'd bucket expr)."""
+    o = read_table(spark, sf_dir, "orders")
+    return aggregates.histogram_fixed(o, "o_totalprice", 0.0, 600000.0, 20)
+
+
 # ===========================================================================
 # oracle SQL (DuckDB)
 # ===========================================================================
@@ -1990,6 +2065,99 @@ _LANG_CASE = (
 
 
 ORACLES: dict[str, str] = {
+    "merge_upsert": """
+        WITH base AS (
+            SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate,
+                       row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+                FROM orders WHERE o_orderdate < TIMESTAMP '1997-07-01')
+            WHERE rn = 1),
+        upd AS (
+            SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate,
+                       row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+                FROM orders WHERE o_orderdate >= TIMESTAMP '1997-07-01')
+            WHERE rn = 1)
+        SELECT coalesce(u.o_custkey, b.o_custkey) AS o_custkey,
+               coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+               coalesce(u.o_totalprice, b.o_totalprice) AS o_totalprice,
+               coalesce(u.o_orderdate, b.o_orderdate) AS o_orderdate,
+               u.o_custkey IS NOT NULL AS updated
+        FROM base b FULL OUTER JOIN upd u ON b.o_custkey = u.o_custkey
+    """,
+    "events_ohlc": """
+        WITH e AS (SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
+                   FROM events),
+        r AS (SELECT *,
+                     row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                        ORDER BY ts ASC, event_id ASC) AS ra,
+                     row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                        ORDER BY ts DESC, event_id DESC) AS rd
+              FROM e)
+        SELECT event_type, date_trunc('day', ts) AS bucket,
+               max(CASE WHEN ra = 1 THEN value END) AS open,
+               max(value) AS high,
+               min(value) AS low,
+               max(CASE WHEN rd = 1 THEN value END) AS close,
+               round(sum(value), 2) AS volume,
+               CAST(count(*) AS BIGINT) AS n_ticks
+        FROM r GROUP BY event_type, date_trunc('day', ts)
+    """,
+    "timeseries_gapfill": """
+        WITH h AS (
+            SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(avg(value), 6) AS avg_value
+            FROM events WHERE user_id < 50 GROUP BY 1, 2),
+        b AS (SELECT user_id, min(hr) AS lo, max(hr) AS hi FROM h GROUP BY user_id),
+        s AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+              FROM b)
+        SELECT s.user_id, s.hr,
+               coalesce(h.n_events, 0)::BIGINT AS n_events,
+               last_value(h.avg_value IGNORE NULLS)
+                   OVER (PARTITION BY s.user_id ORDER BY s.hr
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_value
+        FROM s LEFT JOIN h ON s.user_id = h.user_id AND s.hr = h.hr
+    """,
+    "outlier_zscore": """
+        WITH s AS (SELECT event_type, round(avg(value), 6) AS mu,
+                          round(stddev_samp(value), 6) AS sigma
+                   FROM events GROUP BY event_type)
+        SELECT event_id, e.event_type, value, round((value - mu) / sigma, 3) AS z
+        FROM events e JOIN s ON e.event_type = s.event_type
+        WHERE sigma > 0 AND abs(round((value - mu) / sigma, 3)) > 2.5
+    """,
+    "tfidf_top_terms": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split({_NORM.format(c='text')}, ' ')) AS term
+            FROM documents),
+        t AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+              FROM toks WHERE length(term) > 0 GROUP BY doc_id, term),
+        d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM t GROUP BY term),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        scored AS (
+            SELECT t.doc_id, t.term, t.tf, d.df,
+                   round(t.tf * (CAST(n.n_docs AS DOUBLE) / d.df), 6) AS tfidf
+            FROM t JOIN d USING (term) CROSS JOIN n),
+        r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf DESC, term ASC) AS BIGINT) AS term_rank
+              FROM scored)
+        SELECT doc_id, term, tf, df, tfidf, term_rank FROM r WHERE term_rank <= 3
+    """,
+    "histogram_totalprice": """
+        WITH b AS (
+            SELECT CAST(least(greatest(floor((o_totalprice - 0.0) / 30000.0), 0), 19)
+                        AS BIGINT) AS bucket,
+                   o_totalprice
+            FROM orders)
+        SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+               round(min(o_totalprice), 2) AS lo_seen,
+               round(max(o_totalprice), 2) AS hi_seen,
+               round(bucket * 30000.0 + 0.0, 2) AS bucket_lo
+        FROM b GROUP BY bucket ORDER BY bucket
+    """,
     "flagship_max_price": """
         SELECT l_returnflag, round(max(l_extendedprice), 2) AS max_price
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
@@ -3010,6 +3178,12 @@ ORACLES: dict[str, str] = {
 # ===========================================================================
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "merge_upsert": q_merge_upsert,
+    "events_ohlc": q_events_ohlc,
+    "timeseries_gapfill": q_timeseries_gapfill,
+    "outlier_zscore": q_outlier_zscore,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "histogram_totalprice": q_histogram_totalprice,
     "flagship_max_price": q_flagship_max_price,
     "pricing_summary": q_pricing_summary,
     "filter_project": q_filter_project,
