@@ -1,0 +1,61 @@
+"""Semantics tests for operators/sampling.py, windows.validity_intervals,
+and aggregates.profile_columns (oracle parity covered by the
+`sample_hash_split`/`sample_reservoir_group`/`scd2_intervals`/
+`profile_columns` registry entries)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from yet_another_map_reduce_spark.operators import aggregates, sampling, windows
+
+
+def test_hash_split_is_deterministic_and_partition_invariant(spark):
+    df = spark.range(2000).withColumnRenamed("id", "k")
+    a = sampling.hash_split(df, "k", 0, 100).collect()
+    b = sampling.hash_split(df.repartition(7), "k", 0, 100).collect()
+    assert sorted(r["k"] for r in a) == sorted(r["k"] for r in b)
+    # ~10% within loose tolerance
+    assert 120 <= len(a) <= 280
+
+
+def test_hash_split_ranges_partition_the_input(spark):
+    df = spark.range(500).withColumnRenamed("id", "k")
+    train = sampling.hash_split(df, "k", 0, 800)
+    test = sampling.hash_split(df, "k", 800, 1000)
+    assert train.count() + test.count() == 500
+    assert train.join(test, "k").count() == 0
+
+
+def test_reservoir_per_group_size_and_stability(spark):
+    rows = [(i, "g%d" % (i % 3)) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, g string")
+    a = sampling.reservoir_per_group(df, ["g"], "id", 4)
+    assert a.groupBy("g").count().where("count != 4").count() == 0
+    b = sampling.reservoir_per_group(df.repartition(5), ["g"], "id", 4)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # different seed → (almost surely) different sample
+    c = sampling.reservoir_per_group(df, ["g"], "id", 4, seed=1)
+    assert sorted(map(tuple, a.collect())) != sorted(map(tuple, c.collect()))
+
+
+def test_validity_intervals_chain_and_open_end(spark):
+    t = lambda d: dt.datetime(2024, 1, d)
+    df = spark.createDataFrame(
+        [(1, t(1)), (1, t(5)), (2, t(3))], "k long, ts timestamp"
+    )
+    out = windows.validity_intervals(df, ["k"], ["ts"], "ts").collect()
+    got = {(r["k"], r["ts"].day): r["valid_to"] for r in out}
+    assert got[(1, 1)] == t(5)
+    assert got[(1, 5)].year == 2199 and got[(2, 3)].year == 2199
+
+
+def test_profile_columns_counts_nulls_and_distincts(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (4, "b")], "id long, s string"
+    )
+    got = {r["col_name"]: r for r in aggregates.profile_columns(df, ["id", "s"]).collect()}
+    assert got["id"]["n_rows"] == 4 and got["id"]["n_nulls"] == 0 and got["id"]["n_distinct"] == 4
+    assert got["s"]["n_nulls"] == 1 and got["s"]["n_distinct"] == 2

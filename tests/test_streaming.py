@@ -313,3 +313,34 @@ def test_yamr_stream_source_reads_manifest_chunks(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("select value from yamr_src_sink").collect()
     assert sorted(r["value"] for r in got) == sorted(f"v{i}" for i in range(30))
+
+
+def test_stream_static_enrich_matches_batch_join(spark, sf_dir, tmp_path):
+    from yet_another_map_reduce_spark.streaming import stream_static_enrich
+
+    batch_src, stream = _events_stream(spark, sf_dir, tmp_path)
+    # static dim: a per-user tier lookup derived once
+    dim = (
+        batch_src.select("user_id").distinct()
+        .withColumn("tier", (F.col("user_id") % 3).cast("int"))
+        .cache()
+    )
+    enriched = stream_static_enrich(
+        stream.select("event_id", "user_id"), dim, ["user_id"]
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enrich_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["event_id"], r["tier"]) for r in spark.sql("SELECT * FROM enrich_out").collect()
+    }
+    expected = {
+        (r["event_id"], r["tier"])
+        for r in batch_src.select("event_id", "user_id").join(dim, "user_id").collect()
+    }
+    assert got == expected

@@ -124,3 +124,22 @@ def histogram_fixed(
         .withColumn("bucket_lo", F.round(F.col("bucket") * F.lit(step) + F.lit(lo), 2))
         .orderBy("bucket")
     )
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Data-quality profile: one output row per column with row count,
+    null count, and exact distinct count.
+
+    Single aggregate pass over the input (all per-column counters fold in
+    one job), then a ``stack`` unpivot of the 1-row result — the unpivot
+    costs nothing because it runs on one row.
+    """
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("bigint")).alias(f"__null_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"__dist_{c}"))
+    row = df.agg(*aggs)
+    stack = ", ".join(f"'{c}', __n, __null_{c}, __dist_{c}" for c in cols)
+    return row.selectExpr(
+        f"stack({len(cols)}, {stack}) AS (col_name, n_rows, n_nulls, n_distinct)"
+    )

@@ -117,3 +117,53 @@ def mapinpandas_batch_stats(df: DataFrame, cols: list[str]) -> DataFrame:
 
     schema = ", ".join(f"{c} double" for c in cols) + ", row_abs_sum double"
     return df.select(*[F.col(c).cast("double").alias(c) for c in cols]).mapInPandas(fn, schema=schema)
+
+
+def cogrouped_order_fill(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Cogrouped-map UDF (``groupBy().cogroup().applyInPandas``): both
+    relations shuffle once on the order key, then each (order-group,
+    lineitem-group) pair lands in ONE Python call as two pandas frames —
+    the idiomatic Spark shape for per-key custom merges of two inputs
+    (the reference would need two chained MapReduce jobs with a manual
+    tag column to co-locate two datasets).
+
+    Computes per-order net revenue + item count; orders with no
+    lineitems yield 0/0 (left-join semantics, mirrored by the oracle).
+    """
+
+    def fn(key: tuple, o: pd.DataFrame, li: pd.DataFrame) -> pd.DataFrame:
+        if not len(o):  # lineitems whose order is filtered out: drop
+            return pd.DataFrame(
+                {"o_orderkey": [], "o_totalprice": [], "net_fp": [], "n_items": []}
+            )
+        if len(li):
+            # fixed-point: prices/discounts are 2-decimal, so the sum is an
+            # exact integer — immune to float accumulation-order diffs
+            # between pandas (pairwise) and any SQL engine (sequential)
+            ep = (li["l_extendedprice"] * 100).round().astype("int64")
+            dp = (li["l_discount"] * 100).round().astype("int64")
+            net_fp = int((ep * (100 - dp)).sum())
+        else:
+            net_fp = 0
+        return pd.DataFrame(
+            {
+                "o_orderkey": [key[0]],
+                "o_totalprice": [float(o["o_totalprice"].iloc[0])],
+                "net_fp": [net_fp],
+                "n_items": [len(li)],
+            }
+        )
+
+    return (
+        orders.select("o_orderkey", "o_totalprice")
+        .groupBy("o_orderkey")
+        .cogroup(
+            lineitem.select("l_orderkey", "l_extendedprice", "l_discount").groupBy(
+                "l_orderkey"
+            )
+        )
+        .applyInPandas(
+            fn,
+            schema="o_orderkey long, o_totalprice double, net_fp long, n_items long",
+        )
+    )

@@ -56,3 +56,24 @@ def sliding(df: DataFrame, partition_by: list[str], order_by: list[Column | str]
     """Row-frame moving aggregate, e.g. before=6, after=0 → trailing 7."""
     w = _window(partition_by, order_by).rowsBetween(-before, after)
     return df.withColumn(alias, agg_col.over(w))
+
+
+def validity_intervals(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list[Column | str],
+    ts_col: str,
+    end_alias: str = "valid_to",
+    end_default: str | None = "2199-12-31",
+) -> DataFrame:
+    """SCD-Type-2 interval construction: each row's validity ends where the
+    next row (in ``order_by``) begins; the latest row per key stays open
+    (``end_default``; keep it inside Arrow's ns-timestamp range, i.e. < 2262).  ``order_by`` must be a total order for
+    deterministic intervals.  One shuffle on the key, single pass."""
+    out = df.withColumn(end_alias, F.lead(ts_col).over(_window(partition_by, order_by)))
+    if end_default is not None:
+        out = out.withColumn(
+            end_alias,
+            F.coalesce(F.col(end_alias), F.lit(end_default).cast("timestamp")),
+        )
+    return out

@@ -1962,9 +1962,158 @@ def q_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggregates.histogram_fixed(o, "o_totalprice", 0.0, 600000.0, 20)
 
 
+def q_sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% test split of lineitem by id-hash bucket
+    (operators/sampling.hash_split) — reproducible across cluster
+    layouts, unlike seeded RNG sampling; pure narrow filter."""
+    li = read_table(spark, sf_dir, "lineitem")
+    rowid = F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit("-"),
+        F.col("l_linenumber").cast("string"),
+    )
+    from yet_another_map_reduce_spark.operators import sampling
+
+    return sampling.hash_split(li, rowid, 0, 100).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+
+
+def q_sample_reservoir_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable uniform 5-row sample per market segment
+    (operators/sampling.reservoir_per_group): hash-rank, keep smallest."""
+    c = read_table(spark, sf_dir, "customer")
+    from yet_another_map_reduce_spark.operators import sampling
+
+    return sampling.reservoir_per_group(
+        c.select("c_custkey", "c_name", "c_mktsegment"), ["c_mktsegment"], "c_custkey", 5
+    )
+
+
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-Type-2 history build (windows.validity_intervals): each
+    customer's order stream becomes validity intervals
+    [valid_from, valid_to) with the latest row left open."""
+    o = read_table(spark, sf_dir, "orders")
+    hist = windows.validity_intervals(
+        o.select("o_custkey", "o_orderkey", "o_totalprice", "o_orderdate"),
+        ["o_custkey"],
+        [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()],
+        "o_orderdate",
+    )
+    return hist.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.col("o_orderdate").alias("valid_from"),
+        "valid_to",
+        (F.col("valid_to") == F.lit("2199-12-31").cast("timestamp")).alias("is_current"),
+    )
+
+
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of orders (aggregates.profile_columns): one
+    aggregate pass, one output row per profiled column."""
+    o = read_table(spark, sf_dir, "orders")
+    return aggregates.profile_columns(
+        o, ["o_custkey", "o_orderstatus", "o_orderpriority"]
+    )
+
+
+def q_bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar surface (AND/OR/XOR/shifts/popcount/NOT) over the
+    order key."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.selectExpr(
+        "o_orderkey",
+        "o_orderkey & 255 AS band",
+        "o_orderkey | 4096 AS bor",
+        "o_orderkey ^ 12345 AS bxor",
+        "shiftleft(o_orderkey, 3) AS shl",
+        "shiftright(o_orderkey, 2) AS shr",
+        "CAST(bit_count(o_orderkey) AS BIGINT) AS popcount",
+        "~o_orderkey AS bnot",
+    )
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration PageRank (operators/graph.pagerank) over the bipartite
+    customer↔supplier trade graph (both directions; customers get even
+    node ids, suppliers odd)."""
+    from yet_another_map_reduce_spark.operators import graph
+
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    return (
+        graph.pagerank(edges, iterations=3)
+        .select("node", F.col("rank").alias("pr"))
+        .orderBy("node")
+    )
+
+
+def q_udf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-map UDF (udxf.cogrouped_order_fill) on a 1%-of-keys
+    hash slice (the cogroup API pays per-group Python overhead — the
+    demo exercises the shape, not the volume); fixed-point net revenue
+    converted to dollars engine-side."""
+    o = read_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 100 == 0)
+    li = read_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 100 == 0)
+    from yet_another_map_reduce_spark.operators import udxf
+
+    return udxf.cogrouped_order_fill(o, li).withColumn(
+        "net_revenue", F.round(F.col("net_fp") / 10000.0, 2)
+    )
+
+
 # ===========================================================================
 # oracle SQL (DuckDB)
 # ===========================================================================
+
+
+def _pagerank_sql(iters: int = 3) -> str:
+    """Chained-CTE power iteration mirroring graph.pagerank: per-iteration
+    round(…, 6) keeps both engines' double accumulation bit-aligned."""
+    prev = "r0"
+    its = []
+    for i in range(1, iters + 1):
+        its.append(
+            f"""
+        it{i} AS (
+            SELECT n.node,
+                   round(CAST(0.85 AS DOUBLE) * coalesce(s.m, 0)
+                         + CAST(0.15 AS DOUBLE), 6) AS pr
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node, sum(r.pr / d.g) AS m
+                FROM edges e
+                JOIN {prev} r ON e.src = r.node
+                JOIN deg d ON e.src = d.src
+                GROUP BY e.dst) s ON n.node = s.node)"""
+        )
+        prev = f"it{i}"
+    joined = ",".join(its)
+    return f"""
+        WITH pairs AS (
+            SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        edges AS (SELECT c AS src, s AS dst FROM pairs
+                  UNION ALL SELECT s AS src, c AS dst FROM pairs),
+        deg AS (SELECT src, count(*) AS g FROM edges GROUP BY src),
+        nodes AS (SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges),
+        r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS pr FROM nodes),
+        {joined}
+        SELECT node, pr FROM it{iters} ORDER BY node
+    """
 
 
 def _minhash_cte() -> str:
@@ -2065,6 +2214,74 @@ _LANG_CASE = (
 
 
 ORACLES: dict[str, str] = {
+    "graph_pagerank": _pagerank_sql(3),
+    "udf_cogrouped": """
+        SELECT o.o_orderkey, o.o_totalprice,
+               CAST(coalesce(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                                 * (100 - CAST(round(l.l_discount * 100) AS BIGINT))), 0)
+                    AS BIGINT) AS net_fp,
+               CAST(count(l.l_orderkey) AS BIGINT) AS n_items,
+               round(CAST(coalesce(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                                       * (100 - CAST(round(l.l_discount * 100) AS BIGINT))), 0)
+                          AS BIGINT) / 10000.0, 2) AS net_revenue
+        FROM (SELECT * FROM orders WHERE o_orderkey % 100 = 0) o
+        LEFT JOIN (SELECT * FROM lineitem WHERE l_orderkey % 100 = 0) l
+          ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderkey, o.o_totalprice
+    """,
+    "sample_hash_split": f"""
+        SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        FROM lineitem
+        WHERE {_sql_hash64("CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)", seed=0)} % 1000
+              BETWEEN 0 AND 99
+    """,
+    "sample_reservoir_group": f"""
+        SELECT c_custkey, c_name, c_mktsegment FROM (
+            SELECT c_custkey, c_name, c_mktsegment,
+                   row_number() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY {_sql_hash64("CAST(c_custkey AS VARCHAR)", seed=0)},
+                                               c_custkey) AS rn
+            FROM customer)
+        WHERE rn <= 5
+    """,
+    "scd2_intervals": """
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               o_orderdate AS valid_from,
+               coalesce(lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                                ORDER BY o_orderdate ASC, o_orderkey ASC),
+                        TIMESTAMP '2199-12-31') AS valid_to,
+               coalesce(lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                                ORDER BY o_orderdate ASC, o_orderkey ASC),
+                        TIMESTAMP '2199-12-31') = TIMESTAMP '2199-12-31' AS is_current
+        FROM orders
+    """,
+    "profile_columns": """
+        SELECT 'o_custkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(count(DISTINCT o_orderstatus) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(count(DISTINCT o_orderpriority) AS BIGINT)
+        FROM orders
+    """,
+    "bitwise_functions": """
+        SELECT o_orderkey,
+               o_orderkey & 255 AS band,
+               o_orderkey | 4096 AS bor,
+               xor(o_orderkey, 12345) AS bxor,
+               o_orderkey << 3 AS shl,
+               o_orderkey >> 2 AS shr,
+               CAST(bit_count(o_orderkey) AS BIGINT) AS popcount,
+               ~o_orderkey AS bnot
+        FROM orders
+    """,
     "merge_upsert": """
         WITH base AS (
             SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate FROM (
@@ -3178,6 +3395,13 @@ ORACLES: dict[str, str] = {
 # ===========================================================================
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "graph_pagerank": q_graph_pagerank,
+    "udf_cogrouped": q_udf_cogrouped,
+    "sample_hash_split": q_sample_hash_split,
+    "sample_reservoir_group": q_sample_reservoir_group,
+    "scd2_intervals": q_scd2_intervals,
+    "profile_columns": q_profile_columns,
+    "bitwise_functions": q_bitwise_functions,
     "merge_upsert": q_merge_upsert,
     "events_ohlc": q_events_ohlc,
     "timeseries_gapfill": q_timeseries_gapfill,

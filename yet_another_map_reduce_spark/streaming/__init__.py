@@ -20,12 +20,14 @@ from yet_another_map_reduce_spark.streaming.stateful import (
     streaming_dedup_fuzzy,
 )
 from yet_another_map_reduce_spark.streaming.sources import file_stream, rate_stream
+from yet_another_map_reduce_spark.streaming.joins import stream_static_enrich
 
 __all__ = [
     "file_stream",
     "rate_stream",
     "session_windowed",
     "sliding_windowed",
+    "stream_static_enrich",
     "stream_stream_interval_join",
     "streaming_dedup",
     "streaming_dedup_fuzzy",
