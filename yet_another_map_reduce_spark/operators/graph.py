@@ -28,6 +28,7 @@ def pagerank(
     iterations: int = 3,
     damping: float = 0.85,
     round_digits: int = 6,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Power-iteration PageRank over a directed edge list (``src``, ``dst``).
 
@@ -40,7 +41,13 @@ def pagerank(
     fixpoint is bit-stable under double accumulation-order differences —
     required for the chained-CTE SQL oracle to match exactly.
     """
-    edges = edges.select("src", "dst").distinct().cache()
+    edges = edges.select("src", "dst")
+    if not assume_distinct:
+        edges = edges.distinct()
+    # hash-partition on dst once and cache: every iteration's groupBy(dst)
+    # then reuses this partitioning (broadcast joins preserve it), so the
+    # per-iteration exchange disappears from the plan
+    edges = edges.repartition("dst").cache()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     nodes = (
         edges.select(F.col("src").alias("node"))

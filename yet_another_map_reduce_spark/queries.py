@@ -2056,19 +2056,19 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
     return (
-        graph.pagerank(edges, iterations=3)
+        graph.pagerank(edges, iterations=3, assume_distinct=True)
         .select("node", F.col("rank").alias("pr"))
         .orderBy("node")
     )
 
 
 def q_udf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cogrouped-map UDF (udxf.cogrouped_order_fill) on a 1%-of-keys
+    """Cogrouped-map UDF (udxf.cogrouped_order_fill) on a 0.1%-of-keys
     hash slice (the cogroup API pays per-group Python overhead — the
     demo exercises the shape, not the volume); fixed-point net revenue
     converted to dollars engine-side."""
-    o = read_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 100 == 0)
-    li = read_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 100 == 0)
+    o = read_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 1000 == 0)
+    li = read_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 1000 == 0)
     from yet_another_map_reduce_spark.operators import udxf
 
     return udxf.cogrouped_order_fill(o, li).withColumn(
@@ -2224,8 +2224,8 @@ ORACLES: dict[str, str] = {
                round(CAST(coalesce(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
                                        * (100 - CAST(round(l.l_discount * 100) AS BIGINT))), 0)
                           AS BIGINT) / 10000.0, 2) AS net_revenue
-        FROM (SELECT * FROM orders WHERE o_orderkey % 100 = 0) o
-        LEFT JOIN (SELECT * FROM lineitem WHERE l_orderkey % 100 = 0) l
+        FROM (SELECT * FROM orders WHERE o_orderkey % 1000 = 0) o
+        LEFT JOIN (SELECT * FROM lineitem WHERE l_orderkey % 1000 = 0) l
           ON o.o_orderkey = l.l_orderkey
         GROUP BY o.o_orderkey, o.o_totalprice
     """,
