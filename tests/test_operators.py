@@ -303,3 +303,16 @@ def test_pack_sequences_respects_budget(spark, sf_dir):
     assert over == 0, "multi-doc bins must fit the budget"
     assert packed.count() == d.count()
     assert packed.select("doc_id").distinct().count() == d.count()
+
+
+def test_embedding_gram_path_equals_declarative(spark, sf_dir):
+    from yet_another_map_reduce_spark.operators import dedup
+    from yet_another_map_reduce_spark.sources.readers import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    kw = dict(id_col="vec_id", vec_col="embedding", block_col="label", threshold=0.3)
+    slow = {(r["id_a"], r["id_b"], r["cos"])
+            for r in dedup.embedding_near_dup_pairs(emb, **kw).collect()}
+    fast = {(r["id_a"], r["id_b"], r["cos"])
+            for r in dedup.embedding_near_dup_pairs_gram(emb, **kw).collect()}
+    assert slow == fast and len(fast) > 0

@@ -346,3 +346,50 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def embedding_near_dup_pairs_gram(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """BLAS fast path for :func:`embedding_near_dup_pairs`: same contract
+    (blocked cosine pairs, ``id_a < id_b``, cos rounded to 6), but each
+    block computes ONE normalized gram matrix in numpy instead of
+    exploding to per-pair rows with array payloads — the HOF dot product
+    is interpreted per element, while ``N @ N.T`` is a single BLAS call
+    (~10x at 64 dims, more at higher).
+
+    Scale notes: one shuffle on the block key; per-block work is
+    O(rows² · dim) flops and O(rows²) memory, so size blocks (LSH bucket
+    / cluster id) to ~10k rows; beyond that, tile the matmul inside the
+    UDF rather than growing executor memory.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, ignore_index=True)
+        ids = pdf[id_col].to_numpy()
+        m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0.0] = np.inf  # zero vectors match nothing
+        n = m / norms[:, None]
+        cos = np.round(n @ n.T, 6)
+        ia, ib = np.triu_indices(len(ids), k=1)  # i<j on id-sorted rows
+        keep = cos[ia, ib] >= threshold
+        return pd.DataFrame(
+            {
+                "id_a": ids[ia[keep]],
+                "id_b": ids[ib[keep]],
+                "cos": cos[ia[keep], ib[keep]],
+            }
+        )
+
+    return (
+        df.select(F.col(id_col), F.col(vec_col), F.col(block_col))
+        .groupBy(block_col)
+        .applyInPandas(fn, schema="id_a long, id_b long, cos double")
+    )

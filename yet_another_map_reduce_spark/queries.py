@@ -919,7 +919,7 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the synthetic embeddings are near-orthogonal random vectors (max
     # same-label cosine ≈ 0.47) — 0.35 exercises the operator with a
     # real candidate set; production near-dup would use ~0.9+
-    return dedup.embedding_near_dup_pairs(
+    return dedup.embedding_near_dup_pairs_gram(
         emb, id_col="vec_id", vec_col="embedding", block_col="label", threshold=0.35
     )
 
