@@ -2076,6 +2076,51 @@ def q_udf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frame: trailing 1-hour sum per user — frames
+    defined by the timestamp axis (peers included), not row counts."""
+    e = read_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.expr(
+            "round(sum(value) OVER (PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 4)"
+        ).alias("trailing_1h"),
+    )
+
+
+def q_null_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling scalar surface: nullif / ifnull / coalesce chains /
+    IS [NOT] NULL predicates."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.selectExpr(
+        "o_orderkey",
+        "nullif(o_orderstatus, 'O') AS status_or_null",
+        "ifnull(nullif(o_orderstatus, 'O'), 'OPEN') AS status_filled",
+        "coalesce(nullif(o_orderpriority, '1-URGENT'), nullif(o_orderstatus, 'F'), 'both-hit') AS first_nonnull",
+        "nullif(o_orderstatus, 'O') IS NULL AS was_open",
+        "nullif(o_orderstatus, 'O') IS NOT NULL AS was_not_open",
+    )
+
+
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type surface: construct, size, key/value introspection, and
+    typed element access."""
+    o = read_table(spark, sf_dir, "orders")
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"), F.lit("prio"), F.col("o_orderpriority")
+    )
+    return o.select(
+        "o_orderkey",
+        F.size(m).cast("bigint").alias("map_size"),
+        F.array_join(F.map_keys(m), ",").alias("keys_csv"),
+        F.array_join(F.map_values(m), ",").alias("vals_csv"),
+        F.element_at(m, "prio").alias("prio_val"),
+    )
+
+
 # ===========================================================================
 # oracle SQL (DuckDB)
 # ===========================================================================
@@ -2214,6 +2259,33 @@ _LANG_CASE = (
 
 
 ORACLES: dict[str, str] = {
+    "window_time_range": """
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+               round(sum(value) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 4)
+                   AS trailing_1h
+        FROM events
+    """,
+    "null_functions": """
+        SELECT o_orderkey,
+               nullif(o_orderstatus, 'O') AS status_or_null,
+               ifnull(nullif(o_orderstatus, 'O'), 'OPEN') AS status_filled,
+               coalesce(nullif(o_orderpriority, '1-URGENT'),
+                        nullif(o_orderstatus, 'F'), 'both-hit') AS first_nonnull,
+               nullif(o_orderstatus, 'O') IS NULL AS was_open,
+               nullif(o_orderstatus, 'O') IS NOT NULL AS was_not_open
+        FROM orders
+    """,
+    "map_functions": """
+        SELECT o_orderkey,
+               CAST(cardinality(m) AS BIGINT) AS map_size,
+               array_to_string(map_keys(m), ',') AS keys_csv,
+               array_to_string(map_values(m), ',') AS vals_csv,
+               m['prio'][1] AS prio_val
+        FROM (SELECT o_orderkey,
+                     map(['status', 'prio'], [o_orderstatus, o_orderpriority]) AS m
+              FROM orders)
+    """,
     "graph_pagerank": _pagerank_sql(3),
     "udf_cogrouped": """
         SELECT o.o_orderkey, o.o_totalprice,
@@ -3395,6 +3467,9 @@ ORACLES: dict[str, str] = {
 # ===========================================================================
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "window_time_range": q_window_time_range,
+    "null_functions": q_null_functions,
+    "map_functions": q_map_functions,
     "graph_pagerank": q_graph_pagerank,
     "udf_cogrouped": q_udf_cogrouped,
     "sample_hash_split": q_sample_hash_split,
