@@ -140,3 +140,34 @@ def test_runtime_bloom_filter_injects_on_shuffle_join(spark, sf_dir):
         spark.conf.unset(
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
         )
+
+
+def test_upsert_broadcast_path_is_broadcast(spark, sf_dir):
+    from yet_another_map_reduce_spark.operators import upsert
+
+    o = read_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    delta = o.limit(10)
+    df = upsert.upsert(o, delta, ["o_custkey"], broadcast_updates=True)
+    assert plans.uses_broadcast_join(df), "small CDC delta must broadcast"
+
+
+def test_zscore_stats_join_is_broadcast(spark, sf_dir):
+    df = QUERIES["outlier_zscore"](spark, sf_dir)
+    assert plans.uses_broadcast_join(df), "per-group stats side must broadcast"
+
+
+def test_pagerank_costs_one_shuffle_per_iteration(spark, sf_dir):
+    # with edges/deg/nodes cached and rank+contrib sides broadcast, each
+    # extra iteration may add ONLY its contribution aggregate's shuffle —
+    # any more means an iteration-side relation fell out of the cache or
+    # a broadcast regressed to sort-merge
+    from yet_another_map_reduce_spark.operators import graph
+
+    edges = (
+        read_table(spark, sf_dir, "events")
+        .select((F.col("user_id") % 50).alias("src"), (F.col("user_id") % 7).alias("dst"))
+        .distinct()
+    )
+    one = plans.count_exchanges(graph.pagerank(edges, iterations=1, assume_distinct=True))
+    three = plans.count_exchanges(graph.pagerank(edges, iterations=3, assume_distinct=True))
+    assert three - one == 2, f"expected +1 shuffle per extra iteration ({one} -> {three})"

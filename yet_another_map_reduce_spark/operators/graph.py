@@ -48,11 +48,15 @@ def pagerank(
     # then reuses this partitioning (broadcast joins preserve it), so the
     # per-iteration exchange disappears from the plan
     edges = edges.repartition("dst").cache()
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    # deg and nodes are static across iterations AND appear in every
+    # iteration's lineage — cache both or each re-nests per iteration
+    # (the 1-shuffle distinct would re-plan 3x per round otherwise)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg")).cache()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .cache()
     )
     ranks = nodes.withColumn("rank", F.lit(1.0))
     for _ in range(iterations):
@@ -62,8 +66,10 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("inbound"))
         )
+        # contribs is |nodes|-sized — broadcast it so the rank refresh is
+        # map-only instead of a both-sides sort-merge shuffle per iteration
         ranks = (
-            nodes.join(contribs, nodes.node == contribs.dst, "left")
+            nodes.join(F.broadcast(contribs), nodes.node == contribs.dst, "left")
             .select(
                 "node",
                 F.round(

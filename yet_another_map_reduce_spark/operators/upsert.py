@@ -28,17 +28,35 @@ def upsert(
     flag_col: str | None = None,
     broadcast_updates: bool = False,
 ) -> DataFrame:
-    """Full-outer merge of ``updates`` into ``base`` on ``keys``.
-
-    Both sides must share a schema.  Non-key columns come from
-    ``updates`` when the key matched (or was inserted), else from
-    ``base``.  ``flag_col`` optionally records whether the row came from
+    """Merge ``updates`` into ``base`` on ``keys``; both sides must share
+    a schema.  ``flag_col`` optionally records whether the row came from
     the updates side.
+
+    Two physical strategies with one difference in partial-update
+    semantics:
+
+    - default (``broadcast_updates=False``): full-outer join + per-column
+      ``coalesce`` — a NULL in an update column falls back to the base
+      value (partial updates).  Full-outer joins cannot broadcast in
+      Spark, so this is a shuffle on both sides.
+    - ``broadcast_updates=True``: broadcast LEFT ANTI on the key + union —
+      map-only over the base (the common CDC shape: small delta into a
+      huge snapshot).  Matched rows are replaced WHOLESALE, so update
+      rows must be complete.
     """
     non_keys = [c for c in base.columns if c not in keys]
+    out_cols = keys + non_keys
+    if broadcast_updates:
+        untouched = base.join(
+            F.broadcast(updates.select(*keys)), on=keys, how="left_anti"
+        ).select(*out_cols)
+        fresh = updates.select(*out_cols)
+        if flag_col:
+            untouched = untouched.withColumn(flag_col, F.lit(False))
+            fresh = fresh.withColumn(flag_col, F.lit(True))
+        return untouched.unionByName(fresh)
     marked = updates.withColumn("__from_updates", F.lit(1))
-    u = F.broadcast(marked) if broadcast_updates else marked
-    joined = base.alias("b").join(u.alias("u"), on=keys, how="full_outer")
+    joined = base.alias("b").join(marked.alias("u"), on=keys, how="full_outer")
     cols = [F.col(k) for k in keys] + [
         F.coalesce(F.col(f"u.{c}"), F.col(f"b.{c}")).alias(c) for c in non_keys
     ]
