@@ -2121,6 +2121,57 @@ def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-max + z-score feature scaling per group — the stats pass /
+    broadcast-join-back shape (no window over raw rows): the standard
+    normalization step before embedding or model training."""
+    li = read_table(spark, sf_dir, "lineitem")
+    stats = li.groupBy("l_returnflag").agg(
+        F.min("l_extendedprice").alias("__lo"),
+        F.max("l_extendedprice").alias("__hi"),
+        F.round(F.avg("l_extendedprice"), 6).alias("__mu"),
+        F.round(F.stddev_samp("l_extendedprice"), 6).alias("__sigma"),
+    )
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
+        .join(F.broadcast(stats), "l_returnflag")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            F.round(
+                F.try_divide(
+                    F.col("l_extendedprice") - F.col("__lo"),
+                    F.col("__hi") - F.col("__lo"),
+                ),
+                6,
+            ).alias("minmax"),
+            F.round(
+                F.try_divide(
+                    F.col("l_extendedprice") - F.col("__mu"), F.col("__sigma")
+                ),
+                4,
+            ).alias("zscore"),
+        )
+    )
+
+
+def q_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus curation: keep documents above the 75th quality percentile
+    WITHIN their language (percent_rank window) — per-group relative
+    cutoffs, not a global threshold."""
+    d = read_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "lang", text.quality_score("text").alias("q")
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("q").asc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("pr", F.round(F.percent_rank().over(w), 6))
+        .where(F.col("pr") >= 0.75)
+        .select("doc_id", "lang", "q", "pr")
+    )
+
+
 # ===========================================================================
 # oracle SQL (DuckDB)
 # ===========================================================================
@@ -2259,6 +2310,25 @@ _LANG_CASE = (
 
 
 ORACLES: dict[str, str] = {
+    "feature_scaling": """
+        WITH s AS (SELECT l_returnflag,
+                          min(l_extendedprice) AS lo, max(l_extendedprice) AS hi,
+                          round(avg(l_extendedprice), 6) AS mu,
+                          round(stddev_samp(l_extendedprice), 6) AS sigma
+                   FROM lineitem GROUP BY l_returnflag)
+        SELECT l_orderkey, l_linenumber, l.l_returnflag,
+               round((l_extendedprice - lo) / nullif(hi - lo, 0), 6) AS minmax,
+               round((l_extendedprice - mu) / nullif(sigma, 0), 4) AS zscore
+        FROM lineitem l JOIN s ON l.l_returnflag = s.l_returnflag
+    """,
+    "quality_percentile_filter": f"""
+        SELECT doc_id, lang, q, pr FROM (
+            SELECT doc_id, lang, q,
+                   round(percent_rank() OVER (PARTITION BY lang
+                         ORDER BY q ASC, doc_id ASC), 6) AS pr
+            FROM (SELECT doc_id, lang, {{quality}} AS q FROM documents))
+        WHERE pr >= 0.75
+    """.format(quality=_QUALITY_SQL),
     "window_time_range": """
         SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
                round(sum(value) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
@@ -3467,6 +3537,8 @@ ORACLES: dict[str, str] = {
 # ===========================================================================
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "feature_scaling": q_feature_scaling,
+    "quality_percentile_filter": q_quality_percentile_filter,
     "window_time_range": q_window_time_range,
     "null_functions": q_null_functions,
     "map_functions": q_map_functions,
