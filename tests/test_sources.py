@@ -161,3 +161,20 @@ def test_json_failfast_raises_on_corrupt(spark, tmp_path):
     df = spark.read.schema("id long").option("mode", "FAILFAST").json(str(p))
     with pytest.raises(Exception, match="(?i)malformed|failfast"):
         df.collect()
+
+
+def test_parquet_schema_evolution_merges_and_nulls(spark, tmp_path):
+    from yet_another_map_reduce_spark.sources.readers import read_parquet_evolving
+
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, s string").write.mode(
+        "overwrite"
+    ).parquet(path)
+    # a later producer adds a column
+    spark.createDataFrame([(2, "b", 9.5)], "id long, s string, score double").write.mode(
+        "append"
+    ).parquet(path)
+    df = read_parquet_evolving(spark, path)
+    assert set(df.columns) == {"id", "s", "score"}
+    got = {r["id"]: r["score"] for r in df.collect()}
+    assert got == {1: None, 2: 9.5}

@@ -99,3 +99,15 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
     """Load several test tables at once; keys are table names."""
     return {name: read_table(spark, sf_dir, name) for name in names}
+
+
+def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet read with schema evolution: files written under older
+    schemas surface added columns as NULL (``mergeSchema``).
+
+    Scale note: schema merging lists footers across files — cheap next to
+    the scan, but on multi-million-file datasets prefer a declared schema
+    (``spark.read.schema(...)``) and keep ``mergeSchema`` for ingestion
+    boundaries where producers actually evolve.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(path)
