@@ -316,3 +316,16 @@ def test_embedding_gram_path_equals_declarative(spark, sf_dir):
     fast = {(r["id_a"], r["id_b"], r["cos"])
             for r in dedup.embedding_near_dup_pairs_gram(emb, **kw).collect()}
     assert slow == fast and len(fast) > 0
+
+
+def test_connected_components_broadcast_variant_equivalent(spark):
+    from yet_another_map_reduce_spark.operators import dedup
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 20)], "src long, dst long"
+    )
+    base = {(r["id"], r["component"])
+            for r in dedup.connected_components(edges).collect()}
+    bc = {(r["id"], r["component"])
+          for r in dedup.connected_components(edges, broadcast_labels=True).collect()}
+    assert base == bc
