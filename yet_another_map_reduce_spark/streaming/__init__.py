@@ -20,10 +20,11 @@ from yet_another_map_reduce_spark.streaming.stateful import (
     streaming_dedup_fuzzy,
 )
 from yet_another_map_reduce_spark.streaming.sources import file_stream, rate_stream
-from yet_another_map_reduce_spark.streaming.joins import stream_static_enrich
+from yet_another_map_reduce_spark.streaming.joins import foreach_batch_upsert, stream_static_enrich
 
 __all__ = [
     "file_stream",
+    "foreach_batch_upsert",
     "rate_stream",
     "session_windowed",
     "sliding_windowed",

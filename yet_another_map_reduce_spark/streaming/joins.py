@@ -20,3 +20,58 @@ def stream_static_enrich(
     keeps each micro-batch map-only; cache the static side upstream so
     it is not re-scanned per batch."""
     return stream.join(F.broadcast(static), keys, how)
+
+
+def foreach_batch_upsert(
+    stream: DataFrame,
+    snapshot_path: str,
+    keys: list[str],
+    checkpoint_path: str,
+):
+    """Streaming CDC apply: each micro-batch MERGEs into a parquet
+    snapshot via :func:`operators.upsert.upsert` (broadcast path — a
+    micro-batch is exactly the small-delta shape).
+
+    Classic read-modify-write via ``foreachBatch``: the batch is deduped
+    to one row per key (last writer within the batch wins by batch
+    order; when the change log carries a real sequence column, dedupe on
+    that instead of arrival order) before merging, and the snapshot is
+    rewritten atomically per batch.  At 100 TB the rewrite becomes partition-targeted dynamic
+    overwrite (writers.py) or a format with row-level MERGE; the
+    dataflow shape is identical.
+
+    Returns the started ``StreamingQuery``.
+    """
+    from pyspark.sql import functions as F
+
+    from yet_another_map_reduce_spark.operators.upsert import upsert
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        non_keys = [c for c in batch.columns if c not in keys]
+        # last row per key within the batch wins — max_by on the batch
+        # ordinal (agg-position last() ignores row order)
+        ordered = batch.withColumn("__ord", F.monotonically_increasing_id())
+        delta = ordered.groupBy(*keys).agg(
+            *[F.max_by(c, F.col("__ord")).alias(c) for c in non_keys]
+        ).select(*batch.columns)
+        try:
+            base = spark.read.parquet(snapshot_path)
+        except Exception:  # first batch: snapshot does not exist yet
+            base = None
+        if base is None:
+            merged = delta
+        else:
+            merged = upsert(base, delta, keys, broadcast_updates=True)
+        # materialize BEFORE overwriting the path the plan reads from
+        # (localCheckpoint stores the rows and truncates lineage, so the
+        # write cannot re-scan the files it is replacing)
+        staged = merged.localCheckpoint(eager=True)
+        staged.write.mode("overwrite").parquet(snapshot_path)
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
