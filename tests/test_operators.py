@@ -98,6 +98,25 @@ def test_minhash_identical_docs_collide(spark):
     assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
 
 
+def test_minhash_lsh_bucket_cap(spark):
+    # 1,000 copies of one boilerplate string (the license-header
+    # degenerate case) collapse onto a single band signature; the bucket
+    # cap must keep the ~500k-pair explosion out of candidate generation
+    # while genuine small-bucket near-dups still pair up
+    boiler = [(i, "this license header is repeated verbatim in every file") for i in range(1000)]
+    near = [(2001, "one specific unusual sentence about walruses here"),
+            (2002, "one specific unusual sentence about walruses here")]
+    df = spark.createDataFrame(boiler + near, "doc_id long, text string")
+    capped = dedup.minhash_lsh_pairs(df, "text", "doc_id", max_bucket_size=100)
+    assert [(r["id_a"], r["id_b"]) for r in capped.collect()] == [(2001, 2002)]
+    # the excluded bucket is exact-dup territory: exact_dedup collapses it
+    kept = dedup.exact_dedup(df, "text", "doc_id")
+    assert kept.where(F.col("dup_count") == 1000).count() == 1
+    # opt-out reproduces the quadratic pair set (on this small corpus)
+    uncapped = dedup.minhash_lsh_pairs(df, "text", "doc_id", max_bucket_size=None)
+    assert uncapped.count() == 1000 * 999 // 2 + 1
+
+
 def test_jaccard_values(spark):
     df = spark.createDataFrame(
         [(1, "a b c d e"), (2, "a b c d e"), (3, "z y x w v")],
@@ -117,6 +136,28 @@ def test_simhash_is_deterministic_and_collides_for_dups(spark):
     assert fps[0] == fps[1]
     groups = dedup.simhash_dup_groups(df, "text", "doc_id", bits=32).collect()
     assert len(groups) == 1 and groups[0]["n_docs"] == 2
+
+
+def test_simhash_banded_catches_low_hamming_near_dups(spark):
+    # one changed word shifts a few fingerprint bits: exact collision
+    # misses the pair, hamming banding must catch it (and must NOT pair
+    # the hamming-6 variant that exceeds max_hamming=3)
+    base = (
+        "the quick brown fox jumps over the lazy dog near the riverbank"
+        " at dawn every single morning without fail"
+    )
+    df = spark.createDataFrame(
+        [(0, base), (1, base.replace("dog", "goat")), (2, base.replace("dog", "horse"))],
+        "doc_id long, text string",
+    )
+    fps = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df, "text", "doc_id", bits=32).collect()}
+    assert fps[0] != fps[1], "precondition: near-dup pair must not exactly collide"
+    assert dedup.simhash_dup_groups(df, "text", "doc_id", bits=32).count() == 0
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in dedup.simhash_near_dup_pairs(
+        df, "text", "doc_id", bits=32, bands=4, max_hamming=3
+    ).collect()}
+    assert (0, 1) in pairs and 1 <= pairs[(0, 1)] <= 3
+    assert (0, 2) not in pairs and (1, 2) not in pairs
 
 
 def test_cosine_topk_self_excluded_and_ordered(spark):

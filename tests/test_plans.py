@@ -156,18 +156,62 @@ def test_zscore_stats_join_is_broadcast(spark, sf_dir):
     assert plans.uses_broadcast_join(df), "per-group stats side must broadcast"
 
 
-def test_pagerank_costs_one_shuffle_per_iteration(spark, sf_dir):
-    # with edges/deg/nodes cached and rank+contrib sides broadcast, each
-    # extra iteration may add ONLY its contribution aggregate's shuffle —
-    # any more means an iteration-side relation fell out of the cache or
-    # a broadcast regressed to sort-merge
-    from yet_another_map_reduce_spark.operators import graph
-
-    edges = (
+def _pagerank_edges(spark, sf_dir):
+    return (
         read_table(spark, sf_dir, "events")
         .select((F.col("user_id") % 50).alias("src"), (F.col("user_id") % 7).alias("dst"))
         .distinct()
     )
-    one = plans.count_exchanges(graph.pagerank(edges, iterations=1, assume_distinct=True))
-    three = plans.count_exchanges(graph.pagerank(edges, iterations=3, assume_distinct=True))
+
+
+def test_pagerank_costs_one_shuffle_per_iteration(spark, sf_dir):
+    # with edges/deg/nodes cached and rank+contrib sides broadcast, each
+    # extra iteration may add ONLY its contribution aggregate's shuffle —
+    # any more means an iteration-side relation fell out of the cache or
+    # a broadcast regressed to sort-merge.  checkpoint_ranks=False keeps
+    # the full lineage in one plan so the exchanges are countable.
+    from yet_another_map_reduce_spark.operators import graph
+
+    edges = _pagerank_edges(spark, sf_dir)
+    one = plans.count_exchanges(
+        graph.pagerank(edges, iterations=1, assume_distinct=True, checkpoint_ranks=False)
+    )
+    three = plans.count_exchanges(
+        graph.pagerank(edges, iterations=3, assume_distinct=True, checkpoint_ranks=False)
+    )
     assert three - one == 2, f"expected +1 shuffle per extra iteration ({one} -> {three})"
+
+
+def test_pagerank_checkpoint_keeps_plan_constant_size(spark, sf_dir):
+    # checkpoint_ranks=True truncates lineage every iteration, so the
+    # FINAL plan is the same size at 1 and at 4 iterations — the property
+    # that keeps deep iteration counts from hitting the optimizer wall
+    from yet_another_map_reduce_spark.operators import graph
+
+    edges = _pagerank_edges(spark, sf_dir)
+    one = plans.count_exchanges(graph.pagerank(edges, iterations=1, assume_distinct=True))
+    four = plans.count_exchanges(graph.pagerank(edges, iterations=4, assume_distinct=True))
+    assert one == four, f"checkpointed plan should not grow with iterations ({one} -> {four})"
+
+
+def test_pagerank_non_broadcast_path(spark, sf_dir):
+    # broadcast_ranks=False must produce NO BroadcastExchange (the 100×
+    # node-set escape hatch) yet reach the identical fixpoint
+    from yet_another_map_reduce_spark.operators import graph
+
+    edges = _pagerank_edges(spark, sf_dir)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        shuffled = graph.pagerank(
+            edges, iterations=2, assume_distinct=True, broadcast_ranks=False,
+            checkpoint_ranks=False,
+        )
+        assert not plans.uses_broadcast_join(shuffled), "broadcast_ranks=False must not broadcast"
+        got = {r["node"]: r["rank"] for r in shuffled.collect()}
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    want = {
+        r["node"]: r["rank"]
+        for r in graph.pagerank(edges, iterations=2, assume_distinct=True).collect()
+    }
+    assert got == want, "fixpoint must be identical with and without broadcast"

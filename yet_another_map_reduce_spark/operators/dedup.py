@@ -90,12 +90,21 @@ def keep_best_dedup(
     )
 
 
-def minhash_signatures(df: DataFrame, text_col: str, id_col: str, num_hashes: int = 12, shingle_k: int = 3) -> DataFrame:
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 12,
+    shingle_k: int = 3,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
     """id → array of ``num_hashes`` min-hash values over word-shingles.
 
     Min-wise hashing per seed: min over shingles of md5(seed:shingle).
     Documents with < shingle_k words get an empty signature and are
     excluded (they can't be meaningfully near-dup'd by shingling).
+    ``shingles`` accepts a precomputed :func:`exploded_shingles` result
+    so multi-stage pipelines shingle the corpus once.
     """
     # One md5 per shingle; the i-th hash family is the affine combination
     # h_a + i*h_b (Kirsch-Mitzenmacher double hashing) — k families for
@@ -103,9 +112,9 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str, num_hashes: in
     # so h_a + 11*h_b < 2^61 never overflows int64 in any engine.
     # Row-per-shingle shape keeps map-side partial aggregation in play
     # (shuffle is O(docs), not O(shingles)).
-    exploded = exploded_shingles(df, text_col, id_col, shingle_k).select(
-        F.col(id_col), F.md5("shingle").alias("__hex")
-    )
+    if shingles is None:
+        shingles = exploded_shingles(df, text_col, id_col, shingle_k)
+    exploded = shingles.select(F.col(id_col), F.md5("shingle").alias("__hex"))
     hashed = exploded.select(
         F.col(id_col),
         F.conv(F.substring("__hex", 1, 15), 16, 10).cast("bigint").alias("__ha"),
@@ -130,6 +139,8 @@ def minhash_lsh_pairs(
     num_hashes: int = 12,
     bands: int = 4,
     shingle_k: int = 3,
+    max_bucket_size: int | None = 1000,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
@@ -138,11 +149,27 @@ def minhash_lsh_pairs(
     (band_index, band_signature) — an equi-join Spark executes as a
     shuffled hash join, linear in data size.  Returns distinct pairs
     (id_a < id_b).
+
+    ``max_bucket_size`` caps the self-join's blow-up on degenerate
+    buckets: on a real corpus, boilerplate (license headers, templated
+    pages) collapses millions of documents onto one band signature, and
+    a single join key producing n²/2 pairs is a skew no salting can fix
+    (the output itself is quadratic).  Buckets above the cap are
+    *excluded from candidate generation* — documents that collide on a
+    full band at that multiplicity are exact-dup territory, which
+    :func:`exact_dedup` handles in one linear groupBy.  Pass ``None``
+    to disable the cap.  ``signatures`` lets callers that already
+    computed :func:`minhash_signatures` (e.g. a pipeline that also
+    verifies with :func:`ngram_jaccard_pairs`) reuse the work.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     rows = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    sig = (
+        signatures
+        if signatures is not None
+        else minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    )
     banded = sig.select(
         F.col(id_col),
         F.posexplode(
@@ -154,18 +181,23 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "band_sig"),
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # ONE shuffle (groupBy on the bucket key) instead of shuffling the
+    # banded relation twice for a self-join: collect ids per bucket, drop
+    # singleton and oversized buckets BEFORE any pair exists, then expand
+    # pairs locally with a double explode.  Per-group memory is bounded
+    # by max_bucket_size, and the n² of a degenerate bucket never
+    # materializes anywhere in the plan.
+    groups = (
+        banded.groupBy("band", "band_sig")
+        .agg(F.collect_list(F.col(id_col)).alias("__ids"))
+        .where(F.size("__ids") >= 2)
+    )
+    if max_bucket_size is not None:
+        groups = groups.where(F.size("__ids") <= max_bucket_size)
     return (
-        a.join(
-            b,
-            on=[
-                F.col("a.band") == F.col("b.band"),
-                F.col("a.band_sig") == F.col("b.band_sig"),
-                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
-            ],
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        groups.select(F.explode("__ids").alias("id_a"), "__ids")
+        .select("id_a", F.explode("__ids").alias("id_b"))
+        .where(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
 
@@ -178,18 +210,24 @@ def ngram_jaccard_pairs(
     num_hashes: int = 12,
     bands: int = 4,
     shingle_k: int = 3,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """LSH candidates verified with exact shingle-set Jaccard.
 
     The classic two-stage near-dup pipeline: cheap banded-LSH candidate
     generation, then exact ``|A∩B| / |A∪B|`` only on candidates.
+
+    The corpus is shingled ONCE (``localCheckpoint`` materializes the
+    exploded shingles) and reused by both stages — signature hashing and
+    exact set verification — instead of re-tokenizing the whole corpus
+    per stage.
     """
-    cands = minhash_lsh_pairs(df, text_col, id_col, num_hashes, bands, shingle_k)
-    sets_ = (
-        exploded_shingles(df, text_col, id_col, shingle_k)
-        .groupBy(id_col)
-        .agg(F.collect_set("shingle").alias("__set"))
+    shingled = exploded_shingles(df, text_col, id_col, shingle_k).localCheckpoint()
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, shingles=shingled)
+    cands = minhash_lsh_pairs(
+        df, text_col, id_col, num_hashes, bands, shingle_k, max_bucket_size, signatures=sig
     )
+    sets_ = shingled.groupBy(id_col).agg(F.collect_set("shingle").alias("__set"))
     j = (
         cands.join(sets_.select(F.col(id_col).alias("id_a"), F.col("__set").alias("set_a")), "id_a")
         .join(sets_.select(F.col(id_col).alias("id_b"), F.col("__set").alias("set_b")), "id_b")
@@ -234,13 +272,77 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFr
 
 def simhash_dup_groups(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:
     """Documents sharing an identical SimHash fingerprint (cheap
-    exact-collision variant; hamming-distance banding would split the
-    fingerprint into bands exactly like MinHash-LSH)."""
+    exact-collision variant; :func:`simhash_near_dup_pairs` is the
+    genuine near-dup operator — banded for hamming distance)."""
     fp = simhash(df, text_col, id_col, bits)
     return (
         fp.groupBy("simhash")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
         .where(F.col("n_docs") > 1)
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance ≤ ``max_hamming``.
+
+    The exact-collision groupBy misses hamming-1..3 near-dups entirely;
+    this is the banded fix (same trick as MinHash-LSH): split the
+    fingerprint into ``bands`` contiguous bit bands — by pigeonhole, two
+    fingerprints within hamming distance ``bands - 1`` share at least
+    one unchanged band — generate candidates per band with the capped
+    grouped-pair expansion, then verify ``bit_count(a XOR b)`` exactly.
+    With the default 4 bands the candidate stage is lossless for
+    ``max_hamming ≤ 3``; raise ``bands`` for larger radii.
+
+    One shuffle for fingerprints, one for band grouping, and the XOR
+    verification touches only candidates — never all pairs.
+    """
+    if max_hamming > bands - 1:
+        raise ValueError("bands must exceed max_hamming (pigeonhole guarantee)")
+    fp = simhash(df, text_col, id_col, bits)
+    bits = min(bits, 60)  # simhash() folds >60 to the 60 usable bits
+    width = bits // bands
+    # band b = bits [b*width, (b+1)*width) — the last band absorbs the
+    # remainder when bands doesn't divide bits
+    def band_val(b: int):
+        col = F.shiftrightunsigned(F.col("simhash"), b * width)
+        if b < bands - 1:
+            col = col.bitwiseAND(F.lit((1 << width) - 1))
+        return col
+
+    banded = fp.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(F.array(*[band_val(b) for b in range(bands)])).alias("band", "band_key"),
+    )
+    groups = (
+        banded.groupBy("band", "band_key")
+        .agg(F.collect_list(F.struct(F.col(id_col).alias("id"), "simhash")).alias("__g"))
+        .where(F.size("__g") >= 2)
+    )
+    if max_bucket_size is not None:
+        groups = groups.where(F.size("__g") <= max_bucket_size)
+    pairs = (
+        groups.select(F.explode("__g").alias("a"), "__g")
+        .select("a", F.explode("__g").alias("b"))
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.where(F.col("hamming") <= max_hamming).select(
+        "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")
     )
 
 

@@ -29,6 +29,8 @@ def pagerank(
     damping: float = 0.85,
     round_digits: int = 6,
     assume_distinct: bool = False,
+    broadcast_ranks: bool = True,
+    checkpoint_ranks: bool = True,
 ) -> DataFrame:
     """Power-iteration PageRank over a directed edge list (``src``, ``dst``).
 
@@ -40,36 +42,56 @@ def pagerank(
     Ranks are rounded to ``round_digits`` after EVERY iteration so the
     fixpoint is bit-stable under double accumulation-order differences —
     required for the chained-CTE SQL oracle to match exactly.
+
+    ``broadcast_ranks=True`` (default) broadcasts the |nodes|-sized rank
+    and degree relations so an iteration costs ONE shuffle (the
+    groupBy(dst)).  That is the right plan while |nodes| fits the
+    broadcast limit — dup-cluster graphs, entity graphs — but a 100×
+    node set would blow the driver/executor broadcast ceiling, so
+    ``False`` switches every per-iteration join to a plain (shuffled or
+    AQE-chosen) join with edges pre-partitioned on the probe key; same
+    fixpoint, two exchanges per iteration instead of one.
+
+    ``checkpoint_ranks=True`` truncates lineage with ``localCheckpoint``
+    after every iteration: without it the plan re-nests per round (plan
+    build + codegen grow superlinearly — measured 8.3 s → 3 s at three
+    iterations on a 1,600-node graph), and deep iteration counts would
+    hit the optimizer wall long before the data does.
     """
     edges = edges.select("src", "dst")
     if not assume_distinct:
         edges = edges.distinct()
-    # hash-partition on dst once and cache: every iteration's groupBy(dst)
-    # then reuses this partitioning (broadcast joins preserve it), so the
-    # per-iteration exchange disappears from the plan
-    edges = edges.repartition("dst").cache()
+    # hash-partition once on the key every iteration reuses: the
+    # groupBy(dst) under broadcast joins (which preserve partitioning),
+    # or the rank-join probe key src in non-broadcast mode
+    edges = edges.repartition("dst" if broadcast_ranks else "src")
+    edges = edges.localCheckpoint() if checkpoint_ranks else edges.cache()
     # deg and nodes are static across iterations AND appear in every
-    # iteration's lineage — cache both or each re-nests per iteration
-    # (the 1-shuffle distinct would re-plan 3x per round otherwise)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg")).cache()
+    # iteration's lineage — materialize both or each re-nests per
+    # iteration (the 1-shuffle distinct would re-plan 3x per round)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .cache()
     )
+    if checkpoint_ranks:
+        deg, nodes = deg.localCheckpoint(), nodes.localCheckpoint()
+    else:
+        deg, nodes = deg.cache(), nodes.cache()
+    maybe_bc = F.broadcast if broadcast_ranks else (lambda df: df)
     ranks = nodes.withColumn("rank", F.lit(1.0))
-    for _ in range(iterations):
+    for i in range(iterations):
         contribs = (
-            edges.join(F.broadcast(ranks), edges.src == ranks.node)
-            .join(F.broadcast(deg), "src")
+            edges.join(maybe_bc(ranks), edges.src == ranks.node)
+            .join(maybe_bc(deg), "src")
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("inbound"))
         )
-        # contribs is |nodes|-sized — broadcast it so the rank refresh is
-        # map-only instead of a both-sides sort-merge shuffle per iteration
+        # contribs is |nodes|-sized — broadcast it (when allowed) so the
+        # rank refresh is map-only instead of a both-sides shuffle
         ranks = (
-            nodes.join(F.broadcast(contribs), nodes.node == contribs.dst, "left")
+            nodes.join(maybe_bc(contribs), nodes.node == contribs.dst, "left")
             .select(
                 "node",
                 F.round(
@@ -78,4 +100,6 @@ def pagerank(
                 ).alias("rank"),
             )
         )
+        if checkpoint_ranks and i < iterations - 1:
+            ranks = ranks.localCheckpoint()
     return ranks

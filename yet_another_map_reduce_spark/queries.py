@@ -914,6 +914,17 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(d, "text", "doc_id", bits=32)
 
 
+def q_dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-banded SimHash near-dup: band collisions generate
+    candidates (lossless for hamming ≤ bands-1 by pigeonhole), exact
+    bit_count(XOR) verifies — catches the hamming-1..3 near-dups the
+    exact-collision variant misses."""
+    d = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return dedup.simhash_near_dup_pairs(
+        d, "text", "doc_id", bits=32, bands=4, max_hamming=3
+    )
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     # the synthetic embeddings are near-orthogonal random vectors (max
@@ -2236,13 +2247,21 @@ def _minhash_cte() -> str:
     """
 
 
-def _banded_cte() -> str:
+def _banded_cte(max_bucket: int = 1000) -> str:
+    # the bucket-size filter mirrors minhash_lsh_pairs(max_bucket_size=...):
+    # oversized (band, band_sig) buckets are excluded from candidate
+    # generation on BOTH sides, so the oracle and Spark stay equivalent
+    # by construction even on a corpus with degenerate boilerplate
     return f"""
         WITH {_minhash_cte()},
         banded AS (
-            SELECT doc_id, b.i AS band,
-                   concat_ws('_', sig[b.i*3+1], sig[b.i*3+2], sig[b.i*3+3]) AS band_sig
-            FROM sig, generate_series(0, 3) AS b(i)
+            SELECT doc_id, band, band_sig FROM (
+                SELECT doc_id, b.i AS band,
+                       concat_ws('_', sig[b.i*3+1], sig[b.i*3+2], sig[b.i*3+3]) AS band_sig,
+                       count(*) OVER (PARTITION BY b.i,
+                           concat_ws('_', sig[b.i*3+1], sig[b.i*3+2], sig[b.i*3+3])) AS bn
+                FROM sig, generate_series(0, 3) AS b(i)
+            ) WHERE bn <= {max_bucket}
         )
     """
 
@@ -2909,6 +2928,27 @@ ORACLES: dict[str, str] = {
                     / len(list_distinct(list_concat(sa.st, sb.st))), 6) >= 0.5
     """,
     "dedup_simhash": _simhash_sql(32),
+    "dedup_simhash_banded": f"""
+        WITH fps AS ({_simhash_sql(32)}),
+        banded AS (
+            SELECT doc_id, simhash, b.i AS band,
+                   CASE WHEN b.i < 3 THEN (simhash >> (b.i * 8)) & 255
+                        ELSE simhash >> 24 END AS band_key
+            FROM fps, generate_series(0, 3) AS b(i)
+        ),
+        sized AS (
+            SELECT *, count(*) OVER (PARTITION BY band, band_key) AS bn FROM banded
+        ),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   bit_count(xor(a.simhash, b.simhash)) AS hamming
+            FROM sized a JOIN sized b
+              ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+            WHERE a.bn <= 1000 AND b.bn <= 1000
+        )
+        SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+        FROM pairs WHERE hamming <= 3
+    """,
     "embedding_near_dup": """
         SELECT * FROM (
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -3537,124 +3577,129 @@ ORACLES: dict[str, str] = {
 # ===========================================================================
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "feature_scaling": q_feature_scaling,
-    "quality_percentile_filter": q_quality_percentile_filter,
-    "window_time_range": q_window_time_range,
-    "null_functions": q_null_functions,
-    "map_functions": q_map_functions,
-    "graph_pagerank": q_graph_pagerank,
-    "udf_cogrouped": q_udf_cogrouped,
-    "sample_hash_split": q_sample_hash_split,
-    "sample_reservoir_group": q_sample_reservoir_group,
-    "scd2_intervals": q_scd2_intervals,
-    "profile_columns": q_profile_columns,
-    "bitwise_functions": q_bitwise_functions,
-    "merge_upsert": q_merge_upsert,
-    "events_ohlc": q_events_ohlc,
-    "timeseries_gapfill": q_timeseries_gapfill,
-    "outlier_zscore": q_outlier_zscore,
-    "tfidf_top_terms": q_tfidf_top_terms,
-    "histogram_totalprice": q_histogram_totalprice,
-    "flagship_max_price": q_flagship_max_price,
-    "pricing_summary": q_pricing_summary,
-    "filter_project": q_filter_project,
-    "scalar_functions": q_scalar_functions,
-    "sort_topk": q_sort_topk,
-    "join_customer_orders": q_join_customer_orders,
-    "join_revenue_by_nation": q_join_revenue_by_nation,
-    "join_left_outer": q_join_left_outer,
-    "join_semi": q_join_semi,
-    "join_anti": q_join_anti,
-    "range_join": q_range_join,
-    "asof_join": q_asof_join,
-    "agg_distinct": q_agg_distinct,
-    "agg_rollup": q_agg_rollup,
-    "agg_cube": q_agg_cube,
-    "agg_grouping_sets": q_agg_grouping_sets,
-    "agg_median": q_agg_median,
-    "pivot": q_pivot,
-    "unpivot": q_unpivot,
-    "window_range_frame": q_window_range_frame,
-    "window_rank": q_window_rank,
-    "window_topk_per_group": q_window_topk_per_group,
-    "window_running_sum": q_window_running_sum,
-    "window_lag": q_window_lag,
-    "set_union": q_set_union,
-    "set_intersect": q_set_intersect,
-    "set_except": q_set_except,
-    "json_extract": q_json_extract,
-    "explode_tokens": q_explode_tokens,
-    "rdd_wordcount": q_rdd_wordcount,
-    "tpch_q6_revenue": q_tpch_q6_revenue,
-    "tpch_q3_shipping": q_tpch_q3_shipping,
-    "tpch_q4_priority": q_tpch_q4_priority,
-    "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
-    "tpch_q7_volume_shipping": q_tpch_q7_volume_shipping,
-    "tpch_q10_returned_items": q_tpch_q10_returned_items,
+    # registry order = driver visit order: queries WITHOUT a round-1
+    # CORRECTNESS row come first (cheapest first) so a budgeted driver
+    # pass reaches them before re-verifying round-1-green entries.
+    "string_functions_extra": q_string_functions_extra,
+    "array_functions": q_array_functions,
+    "text_redact_pii": q_text_redact_pii,
+    "multimodal_meta": q_multimodal_meta,
+    "regexp_functions": q_regexp_functions,
+    "window_first_last": q_window_first_last,
+    "subquery_correlated": q_subquery_correlated,
+    "window_tumbling": q_window_tumbling,
+    "window_sliding": q_window_sliding,
+    "dedup_exact": q_dedup_exact,
     "tpch_q14_promo_share": q_tpch_q14_promo_share,
-    "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
-    "tpch_q18_large_orders": q_tpch_q18_large_orders,
-    "tpch_q22_idle_customers": q_tpch_q22_idle_customers,
-    "agg_hll_sketch": q_agg_hll_sketch,
-    "pack_sequences": q_pack_sequences,
-    "events_funnel": q_events_funnel,
-    "events_retention": q_events_retention,
-    "agg_statistics": q_agg_statistics,
-    "json_variant": q_json_variant,
-    "tpch_q2_min_cost_supplier": q_tpch_q2_min_cost_supplier,
-    "tpch_q8_market_share": q_tpch_q8_market_share,
-    "tpch_q9_product_profit": q_tpch_q9_product_profit,
-    "tpch_q11_important_parts": q_tpch_q11_important_parts,
-    "tpch_q12_ship_priority": q_tpch_q12_ship_priority,
-    "tpch_q13_cust_distribution": q_tpch_q13_cust_distribution,
-    "tpch_q16_supplier_cnt": q_tpch_q16_supplier_cnt,
-    "tpch_q17_small_qty_revenue": q_tpch_q17_small_qty_revenue,
-    "tpch_q19_discounted_revenue": q_tpch_q19_discounted_revenue,
-    "tpch_q20_excess_suppliers": q_tpch_q20_excess_suppliers,
-    "tpch_q21_waiting_suppliers": q_tpch_q21_waiting_suppliers,
     "hof_array_pipeline": q_hof_array_pipeline,
     "datetime_functions": q_datetime_functions,
-    "string_functions_extra": q_string_functions_extra,
+    "window_rank_extras": q_window_rank_extras,
+    "salted_agg": q_salted_agg,
+    "json_from_struct": q_json_from_struct,
+    "window_session": q_window_session,
+    "dedup_incremental": q_dedup_incremental,
+    "cross_join_small": q_cross_join_small,
+    "tpch_q4_priority": q_tpch_q4_priority,
+    "json_variant": q_json_variant,
+    "tpch_q13_cust_distribution": q_tpch_q13_cust_distribution,
+    "tpch_q17_small_qty_revenue": q_tpch_q17_small_qty_revenue,
     "agg_conditional": q_agg_conditional,
     "agg_collect_sorted": q_agg_collect_sorted,
-    "regexp_functions": q_regexp_functions,
+    "dedup_keep_best": q_dedup_keep_best,
+    "embedding_near_dup": q_embedding_near_dup,
+    "tpch_q22_idle_customers": q_tpch_q22_idle_customers,
+    "events_retention": q_events_retention,
+    "tpch_q19_discounted_revenue": q_tpch_q19_discounted_revenue,
     "sessionize_gaps": q_sessionize_gaps,
-    "window_rank_extras": q_window_rank_extras,
-    "window_first_last": q_window_first_last,
     "udf_pandas_scalar": q_udf_pandas_scalar,
     "udaf_weighted_avg": q_udaf_weighted_avg,
     "udtf_tokenize": q_udtf_tokenize,
-    "udf_mapinpandas": q_udf_mapinpandas,
-    "array_functions": q_array_functions,
-    "subquery_correlated": q_subquery_correlated,
-    "sql_cte": q_sql_cte,
-    "salted_agg": q_salted_agg,
-    "salted_join": q_salted_join,
-    "json_from_struct": q_json_from_struct,
-    "agg_approx_distinct": q_agg_approx_distinct,
-    "window_tumbling": q_window_tumbling,
-    "window_sliding": q_window_sliding,
-    "window_session": q_window_session,
-    "dedup_exact": q_dedup_exact,
-    "text_stats": q_text_stats,
     "text_chunking": q_text_chunking,
-    "text_redact_pii": q_text_redact_pii,
-    "dedup_keep_best": q_dedup_keep_best,
-    "dedup_incremental": q_dedup_incremental,
-    "cross_join_small": q_cross_join_small,
-    "sample_stratified": q_sample_stratified,
-    "dedup_minhash_signatures": q_dedup_minhash_signatures,
-    "dedup_minhash_pairs": q_dedup_minhash_pairs,
-    "dedup_components": q_dedup_components,
-    "pipeline_training_data": q_pipeline_training_data,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "dedup_simhash": q_dedup_simhash,
-    "embedding_near_dup": q_embedding_near_dup,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
+    "tpch_q18_large_orders": q_tpch_q18_large_orders,
+    "events_funnel": q_events_funnel,
+    "agg_statistics": q_agg_statistics,
+    "tpch_q11_important_parts": q_tpch_q11_important_parts,
+    "tpch_q12_ship_priority": q_tpch_q12_ship_priority,
+    "udf_mapinpandas": q_udf_mapinpandas,
+    "salted_join": q_salted_join,
+    "lateral_topk_per_order": q_lateral_topk_per_order,
+    "tpch_q10_returned_items": q_tpch_q10_returned_items,
+    "tpch_q9_product_profit": q_tpch_q9_product_profit,
+    "tpch_q16_supplier_cnt": q_tpch_q16_supplier_cnt,
+    "tpch_q21_waiting_suppliers": q_tpch_q21_waiting_suppliers,
+    "text_stats": q_text_stats,
+    "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
+    "tpch_q7_volume_shipping": q_tpch_q7_volume_shipping,
+    "dedup_minhash_signatures": q_dedup_minhash_signatures,
+    "tpch_q20_excess_suppliers": q_tpch_q20_excess_suppliers,
+    "tpch_q2_min_cost_supplier": q_tpch_q2_min_cost_supplier,
+    "tpch_q8_market_share": q_tpch_q8_market_share,
+    "pipeline_training_data": q_pipeline_training_data,
+    "dedup_minhash_pairs": q_dedup_minhash_pairs,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_banded": q_dedup_simhash_banded,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "sql_cte": q_sql_cte,
+    "dedup_components": q_dedup_components,
+    "agg_hll_sketch": q_agg_hll_sketch,
+    "pack_sequences": q_pack_sequences,
+    "agg_approx_distinct": q_agg_approx_distinct,
+    "sample_stratified": q_sample_stratified,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
-    "lateral_topk_per_order": q_lateral_topk_per_order,
-    "multimodal_meta": q_multimodal_meta,
     "multimodal_features": q_multimodal_features,
     "agg_percentiles_approx": q_agg_percentiles_approx,
+    # round-1 driver-verified (CORRECTNESS_r01.json) below
+    "bitwise_functions": q_bitwise_functions,
+    "filter_project": q_filter_project,
+    "sort_topk": q_sort_topk,
+    "window_running_sum": q_window_running_sum,
+    "window_lag": q_window_lag,
+    "json_extract": q_json_extract,
+    "explode_tokens": q_explode_tokens,
+    "tpch_q6_revenue": q_tpch_q6_revenue,
+    "null_functions": q_null_functions,
+    "map_functions": q_map_functions,
+    "unpivot": q_unpivot,
+    "set_union": q_set_union,
+    "set_except": q_set_except,
+    "join_semi": q_join_semi,
+    "window_range_frame": q_window_range_frame,
+    "window_rank": q_window_rank,
+    "window_topk_per_group": q_window_topk_per_group,
+    "set_intersect": q_set_intersect,
+    "flagship_max_price": q_flagship_max_price,
+    "pricing_summary": q_pricing_summary,
+    "scalar_functions": q_scalar_functions,
+    "join_anti": q_join_anti,
+    "agg_cube": q_agg_cube,
+    "agg_grouping_sets": q_agg_grouping_sets,
+    "tpch_q3_shipping": q_tpch_q3_shipping,
+    "histogram_totalprice": q_histogram_totalprice,
+    "join_customer_orders": q_join_customer_orders,
+    "join_left_outer": q_join_left_outer,
+    "pivot": q_pivot,
+    "sample_reservoir_group": q_sample_reservoir_group,
+    "scd2_intervals": q_scd2_intervals,
+    "events_ohlc": q_events_ohlc,
+    "agg_rollup": q_agg_rollup,
+    "window_time_range": q_window_time_range,
+    "profile_columns": q_profile_columns,
+    "outlier_zscore": q_outlier_zscore,
+    "asof_join": q_asof_join,
+    "agg_distinct": q_agg_distinct,
+    "merge_upsert": q_merge_upsert,
+    "timeseries_gapfill": q_timeseries_gapfill,
+    "range_join": q_range_join,
+    "agg_median": q_agg_median,
+    "sample_hash_split": q_sample_hash_split,
+    "join_revenue_by_nation": q_join_revenue_by_nation,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "rdd_wordcount": q_rdd_wordcount,
+    "udf_cogrouped": q_udf_cogrouped,
+    "quality_percentile_filter": q_quality_percentile_filter,
+    "feature_scaling": q_feature_scaling,
+    "graph_pagerank": q_graph_pagerank,
 }
