@@ -94,6 +94,58 @@ def sessionize_with_state(events: DataFrame, timeout_ms: int = 30_000) -> DataFr
     )
 
 
+def sessionize_with_tws(events: DataFrame, ttl_ms: int | None = None) -> DataFrame:
+    """Per-user running session aggregate via ``transformWithStateInPandas``
+    — the Spark 4 arbitrary-stateful API that supersedes
+    ``applyInPandasWithState`` (:func:`sessionize_with_state` keeps the
+    older shape for comparison; same output contract).
+
+    Differences that matter at scale: named state variables (value /
+    list / map) instead of one monolithic state tuple, per-state TTL
+    (``ttl_ms`` evicts idle users without a timer round-trip), timers,
+    and initial-state bootstrap.  State lives in the per-key state
+    store exactly as before — each executor holds only its keys.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "session", SESSION_STATE_SCHEMA, ttlDurationMs=ttl_ms
+            )
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            n, total = self._state.get() if self._state.exists() else (0, 0.0)
+            last_ts = None
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                m = pdf["ts"].max()
+                last_ts = m if last_ts is None else max(last_ts, m)
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "last_ts": [last_ts],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        SessionProcessor(),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        outputMode="update",
+        timeMode="ProcessingTime",
+    )
+
+
 def streaming_dedup_fuzzy(
     df: DataFrame, key_cols: list[str], ts_col: str, watermark: str
 ) -> DataFrame:
