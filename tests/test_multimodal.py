@@ -1,0 +1,85 @@
+"""Real pure-numpy multimodal kernels: PPM decode/resize, WAV features.
+
+The fixtures are REAL file bytes (P6 headers, RIFF chunks) built by the
+synthetic generators, so these tests pin actual format parsing — not the
+byte-stats stub path."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from yet_another_map_reduce_spark.operators import multimodal
+from yet_another_map_reduce_spark.operators.multimodal import (
+    _decode_ppm,
+    _parse_wav_pcm16,
+    encode_ppm,
+)
+
+
+def test_ppm_encode_decode_roundtrip():
+    img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    out = _decode_ppm(encode_ppm(img))
+    assert out.shape == (2, 3, 3) and (out == img).all()
+
+
+def test_ppm_rejects_garbage():
+    assert _decode_ppm(None) is None
+    assert _decode_ppm(b"not an image") is None
+    assert _decode_ppm(b"P6\n3 2\n255\nshort") is None  # truncated pixels
+
+
+def test_decode_image_means_match_fixture_arithmetic(spark):
+    ids = spark.createDataFrame([(0,), (7,), (255,)], "doc_id long")
+    media = multimodal.synthetic_ppm_media(ids, "doc_id", width=8, height=8)
+    got = {r["media_id"]: r for r in multimodal.decode_image(media).collect()}
+    for i in (0, 7, 255):
+        grid = np.add.outer(np.arange(8) * 7, np.arange(8) * 3)
+        expect_r = float(((i * 31 + grid) % 256).mean())
+        row = got[i]
+        assert (row["width"], row["height"], row["channels"]) == (8, 8, 3)
+        assert row["mean_r"] == pytest.approx(expect_r, abs=1e-9)
+
+
+def test_decode_image_quarantines_non_ppm(spark):
+    df = spark.createDataFrame([(1, bytearray(b"JFIF..."))], "media_id long, content binary")
+    row = multimodal.decode_image(df).collect()[0]
+    assert row["width"] is None and row["mean_r"] is None
+
+
+def test_resize_image_nearest_neighbor(spark):
+    ids = spark.createDataFrame([(3,)], "doc_id long")
+    media = multimodal.synthetic_ppm_media(ids, "doc_id", width=8, height=8)
+    src = _decode_ppm(media.collect()[0]["content"])
+    out = multimodal.resize_image(media, 4, 4).collect()[0]
+    assert out["resized"] and (out["width"], out["height"]) == (4, 4)
+    resized = _decode_ppm(bytes(out["content"]))
+    # yi = (arange(4)*8)//4 = [0,2,4,6] — exactly every other row/col
+    assert (resized == src[::2, ::2]).all()
+
+
+def test_wav_parse_and_features(spark):
+    ids = spark.createDataFrame([(12,)], "doc_id long")
+    wav = multimodal.synthetic_wav_media(ids, "doc_id", rate=8000, n_samples=800)
+    blob = bytes(wav.collect()[0]["content"])
+    rate, samples = _parse_wav_pcm16(blob)
+    assert rate == 8000 and samples.size == 800
+    amp = 1000 + (12 % 100) * 10
+    assert set(np.unique(samples)) == {-amp, amp}
+    row = multimodal.extract_audio_features(wav).collect()[0]
+    assert row["sample_rate"] == 8000
+    assert row["n_samples"] == 800
+    assert row["duration_ms"] == 100
+    assert row["rms"] == pytest.approx(amp, rel=1e-6)  # square wave: rms == amplitude
+
+
+def test_wav_parser_rejects_non_wav():
+    assert _parse_wav_pcm16(b"RIFFxxxxNOPE") is None
+    assert _parse_wav_pcm16(None) is None
+
+
+def test_extract_features_uses_real_pixels_for_ppm(spark):
+    ids = spark.createDataFrame([(5,)], "doc_id long")
+    media = multimodal.synthetic_ppm_media(ids, "doc_id", width=8, height=8)
+    feats = multimodal.extract_features(media).collect()[0]["features"]
+    assert feats[0] == 8.0 and feats[1] == 8.0  # width, height from real decode

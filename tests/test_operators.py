@@ -302,6 +302,33 @@ def test_hll_sketch_merge_matches_full(spark, sf_dir):
     assert abs(merged - exact) / exact < 0.05
 
 
+def test_frequent_items_finds_planted_heavy_hitters_exactly(spark):
+    """An item above the n/(k+1) guarantee threshold must survive
+    Misra-Gries pruning in EVERY partitioning, and the recount stage
+    must report its exact count."""
+    from yet_another_map_reduce_spark.operators import aggregates
+
+    # 3000 rows: 'hot' 900x (30%), 'warm' 300x (10%), tail 1800 uniques
+    rows = [("hot",)] * 900 + [("warm",)] * 300 + [(f"t{i}",) for i in range(1800)]
+    df = spark.createDataFrame(rows, "v string").repartition(8)
+    got = {r["item"]: r["count"] for r in aggregates.frequent_items(df, "v", k=10).collect()}
+    assert got["hot"] == 900 and got["warm"] == 300
+    assert max(got, key=got.get) == "hot"
+
+
+def test_frequent_items_candidates_are_lower_bounds(spark):
+    """Without the recount, summed Misra-Gries weights are LOWER bounds
+    on the true counts (never overestimates)."""
+    from yet_another_map_reduce_spark.operators import aggregates
+
+    rows = [("a",)] * 500 + [("b",)] * 200 + [(f"t{i}",) for i in range(1000)]
+    df = spark.createDataFrame(rows, "v string").repartition(4)
+    est = {r["item"]: r["est_count"] for r in
+           aggregates.frequent_items(df, "v", k=5, exact_recount=False).collect()}
+    assert est["a"] <= 500 and est["b"] <= 200
+    assert est["a"] > 0
+
+
 def test_zorder_key_matches_bit_interleave(spark):
     """The Morton key equals a driver-side bit interleave, and its
     quartiles carve a 16x16 grid into exactly the four 8x8 quadrants

@@ -66,21 +66,21 @@ def percentiles(df: DataFrame, keys: list[str], col: str, probs: list[float]) ->
 def hll_sketch_count(
     df: DataFrame, keys: list[str], col: str, alias: str = "distinct_est"
 ) -> DataFrame:
-    """Apache DataSketches HLL distinct count (Spark 4 ``hll_sketch_agg``).
-
-    Unlike ``approx_count_distinct`` this exposes the *sketch itself* as
-    a binary column upstream, so partial sketches from independent jobs
-    (per-day, per-region) union losslessly via ``hll_union_agg`` —
-    re-aggregation without re-scanning, the property that makes
-    incremental 100 TB rollups possible.
-    """
+    """One-shot Apache DataSketches HLL distinct-count *estimate* (Spark 4
+    ``hll_sketch_agg`` piped straight into ``hll_sketch_estimate``).
+    When the sketch itself must survive for later merging, use
+    :func:`hll_sketch_partials` instead."""
     return df.groupBy(*keys).agg(
         F.hll_sketch_estimate(F.hll_sketch_agg(col)).alias(alias)
     )
 
 
 def hll_sketch_partials(df: DataFrame, keys: list[str], col: str) -> DataFrame:
-    """Per-group reusable HLL sketches (binary) for later union."""
+    """Per-group reusable HLL sketches exposed as a *binary column*, so
+    partial sketches from independent jobs (per-day, per-region) union
+    losslessly via ``hll_union_agg`` (:func:`hll_merge`) —
+    re-aggregation without re-scanning, the property that makes
+    incremental 100 TB rollups possible."""
     return df.groupBy(*keys).agg(F.hll_sketch_agg(col).alias("sketch"))
 
 
@@ -143,3 +143,64 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     return row.selectExpr(
         f"stack({len(cols)}, {stack}) AS (col_name, n_rows, n_nulls, n_distinct)"
     )
+
+
+def frequent_items(
+    df: DataFrame,
+    col: str,
+    k: int = 20,
+    top: int | None = None,
+    exact_recount: bool = True,
+) -> DataFrame:
+    """Heavy hitters via mergeable Misra-Gries summaries.
+
+    Stage 1 (``mapInPandas``): each partition keeps at most ``k``
+    counters — per Arrow batch the values are counted vectorized
+    (``value_counts``), folded into the running summary, then pruned by
+    subtracting the (k+1)-th largest counter (the mergeable-summaries
+    prune).  Stage 2: the per-partition summaries (≤ k rows each — tiny)
+    are summed per item, keeping the classic guarantee: every item with
+    true frequency > n/(k+1) survives as a candidate, no matter how the
+    rows were partitioned.  Stage 3 (optional): one more scan recounts
+    ONLY the candidate set via a broadcast semi-join, turning lower
+    bounds into exact counts — candidate pruning still isn't exact
+    top-k, which is why the registered query is rows-only-checked.
+
+    Scale shape: one linear scan + a ≤(partitions·k)-row merge + an
+    optional broadcast-filtered recount.  No full-data groupBy on the
+    raw column, which is the point when the column is long-tailed text.
+    """
+    import pandas as pd
+
+    out_top = top if top is not None else k
+
+    def mg(batches):
+        counters: dict = {}
+        for pdf in batches:
+            vc = pdf[col].value_counts()
+            for v, c in vc.items():
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > k:
+                kth = sorted(counters.values(), reverse=True)[k]
+                counters = {v: c - kth for v, c in counters.items() if c > kth}
+        yield pd.DataFrame({"item": list(counters), "weight": list(counters.values())})
+
+    field = df.schema[col]
+    summaries = df.select(col).mapInPandas(
+        mg, schema=f"item {field.dataType.simpleString()}, weight long"
+    )
+    cands = (
+        summaries.groupBy("item")
+        .agg(F.sum("weight").alias("est_count"))
+        .orderBy(F.col("est_count").desc(), F.col("item"))
+        .limit(out_top)
+    )
+    if not exact_recount:
+        return cands
+    exact = (
+        df.join(F.broadcast(cands.select("item")), df[col] == F.col("item"), "inner")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.col("count").desc(), F.col("item"))
+    )
+    return exact

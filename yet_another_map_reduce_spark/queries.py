@@ -1023,6 +1023,39 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(media)
 
 
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode (pure-numpy PPM P6 kernel over mapInPandas):
+    synthetic deterministic images — pixel (y,x,c) of image i is
+    (i*31 + y*7 + x*3 + c*11) % 256 — so the per-channel means are
+    re-derivable in ANSI SQL and the decode is hash-verified, not
+    rows-only."""
+    from yet_another_map_reduce_spark.operators import multimodal
+
+    d = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    media = multimodal.synthetic_ppm_media(d, "doc_id", width=8, height=8)
+    return multimodal.decode_image(media).select(
+        "media_id", "width", "height", "channels",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV PCM16 parse (pure-numpy RIFF walker): synthesized square
+    waves per document; sample_rate/n_samples/duration are exact parses
+    of real WAV bytes (rows-only: waveform synthesis isn't SQL)."""
+    from yet_another_map_reduce_spark.operators import multimodal
+
+    d = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    wav = multimodal.synthetic_wav_media(d, "doc_id", rate=8000, n_samples=800)
+    return multimodal.extract_audio_features(wav).select(
+        "media_id", "sample_rate", "n_samples", "duration_ms",
+        F.round("rms", 2).alias("rms"),
+        F.round("zero_crossing_rate", 4).alias("zero_crossing_rate"),
+    )
+
+
 def q_agg_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile sketch — algorithm-specific results, rows-only."""
     li = read_table(spark, sf_dir, "lineitem")
@@ -1258,6 +1291,16 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", text.token_count("text").alias("n_tok")
     )
     return text.pack_sequences(d, "doc_id", "n_tok", budget=128)
+
+
+def q_heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters over document tokens (rows-only check:
+    the candidate set from sketch pruning isn't exact top-k, so no SQL
+    oracle is possible by contract; the n/(k+1) guarantee and the exact
+    recount are pinned by test_frequent_items_*)."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split(normalize_text("text"), " ")).alias("token"))
+    return aggregates.frequent_items(toks, "token", k=100, top=20)
 
 
 def q_agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3569,6 +3612,22 @@ ORACLES: dict[str, str] = {
                'application/octet-stream' AS mime
         FROM documents
     """,
+    # mirrors synthetic_ppm_media's arithmetic pixels + decode_image's
+    # per-channel means: mean over the 8x8 grid of (i*31+y*7+x*3+c*11)%256
+    "multimodal_decode": """
+        SELECT CAST(doc_id AS BIGINT) AS media_id,
+               CAST(8 AS BIGINT) AS width,
+               CAST(8 AS BIGINT) AS height,
+               CAST(3 AS BIGINT) AS channels,
+               round(avg((doc_id * 31 + g1.y * 7 + g2.x * 3) % 256), 6) AS mean_r,
+               round(avg((doc_id * 31 + g1.y * 7 + g2.x * 3 + 11) % 256), 6) AS mean_g,
+               round(avg((doc_id * 31 + g1.y * 7 + g2.x * 3 + 22) % 256), 6) AS mean_b
+        FROM documents,
+             generate_series(0, 7) AS g1(y),
+             generate_series(0, 7) AS g2(x)
+        WHERE doc_id < 300
+        GROUP BY doc_id
+    """,
 }
 
 
@@ -3640,6 +3699,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_banded": q_dedup_simhash_banded,
+    "heavy_hitters_tokens": q_heavy_hitters_tokens,
+    "multimodal_decode": q_multimodal_decode,
+    "multimodal_audio": q_multimodal_audio,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "sql_cte": q_sql_cte,
     "dedup_components": q_dedup_components,
