@@ -380,3 +380,33 @@ def test_foreach_batch_upsert_converges_to_latest_snapshot(spark, tmp_path):
     # later row wins; [NB: if this ever flakes on file order, the seq
     # column is the ground truth]
     assert got == {1: "a1", 2: "b3", 3: "c0"}
+
+
+def test_foreach_batch_upsert_seq_col_beats_partition_order(spark, tmp_path):
+    """With seq_col set, 'last writer wins' means HIGHEST SEQUENCE —
+    regardless of partition layout within a batch (where the
+    monotonically_increasing_id fallback is partition-ordered) AND
+    across micro-batches (a replayed stale change arriving in a later
+    batch must not clobber the newer snapshot row)."""
+    import os
+
+    from yet_another_map_reduce_spark.streaming import file_stream, foreach_batch_upsert
+
+    replay = str(tmp_path / "cdc_seq")
+    os.makedirs(replay)
+    schema = "k long, v string, seq long"
+    # ONE batch, TWO partitions: the seq=9 change sits in partition 0,
+    # the stale seq=1 change in partition 1 — partition-ordinal order
+    # would pick the stale row
+    newest = spark.createDataFrame([(1, "new", 9)], schema)
+    stale = spark.createDataFrame([(1, "old", 1)], schema)
+    newest.coalesce(1).write.parquet(f"{replay}/b0/p0", mode="overwrite")
+    stale.coalesce(1).write.parquet(f"{replay}/b0/p1", mode="overwrite")
+    allrows = spark.read.parquet(f"{replay}/b*/p*")
+    stream = file_stream(spark, f"{replay}/b*/p*", allrows.schema, fmt="parquet")
+    snap = str(tmp_path / "snapshot_seq")
+    q = foreach_batch_upsert(stream, snap, ["k"], str(tmp_path / "ckpt_seq"), seq_col="seq")
+    q.awaitTermination(120)
+
+    got = {r["k"]: r["v"] for r in spark.read.parquet(snap).collect()}
+    assert got == {1: "new"}

@@ -82,23 +82,34 @@ def salted_join(
     """
     b = big.withColumn("__salt", F.pmod(F.xxhash64(salt_col), F.lit(salt)))
     s = small.withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
+    # per-side attribute references (b[...]/s[...]) — a bare F.col() is
+    # AMBIGUOUS_REFERENCE whenever both sides share the key column name,
+    # which is the normal equi-join case
     joined = b.join(
         s,
-        on=[F.col(big_key) == F.col(small_key), b["__salt"] == s["__salt"]],
+        on=[b[big_key] == s[small_key], b["__salt"] == s["__salt"]],
         how=how,
     )
-    return joined.drop("__salt")
+    return joined.drop(b["__salt"]).drop(s["__salt"])
 
 
 def skew_stats(df: DataFrame, key: str | Column, top: int = 10) -> DataFrame:
     """Key-frequency diagnostic: the lookahead you run BEFORE deciding
     to salt.  Returns the ``top`` heaviest keys with row counts and
-    share of total."""
-    total = df.count()
+    share of total.
+
+    ONE scan: the total comes from an unpartitioned window sum over the
+    (already tiny) grouped counts, not a separate ``df.count()`` pass —
+    the grouped relation is O(keys), so the single-partition window is
+    on the small side of the plan, never the raw data."""
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n_rows"))
+    from pyspark.sql import Window
+
     return (
-        df.groupBy(key)
-        .agg(F.count(F.lit(1)).alias("n_rows"))
-        .withColumn("share", F.round(F.col("n_rows") / F.lit(float(total)), 6))
+        counts.withColumn(
+            "share",
+            F.round(F.col("n_rows") / F.sum("n_rows").over(Window.partitionBy()), 6),
+        )
         .orderBy(F.col("n_rows").desc())
         .limit(top)
     )

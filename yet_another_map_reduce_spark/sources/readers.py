@@ -86,8 +86,19 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name != "events":
         return spark.read.parquet(path)
+    # scoped conf flip: the schema (where nanosAsLong is consulted) is
+    # resolved eagerly by spark.read.parquet, so restoring right after
+    # is safe — and a LATER read of some other TIMESTAMP(NANOS) parquet
+    # in the same session fails loudly instead of silently seeing bigint
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    try:
+        df = spark.read.parquet(path)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
     from pyspark.sql.types import LongType
 
     if isinstance(df.schema["ts"].dataType, LongType):

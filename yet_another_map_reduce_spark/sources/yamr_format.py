@@ -237,6 +237,20 @@ class YamrDataSource(DataSource):
         return YamrReader(self.options)
 
     def writer(self, schema, overwrite: bool) -> YamrWriter:
+        if not overwrite:
+            # commit() rewrites the manifest with only this batch's part
+            # files, so appending over an EXISTING dataset would silently
+            # orphan previous entries — refuse until manifest merging is
+            # implemented.  A fresh path (no manifest yet) is fine under
+            # any mode: there is nothing to lose.
+            path = self.options.get("path", "")
+            name = self.options.get("name", "data")
+            if os.path.exists(_manifest_path(path, name)):
+                raise NotImplementedError(
+                    "yamr format supports mode('overwrite') only over an existing "
+                    "dataset: append would drop prior manifest entries "
+                    "(data orphaned, not appended)"
+                )
         return YamrWriter(self.options)
 
     def streamWriter(self, schema, overwrite: bool) -> YamrStreamWriter:

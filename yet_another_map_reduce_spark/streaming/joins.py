@@ -27,18 +27,24 @@ def foreach_batch_upsert(
     snapshot_path: str,
     keys: list[str],
     checkpoint_path: str,
+    seq_col: str | None = None,
 ):
     """Streaming CDC apply: each micro-batch MERGEs into a parquet
     snapshot via :func:`operators.upsert.upsert` (broadcast path — a
     micro-batch is exactly the small-delta shape).
 
     Classic read-modify-write via ``foreachBatch``: the batch is deduped
-    to one row per key (last writer within the batch wins by batch
-    order; when the change log carries a real sequence column, dedupe on
-    that instead of arrival order) before merging, and the snapshot is
-    rewritten atomically per batch.  At 100 TB the rewrite becomes partition-targeted dynamic
-    overwrite (writers.py) or a format with row-level MERGE; the
-    dataflow shape is identical.
+    to one row per key before merging, and the snapshot is rewritten
+    atomically per batch.  ``seq_col`` names the change log's sequence /
+    LSN column and should be set whenever one exists: "last writer wins"
+    then means highest sequence value.  Without it the fallback ordinal
+    is ``monotonically_increasing_id``, whose HIGH BITS are the
+    partition index — so for a multi-partition batch "last" degrades to
+    "row in the highest-numbered partition", which is fine for
+    single-source micro-batches but NOT a total arrival order.  At
+    100 TB the rewrite becomes partition-targeted dynamic overwrite
+    (writers.py) or a format with row-level MERGE; the dataflow shape
+    is identical.
 
     Returns the started ``StreamingQuery``.
     """
@@ -49,9 +55,13 @@ def foreach_batch_upsert(
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         non_keys = [c for c in batch.columns if c not in keys]
-        # last row per key within the batch wins — max_by on the batch
-        # ordinal (agg-position last() ignores row order)
-        ordered = batch.withColumn("__ord", F.monotonically_increasing_id())
+        # one surviving row per key: max_by on the real sequence column
+        # when the log has one, else the partition-ordinal fallback
+        # (agg-position last() would ignore row order entirely)
+        if seq_col is not None:
+            ordered = batch.withColumn("__ord", F.col(seq_col))
+        else:
+            ordered = batch.withColumn("__ord", F.monotonically_increasing_id())
         delta = ordered.groupBy(*keys).agg(
             *[F.max_by(c, F.col("__ord")).alias(c) for c in non_keys]
         ).select(*batch.columns)
@@ -61,6 +71,17 @@ def foreach_batch_upsert(
             base = None
         if base is None:
             merged = delta
+        elif seq_col is not None:
+            # seq-aware MERGE: highest sequence wins across batches too,
+            # so late-arriving stale changes (replays, out-of-order
+            # files) can never clobber a newer snapshot row.  Requires
+            # seq to be unique per key (the LSN property).
+            merged = (
+                base.unionByName(delta)
+                .groupBy(*keys)
+                .agg(*[F.max_by(c, F.col(seq_col)).alias(c) for c in non_keys])
+                .select(*batch.columns)
+            )
         else:
             merged = upsert(base, delta, keys, broadcast_updates=True)
         # materialize BEFORE overwriting the path the plan reads from
