@@ -287,6 +287,31 @@ def test_connected_components_label_direction(spark):
     assert got == {(1, 1), (5, 1), (9, 1)}
 
 
+def test_connected_components_star_matches_propagation(spark):
+    """large-star/small-star contraction must produce the same component
+    assignment as min-label propagation — including on a DEEP CHAIN,
+    the shape where O(diameter) propagation is at its worst and the
+    O(log n) contraction is the point."""
+    chain = [(i, i + 1) for i in range(64)]                  # one 65-node chain
+    cliques = [(100 + i, 100 + j) for i in range(4) for j in range(i + 1, 4)]
+    extra = [(200, 201), (300, 300)]                         # pair + self-loop
+    edges = spark.createDataFrame(chain + cliques + extra, "src long, dst long")
+    want = {
+        (r["id"], r["component"])
+        for r in dedup.connected_components(edges, max_iterations=100).collect()
+    }
+    got = {
+        (r["id"], r["component"])
+        for r in dedup.connected_components_star(edges).collect()
+    }
+    # propagation keeps self-loop nodes (300); star drops self-loops, so
+    # compare on the union contract: every non-self-loop node matches
+    want = {p for p in want if p[0] != 300}
+    got = {p for p in got if p[0] != 300}
+    assert got == want
+    assert ({c for _, c in got}) == {0, 100, 200}
+
+
 def test_hll_sketch_merge_matches_full(spark, sf_dir):
     """Sketches built on disjoint halves and unioned must estimate like
     a straight re-aggregation — the incremental-rollup contract."""

@@ -407,7 +407,10 @@ def connected_components(
     Semi-naive min-label propagation: each round every node adopts the
     smallest label among itself and its neighbors; converges in
     O(component diameter) rounds.  Near-dup clusters are shallow (pairs
-    all share shingles), so 3-5 rounds is typical.  Each round is one
+    all share shingles), so 3-5 rounds is typical.  For DEEP components
+    (chains, meshes — not the dup-cluster shape) use
+    :func:`connected_components_star`, whose alternating star
+    contraction converges in O(log n) rounds regardless of diameter.  Each round is one
     shuffle (join + groupBy on node id); ``localCheckpoint`` truncates
     lineage so round N's plan doesn't replay rounds 1..N-1 — without it
     the DAG doubles every pass, which is fatal long before 100 TB.
@@ -453,6 +456,93 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — O(log n) rounds on ANY graph shape, vs the O(diameter)
+    rounds of :func:`connected_components`'s min-label propagation.
+
+    Use this when components can be deep (chains, meshes); for shallow
+    dup clusters the simpler propagation converges in fewer shuffles.
+
+    - large-star: every node connects its LARGER neighbors to its
+      current minimum neighbor (or itself) — ``(u, v) -> (min(N(u)∪u),
+      v) for v > u``;
+    - small-star: every node connects its smaller-or-equal neighbors to
+      its minimum — halving tree heights.
+
+    Each half-round is one groupBy shuffle over the edge list;
+    ``localCheckpoint`` truncates lineage per round.  Converges when the
+    edge list is a star forest (edges = (root, node) pairs), detected by
+    an unchanged edge count under large-star — a scalar probe, no
+    driver collect.
+    """
+    # normalize: undirected edge list as (min, max), self-loops dropped
+    e = edges.select(
+        F.least(F.col(src), F.col(dst)).alias("u"),
+        F.greatest(F.col(src), F.col(dst)).alias("v"),
+    ).where(F.col("u") != F.col("v")).distinct().localCheckpoint()
+    nodes = (
+        e.select(F.col("u").alias("id"))
+        .union(e.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def star_round(e: DataFrame, small: bool) -> DataFrame:
+        # neighborhoods as (center, neighbor) with both directions for
+        # small-star; large-star only needs larger neighbors attached
+        both = e.select("u", "v").union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = both.groupBy("u").agg(F.min("v").alias("mn"))
+        m = m.select("u", F.least("u", "mn").alias("root"))
+        if small:
+            # attach center and its smaller neighbors to the root
+            out = (
+                both.where(F.col("v") <= F.col("u"))
+                .join(m, "u")
+                .select(F.col("root").alias("u2"), F.col("v").alias("v2"))
+                .union(m.select(F.col("root").alias("u2"), F.col("u").alias("v2")))
+            )
+        else:
+            # attach larger neighbors to the root
+            out = (
+                both.where(F.col("v") > F.col("u"))
+                .join(m, "u")
+                .select(F.col("root").alias("u2"), F.col("v").alias("v2"))
+            )
+        return (
+            out.select(
+                F.least(F.col("u2"), F.col("v2")).alias("u"),
+                F.greatest(F.col("u2"), F.col("v2")).alias("v"),
+            )
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    for _ in range(max_iterations):
+        e_next = star_round(star_round(e, small=False), small=True).localCheckpoint()
+        # fixpoint: the alternating contraction is idempotent exactly on
+        # star forests; compare edge sets via counts (cheap scalars on
+        # checkpointed data)
+        if e_next.count() == e.count():
+            changed = e_next.exceptAll(e).limit(1).count()
+            if changed == 0:
+                e = e_next
+                break
+        e = e_next
+    roots = e.select(F.col("u").alias("component"), F.col("v").alias("id"))
+    singletons = nodes.join(roots, nodes["id"] == roots["id"], "left_anti").select(
+        F.col("id"), F.col("id").alias("component")
+    )
+    own = e.select(F.col("u").alias("id"), F.col("u").alias("component")).distinct()
+    return roots.select("id", "component").union(own).union(singletons).distinct()
 
 
 def embedding_near_dup_pairs_gram(

@@ -883,6 +883,19 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(F.col("id").alias("doc_id"), "component").orderBy("doc_id")
 
 
+def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering as dedup_components but via large-star/small-star
+    contraction (O(log n) rounds on any graph shape) — must land on the
+    identical component assignment, checked against the same recursive
+    CTE oracle."""
+    d = read_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(d, "text", "doc_id", num_hashes=12, bands=4, shingle_k=3)
+    comp = dedup.connected_components_star(pairs, "id_a", "id_b")
+    return comp.select(
+        F.col("id").alias("doc_id"), F.col("component").cast("bigint").alias("component")
+    ).orderBy("doc_id")
+
+
 def q_pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data prep in one plan: language-ID + quality
     scoring → keep English above threshold → exact dedup (keep lowest
@@ -2930,6 +2943,26 @@ ORACLES: dict[str, str] = {
         SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS component
         FROM reach GROUP BY id ORDER BY doc_id
     """,
+    "dedup_components_star": _banded_cte().replace("WITH ", "WITH RECURSIVE ", 1)
+    + """
+        , pairs AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+        ),
+        edges AS (
+            SELECT id_a AS s, id_b AS t FROM pairs
+            UNION ALL
+            SELECT id_b AS s, id_a AS t FROM pairs
+        ),
+        reach AS (
+            SELECT s AS id, s AS comp FROM edges
+            UNION
+            SELECT e.s AS id, r.comp FROM edges e JOIN reach r ON e.t = r.id
+        )
+        SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS component
+        FROM reach GROUP BY id ORDER BY doc_id
+    """,
     "pipeline_training_data": f"""
         WITH scored AS (
             SELECT doc_id,
@@ -3699,7 +3732,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_banded": q_dedup_simhash_banded,
-    "heavy_hitters_tokens": q_heavy_hitters_tokens,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_audio": q_multimodal_audio,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -3713,6 +3745,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "multimodal_features": q_multimodal_features,
     "agg_percentiles_approx": q_agg_percentiles_approx,
+    "dedup_components_star": q_dedup_components_star,
+    "heavy_hitters_tokens": q_heavy_hitters_tokens,
     # round-1 driver-verified (CORRECTNESS_r01.json) below
     "bitwise_functions": q_bitwise_functions,
     "filter_project": q_filter_project,
