@@ -99,8 +99,9 @@ def main() -> None:
 
     full = dict(summary)
     full["queries"] = timings
-    with open(os.path.join(REPO_ROOT, "BENCH_LOCAL.json"), "w") as fh:
-        json.dump(full, fh, indent=1, sort_keys=True)
+    if not only:  # subset runs must not clobber the full-suite record
+        with open(os.path.join(REPO_ROOT, "BENCH_LOCAL.json"), "w") as fh:
+            json.dump(full, fh, indent=1, sort_keys=True)
 
     print(summary_line)
     for name, sec in timings.items():

@@ -496,7 +496,7 @@ def connected_components_star(
         .localCheckpoint()
     )
 
-    def star_round(e: DataFrame, small: bool) -> DataFrame:
+    def star_round(e: DataFrame, small: bool, dedupe: bool = True) -> DataFrame:
         # neighborhoods as (center, neighbor) with both directions for
         # small-star; large-star only needs larger neighbors attached
         both = e.select("u", "v").union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -517,17 +517,21 @@ def connected_components_star(
                 .join(m, "u")
                 .select(F.col("root").alias("u2"), F.col("v").alias("v2"))
             )
-        return (
-            out.select(
-                F.least(F.col("u2"), F.col("v2")).alias("u"),
-                F.greatest(F.col("u2"), F.col("v2")).alias("v"),
-            )
-            .where(F.col("u") != F.col("v"))
-            .distinct()
-        )
+        out = out.select(
+            F.least(F.col("u2"), F.col("v2")).alias("u"),
+            F.greatest(F.col("u2"), F.col("v2")).alias("v"),
+        ).where(F.col("u") != F.col("v"))
+        # the star rounds are duplicate-tolerant (groupBy-min is
+        # unaffected), so the intermediate large-star result skips its
+        # distinct — one less exchange per iteration; only the
+        # small-star output (the next round's edge set, also what the
+        # count-based fixpoint probe compares) is deduplicated
+        return out.distinct() if dedupe else out
 
     for _ in range(max_iterations):
-        e_next = star_round(star_round(e, small=False), small=True).localCheckpoint()
+        e_next = star_round(
+            star_round(e, small=False, dedupe=False), small=True
+        ).localCheckpoint()
         # fixpoint: the alternating contraction is idempotent exactly on
         # star forests; compare edge sets via counts (cheap scalars on
         # checkpointed data)
