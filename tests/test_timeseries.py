@@ -95,3 +95,50 @@ def test_histogram_fixed_clamps_edges(spark):
     got = {r["bucket"]: r["n"] for r in out.collect()}
     # -5 clamps into bucket 0; 99 → bucket 9; 250 clamps into bucket 9
     assert got == {0: 2, 1: 1, 9: 2}
+
+
+def test_rollup_hypertable_levels_match_direct_aggregation(spark):
+    # events spanning two days / two ISO weeks; the week level must fold
+    # day partials, not re-truncate raw timestamps differently
+    rows = [
+        ("a", dt.datetime(2024, 1, 5, 9, 10), 1.0),   # Fri, week of Jan 1
+        ("a", dt.datetime(2024, 1, 5, 9, 40), 3.0),   # same hour
+        ("a", dt.datetime(2024, 1, 5, 23, 0), 10.0),  # same day, other hour
+        ("a", dt.datetime(2024, 1, 8, 0, 0), 100.0),  # Mon, next ISO week
+        ("b", dt.datetime(2024, 1, 5, 9, 15), 7.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = timeseries.rollup_hypertable(df, ["k"], "ts", "v", grains=("hour", "day", "week"))
+    got = {(r["grain"], r["k"], r["bucket"]): r for r in out.collect()}
+
+    hr = got[("hour", "a", dt.datetime(2024, 1, 5, 9))]
+    assert hr["n_events"] == 2 and hr["sum_value"] == 4.0 and hr["avg_value"] == 2.0
+    day = got[("day", "a", dt.datetime(2024, 1, 5))]
+    assert day["n_events"] == 3 and day["sum_value"] == 14.0
+    assert day["min_value"] == 1.0 and day["max_value"] == 10.0
+    wk1 = got[("week", "a", dt.datetime(2024, 1, 1))]
+    assert wk1["n_events"] == 3 and wk1["sum_value"] == 14.0
+    wk2 = got[("week", "a", dt.datetime(2024, 1, 8))]
+    assert wk2["n_events"] == 1 and wk2["sum_value"] == 100.0
+    # per-key isolation
+    assert got[("hour", "b", dt.datetime(2024, 1, 5, 9))]["n_events"] == 1
+    # 3 hour buckets + 2 day + 2 week for a, 1+1+1 for b
+    assert len(got) == 10
+
+
+def test_rollup_hypertable_reuses_finer_grain_stage(spark):
+    # the coarser grain must fold the finer grain's shuffle output, not
+    # recompute it: AQE's runtime stage reuse surfaces as ReusedExchange
+    # in the FINALIZED adaptive plan (pre-execution plans show duplicate
+    # exchanges — reuse is decided at stage materialization)
+    rows = [
+        ("a", dt.datetime(2024, 1, 5, 9, 10), 1.0),
+        ("a", dt.datetime(2024, 1, 5, 11, 10), 2.0),
+        ("b", dt.datetime(2024, 1, 6, 9, 10), 3.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = timeseries.rollup_hypertable(df, ["k"], "ts", "v", grains=("hour", "day"))
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan

@@ -117,3 +117,73 @@ def zscore_outliers(
         .where(F.abs(F.col(z_alias)) > threshold)
         .drop("__mu", "__sigma")
     )
+
+
+def rollup_hypertable(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    grains: tuple[str, ...] = ("hour", "day", "week"),
+) -> DataFrame:
+    """Multi-granularity time rollup (hypertable continuous-aggregate
+    shape): the finest grain aggregates the raw events ONCE; every
+    coarser grain re-aggregates the previous level's partials, never the
+    raw table.
+
+    The partials carried between levels are the associative pieces
+    (count, sum, min, max); non-associative stats (avg here) are derived
+    from them in the final projection, so every level is exactly equal
+    to aggregating raw data at that grain directly (the SQL oracle
+    checks this identity per grain).
+
+    ``grains`` must run finest → coarsest and each coarser grain must be
+    a refinement boundary of ``date_trunc`` (hour ⊂ day ⊂ week ⊂ month
+    ⊂ year), otherwise re-truncating the finer bucket is not the same as
+    truncating the raw timestamp.
+
+    Scale notes (100 TB): the raw scan happens once; level N+1 shuffles
+    only level N's output (|keys| x buckets rows, orders of magnitude
+    below the event count), and each groupBy gets map-side partial
+    aggregation.  This is the batch shape of an incremental rollup: at
+    ingest time only the finest grain is recomputed for the touched
+    window, and coarser grains fold the changed partials.
+    """
+    finest = grains[0]
+    level = df.groupBy(
+        *keys, F.date_trunc(finest, F.col(ts_col)).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(value_col).alias("__sum"),
+        F.min(value_col).alias("min_value"),
+        F.max(value_col).alias("max_value"),
+    )
+
+    def publish(lvl: DataFrame, grain: str) -> DataFrame:
+        return lvl.select(
+            F.lit(grain).alias("grain"),
+            *keys,
+            "bucket",
+            "n_events",
+            F.round(F.col("__sum"), 2).alias("sum_value"),
+            # avg from the ROUNDED sum: the raw sums differ in the last
+            # ulp across engines (accumulation order), so a .5-boundary
+            # quotient would round differently; the rounded sum is the
+            # value both engines agree on bit-for-bit
+            F.round(F.round(F.col("__sum"), 2) / F.col("n_events"), 6).alias("avg_value"),
+            "min_value",
+            "max_value",
+        )
+
+    out = publish(level, finest)
+    for grain in grains[1:]:
+        level = level.groupBy(
+            *keys, F.date_trunc(grain, F.col("bucket")).alias("bucket")
+        ).agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("__sum").alias("__sum"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+        out = out.unionByName(publish(level, grain))
+    return out

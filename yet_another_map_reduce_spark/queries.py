@@ -1986,6 +1986,16 @@ def q_events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: hour/day/week rollups where
+    each coarser grain folds the finer grain's associative partials
+    (count/sum/min/max) — the raw events are scanned exactly once."""
+    e = read_table(spark, sf_dir, "events")
+    return timeseries.rollup_hypertable(
+        e, ["event_type"], "ts", "value", grains=("hour", "day", "week")
+    )
+
+
 def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly per-user activity with missing hours materialized (count 0)
     and the rolling average forward-filled from the last active hour."""
@@ -2538,6 +2548,29 @@ ORACLES: dict[str, str] = {
                round(sum(value), 2) AS volume,
                CAST(count(*) AS BIGINT) AS n_ticks
         FROM r GROUP BY event_type, date_trunc('day', ts)
+    """,
+    "events_rollup_hypertable": """
+        WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        g AS (
+            SELECT 'hour' AS grain, event_type,
+                   CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   sum(value) AS s, min(value) AS min_value, max(value) AS max_value
+            FROM e GROUP BY 2, 3
+            UNION ALL
+            SELECT 'day', event_type, CAST(date_trunc('day', ts) AS TIMESTAMP),
+                   CAST(count(*) AS BIGINT), sum(value), min(value), max(value)
+            FROM e GROUP BY 2, 3
+            UNION ALL
+            SELECT 'week', event_type, CAST(date_trunc('week', ts) AS TIMESTAMP),
+                   CAST(count(*) AS BIGINT), sum(value), min(value), max(value)
+            FROM e GROUP BY 2, 3
+        )
+        SELECT grain, event_type, bucket, n_events,
+               round(s, 2) AS sum_value,
+               round(round(s, 2) / n_events, 6) AS avg_value,
+               min_value, max_value
+        FROM g
     """,
     "timeseries_gapfill": """
         WITH h AS (
@@ -3780,6 +3813,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_reservoir_group": q_sample_reservoir_group,
     "scd2_intervals": q_scd2_intervals,
     "events_ohlc": q_events_ohlc,
+    "events_rollup_hypertable": q_events_rollup_hypertable,
     "agg_rollup": q_agg_rollup,
     "window_time_range": q_window_time_range,
     "profile_columns": q_profile_columns,
