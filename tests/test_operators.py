@@ -422,3 +422,74 @@ def test_connected_components_broadcast_variant_equivalent(spark):
     bc = {(r["id"], r["component"])
           for r in dedup.connected_components(edges, broadcast_labels=True).collect()}
     assert base == bc
+
+
+def _planted_clusters(spark, per_cluster=6):
+    # 3 tight clusters near axis-aligned unit directions in 8 dims;
+    # ids interleaved so the 3 lowest-id seed vectors land one per
+    # cluster (ids 0,1,2 -> clusters 0,1,2)
+    rows = []
+    for j in range(per_cluster):
+        for c in range(3):
+            base = [0.0] * 8
+            base[c * 2] = 10.0
+            base[c * 2 + 1] = 1.0 + 0.1 * j  # small within-cluster spread
+            rows.append((j * 3 + c, base))
+    return spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+
+def test_train_ivf_centroids_recovers_planted_clusters(spark):
+    df = _planted_clusters(spark)
+    cent = similarity.train_ivf_centroids(df, "vec_id", "v", nlist=3, iterations=4)
+    got = {r["centroid_id"]: r["__centv"] for r in cent.collect()}
+    assert len(got) == 3
+    # each trained centroid must sit on its cluster's dominant axis and
+    # equal the cluster mean in the spread coordinate (1.25 = mean of
+    # 1.0..1.5)
+    for c in range(3):
+        v = got[c]
+        assert v[c * 2] == 10.0
+        assert abs(v[c * 2 + 1] - 1.25) < 1e-9
+        assert all(x == 0.0 for i, x in enumerate(v) if i not in (c * 2, c * 2 + 1))
+
+
+def test_train_ivf_centroids_deterministic(spark):
+    df = _planted_clusters(spark)
+    a = similarity.train_ivf_centroids(df, "vec_id", "v", nlist=3, iterations=3).collect()
+    b = similarity.train_ivf_centroids(df, "vec_id", "v", nlist=3, iterations=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_train_ivf_centroids_empty_cluster_keeps_seed(spark):
+    # two real clusters, nlist=3: seed 2 duplicates seed 0's vector, so
+    # every tie breaks toward centroid 0 and cell 2 goes empty — it must
+    # carry its seed forward, not collapse to NaN/zero
+    rows = [
+        (0, [10.0, 0.0]),
+        (1, [0.0, 10.0]),
+        (2, [10.0, 0.0]),
+        (3, [10.0, 1.0]),
+        (4, [0.0, 9.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    cent = similarity.train_ivf_centroids(df, "vec_id", "v", nlist=3, iterations=2)
+    got = {r["centroid_id"]: list(r["__centv"]) for r in cent.collect()}
+    assert got[2] == [10.0, 0.0]  # untouched seed
+    assert got[0][0] > 9.0 and got[1][1] > 9.0
+
+
+def test_ivf_topk_accepts_trained_centroids(spark, sf_dir):
+    from yet_another_map_reduce_spark.sources.readers import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cent = similarity.train_ivf_centroids(emb, "vec_id", "embedding", nlist=4, iterations=2)
+    q = emb.where(F.col("vec_id") < 2)
+    out = similarity.ivf_topk(
+        emb, q, "vec_id", "embedding", k=5, nprobe=2, centroids=cent
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert set(by_q) == {0, 1}
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))

@@ -163,6 +163,7 @@ def ivf_topk(
     k: int = 10,
     nlist: int = 16,
     nprobe: int = 4,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: inverted-file partitioning by nearest
     centroid, probing only ``nprobe`` of ``nlist`` cells per query.
@@ -177,7 +178,9 @@ def ivf_topk(
     from yet_another_map_reduce_spark.functions import dot, norm
 
     query_id_col = query_id_col or id_col
-    cent = ivf_centroids(corpus, id_col, vec_col, nlist)
+    # pre-trained (centroid_id, __centv) — e.g. train_ivf_centroids —
+    # replaces the lowest-id seeding
+    cent = centroids if centroids is not None else ivf_centroids(corpus, id_col, vec_col, nlist)
     assigned = _nearest_centroids(corpus, id_col, vec_col, cent, 1).select(
         F.col("__rid").alias("neighbor_id"),
         F.col("__v").alias("__cv"),
@@ -244,4 +247,110 @@ def lsh_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    nlist: int,
+    iterations: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Train IVF centroids with distributed Lloyd's k-means (the step
+    :func:`ivf_centroids` stubs with lowest-id seeding).
+
+    Spherical flavor matching :func:`ivf_topk`'s cosine assignment: a
+    vector joins the centroid with the highest cosine; the new centroid
+    is the arithmetic mean of its members.  Deterministic end to end —
+    lowest-id seeds, fixed iteration count, per-iteration rounding to
+    ``round_digits`` (bit-stable fixpoint under double accumulation-
+    order differences), ties broken toward the lower centroid id.
+
+    Execution shape (the plan that survives 100 TB):
+
+    - assignment is MAP-ONLY whole-stage codegen: the centroids are
+      model parameters (``nlist x dim`` doubles, KB-scale), embedded as
+      literal arrays — the same "ship the model each round" pattern as
+      ``pyspark.ml``'s KMeans, which also collects centers per
+      iteration; no corpus shuffle, no Python;
+    - the mean update is ONE shuffle per iteration: ``posexplode`` to
+      (centroid, dim position, value) and ``groupBy(centroid, pos)``
+      gets map-side partial aggregation, so the exchange carries
+      ``nlist x dim x partitions`` partial rows, never the corpus;
+    - per-iteration driver state is the centroid matrix itself (what a
+      parameter server would hold), nothing proportional to the data.
+
+    Empty clusters keep their previous centroid.  Returns
+    ``(centroid_id, __centv)`` shaped for :func:`ivf_topk`'s
+    ``centroids`` parameter, with ``centroid_id`` densely renumbered
+    ``0..nlist-1``.
+    """
+    import math
+
+    cv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    seeds = (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(nlist)
+        .select(cv.alias("v"))
+        .collect()
+    )
+    cents: list[list[float]] = [list(r["v"]) for r in seeds]
+    vecs = corpus.select(cv.alias("__v"))
+
+    def assign_expr(cents: list[list[float]]):
+        # argmax_i dot(v, c_i / |c_i|): norm(v) is a positive common
+        # factor, so unit-normalizing centroids driver-side makes the
+        # cosine argmax a plain dot-product argmax — one literal-array
+        # dot per centroid, all inside codegen
+        cands = []
+        for i, c in enumerate(cents):
+            n = math.sqrt(sum(x * x for x in c)) or 1.0
+            unit = [x / n for x in c]
+            d = F.aggregate(
+                F.zip_with(
+                    F.col("__v"),
+                    F.array(*[F.lit(x) for x in unit]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            cands.append(
+                F.struct(F.round(d, round_digits).alias("d"), F.lit(-i).alias("ni"))
+            )
+        # struct ordering: best dot first, then -i → ties go to the
+        # LOWER centroid id (array_max keeps field names; greatest
+        # would rename them col1/col2)
+        return -F.array_max(F.array(*cands))["ni"]
+
+    for _ in range(iterations):
+        # assignment in its own projection: putting the struct-argmax
+        # expression in the same select as a generator (posexplode)
+        # trips Spark's generate rewrite into renaming struct fields
+        assigned = vecs.select(assign_expr(cents).alias("__cid"), "__v")
+        member_means = (
+            assigned.select("__cid", F.posexplode("__v"))
+            .groupBy("__cid", "pos")
+            .agg(F.sum("col").alias("s"), F.count(F.lit(1)).alias("n"))
+            .groupBy("__cid")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", F.round(F.expr("s / n"), round_digits).alias("m")))
+                    ),
+                    lambda x: x["m"],
+                ).alias("mean")
+            )
+            .collect()
+        )
+        new_cents = list(cents)  # empty clusters carry the old centroid
+        for r in member_means:
+            new_cents[r["__cid"]] = list(r["mean"])
+        cents = new_cents
+
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "centroid_id long, __centv array<double>"
     )

@@ -993,6 +993,31 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
+def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search over k-means-TRAINED centroids (similarity.
+    train_ivf_centroids — distributed Lloyd's, map-only assignment +
+    one partial-agged shuffle per iteration) instead of the lowest-id
+    seeding; approximate by construction, driver records rows-only.
+    Planted-cluster recovery and determinism are pinned by tests."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    # 2 training iterations keep the demo inside the suite's time
+    # budget; multi-iteration convergence is pinned by the planted-
+    # cluster test (tests/test_operators.py)
+    cent = similarity.train_ivf_centroids(
+        emb, "vec_id", "embedding", nlist=8, iterations=2
+    )
+    out = similarity.ivf_topk(
+        corpus=emb,
+        queries=emb.where(F.col("vec_id") < 5),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=10,
+        nprobe=2,
+        centroids=cent,
+    )
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
 def q_lateral_topk_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated lateral join via the DataFrame ``lateralJoin`` API
     (Spark 4): per order, the two priciest line items."""
@@ -3776,6 +3801,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_stratified": q_sample_stratified,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_ivf_trained": q_ann_ivf_trained,
     "multimodal_features": q_multimodal_features,
     "agg_percentiles_approx": q_agg_percentiles_approx,
     "dedup_components_star": q_dedup_components_star,
