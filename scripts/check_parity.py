@@ -48,6 +48,17 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     s, d = _canon(spark_pdf), _canon(duck_pdf)
     for c in s.columns:
         sv, dv = s[c], d[c]
+        # The driver hashes raw dtypes, so an int64-vs-float64 (or object)
+        # skew fails its gate even when values compare equal here — e.g.
+        # duckdb sum(BIGINT) -> HUGEINT -> float64.  Flag kind mismatches.
+        if sv.dtype.kind != dv.dtype.kind and not (
+            sv.dtype.kind in "iu" and dv.dtype.kind in "iu"
+        ):
+            errs.append(
+                f"col {c}: dtype kind mismatch spark={sv.dtype} duck={dv.dtype} "
+                "(driver value-hash would differ even if values agree)"
+            )
+            continue
         if sv.dtype.kind == "f" or dv.dtype.kind == "f":
             sa = sv.astype(float).to_numpy()
             da = dv.astype(float).to_numpy()

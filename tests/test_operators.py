@@ -493,3 +493,68 @@ def test_ivf_topk_accepts_trained_centroids(spark, sf_dir):
     assert set(by_q) == {0, 1}
     for ranks in by_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_decontaminate_flags_exact_ngram_overlap(spark):
+    from yet_another_map_reduce_spark.operators import text
+
+    holdout = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # contains the holdout 4-gram "quick brown fox jumps"
+            (1, "she saw the quick brown fox jumps right past"),
+            # fully disjoint vocabulary
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.decontaminate(train, holdout, n=4).collect()}
+    assert out[1]["is_contaminated"] and out[1]["matched_ngrams"] >= 1
+    assert not out[2]["is_contaminated"] and out[2]["matched_ngrams"] == 0
+    # total distinct 4-grams of an 8/9-token doc
+    assert out[2]["total_ngrams"] == 5
+
+
+def test_repetition_stats_catches_degenerate_doc(spark):
+    from yet_another_map_reduce_spark.operators import text
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),
+            (2, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in text.repetition_stats(
+            df, max_top_bigram_frac=0.5, max_dup_trigram_frac=0.5
+        ).collect()
+    }
+    assert out[1]["top_unigram_frac"] == 1.0
+    assert out[1]["dup_trigram_frac"] == 1.0  # all 4 trigrams identical
+    assert not out[1]["keep"]
+    assert out[2]["top_unigram_frac"] == 0.1  # 10 distinct tokens
+    assert out[2]["dup_trigram_frac"] == 0.0
+    assert out[2]["keep"]
+
+
+def test_boilerplate_ngrams_flags_corpus_common_header(spark):
+    from yet_another_map_reduce_spark.operators import text
+
+    header = "standard license header text here"
+    rows = [(i, f"{header} unique body {i} word{i} tail{i} extra{i}") for i in range(4)]
+    rows.append((9, "totally unique document body with no shared spans at all"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in text.boilerplate_ngram_stats(
+            df, n=5, max_doc_freq=2, max_boilerplate_frac=0.1
+        ).collect()
+    }
+    # the 5-gram starting the header appears in 4 docs -> boilerplate
+    assert out[0]["boilerplate_ngrams"] >= 1 and not out[0]["keep"]
+    assert out[9]["boilerplate_ngrams"] == 0 and out[9]["keep"]

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from yet_another_map_reduce_spark.functions import normalize_text, tokens
+from yet_another_map_reduce_spark.functions import normalize_text, shingles, tokens
 
 #: tiny per-language stopword marker sets for the n-gram/stopword
 #: language heuristic.  Deliberately small + deterministic: language ID
@@ -307,4 +307,156 @@ def tfidf_top_terms(
         .where(F.col("term_rank") <= k)
         .select("doc_id", "term", F.col("tf").cast("bigint").alias("tf"),
                 F.col("df").cast("bigint").alias("df"), "tfidf", "term_rank")
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    holdout: DataFrame,
+    n: int = 4,
+    threshold: float = 0.01,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing word
+    n-grams with a holdout/eval set — the overlap check every serious
+    pretraining pipeline runs before release (13-gram overlap in
+    published recipes; ``n`` is a parameter here).
+
+    Per training doc: distinct n-grams, how many also occur in the
+    holdout, their ratio, and an ``is_contaminated`` verdict at
+    ``threshold``.
+
+    Scale shape: the holdout is benchmark-eval-sized (thousands of
+    docs), so its distinct-gram relation is broadcast — the 100 TB train
+    side is scanned once, exploded, and aggregated with map-side
+    partials; nothing big ever shuffles on a long string (grams reduce
+    to fixed-width md5 keys first).
+    """
+    hold_grams = (
+        holdout.select(F.explode(shingles(text_col, n)).alias("gram"))
+        .select(F.md5("gram").alias("g"))
+        .distinct()
+    )
+    doc_grams = (
+        train.select(F.col(id_col), F.explode(shingles(text_col, n)).alias("gram"))
+        .select(id_col, F.md5("gram").alias("g"))
+        .distinct()
+    )
+    matched = (
+        doc_grams.join(F.broadcast(hold_grams), "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("matched_ngrams"))
+    )
+    totals = doc_grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("total_ngrams"))
+    ratio = F.col("matched_ngrams") / F.greatest(F.col("total_ngrams"), F.lit(1))
+    return (
+        totals.join(matched, id_col, "left")
+        .fillna({"matched_ngrams": 0})
+        .select(
+            F.col(id_col),
+            F.col("total_ngrams").cast("bigint").alias("total_ngrams"),
+            F.col("matched_ngrams").cast("bigint").alias("matched_ngrams"),
+            F.round(ratio, 6).alias("contamination"),
+            (ratio > threshold).alias("is_contaminated"),
+        )
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_top_bigram_frac: float = 0.18,
+    max_dup_trigram_frac: float = 0.30,
+) -> DataFrame:
+    """Gopher-style within-document repetition metrics + a keep verdict.
+
+    Per document: the fraction of n-gram occurrences taken by the single
+    most frequent unigram/bigram/trigram, and the fraction of trigram
+    occurrences whose trigram repeats at all — the published signals for
+    machine-generated or boilerplate text (Gopher's repetition filters).
+
+    One exploded union for all three gram sizes → one (doc, n, gram)
+    count with map-side partials → one per-doc rollup. Grams shuffle as
+    md5 keys, never the raw strings; everything else is conditional
+    aggregation inside whole-stage codegen.
+    """
+    grams = None
+    for n in (1, 2, 3):
+        g = df.select(
+            F.col(id_col),
+            F.lit(n).alias("n"),
+            F.explode(shingles(text_col, n)).alias("gram"),
+        ).select(id_col, "n", F.md5("gram").alias("g"))
+        grams = g if grams is None else grams.unionByName(g)
+    cnt = grams.groupBy(id_col, "n", "g").agg(F.count(F.lit(1)).alias("c"))
+    per_n = cnt.groupBy(id_col, "n").agg(
+        F.max("c").alias("maxc"),
+        F.sum("c").alias("tot"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup"),
+    )
+
+    def frac_of(n: int, num: str) -> Column:
+        return F.max(
+            F.when(F.col("n") == n, F.col(num) / F.greatest(F.col("tot"), F.lit(1)))
+        )
+
+    out = per_n.groupBy(id_col).agg(
+        F.round(frac_of(1, "maxc"), 6).alias("top_unigram_frac"),
+        F.round(frac_of(2, "maxc"), 6).alias("top_bigram_frac"),
+        F.round(frac_of(3, "maxc"), 6).alias("top_trigram_frac"),
+        F.round(frac_of(3, "dup"), 6).alias("dup_trigram_frac"),
+    )
+    keep = (F.col("top_bigram_frac") <= max_top_bigram_frac) & (
+        F.col("dup_trigram_frac") <= max_dup_trigram_frac
+    )
+    return out.withColumn("keep", keep)
+
+
+def boilerplate_ngram_stats(
+    df: DataFrame,
+    n: int = 5,
+    max_doc_freq: int = 2,
+    max_boilerplate_frac: float = 0.05,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level boilerplate detection (CCNet-style common-line dedup,
+    adapted to n-grams): an n-gram appearing in more than
+    ``max_doc_freq`` distinct documents is boilerplate (license headers,
+    templated navigation, cookie banners); per document, report the
+    fraction of its n-gram occurrences that are boilerplate and a keep
+    verdict.
+
+    Scale shape: document frequency is a distinct + count over md5 gram
+    keys (two shuffles on fixed-width keys, map-side partials both
+    times); the per-doc join is gram-keyed, so boilerplate concentration
+    skews at 100 TB are exactly the skew AQE's join splitting handles.
+    """
+    grams = df.select(
+        F.col(id_col), F.explode(shingles(text_col, n)).alias("gram")
+    ).select(id_col, F.md5("gram").alias("g"))
+    docfreq = (
+        grams.distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("gram_df"))
+    )
+    joined = grams.join(docfreq, "g")
+    frac = F.col("boilerplate_ngrams") / F.greatest(F.col("total_ngrams"), F.lit(1))
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("total_ngrams"),
+            F.sum(F.when(F.col("gram_df") > max_doc_freq, 1).otherwise(0)).alias(
+                "boilerplate_ngrams"
+            ),
+        )
+        .select(
+            F.col(id_col),
+            F.col("total_ngrams").cast("bigint").alias("total_ngrams"),
+            F.col("boilerplate_ngrams").cast("bigint").alias("boilerplate_ngrams"),
+            F.round(frac, 6).alias("boilerplate_frac"),
+            (frac <= max_boilerplate_frac).alias("keep"),
+        )
     )

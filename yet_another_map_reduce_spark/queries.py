@@ -55,6 +55,17 @@ def _norm(c: str) -> str:
     return _NORM.format(c=c)
 
 
+def _sql_word_grams(n: int, toks: str = "w") -> str:
+    """DuckDB twin of functions.shingles: word n-gram list from a token
+    list column (duckdb list slicing is 1-based inclusive)."""
+    if n == 1:
+        return toks
+    return (
+        f"list_transform(generate_series(1, len({toks}) - {n - 1}), "
+        f"i -> array_to_string({toks}[i:i+{n - 1}], ' '))"
+    )
+
+
 def _sql_hash64(expr: str, seed: int | None = None) -> str:
     """DuckDB twin of functions.md5_hash64."""
     inner = f"'{seed}:' || {expr}" if seed is not None else expr
@@ -850,6 +861,33 @@ def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (32-token chunks, stride 24)."""
     d = read_table(spark, sf_dir, "documents")
     return text.chunk_documents(d, "text", "doc_id", chunk_tokens=32, stride=24)
+
+
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs with doc_id % 10 == 0 stand in
+    for the eval/holdout set; flag training docs sharing any 4-gram."""
+    d = read_table(spark, sf_dir, "documents")
+    holdout = d.where(F.col("doc_id") % 10 == 0)
+    train = d.where(F.col("doc_id") % 10 != 0)
+    return text.decontaminate(train, holdout, n=4, threshold=0.01).orderBy("doc_id")
+
+
+def q_text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (top-n-gram / duplicated-trigram
+    fractions) with thresholds tuned to split this corpus."""
+    d = read_table(spark, sf_dir, "documents")
+    return text.repetition_stats(
+        d, max_top_bigram_frac=0.06, max_dup_trigram_frac=0.05
+    ).orderBy("doc_id")
+
+
+def q_corpus_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-frequency boilerplate detection over 5-grams
+    (an n-gram in >2 distinct docs is boilerplate)."""
+    d = read_table(spark, sf_dir, "documents")
+    return text.boilerplate_ngram_stats(
+        d, n=5, max_doc_freq=2, max_boilerplate_frac=0.05
+    ).orderBy("doc_id")
 
 
 def q_dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2647,7 +2685,7 @@ ORACLES: dict[str, str] = {
         SELECT bucket, CAST(count(*) AS BIGINT) AS n,
                round(min(o_totalprice), 2) AS lo_seen,
                round(max(o_totalprice), 2) AS hi_seen,
-               round(bucket * 30000.0 + 0.0, 2) AS bucket_lo
+               round(CAST(bucket AS DOUBLE) * 30000.0 + 0.0, 2) AS bucket_lo
         FROM b GROUP BY bucket ORDER BY bucket
     """,
     "flagship_max_price": """
@@ -2925,6 +2963,81 @@ ORACLES: dict[str, str] = {
                {_LANG_CASE} AS lang_pred,
                fingerprint
         FROM with_best
+    """,
+    "text_decontaminate": f"""
+        WITH docs AS (SELECT doc_id, string_split({_norm('text')}, ' ') AS w
+                      FROM documents),
+        dg AS (
+            SELECT DISTINCT doc_id, u.g FROM (
+                SELECT doc_id, unnest({_sql_word_grams(4)}) AS g
+                FROM docs WHERE len(w) >= 4) u
+        ),
+        hold AS (SELECT DISTINCT g FROM dg WHERE doc_id % 10 = 0),
+        train AS (SELECT * FROM dg WHERE doc_id % 10 <> 0),
+        t AS (SELECT doc_id, count(*) AS total FROM train GROUP BY doc_id),
+        m AS (SELECT doc_id, count(*) AS matched
+              FROM train JOIN hold USING (g) GROUP BY doc_id)
+        SELECT t.doc_id,
+               CAST(total AS BIGINT) AS total_ngrams,
+               CAST(coalesce(matched, 0) AS BIGINT) AS matched_ngrams,
+               round(coalesce(matched, 0) * 1.0 / greatest(total, 1), 6)
+                   AS contamination,
+               coalesce(matched, 0) * 1.0 / greatest(total, 1) > 0.01
+                   AS is_contaminated
+        FROM t LEFT JOIN m ON t.doc_id = m.doc_id
+        ORDER BY t.doc_id
+    """,
+    "text_repetition_stats": f"""
+        WITH docs AS (SELECT doc_id, string_split({_norm('text')}, ' ') AS w
+                      FROM documents),
+        allg AS (
+            SELECT doc_id, 1 AS n, unnest(w) AS g FROM docs WHERE len(w) >= 1
+            UNION ALL
+            SELECT doc_id, 2 AS n, unnest({_sql_word_grams(2)}) AS g
+            FROM docs WHERE len(w) >= 2
+            UNION ALL
+            SELECT doc_id, 3 AS n, unnest({_sql_word_grams(3)}) AS g
+            FROM docs WHERE len(w) >= 3
+        ),
+        cnt AS (SELECT doc_id, n, g, count(*) AS c
+                FROM allg GROUP BY doc_id, n, g),
+        per AS (SELECT doc_id, n, max(c) AS maxc, sum(c) AS tot,
+                       sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+                FROM cnt GROUP BY doc_id, n),
+        rolled AS (
+            SELECT doc_id,
+                round(max(CASE WHEN n = 1
+                    THEN maxc * 1.0 / greatest(tot, 1) END), 6) AS top_unigram_frac,
+                round(max(CASE WHEN n = 2
+                    THEN maxc * 1.0 / greatest(tot, 1) END), 6) AS top_bigram_frac,
+                round(max(CASE WHEN n = 3
+                    THEN maxc * 1.0 / greatest(tot, 1) END), 6) AS top_trigram_frac,
+                round(max(CASE WHEN n = 3
+                    THEN dup * 1.0 / greatest(tot, 1) END), 6) AS dup_trigram_frac
+            FROM per GROUP BY doc_id
+        )
+        SELECT *, (top_bigram_frac <= 0.06 AND dup_trigram_frac <= 0.05) AS keep
+        FROM rolled ORDER BY doc_id
+    """,
+    "corpus_boilerplate_ngrams": f"""
+        WITH docs AS (SELECT doc_id, string_split({_norm('text')}, ' ') AS w
+                      FROM documents),
+        g5 AS (
+            SELECT doc_id, u.g FROM (
+                SELECT doc_id, unnest({_sql_word_grams(5)}) AS g
+                FROM docs WHERE len(w) >= 5) u
+        ),
+        dfq AS (SELECT g, count(*) AS gram_df
+                FROM (SELECT DISTINCT doc_id, g FROM g5) GROUP BY g),
+        j AS (SELECT doc_id, count(*) AS total,
+                     sum(CASE WHEN gram_df > 2 THEN 1 ELSE 0 END) AS bp
+              FROM g5 JOIN dfq USING (g) GROUP BY doc_id)
+        SELECT doc_id,
+               CAST(total AS BIGINT) AS total_ngrams,
+               CAST(bp AS BIGINT) AS boilerplate_ngrams,
+               round(bp * 1.0 / greatest(total, 1), 6) AS boilerplate_frac,
+               bp * 1.0 / greatest(total, 1) <= 0.05 AS keep
+        FROM j ORDER BY doc_id
     """,
     "text_redact_pii": """
         SELECT doc_id,
@@ -3486,7 +3599,10 @@ ORACLES: dict[str, str] = {
     """,
     "tpch_q11_important_parts": """
         WITH per_part AS (
-            SELECT l_partkey, sum(CAST(l_quantity AS BIGINT)) AS value
+            -- CAST outside the sum: duckdb's sum(BIGINT) yields HUGEINT,
+            -- which pandas surfaces as float64 and the driver's value-hash
+            -- then differs from Spark's int64 despite equal values.
+            SELECT l_partkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS value
             FROM lineitem
             JOIN supplier ON l_suppkey = s_suppkey
             JOIN nation   ON s_nationkey = n_nationkey
@@ -3765,6 +3881,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "udaf_weighted_avg": q_udaf_weighted_avg,
     "udtf_tokenize": q_udtf_tokenize,
     "text_chunking": q_text_chunking,
+    "text_decontaminate": q_text_decontaminate,
+    "text_repetition_stats": q_text_repetition_stats,
+    "corpus_boilerplate_ngrams": q_corpus_boilerplate_ngrams,
     "ann_cosine_topk": q_ann_cosine_topk,
     "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
     "tpch_q18_large_orders": q_tpch_q18_large_orders,

@@ -78,18 +78,21 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one canonical test table from a scale-factor directory.
 
-    ``events.parquet`` stores TIMESTAMP(NANOS) which Spark's parquet
-    reader rejects; it is read with ``nanosAsLong`` and converted to a
-    microsecond timestamp (truncation — the same thing DuckDB's
-    ns→µs cast does, keeping oracle parity).
+    ``events.parquet``'s ``ts`` physical type has varied across testdata
+    generations (TIMESTAMP(NANOS), plain µs TIMESTAMP without timezone);
+    normalize every layout to a session-UTC TIMESTAMP so downstream
+    epoch arithmetic (``ts.cast('long')``) and the DuckDB oracles see
+    identical wall-clock instants regardless of which generation is on
+    disk.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name != "events":
         return spark.read.parquet(path)
-    # scoped conf flip: the schema (where nanosAsLong is consulted) is
-    # resolved eagerly by spark.read.parquet, so restoring right after
-    # is safe — and a LATER read of some other TIMESTAMP(NANOS) parquet
-    # in the same session fails loudly instead of silently seeing bigint
+    # scoped conf flip: TIMESTAMP(NANOS) files need nanosAsLong or the
+    # reader rejects them; the schema is resolved eagerly by
+    # spark.read.parquet, so restoring right after is safe — and a LATER
+    # read of some other TIMESTAMP(NANOS) parquet in the same session
+    # fails loudly instead of silently seeing bigint
     prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
@@ -99,11 +102,16 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
         else:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     if isinstance(df.schema["ts"].dataType, LongType):
         # integer `div` — float division would lose precision on int64 nanos
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
+        # session tz is pinned UTC (session.py), so this reinterprets the
+        # stored wall clock as the same UTC instant the nanos path built;
+        # NTZ also rejects cast-to-long, which the epoch queries need
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
