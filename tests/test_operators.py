@@ -558,3 +558,19 @@ def test_boilerplate_ngrams_flags_corpus_common_header(spark):
     # the 5-gram starting the header appears in 4 docs -> boilerplate
     assert out[0]["boilerplate_ngrams"] >= 1 and not out[0]["keep"]
     assert out[9]["boilerplate_ngrams"] == 0 and out[9]["keep"]
+
+
+def test_kmeans_assign_recovers_planted_clusters(spark):
+    rows = [
+        (0, [10.0, 0.0]), (1, [9.0, 1.0]), (2, [0.0, 10.0]),
+        (3, [1.0, 9.0]), (4, [10.5, 0.5]), (5, [0.5, 10.5]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    out = similarity.kmeans_assign(df, "vec_id", "v", nlist=2, iterations=3)
+    got = {r["vec_id"]: (r["cluster_id"], r["cos"]) for r in out.collect()}
+    assert len(got) == 6
+    # the two planted directions separate; cosine to own centroid is high
+    assert got[0][0] == got[1][0] == got[4][0]
+    assert got[2][0] == got[3][0] == got[5][0]
+    assert got[0][0] != got[2][0]
+    assert all(cos > 0.9 for _, cos in got.values())

@@ -354,3 +354,64 @@ def train_ivf_centroids(
     return spark.createDataFrame(
         [(i, c) for i, c in enumerate(cents)], "centroid_id long, __centv array<double>"
     )
+
+
+def kmeans_assign(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    nlist: int = 8,
+    iterations: int = 3,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Semantic clustering for corpus curation: train spherical k-means
+    (:func:`train_ivf_centroids`) and assign every vector to its nearest
+    centroid by cosine — the embedding-space bucketing step behind
+    topic-balanced sampling, per-domain mixing weights, and
+    cluster-level quality triage in training-data pipelines.
+
+    Returns ``(id, cluster_id, cos)`` — one row per input vector, the
+    cosine being the similarity to the assigned centroid.
+
+    Scale shape: training is map-only assignment + one tiny shuffle per
+    iteration (see :func:`train_ivf_centroids`); the final assignment
+    embeds the unit-normalized centroids as literal arrays (KB-scale
+    model parameters) and picks the argmax dot per row inside
+    whole-stage codegen — zero shuffles, zero Python, the corpus is
+    read exactly once.  Deterministic end to end, so cluster ids are
+    stable across runs and cluster layouts.
+    """
+    import math
+
+    from yet_another_map_reduce_spark.functions import norm
+
+    cent = (
+        centroids
+        if centroids is not None
+        else train_ivf_centroids(corpus, id_col, vec_col, nlist, iterations)
+    )
+    # driver-side model fetch: nlist x dim doubles, the same "collect
+    # the centers, ship them with the closure" pattern pyspark.ml uses
+    units: list[tuple[int, list[float]]] = []
+    for r in cent.orderBy("centroid_id").collect():
+        c = list(r["__centv"])
+        n = math.sqrt(sum(x * x for x in c)) or 1.0
+        units.append((int(r["centroid_id"]), [x / n for x in c]))
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cands = []
+    for cid, unit in units:
+        d = F.aggregate(
+            F.zip_with(v, F.array(*[F.lit(x) for x in unit]), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        # same 6-digit rounding + lower-id tiebreak as training's
+        # assign_expr, so assignment here == the last training pass
+        cands.append(F.struct(F.round(d, 6).alias("d"), F.lit(-cid).alias("ni")))
+    best = F.array_max(F.array(*cands))
+    return corpus.select(
+        F.col(id_col),
+        (-best["ni"]).cast("bigint").alias("cluster_id"),
+        F.round(F.try_divide(best["d"], norm(v)), 6).alias("cos"),
+    )

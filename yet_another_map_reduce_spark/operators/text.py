@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from yet_another_map_reduce_spark.functions import normalize_text, shingles, tokens
+from yet_another_map_reduce_spark.functions import normalize_text, tokens
 
 #: tiny per-language stopword marker sets for the n-gram/stopword
 #: language heuristic.  Deliberately small + deterministic: language ID
@@ -331,16 +331,22 @@ def decontaminate(
     docs), so its distinct-gram relation is broadcast — the 100 TB train
     side is scanned once, exploded, and aggregated with map-side
     partials; nothing big ever shuffles on a long string (grams reduce
-    to fixed-width md5 keys first).
+    to fixed-width md5 keys first).  Gram rows come from
+    ``dedup.exploded_shingles`` (posexplode + lead), not
+    ``explode(transform(...))`` — Catalyst's project-collapsing
+    re-evaluates the tokenizer per array element in the latter
+    (measured ~10× slower, see exploded_shingles' docstring).
     """
+    from yet_another_map_reduce_spark.operators.dedup import exploded_shingles
+
     hold_grams = (
-        holdout.select(F.explode(shingles(text_col, n)).alias("gram"))
-        .select(F.md5("gram").alias("g"))
+        exploded_shingles(holdout, text_col, id_col, n)
+        .select(F.md5("shingle").alias("g"))
         .distinct()
     )
     doc_grams = (
-        train.select(F.col(id_col), F.explode(shingles(text_col, n)).alias("gram"))
-        .select(id_col, F.md5("gram").alias("g"))
+        exploded_shingles(train, text_col, id_col, n)
+        .select(id_col, F.md5("shingle").alias("g"))
         .distinct()
     )
     matched = (
@@ -377,19 +383,35 @@ def repetition_stats(
     occurrences whose trigram repeats at all — the published signals for
     machine-generated or boilerplate text (Gopher's repetition filters).
 
-    One exploded union for all three gram sizes → one (doc, n, gram)
-    count with map-side partials → one per-doc rollup. Grams shuffle as
-    md5 keys, never the raw strings; everything else is conditional
-    aggregation inside whole-stage codegen.
+    One posexplode of the token stream + ONE lead-window pass builds
+    unigrams, bigrams, and trigrams side by side (``stack`` unpivots
+    them into (n, gram) rows) → one (doc, n, gram) count with map-side
+    partials → one per-doc rollup. Grams shuffle as md5 keys, never the
+    raw strings; everything else is conditional aggregation inside
+    whole-stage codegen.
     """
-    grams = None
-    for n in (1, 2, 3):
-        g = df.select(
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("__pos", "__tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    l1 = F.lead("__tok", 1).over(w)
+    l2 = F.lead("__tok", 2).over(w)
+    wide = tok.select(
+        F.col(id_col),
+        F.col("__tok").alias("g1"),
+        F.when(l1.isNotNull(), F.concat_ws(" ", F.col("__tok"), l1)).alias("g2"),
+        F.when(l2.isNotNull(), F.concat_ws(" ", F.col("__tok"), l1, l2)).alias("g3"),
+    )
+    grams = (
+        wide.select(
             F.col(id_col),
-            F.lit(n).alias("n"),
-            F.explode(shingles(text_col, n)).alias("gram"),
-        ).select(id_col, "n", F.md5("gram").alias("g"))
-        grams = g if grams is None else grams.unionByName(g)
+            F.expr("stack(3, 1, g1, 2, g2, 3, g3) AS (n, gram)"),
+        )
+        .where(F.col("gram").isNotNull())
+        .select(id_col, "n", F.md5("gram").alias("g"))
+    )
     cnt = grams.groupBy(id_col, "n", "g").agg(F.count(F.lit(1)).alias("c"))
     per_n = cnt.groupBy(id_col, "n").agg(
         F.max("c").alias("maxc"),
@@ -434,9 +456,11 @@ def boilerplate_ngram_stats(
     times); the per-doc join is gram-keyed, so boilerplate concentration
     skews at 100 TB are exactly the skew AQE's join splitting handles.
     """
-    grams = df.select(
-        F.col(id_col), F.explode(shingles(text_col, n)).alias("gram")
-    ).select(id_col, F.md5("gram").alias("g"))
+    from yet_another_map_reduce_spark.operators.dedup import exploded_shingles
+
+    grams = exploded_shingles(df, text_col, id_col, n).select(
+        id_col, F.md5("shingle").alias("g")
+    )
     docfreq = (
         grams.distinct()
         .groupBy("g")

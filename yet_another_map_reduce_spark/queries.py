@@ -1031,6 +1031,29 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
+def q_embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic clustering of the embedding corpus (similarity.
+    kmeans_assign: distributed Lloyd's training + broadcast-centroid
+    assignment), rolled up to per-cluster size and mean cosine — the
+    topic-bucketing step of an embedding-space curation pipeline.
+    Iterative training is not SQL-expressible: driver records
+    rows-only; planted-cluster recovery is pinned by tests."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    # 2 training iterations keep the demo inside the suite's time
+    # budget (convergence is pinned by the planted-cluster test)
+    assigned = similarity.kmeans_assign(
+        emb, "vec_id", "embedding", nlist=8, iterations=2
+    )
+    return (
+        assigned.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.round(F.avg("cos"), 6).alias("avg_cos"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF search over k-means-TRAINED centroids (similarity.
     train_ivf_centroids — distributed Lloyd's, map-only assignment +
@@ -3920,6 +3943,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_stratified": q_sample_stratified,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "embedding_kmeans_clusters": q_embedding_kmeans_clusters,
     "ann_ivf_trained": q_ann_ivf_trained,
     "multimodal_features": q_multimodal_features,
     "agg_percentiles_approx": q_agg_percentiles_approx,
