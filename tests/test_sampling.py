@@ -59,3 +59,49 @@ def test_profile_columns_counts_nulls_and_distincts(spark):
     got = {r["col_name"]: r for r in aggregates.profile_columns(df, ["id", "s"]).collect()}
     assert got["id"]["n_rows"] == 4 and got["id"]["n_nulls"] == 0 and got["id"]["n_distinct"] == 4
     assert got["s"]["n_nulls"] == 1 and got["s"]["n_distinct"] == 2
+
+
+def test_deterministic_shuffle_is_layout_invariant(spark):
+    df = spark.range(200).withColumnRenamed("id", "doc_id")
+    a = [r["doc_id"] for r in sampling.deterministic_shuffle(df, "doc_id", seed=1).collect()]
+    b = [
+        r["doc_id"]
+        for r in sampling.deterministic_shuffle(df.repartition(13), "doc_id", seed=1).collect()
+    ]
+    assert a == b  # permutation independent of partition layout
+    assert a != list(range(200))  # actually shuffled
+    c = [r["doc_id"] for r in sampling.deterministic_shuffle(df, "doc_id", seed=2).collect()]
+    assert a != c  # a different seed gives a different epoch order
+
+
+def test_mixture_sample_replicates_and_drops_by_weight(spark):
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "double")
+        .when(F.col("id") % 3 == 1, "keep")
+        .otherwise("drop")
+        .alias("grp"),
+    )
+    out = sampling.mixture_sample(
+        df, "grp", "doc_id", {"double": 2.0, "keep": 1.0, "drop": 0.0}, seed=0
+    )
+    rows = out.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"), F.max("copy_id").alias("maxc")
+    )
+    got = {r["grp"]: (r["n"], r["maxc"]) for r in rows.collect()}
+    assert got["double"] == (200, 2)  # every row exactly twice
+    assert got["keep"] == (100, 1)
+    assert "drop" not in got  # weight 0 removes the group entirely
+
+
+def test_mixture_sample_fractional_weight_is_hash_exact(spark):
+    from yet_another_map_reduce_spark.functions import md5_hash64
+
+    df = spark.range(1000).select(F.col("id").alias("doc_id"), F.lit("g").alias("grp"))
+    out = sampling.mixture_sample(df, "grp", "doc_id", {"g": 0.25}, seed=5)
+    kept = {r["doc_id"] for r in out.collect()}
+    expected = {
+        r["doc_id"]
+        for r in df.where(F.pmod(md5_hash64("doc_id", 5), F.lit(1000)) < 250).collect()
+    }
+    assert kept == expected  # the exact hash-bucket rule, not approximately-25%

@@ -55,3 +55,61 @@ def reservoir_per_group(
         .where(F.col("__r") <= k)
         .drop("__r")
     )
+
+
+def deterministic_shuffle(df: DataFrame, id_col: Column | str, seed: int = 0) -> DataFrame:
+    """Seeded global shuffle of a corpus: order rows by a deterministic
+    hash of their id — the "shuffle the training data" step of a
+    pretraining pipeline, reproducible bit-for-bit across runs, cluster
+    layouts, and engine versions (``df.orderBy(rand(seed))`` is none of
+    those: Spark's rand is partition-layout dependent).
+
+    Emits the hash as ``shuffle_key``: downstream writers sort/range-
+    partition by it (a plain distributed sort — no global row-number
+    bottleneck), and the key column itself pins the permutation for the
+    correctness oracle.  A different ``seed`` gives an independent
+    epoch order.
+    """
+    return df.withColumn("shuffle_key", md5_hash64(id_col, seed)).orderBy(
+        "shuffle_key", F.col(id_col) if isinstance(id_col, str) else id_col
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: Column | str,
+    weights: dict[str, float],
+    seed: int = 0,
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """Domain-mixture sampling: keep (or replicate) each row according
+    to its group's sampling weight — the source/language mixing step
+    that turns a raw corpus into a training mixture.
+
+    ``weight < 1`` downsamples (keep iff hash bucket < weight·1000);
+    ``weight > 1`` upsamples: every row appears ``floor(weight)`` times
+    and one extra time with probability ``frac(weight)``, each copy
+    tagged with ``copy_id`` (1-based) so downstream epochs can
+    distinguish replicas.  All decisions are pure functions of
+    (id, seed): reproducible across runs and layouts, and expressible
+    in the SQL oracle.
+
+    Scale shape: a narrow projection + filter + explode of a tiny
+    ``sequence`` array — no shuffle, no RNG state, safe at any scale;
+    the skew an aggressive upsample introduces is ordinary row-count
+    skew that AQE handles downstream.
+    """
+    w: Column = F.lit(float(default_weight))
+    for value, weight in sorted(weights.items()):
+        w = F.when(F.col(group_col) == value, F.lit(float(weight))).otherwise(w)
+    bucket = F.pmod(md5_hash64(id_col, seed), F.lit(1000))
+    base = F.floor(w).cast("bigint")
+    extra = (bucket < F.round((w - F.floor(w)) * 1000, 0)).cast("bigint")
+    copies = (base + extra).alias("__copies")
+    return (
+        df.withColumn("__copies", copies)
+        .where(F.col("__copies") > 0)
+        .withColumn("copy_id", F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("__copies"))))
+        .drop("__copies")
+    )

@@ -2142,6 +2142,34 @@ def q_sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic global shuffle (sampling.deterministic_
+    shuffle): the reproducible 'shuffle the training data' pass; the
+    emitted shuffle_key pins the whole permutation for the oracle."""
+    d = read_table(spark, sf_dir, "documents")
+    from yet_another_map_reduce_spark.operators import sampling
+
+    return sampling.deterministic_shuffle(d, "doc_id", seed=7).select(
+        "doc_id", "shuffle_key"
+    )
+
+
+def q_corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling by language (sampling.mixture_sample):
+    en upsampled 1.5x, zh 2x, fr/es downsampled — the mixing step that
+    turns a raw corpus into a training mixture; pure hash decisions,
+    no RNG state."""
+    d = read_table(spark, sf_dir, "documents")
+    from yet_another_map_reduce_spark.operators import sampling
+
+    weights = {"en": 1.5, "de": 1.0, "fr": 0.5, "es": 0.25, "zh": 2.0}
+    return (
+        sampling.mixture_sample(d, "lang", "doc_id", weights, seed=3)
+        .select("doc_id", "lang", "copy_id")
+        .orderBy("doc_id", "copy_id")
+    )
+
+
 def q_sample_reservoir_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stable uniform 5-row sample per market segment
     (operators/sampling.reservoir_per_group): hash-rank, keep smallest."""
@@ -2541,6 +2569,34 @@ ORACLES: dict[str, str] = {
         LEFT JOIN (SELECT * FROM lineitem WHERE l_orderkey % 1000 = 0) l
           ON o.o_orderkey = l.l_orderkey
         GROUP BY o.o_orderkey, o.o_totalprice
+    """,
+    "corpus_shuffle": f"""
+        SELECT doc_id,
+               {_sql_hash64("CAST(doc_id AS VARCHAR)", seed=7)} AS shuffle_key
+        FROM documents
+        ORDER BY shuffle_key, doc_id
+    """,
+    "corpus_mixture_sample": f"""
+        WITH base AS (
+            SELECT doc_id, lang,
+                   CASE lang WHEN 'en' THEN 1.5 WHEN 'de' THEN 1.0
+                             WHEN 'fr' THEN 0.5 WHEN 'es' THEN 0.25
+                             WHEN 'zh' THEN 2.0 ELSE 1.0 END AS w,
+                   {_sql_hash64("CAST(doc_id AS VARCHAR)", seed=3)} % 1000
+                       AS bucket
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, lang,
+                   CAST(floor(w) AS BIGINT)
+                   + (CASE WHEN bucket < round((w - floor(w)) * 1000, 0)
+                           THEN 1 ELSE 0 END) AS copies
+            FROM base
+        )
+        SELECT doc_id, lang, CAST(unnest(generate_series(1, copies)) AS BIGINT)
+                   AS copy_id
+        FROM c WHERE copies > 0
+        ORDER BY doc_id, copy_id
     """,
     "sample_hash_split": f"""
         SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
@@ -3994,6 +4050,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join": q_range_join,
     "agg_median": q_agg_median,
     "sample_hash_split": q_sample_hash_split,
+    "corpus_shuffle": q_corpus_shuffle,
+    "corpus_mixture_sample": q_corpus_mixture_sample,
     "join_revenue_by_nation": q_join_revenue_by_nation,
     "tfidf_top_terms": q_tfidf_top_terms,
     "rdd_wordcount": q_rdd_wordcount,
