@@ -83,3 +83,30 @@ def test_extract_features_uses_real_pixels_for_ppm(spark):
     media = multimodal.synthetic_ppm_media(ids, "doc_id", width=8, height=8)
     feats = multimodal.extract_features(media).collect()[0]["features"]
     assert feats[0] == 8.0 and feats[1] == 8.0  # width, height from real decode
+
+
+def test_mjpm_roundtrip_and_sampling_cadence(spark):
+    ids = spark.createDataFrame([(3,)], "doc_id long")
+    video = multimodal.synthetic_video_media(
+        ids, "doc_id", n_frames=6, frame_ms=40, width=8, height=8
+    )
+    # every_ms == frame_ms -> every frame survives
+    all_frames = multimodal.sample_video_frames(video, every_ms=40).collect()
+    assert [r["frame_idx"] for r in all_frames] == [0, 1, 2, 3, 4, 5]
+    assert [r["ts_ms"] for r in all_frames] == [0, 40, 80, 120, 160, 200]
+    # every_ms == 2*frame_ms -> every other frame
+    sampled = multimodal.sample_video_frames(video, every_ms=80).collect()
+    assert [r["frame_idx"] for r in sampled] == [0, 2, 4]
+    # each sampled frame is a decodable P6 equal to the fixture pattern
+    img = multimodal._decode_ppm(sampled[1]["content"])
+    assert img is not None and img.shape == (8, 8, 3)
+    assert img[0, 0, 0] == ((3 * 1000 + 2) * 31) % 256
+
+
+def test_mjpm_quarantines_garbage(spark):
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"not a video")), (2, None)], "media_id long, content binary"
+    )
+    rows = multimodal.sample_video_frames(bad, every_ms=40).collect()
+    assert len(rows) == 2
+    assert all(r["frame_idx"] is None and r["content"] is None for r in rows)

@@ -404,8 +404,122 @@ def synthetic_wav_media(
     )
 
 
+# --------------------------------------------------------------------------
+# video: an uncompressed container (no codec library needed)
+#
+# MJPM ("motion PPM") layout, little-endian:
+#   b"MJPM" | uint32 n_frames | uint32 frame_ms | n_frames x (uint32 len | P6)
+#
+# Compressed containers (mp4/webm) genuinely require a codec library
+# absent from this environment; MJPM keeps the *Spark-side* pipeline —
+# binary column in, per-frame explode out, chained PPM decode — fully
+# real.  Swap `_parse_mjpm` for a pyav/ffmpeg call to handle real
+# containers with the same operator shape.
+# --------------------------------------------------------------------------
+
+_MJPM_MAGIC = b"MJPM"
+
+
+def synthetic_video_media(
+    df: DataFrame,
+    id_col: str,
+    n_frames: int = 6,
+    frame_ms: int = 40,
+    width: int = 8,
+    height: int = 8,
+) -> DataFrame:
+    """Deterministic MJPM fixture: frame ``f`` of video ``i`` is the
+    synthetic PPM pattern of :func:`synthetic_ppm_media` for index
+    ``i * 1000 + f`` — re-derivable arithmetically by any engine."""
+    import struct
+
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        y, x, c = np.meshgrid(
+            np.arange(height), np.arange(width), np.arange(3), indexing="ij"
+        )
+        base = (y * 7 + x * 3 + c * 11).astype(np.int64)
+        for batch in batches:
+            blobs = []
+            for i in batch[id_col]:
+                frames = [
+                    encode_ppm((((int(i) * 1000 + f) * 31 + base) % 256).astype(np.uint8))
+                    for f in range(n_frames)
+                ]
+                payload = b"".join(struct.pack("<I", len(p)) + p for p in frames)
+                blobs.append(
+                    _MJPM_MAGIC + struct.pack("<II", n_frames, frame_ms) + payload
+                )
+            yield pd.DataFrame({"media_id": batch[id_col], "content": blobs})
+
+    return df.select(F.col(id_col).cast("bigint").alias(id_col)).mapInPandas(
+        kernel, schema="media_id long, content binary"
+    )
+
+
+def _parse_mjpm(blob: bytes | None):
+    """MJPM container → (frame_ms, [frame bytes]) or None if unparseable."""
+    import struct
+
+    if not blob or not blob.startswith(_MJPM_MAGIC) or len(blob) < 12:
+        return None
+    n_frames, frame_ms = struct.unpack_from("<II", blob, 4)
+    frames, off = [], 12
+    for _ in range(n_frames):
+        if off + 4 > len(blob):
+            return None
+        (ln,) = struct.unpack_from("<I", blob, off)
+        off += 4
+        if off + ln > len(blob):
+            return None
+        frames.append(blob[off : off + ln])
+        off += ln
+    return frame_ms, frames
+
+
+VIDEO_FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("ts_ms", LongType()),
+        StructField("content", BinaryType()),
+    ]
+)
+
+
 def sample_video_frames(df: DataFrame, every_ms: int) -> DataFrame:
-    """Stub — video containers (mp4/webm) genuinely require a codec
-    library absent from this container; the image/audio kernels above
-    show the real mapInPandas shape a frame sampler would use."""
-    raise NotImplementedError("video frame sampling requires a codec library; stubbed by design")
+    """REAL frame sampling over the MJPM container: parse the frame
+    index, keep frames whose timestamp (``frame_idx * frame_ms``) lands
+    on an ``every_ms`` boundary, and emit one row per kept frame with
+    the raw P6 bytes — ready to chain into :func:`decode_image` /
+    :func:`resize_image` (same ``media_id``/``content`` contract).
+
+    Arrow-batched ``mapInPandas``; a video never leaves its partition
+    and only sampled frames are materialized (the skip is a byte-offset
+    walk, not a decode).  Unparseable blobs become one quarantine row
+    (null ``frame_idx``) instead of failing the batch.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {k: [] for k in ("media_id", "frame_idx", "ts_ms", "content")}
+            for mid, blob in zip(batch["media_id"], batch["content"]):
+                parsed = _parse_mjpm(blob)
+                if parsed is None:
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(None)
+                    out["ts_ms"].append(None)
+                    out["content"].append(None)
+                    continue
+                frame_ms, frames = parsed
+                for idx, frame in enumerate(frames):
+                    ts = idx * frame_ms
+                    if ts % every_ms == 0:
+                        out["media_id"].append(mid)
+                        out["frame_idx"].append(idx)
+                        out["ts_ms"].append(ts)
+                        out["content"].append(frame)
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "content").mapInPandas(kernel, schema=VIDEO_FRAME_SCHEMA)

@@ -1140,6 +1140,38 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling (MJPM uncompressed container: length-
+    prefixed P6 frames) chained into the REAL PPM decode — frame f of
+    video i is the synthetic pattern for index i*1000+f, so sampled-
+    frame channel means are re-derivable in ANSI SQL and the whole
+    sample->decode pipeline is hash-verified."""
+    from yet_another_map_reduce_spark.operators import multimodal
+
+    d = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    video = multimodal.synthetic_video_media(
+        d, "doc_id", n_frames=6, frame_ms=40, width=8, height=8
+    )
+    frames = multimodal.sample_video_frames(video, every_ms=80)
+    decoded = multimodal.decode_image(
+        frames.select(
+            # decode_image keys on media_id; make it unique per frame
+            (F.col("media_id") * 10 + F.col("frame_idx")).alias("media_id"),
+            "content",
+        )
+    )
+    return decoded.select(
+        (F.col("media_id") / 10).cast("bigint").alias("video_id"),
+        F.pmod("media_id", F.lit(10)).cast("bigint").alias("frame_idx"),
+        (F.pmod("media_id", F.lit(10)) * 40).cast("bigint").alias("ts_ms"),
+        "width",
+        "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    ).orderBy("video_id", "frame_idx")
+
+
 def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL WAV PCM16 parse (pure-numpy RIFF walker): synthesized square
     waves per document; sample_rate/n_samples/duration are exact parses
@@ -3900,6 +3932,26 @@ ORACLES: dict[str, str] = {
     """,
     # mirrors synthetic_ppm_media's arithmetic pixels + decode_image's
     # per-channel means: mean over the 8x8 grid of (i*31+y*7+x*3+c*11)%256
+    "multimodal_video_frames": """
+        SELECT CAST(doc_id AS BIGINT) AS video_id,
+               CAST(f.f AS BIGINT) AS frame_idx,
+               CAST(f.f * 40 AS BIGINT) AS ts_ms,
+               CAST(8 AS BIGINT) AS width,
+               CAST(8 AS BIGINT) AS height,
+               round(avg(((doc_id * 1000 + f.f) * 31 + g1.y * 7 + g2.x * 3) % 256), 6)
+                   AS mean_r,
+               round(avg(((doc_id * 1000 + f.f) * 31 + g1.y * 7 + g2.x * 3 + 11) % 256), 6)
+                   AS mean_g,
+               round(avg(((doc_id * 1000 + f.f) * 31 + g1.y * 7 + g2.x * 3 + 22) % 256), 6)
+                   AS mean_b
+        FROM documents,
+             (VALUES (0), (2), (4)) AS f(f),
+             generate_series(0, 7) AS g1(y),
+             generate_series(0, 7) AS g2(x)
+        WHERE doc_id < 100
+        GROUP BY doc_id, f.f
+        ORDER BY video_id, frame_idx
+    """,
     "multimodal_decode": """
         SELECT CAST(doc_id AS BIGINT) AS media_id,
                CAST(8 AS BIGINT) AS width,
@@ -3990,6 +4042,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash_banded": q_dedup_simhash_banded,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_audio": q_multimodal_audio,
+    "multimodal_video_frames": q_multimodal_video_frames,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "sql_cte": q_sql_cte,
     "dedup_components": q_dedup_components,
