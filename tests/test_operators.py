@@ -574,3 +574,18 @@ def test_kmeans_assign_recovers_planted_clusters(spark):
     assert got[2][0] == got[3][0] == got[5][0]
     assert got[0][0] != got[2][0]
     assert all(cos > 0.9 for _, cos in got.values())
+
+
+def test_recursive_hierarchy_depths_match_log2(spark, sf_dir):
+    import math
+
+    from yet_another_map_reduce_spark.queries import QUERIES
+
+    rows = QUERIES["recursive_hierarchy"](spark, sf_dir).collect()
+    got = {r["s_suppkey"]: (r["root"], r["depth"]) for r in rows}
+    assert got[0] == (0, 0)  # key 0 is its own isolated root
+    # every key >= 1 descends from root 1 at depth floor(log2(k))
+    for k, (root, depth) in got.items():
+        if k >= 1:
+            assert root == 1
+            assert depth == math.floor(math.log2(k))

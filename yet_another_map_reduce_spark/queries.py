@@ -824,6 +824,32 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.keep_best_dedup(scored, "text", "doc_id", "q").select("doc_id", "q")
 
 
+def q_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): walk a binary-tree parent
+    relation over supplier keys (parent(k) = floor(k/2)) from the two
+    roots down, emitting root and depth per node — the org-chart /
+    bill-of-materials traversal shape.  Identical ANSI text runs on the
+    oracle.  Depth is O(log max_key), so the iterative plan stays
+    shallow at any corpus size."""
+    read_table(spark, sf_dir, "supplier").createOrReplaceTempView(
+        "__rcte_supplier"
+    )
+    return spark.sql("""
+        WITH RECURSIVE tree(k, root, depth) AS (
+            SELECT s_suppkey, s_suppkey, 0
+            FROM __rcte_supplier WHERE s_suppkey <= 1
+            UNION ALL
+            SELECT s.s_suppkey, t.root, t.depth + 1
+            FROM __rcte_supplier s JOIN tree t
+              ON CAST(FLOOR(s.s_suppkey / 2.0) AS BIGINT) = t.k
+            WHERE s.s_suppkey > 1
+        )
+        SELECT k AS s_suppkey, CAST(root AS BIGINT) AS root,
+               CAST(depth AS BIGINT) AS depth
+        FROM tree ORDER BY s_suppkey
+    """)
+
+
 def q_cross_join_small(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit cartesian product of two dims (the one place cross join
     is legitimate: tiny × tiny grid construction)."""
@@ -3178,6 +3204,20 @@ ORACLES: dict[str, str] = {
               SELECT md5({_TEXT_NORM}) FROM documents WHERE doc_id < 250
           )
     """,
+    "recursive_hierarchy": """
+        WITH RECURSIVE tree(k, root, depth) AS (
+            SELECT s_suppkey, s_suppkey, 0
+            FROM supplier WHERE s_suppkey <= 1
+            UNION ALL
+            SELECT s.s_suppkey, t.root, t.depth + 1
+            FROM supplier s JOIN tree t
+              ON CAST(FLOOR(s.s_suppkey / 2.0) AS BIGINT) = t.k
+            WHERE s.s_suppkey > 1
+        )
+        SELECT k AS s_suppkey, CAST(root AS BIGINT) AS root,
+               CAST(depth AS BIGINT) AS depth
+        FROM tree ORDER BY s_suppkey
+    """,
     "cross_join_small": """
         SELECT r_name, n_name FROM region CROSS JOIN nation
         ORDER BY r_name, n_name
@@ -3996,6 +4036,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_session": q_window_session,
     "dedup_incremental": q_dedup_incremental,
     "cross_join_small": q_cross_join_small,
+    "recursive_hierarchy": q_recursive_hierarchy,
     "tpch_q4_priority": q_tpch_q4_priority,
     "json_variant": q_json_variant,
     "tpch_q13_cust_distribution": q_tpch_q13_cust_distribution,
