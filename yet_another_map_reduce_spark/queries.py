@@ -824,6 +824,56 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.keep_best_dedup(scored, "text", "doc_id", "q").select("doc_id", "q")
 
 
+def q_fuzzy_match_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by edit distance: a deterministically 'dirtied'
+    copy of the supplier names (1-char substitution / insertion by key
+    class) is matched back to the clean registry — blocked equi-join on
+    a name prefix first, levenshtein <= 1 verification second, so the
+    plan is candidate-generation + verify (never an unblocked n² cross
+    join).  The 16-char block key keeps block sizes bounded as the
+    registry grows — a shorter prefix collapses everything onto one hot
+    join key, the exact skew this repo's salting/LSH ops exist to
+    avoid.  Like all blocked ER, pairs differing inside the block key
+    are unrecallable by design; real corpora run multiple blocking
+    passes (phonetic, sorted-neighborhood) to cover them."""
+    s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    dirty = s.select(
+        F.col("s_suppkey").alias("d_id"),
+        F.when(
+            F.col("s_suppkey") % 3 == 0,
+            F.concat(F.expr("substring(s_name, 1, length(s_name) - 1)"), F.lit("X")),
+        )
+        .when(F.col("s_suppkey") % 3 == 1, F.concat(F.col("s_name"), F.lit("Q")))
+        .otherwise(F.col("s_name"))
+        .alias("d_name"),
+    )
+    block = lambda c: F.substring(c, 1, 16)  # noqa: E731
+    cand = dirty.join(s, block(F.col("d_name")) == block(F.col("s_name")))
+    return (
+        cand.withColumn("dist", F.levenshtein("d_name", "s_name"))
+        .where(F.col("dist") <= 1)
+        .select("d_id", F.col("s_suppkey").alias("matched_id"),
+                "d_name", "s_name", F.col("dist").cast("bigint").alias("dist"))
+        .orderBy("d_id", "matched_id")
+    )
+
+
+def q_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe scalar surface: try_divide / try_cast return NULL on
+    failure instead of killing a 1000-executor job at the 99.999th
+    percentile row — the ingestion posture for dirty data."""
+    li = read_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 2000)
+    return li.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("bigint").alias("l_linenumber"),
+        F.try_divide(F.col("l_extendedprice"), F.col("l_quantity")).alias("unit_price"),
+        F.try_divide(F.col("l_extendedprice"), F.col("l_quantity") - F.col("l_quantity"))
+            .alias("div_by_zero"),
+        F.expr("try_cast(l_returnflag AS INT)").alias("flag_as_int"),
+        F.expr("try_cast(cast(l_orderkey AS STRING) AS BIGINT)").alias("roundtrip_key"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
 def q_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive CTE (Spark 4 WITH RECURSIVE): walk a binary-tree parent
     relation over supplier keys (parent(k) = floor(k/2)) from the two
@@ -3204,6 +3254,32 @@ ORACLES: dict[str, str] = {
               SELECT md5({_TEXT_NORM}) FROM documents WHERE doc_id < 250
           )
     """,
+    "fuzzy_match_entities": """
+        WITH dirty AS (
+            SELECT s_suppkey AS d_id,
+                   CASE WHEN s_suppkey % 3 = 0
+                        THEN substr(s_name, 1, length(s_name) - 1) || 'X'
+                        WHEN s_suppkey % 3 = 1 THEN s_name || 'Q'
+                        ELSE s_name END AS d_name
+            FROM supplier
+        )
+        SELECT d_id, s_suppkey AS matched_id, d_name, s_name,
+               CAST(levenshtein(d_name, s_name) AS BIGINT) AS dist
+        FROM dirty JOIN supplier
+          ON substr(d_name, 1, 16) = substr(s_name, 1, 16)
+        WHERE levenshtein(d_name, s_name) <= 1
+        ORDER BY d_id, matched_id
+    """,
+    "try_functions": """
+        SELECT l_orderkey,
+               CAST(l_linenumber AS BIGINT) AS l_linenumber,
+               l_extendedprice / nullif(l_quantity, 0) AS unit_price,
+               l_extendedprice / nullif(l_quantity - l_quantity, 0) AS div_by_zero,
+               TRY_CAST(l_returnflag AS INT) AS flag_as_int,
+               TRY_CAST(CAST(l_orderkey AS VARCHAR) AS BIGINT) AS roundtrip_key
+        FROM lineitem WHERE l_orderkey < 2000
+        ORDER BY l_orderkey, l_linenumber
+    """,
     "recursive_hierarchy": """
         WITH RECURSIVE tree(k, root, depth) AS (
             SELECT s_suppkey, s_suppkey, 0
@@ -4037,6 +4113,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_incremental": q_dedup_incremental,
     "cross_join_small": q_cross_join_small,
     "recursive_hierarchy": q_recursive_hierarchy,
+    "fuzzy_match_entities": q_fuzzy_match_entities,
+    "try_functions": q_try_functions,
     "tpch_q4_priority": q_tpch_q4_priority,
     "json_variant": q_json_variant,
     "tpch_q13_cust_distribution": q_tpch_q13_cust_distribution,
