@@ -957,6 +957,39 @@ def q_text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_pipeline_corpus_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-hygiene verdict: decontamination (4-gram
+    overlap vs the doc_id%10 holdout) + Gopher repetition filters +
+    corpus-frequency boilerplate detection, joined into one keep/drop
+    decision per training document — the filter stack a pretraining
+    corpus passes before mixing.  Three per-doc relations join on the
+    doc id (AQE broadcasts the small aggregates); at petabyte scale the
+    gram passes would share one exploded-token relation."""
+    d = read_table(spark, sf_dir, "documents")
+    holdout = d.where(F.col("doc_id") % 10 == 0)
+    train = d.where(F.col("doc_id") % 10 != 0)
+    dec = text.decontaminate(train, holdout, n=4, threshold=0.01)
+    rep = text.repetition_stats(
+        d, max_top_bigram_frac=0.06, max_dup_trigram_frac=0.05
+    ).select("doc_id", "top_bigram_frac", "dup_trigram_frac", F.col("keep").alias("keep_rep"))
+    bp = text.boilerplate_ngram_stats(
+        d, n=5, max_doc_freq=2, max_boilerplate_frac=0.05
+    ).select("doc_id", "boilerplate_frac", F.col("keep").alias("keep_bp"))
+    return (
+        dec.join(rep, "doc_id")
+        .join(bp, "doc_id")
+        .select(
+            "doc_id",
+            "contamination",
+            "top_bigram_frac",
+            "dup_trigram_frac",
+            "boilerplate_frac",
+            (~F.col("is_contaminated") & F.col("keep_rep") & F.col("keep_bp")).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_corpus_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style corpus-frequency boilerplate detection over 5-grams
     (an n-gram in >2 distinct docs is boilerplate)."""
@@ -4084,6 +4117,19 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+# composed oracle: the hygiene pipeline is exactly its three stages
+# joined on doc_id, so the oracle reuses their (already verified) SQL
+# bodies as derived tables — one definition per stage, no drift
+ORACLES["pipeline_corpus_hygiene"] = f"""
+    SELECT d.doc_id, d.contamination, r.top_bigram_frac, r.dup_trigram_frac,
+           b.boilerplate_frac,
+           ((NOT d.is_contaminated) AND r.keep AND b.keep) AS keep
+    FROM ({ORACLES["text_decontaminate"]}) d
+    JOIN ({ORACLES["text_repetition_stats"]}) r ON d.doc_id = r.doc_id
+    JOIN ({ORACLES["corpus_boilerplate_ngrams"]}) b ON d.doc_id = b.doc_id
+    ORDER BY d.doc_id
+"""
+
 
 # ===========================================================================
 # registry
@@ -4134,6 +4180,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_decontaminate": q_text_decontaminate,
     "text_repetition_stats": q_text_repetition_stats,
     "corpus_boilerplate_ngrams": q_corpus_boilerplate_ngrams,
+    "pipeline_corpus_hygiene": q_pipeline_corpus_hygiene,
     "ann_cosine_topk": q_ann_cosine_topk,
     "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
     "tpch_q18_large_orders": q_tpch_q18_large_orders,
