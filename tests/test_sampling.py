@@ -105,3 +105,21 @@ def test_mixture_sample_fractional_weight_is_hash_exact(spark):
         for r in df.where(F.pmod(md5_hash64("doc_id", 5), F.lit(1000)) < 250).collect()
     }
     assert kept == expected  # the exact hash-bucket rule, not approximately-25%
+
+
+def test_mixture_sample_by_weights_matches_literal_variant(spark):
+    df = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("grp"),
+    )
+    lit = sampling.mixture_sample(df, "grp", "doc_id", {"a": 1.5, "b": 0.25}, seed=9)
+    wdf = spark.createDataFrame([("a", 1.5), ("b", 0.25)], "grp string, weight double")
+    tab = sampling.mixture_sample_by_weights(df, "grp", "doc_id", wdf, seed=9)
+    assert sorted(map(tuple, lit.select("doc_id", "copy_id").collect())) == sorted(
+        map(tuple, tab.select("doc_id", "copy_id").collect())
+    )
+    # a group absent from the weights table falls back to default 1.0
+    wdf_partial = spark.createDataFrame([("a", 2.0)], "grp string, weight double")
+    part = sampling.mixture_sample_by_weights(df, "grp", "doc_id", wdf_partial, seed=9)
+    got = {r["grp"]: r["n"] for r in part.groupBy("grp").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == {"a": 400, "b": 200}

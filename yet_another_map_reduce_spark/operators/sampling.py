@@ -103,6 +103,14 @@ def mixture_sample(
     w: Column = F.lit(float(default_weight))
     for value, weight in sorted(weights.items()):
         w = F.when(F.col(group_col) == value, F.lit(float(weight))).otherwise(w)
+    return _replicate_by_weight(df, w, id_col, seed)
+
+
+def _replicate_by_weight(
+    df: DataFrame, w: Column, id_col: Column | str, seed: int
+) -> DataFrame:
+    """Shared keep/replicate kernel: floor(w) copies plus one extra with
+    probability frac(w), decided by the row's hash bucket."""
     bucket = F.pmod(md5_hash64(id_col, seed), F.lit(1000))
     base = F.floor(w).cast("bigint")
     extra = (bucket < F.round((w - F.floor(w)) * 1000, 0)).cast("bigint")
@@ -113,3 +121,29 @@ def mixture_sample(
         .withColumn("copy_id", F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("__copies"))))
         .drop("__copies")
     )
+
+
+def mixture_sample_by_weights(
+    df: DataFrame,
+    group_col: str,
+    id_col: Column | str,
+    weights_df: DataFrame,
+    weight_col: str = "weight",
+    seed: int = 0,
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """:func:`mixture_sample` with COMPUTED weights: ``weights_df`` is a
+    tiny (group, weight) relation — typically derived from the corpus
+    itself (hit a target token distribution, equalize domains, match a
+    published mixture) — broadcast-joined onto the data.
+
+    This is the at-scale shape: mixture weights come out of an
+    aggregation over the same 100 TB corpus, never a hand-typed
+    literal; groups missing from ``weights_df`` fall back to
+    ``default_weight``.
+    """
+    w = F.coalesce(F.col(weight_col), F.lit(float(default_weight)))
+    joined = df.join(
+        F.broadcast(weights_df.select(group_col, weight_col)), on=group_col, how="left"
+    )
+    return _replicate_by_weight(joined, w, id_col, seed).drop(weight_col)

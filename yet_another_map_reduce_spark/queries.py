@@ -2311,6 +2311,24 @@ def q_corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_rebalance_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven mixture: weights COMPUTED from the corpus (downsample
+    every language to the smallest language's character budget), then
+    applied via hash-deterministic sampling — the at-scale shape where
+    mixture weights come out of an aggregation, not a hand-typed
+    literal (sampling.mixture_sample_by_weights)."""
+    d = read_table(spark, sf_dir, "documents")
+    from yet_another_map_reduce_spark.operators import sampling
+
+    totals = d.groupBy("lang").agg(F.sum("n_chars").alias("chars"))
+    mn = totals.agg(F.min("chars").alias("mn"))
+    weights = totals.join(F.broadcast(mn)).select(
+        "lang", (F.col("mn") / F.col("chars")).alias("weight")
+    )
+    out = sampling.mixture_sample_by_weights(d, "lang", "doc_id", weights, seed=11)
+    return out.select("doc_id", "lang", "copy_id").orderBy("doc_id", "copy_id")
+
+
 def q_sample_reservoir_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stable uniform 5-row sample per market segment
     (operators/sampling.reservoir_per_group): hash-rank, keep smallest."""
@@ -2731,6 +2749,30 @@ ORACLES: dict[str, str] = {
             SELECT doc_id, lang,
                    CAST(floor(w) AS BIGINT)
                    + (CASE WHEN bucket < round((w - floor(w)) * 1000, 0)
+                           THEN 1 ELSE 0 END) AS copies
+            FROM base
+        )
+        SELECT doc_id, lang, CAST(unnest(generate_series(1, copies)) AS BIGINT)
+                   AS copy_id
+        FROM c WHERE copies > 0
+        ORDER BY doc_id, copy_id
+    """,
+    "corpus_rebalance_langs": f"""
+        WITH totals AS (
+            SELECT lang, sum(n_chars) AS chars FROM documents GROUP BY lang
+        ),
+        mn AS (SELECT min(chars) AS mn FROM totals),
+        w AS (SELECT lang, mn * 1.0 / chars AS weight FROM totals, mn),
+        base AS (
+            SELECT doc_id, d.lang, weight,
+                   {_sql_hash64("CAST(doc_id AS VARCHAR)", seed=11)} % 1000
+                       AS bucket
+            FROM documents d JOIN w USING (lang)
+        ),
+        c AS (
+            SELECT doc_id, lang,
+                   CAST(floor(weight) AS BIGINT)
+                   + (CASE WHEN bucket < round((weight - floor(weight)) * 1000, 0)
                            THEN 1 ELSE 0 END) AS copies
             FROM base
         )
@@ -4271,6 +4313,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_hash_split": q_sample_hash_split,
     "corpus_shuffle": q_corpus_shuffle,
     "corpus_mixture_sample": q_corpus_mixture_sample,
+    "corpus_rebalance_langs": q_corpus_rebalance_langs,
     "join_revenue_by_nation": q_join_revenue_by_nation,
     "tfidf_top_terms": q_tfidf_top_terms,
     "rdd_wordcount": q_rdd_wordcount,
