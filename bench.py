@@ -77,6 +77,16 @@ def main() -> None:
     only = [q for q in sys.argv[1:] if not q.startswith("-")]
     spark = build_session(app_name="yamr-bench")
 
+    # global warmup: absorb JVM/JIT + parquet-reader cold start so the
+    # FIRST registry entry's timed runs aren't inflated by shared-infra
+    # compilation (per-query warmups don't cover cross-query JIT; the
+    # first-listed query otherwise reads ~2x its steady-state time
+    # purely from registry position)
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    _force(li.groupBy("l_returnflag").count())
+    _force(li.orderBy("l_orderkey").limit(10))
+    _force(li.join(li.limit(100), "l_orderkey"))
+
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
         if only and name not in only:
