@@ -178,3 +178,38 @@ def test_parquet_schema_evolution_merges_and_nulls(spark, tmp_path):
     assert set(df.columns) == {"id", "s", "score"}
     got = {r["id"]: r["score"] for r in df.collect()}
     assert got == {1: None, 2: 9.5}
+
+
+def test_read_table_normalizes_events_ts_layouts(spark, sf_dir, tmp_path):
+    """events.ts physical type has varied across testdata generations
+    (TIMESTAMP(NANOS) read as bigint under nanosAsLong; plain us
+    timestamp-without-tz read as TIMESTAMP_NTZ).  read_table must give
+    downstream epoch arithmetic a session-UTC TIMESTAMP either way —
+    sessionize_gaps broke on the NTZ layout (cast-to-long rejected)."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampType
+
+    from yet_another_map_reduce_spark.sources.readers import read_table
+
+    e = read_table(spark, sf_dir, "events")
+    assert isinstance(e.schema["ts"].dataType, TimestampType)
+    # epoch arithmetic (the thing NTZ rejects) works
+    assert e.select(F.col("ts").cast("long")).first()[0] is not None
+
+    # rebuild the NTZ layout explicitly and run it through the same path
+    ntz_dir = os.path.join(str(tmp_path), "sfntz")
+    os.makedirs(ntz_dir)
+    e.limit(50).select(
+        "event_id", F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    ).write.parquet(os.path.join(ntz_dir, "events.parquet"))
+    e2 = read_table(spark, ntz_dir, "events")
+    assert isinstance(e2.schema["ts"].dataType, TimestampType)
+    # same UTC instants either way (session tz is pinned UTC)
+    a = {r["event_id"]: r["epoch"] for r in
+         e.limit(50).select("event_id", F.col("ts").cast("long").alias("epoch")).collect()}
+    b = {r["event_id"]: r["epoch"] for r in
+         e2.select("event_id", F.col("ts").cast("long").alias("epoch")).collect()}
+    assert a == b

@@ -874,6 +874,19 @@ def q_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_orderkey", "l_linenumber")
 
 
+def q_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL sugar (Spark 4 + DuckDB share the
+    syntax): group keys inferred from the non-aggregate select items."""
+    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("__gba_lineitem")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(l_extendedprice), 2) AS revenue
+        FROM __gba_lineitem
+        GROUP BY ALL ORDER BY ALL
+    """)
+
+
 def q_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive CTE (Spark 4 WITH RECURSIVE): walk a binary-tree parent
     relation over supplier keys (parent(k) = floor(k/2)) from the two
@@ -3355,6 +3368,13 @@ ORACLES: dict[str, str] = {
         FROM lineitem WHERE l_orderkey < 2000
         ORDER BY l_orderkey, l_linenumber
     """,
+    "group_by_all": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(l_extendedprice), 2) AS revenue
+        FROM lineitem
+        GROUP BY ALL ORDER BY ALL
+    """,
     "recursive_hierarchy": """
         WITH RECURSIVE tree(k, root, depth) AS (
             SELECT s_suppkey, s_suppkey, 0
@@ -4201,6 +4221,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_incremental": q_dedup_incremental,
     "cross_join_small": q_cross_join_small,
     "recursive_hierarchy": q_recursive_hierarchy,
+    "group_by_all": q_group_by_all,
     "fuzzy_match_entities": q_fuzzy_match_entities,
     "try_functions": q_try_functions,
     "tpch_q4_priority": q_tpch_q4_priority,
