@@ -589,3 +589,25 @@ def test_recursive_hierarchy_depths_match_log2(spark, sf_dir):
         if k >= 1:
             assert root == 1
             assert depth == math.floor(math.log2(k))
+
+
+def test_decontaminate_non_broadcast_path_equivalent(spark):
+    from yet_another_map_reduce_spark.operators import text
+
+    holdout = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [(1, "she saw the quick brown fox jumps right past"),
+         (2, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    a = text.decontaminate(train, holdout, n=4, broadcast_holdout=True)
+    b = text.decontaminate(train, holdout, n=4, broadcast_holdout=False)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # broadcast_holdout only controls the explicit hint — AQE may still
+    # CHOOSE broadcast for a genuinely small side, so assert on the
+    # analyzed plan's hint, not the physical strategy
+    assert "ResolvedHint" in a._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in b._jdf.queryExecution().analyzed().toString()

@@ -317,6 +317,7 @@ def decontaminate(
     threshold: float = 0.01,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_holdout: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing word
     n-grams with a holdout/eval set — the overlap check every serious
@@ -327,11 +328,14 @@ def decontaminate(
     holdout, their ratio, and an ``is_contaminated`` verdict at
     ``threshold``.
 
-    Scale shape: the holdout is benchmark-eval-sized (thousands of
-    docs), so its distinct-gram relation is broadcast — the 100 TB train
-    side is scanned once, exploded, and aggregated with map-side
-    partials; nothing big ever shuffles on a long string (grams reduce
-    to fixed-width md5 keys first).  Gram rows come from
+    Scale shape: a benchmark-eval-sized holdout's distinct-gram relation
+    is broadcast (default) — the 100 TB train side is scanned once,
+    exploded, and aggregated with map-side partials; nothing big ever
+    shuffles on a long string (grams reduce to fixed-width md5 keys
+    first).  ``broadcast_holdout=False`` switches the overlap probe to
+    a plain equi-join on the md5 key for holdouts past the broadcast
+    ceiling (e.g. decontaminating one corpus against another corpus) —
+    same result, one extra shuffle.  Gram rows come from
     ``dedup.exploded_shingles`` (posexplode + lead), not
     ``explode(transform(...))`` — Catalyst's project-collapsing
     re-evaluates the tokenizer per array element in the latter
@@ -349,8 +353,9 @@ def decontaminate(
         .select(id_col, F.md5("shingle").alias("g"))
         .distinct()
     )
+    probe = F.broadcast(hold_grams) if broadcast_holdout else hold_grams
     matched = (
-        doc_grams.join(F.broadcast(hold_grams), "g")
+        doc_grams.join(probe, "g")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("matched_ngrams"))
     )
