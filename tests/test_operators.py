@@ -611,3 +611,31 @@ def test_decontaminate_non_broadcast_path_equivalent(spark):
     # analyzed plan's hint, not the physical strategy
     assert "ResolvedHint" in a._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" not in b._jdf.queryExecution().analyzed().toString()
+
+
+def test_ivf_partitioned_index_prunes_partitions(spark, sf_dir, tmp_path):
+    """The IVF 100 TB story made concrete: persist the corpus
+    partitioned by assigned centroid, and a probe of nprobe cells scans
+    ONLY those hive partitions (PartitionFilters in the scan, not a
+    post-scan filter) — file-level pruning is what makes nprobe/nlist
+    the real I/O fraction at scale."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from yet_another_map_reduce_spark.sources.readers import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    assigned = similarity.kmeans_assign(emb, "vec_id", "embedding", nlist=4, iterations=1)
+    index_dir = os.path.join(str(tmp_path), "ivf_index")
+    (
+        emb.join(assigned.select("vec_id", "cluster_id"), "vec_id")
+        .write.partitionBy("cluster_id")
+        .parquet(index_dir)
+    )
+    probed = spark.read.parquet(index_dir).where(F.col("cluster_id").isin(0, 1))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "cluster_id" in plan.split("PartitionFilters")[1][:120]
+    # pruned read returns exactly the rows of the probed cells
+    expected = assigned.where(F.col("cluster_id").isin(0, 1)).count()
+    assert probed.count() == expected and expected > 0
