@@ -213,3 +213,39 @@ def test_read_table_normalizes_events_ts_layouts(spark, sf_dir, tmp_path):
     b = {r["event_id"]: r["epoch"] for r in
          e2.select("event_id", F.col("ts").cast("long").alias("epoch")).collect()}
     assert a == b
+
+
+def test_write_training_shards_is_deterministic_and_bounded(spark, sf_dir, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from yet_another_map_reduce_spark.sources.readers import read_table
+    from yet_another_map_reduce_spark.sources.writers import write_training_shards
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    p1 = os.path.join(str(tmp_path), "shards1")
+    p2 = os.path.join(str(tmp_path), "shards2")
+    write_training_shards(d, p1, "doc_id", num_shards=4, seed=5, max_records_per_file=100)
+    write_training_shards(
+        d.repartition(7), p2, "doc_id", num_shards=4, seed=5, max_records_per_file=100
+    )
+    a = spark.read.parquet(p1)
+    b = spark.read.parquet(p2)
+    # same corpus + seed -> identical shard contents regardless of input layout
+    key = lambda df: sorted(map(tuple, df.select("doc_id", "shuffle_key").collect()))  # noqa: E731
+    assert key(a) == key(b)
+    # every file respects the record cap, and no row was lost
+    files = [f for f in os.listdir(p1) if f.endswith(".parquet")]
+    assert len(files) >= 4
+    for f in files:
+        assert spark.read.parquet(os.path.join(p1, f)).count() <= 100
+    assert a.count() == d.count()
+    # shards are contiguous hash ranges: per-file min/max don't overlap
+    ranges = sorted(
+        (r["mn"], r["mx"]) for f in files
+        for r in [spark.read.parquet(os.path.join(p1, f))
+                  .agg(F.min("shuffle_key").alias("mn"), F.max("shuffle_key").alias("mx")).first()]
+    )
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2

@@ -127,3 +127,42 @@ def compact_parquet(
     n = max(1, math.ceil(total / target_file_bytes))
     spark.read.parquet(src).repartition(n).write.mode("overwrite").parquet(dst)
     return n
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    num_shards: int,
+    seed: int = 0,
+    max_records_per_file: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a training corpus as deterministic, read-order-stable
+    shards — the last mile of a corpus-prep pipeline (what the trainer's
+    data loader consumes).
+
+    Rows are ordered by a seeded hash of their id
+    (``sampling.deterministic_shuffle``) and range-partitioned into
+    ``num_shards`` files, so (a) the global example order is a pure
+    function of (ids, seed) — independent of cluster layout, rerunnable
+    bit-for-bit, re-seedable per epoch — and (b) each shard is a
+    contiguous hash range, so shard boundaries are stable under
+    re-writes of the same corpus.  ``max_records_per_file`` caps file
+    size for loaders that stream fixed-size chunks.
+
+    Scale shape: one range-partitioning shuffle (Spark samples the hash
+    key to build balanced ranges), then a parallel write; no global
+    sort bottleneck, no driver materialization.
+    """
+    from yet_another_map_reduce_spark.operators.sampling import deterministic_shuffle
+
+    shuffled = deterministic_shuffle(df, id_col, seed=seed)
+    writer = (
+        shuffled.repartitionByRange(num_shards, "shuffle_key")
+        .sortWithinPartitions("shuffle_key")
+        .write.mode(mode)
+    )
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(path)
