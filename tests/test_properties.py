@@ -121,3 +121,43 @@ def test_connected_components_equals_union_find(spark, edges):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r["id"]: r["component"] for r in connected_components(df).collect()}
     assert got == want
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    ids=st.lists(st.text(alphabet="abcdef0123456789", min_size=1, max_size=8),
+                 min_size=1, max_size=40, unique=True),
+    seed=st.integers(min_value=0, max_value=5),
+)
+def test_deterministic_shuffle_is_permutation(spark, ids, seed):
+    from yet_another_map_reduce_spark.operators.sampling import deterministic_shuffle
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id string")
+    out = deterministic_shuffle(df, "doc_id", seed=seed).collect()
+    # exactly a permutation: multiset of ids preserved, no dup/loss
+    assert Counter(r["doc_id"] for r in out) == Counter(ids)
+    # output order is the hash order (stable re-derivation)
+    keys = [r["shuffle_key"] for r in out]
+    assert keys == sorted(keys)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    n=st.integers(min_value=1, max_value=60),
+    weight=st.floats(min_value=0.0, max_value=3.0, allow_nan=False),
+    seed=st.integers(min_value=0, max_value=5),
+)
+def test_mixture_sample_copy_counts_bracket_weight(spark, n, weight, seed):
+    import math
+
+    from yet_another_map_reduce_spark.operators.sampling import mixture_sample
+
+    df = spark.range(n).select(F.col("id").alias("doc_id"), F.lit("g").alias("grp"))
+    out = mixture_sample(df, "grp", "doc_id", {"g": weight}, seed=seed)
+    per_doc = Counter(r["doc_id"] for r in out.collect())
+    lo, hi = math.floor(weight), math.ceil(weight)
+    # every surviving row is replicated floor(w) or ceil(w) times...
+    assert all(c in (lo, hi) and c > 0 for c in per_doc.values())
+    # ...and dropped rows only exist when floor(w) == 0
+    if lo >= 1:
+        assert len(per_doc) == n

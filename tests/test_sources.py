@@ -249,3 +249,23 @@ def test_write_training_shards_is_deterministic_and_bounded(spark, sf_dir, tmp_p
     )
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2
+
+
+def test_read_training_shards_epoch_reshuffle(spark, sf_dir, tmp_path):
+    import os
+
+    from yet_another_map_reduce_spark.sources.readers import read_table
+    from yet_another_map_reduce_spark.sources.writers import (
+        read_training_shards,
+        write_training_shards,
+    )
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text").limit(200)
+    p = os.path.join(str(tmp_path), "shards")
+    write_training_shards(d, p, "doc_id", num_shards=3, seed=1)
+    ep0 = [r["doc_id"] for r in read_training_shards(spark, p, "doc_id").collect()]
+    ep1 = [r["doc_id"] for r in read_training_shards(spark, p, "doc_id", epoch_seed=2).collect()]
+    assert sorted(ep0) == sorted(ep1)  # same corpus either way
+    assert ep0 != ep1  # epoch reseed gives a new order
+    # written order is reproducible
+    assert ep0 == [r["doc_id"] for r in read_training_shards(spark, p, "doc_id").collect()]

@@ -166,3 +166,17 @@ def write_training_shards(
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.parquet(path)
+
+
+def read_training_shards(spark, path: str, id_col: str, epoch_seed: int | None = None):
+    """Loader-side twin of :func:`write_training_shards`: read the shard
+    set back in its written order, or — with ``epoch_seed`` — in a fresh
+    deterministic per-epoch order (re-hash by the new seed, same
+    layout-invariance guarantees; no rewrite of the shards needed
+    between epochs)."""
+    from yet_another_map_reduce_spark.operators.sampling import deterministic_shuffle
+
+    df = spark.read.parquet(path)
+    if epoch_seed is None:
+        return df.orderBy("shuffle_key", id_col)
+    return deterministic_shuffle(df.drop("shuffle_key"), id_col, seed=epoch_seed)
