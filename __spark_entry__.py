@@ -11,7 +11,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from yet_another_map_reduce_spark.queries import ORACLES, QUERIES
+from yet_another_map_reduce_spark.queries import ORACLES, QUERIES, ordered_queries
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -24,8 +24,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Visit order is the explicit ``ordered_queries`` policy (previously-
+    failed first, then never-verified, then green oldest-first) so a
+    time-budgeted correctness pass re-checks fixes and rotates stale
+    rows; the package-level ``QUERIES`` registry itself keeps fixed
+    source order."""
+    return ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:

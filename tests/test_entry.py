@@ -27,3 +27,32 @@ def test_all_queries_run_at_smoke_sf(spark, sf_dir):
     for name, fn in entry_mod.queries().items():
         n = fn(spark, sf_dir).count()
         assert n >= 0, name
+
+
+def test_ordered_queries_policy(tmp_path):
+    """Visit order is a pure function of the correctness history:
+    failed rows front-load, never-verified follow, green rows rotate
+    oldest-round-first.  The registry itself stays source-ordered."""
+    import json
+
+    from yet_another_map_reduce_spark.queries import QUERIES, ordered_queries
+
+    names = list(QUERIES)
+    green = {"hash_match": True, "err": None, "spark_rows": 1}
+    red = {"hash_match": False, "err": "boom", "spark_rows": None}
+    rows_only = {"hash_match": None, "err": "no_oracle", "spark_rows": 5}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({names[0]: green, names[1]: red, names[2]: rows_only})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({names[3]: green}))
+
+    ordered = list(ordered_queries(root=str(tmp_path)))
+    assert set(ordered) == set(names)
+    assert ordered[0] == names[1]                     # failed first
+    # green rotation: round-1 green rows come before round-2 ones
+    assert ordered.index(names[0]) < ordered.index(names[3])
+    assert ordered.index(names[2]) < ordered.index(names[3])
+    # never-verified precede all green rows
+    assert ordered.index(names[4]) < ordered.index(names[0])
+    # and the registry itself was not mutated by the call
+    assert list(QUERIES) == names

@@ -83,6 +83,20 @@ def test_extract_features_uses_real_pixels_for_ppm(spark):
     media = multimodal.synthetic_ppm_media(ids, "doc_id", width=8, height=8)
     feats = multimodal.extract_features(media).collect()[0]["features"]
     assert feats[0] == 8.0 and feats[1] == 8.0  # width, height from real decode
+    # full pixel-statistics parity with an independent numpy rendering
+    y, x, c = np.meshgrid(np.arange(8), np.arange(8), np.arange(3), indexing="ij")
+    img = (5 * 31 + y * 7 + x * 3 + c * 11) % 256
+    for ch in range(3):
+        assert feats[2 + ch] == np.float32(img[..., ch].mean())
+    n, s, sq = img.size, int(img.sum()), int((img.astype(np.int64) ** 2).sum())
+    assert feats[5] == np.float32(((n * sq - s * s) / (n * n)) ** 0.5)
+    assert feats[6] == float(img.min()) and feats[7] == float(img.max())
+
+
+def test_extract_features_byte_stats_fallback_for_non_ppm(spark):
+    df = spark.createDataFrame([(1, b"not a ppm blob")], "media_id long, content binary")
+    feats = multimodal.extract_features(df).collect()[0]["features"]
+    assert feats == [np.float32(v) for v in multimodal._fake_feature_vector(b"not a ppm blob")]
 
 
 def test_mjpm_roundtrip_and_sampling_cadence(spark):

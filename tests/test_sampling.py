@@ -123,3 +123,42 @@ def test_mixture_sample_by_weights_matches_literal_variant(spark):
     part = sampling.mixture_sample_by_weights(df, "grp", "doc_id", wdf_partial, seed=9)
     got = {r["grp"]: r["n"] for r in part.groupBy("grp").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert got == {"a": 400, "b": 200}
+
+
+def test_stratified_hash_sample_layout_invariant_and_rate(spark):
+    df = spark.range(3000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 3 == 0, "A").when(F.col("id") % 3 == 1, "B")
+        .otherwise("C").alias("s"),
+    )
+    frac = {"A": 0.1, "B": 0.3}  # C absent -> dropped
+    a = sampling.stratified_hash_sample(df, "k", "s", frac, seed=1).collect()
+    b = sampling.stratified_hash_sample(df.repartition(11), "k", "s", frac, seed=1).collect()
+    assert sorted(r["k"] for r in a) == sorted(r["k"] for r in b)
+    by_s = {}
+    for r in a:
+        by_s[r["s"]] = by_s.get(r["s"], 0) + 1
+    assert "C" not in by_s
+    assert 0.05 < by_s["A"] / 1000 < 0.15
+    assert 0.2 < by_s["B"] / 1000 < 0.4
+
+
+def test_heavy_hitters_exact_matches_full_group_by(spark):
+    # skewed corpus: items 0..4 hot, a 2000-item tail
+    df = spark.range(10000).select(
+        F.when(F.col("id") % 2 == 0, (F.col("id") % 5).cast("string"))
+        .otherwise(F.concat(F.lit("tail"), (F.col("id") % 2000).cast("string")))
+        .alias("v")
+    )
+    k = 20
+    got = aggregates.heavy_hitters_exact(df, "v", k=k).collect()
+    n = df.count()
+    exact = {
+        r["v"]: r["c"]
+        for r in df.groupBy("v").agg(F.count(F.lit(1)).alias("c")).collect()
+        if r["c"] * (k + 1) > n
+    }
+    assert {r["item"]: r["count"] for r in got} == exact
+    # and the guarantee is partitioning-independent
+    got2 = aggregates.heavy_hitters_exact(df.repartition(13), "v", k=k).collect()
+    assert {r["item"]: r["count"] for r in got2} == exact

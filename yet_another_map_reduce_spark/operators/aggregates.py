@@ -204,3 +204,27 @@ def frequent_items(
         .orderBy(F.col("count").desc(), F.col("item"))
     )
     return exact
+
+
+def heavy_hitters_exact(df: DataFrame, col: str, k: int) -> DataFrame:
+    """Two-pass exact heavy hitters: items with true count > n/(k+1).
+
+    Pass 1 is the Misra-Gries candidate sketch (:func:`frequent_items`
+    with ``top=k``), whose mergeable-summaries guarantee makes the ≤k
+    candidates a *superset* of every item with count > n/(k+1) under
+    any partitioning.  Pass 2 exactly recounts only the candidates
+    (broadcast semi-join) and filters on ``count·(k+1) > n`` — exact
+    counts, so no false positives; the superset guarantee, so no false
+    negatives.  The output therefore provably equals the full-group-by
+    answer while never shuffling the long-tailed raw column: the big
+    scans move ≤k distinct items, and the threshold join broadcasts a
+    1-row total.
+    """
+    cands = frequent_items(df, col, k=k, top=k, exact_recount=True)
+    total = df.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        cands.join(F.broadcast(total))
+        .where(F.col("count") * (k + 1) > F.col("n"))
+        .select("item", "count")
+        .orderBy(F.col("count").desc(), F.col("item"))
+    )

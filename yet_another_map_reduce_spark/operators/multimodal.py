@@ -23,6 +23,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -134,20 +135,31 @@ def extract_features(df: DataFrame, batch_size_hint: int = 256) -> DataFrame:
 
 def _feature_vector(blob: bytes | None) -> list[float]:
     """REAL pixel-statistics features for decodable PPM blobs (dims,
-    per-channel means, contrast); byte-stats fallback otherwise."""
+    per-channel means, contrast); byte-stats fallback otherwise.
+
+    The contrast (population std) is computed from the integer-exact
+    identity ``n²·var = n·Σv² − (Σv)²`` — every intermediate is an
+    integer that float64 holds exactly (Σv² ≤ n·255²), so the value is
+    a single deterministic IEEE division + sqrt that any engine (SQL
+    included) reproduces bit-for-bit.  Channel means divide an exact
+    integer sum by a power-of-two pixel count — also exact."""
     img = _decode_ppm(blob)
     if img is None:
         return _fake_feature_vector(blob)
     import numpy as np
 
-    m = img.astype(np.float64)
+    m = img.astype(np.int64)
+    n = int(m.size)
+    s = int(m.sum())
+    sq = int((m * m).sum())
+    var_num = n * sq - s * s
     return [
         float(img.shape[1]),
         float(img.shape[0]),
         float(m[..., 0].mean()),
         float(m[..., 1].mean()),
         float(m[..., 2].mean()),
-        float(m.std()),
+        math.sqrt(var_num / (n * n)),
         float(m.min()),
         float(m.max()),
     ]

@@ -39,6 +39,32 @@ def hash_split(
     return df.where((bucket >= permille_lo) & (bucket < permille_hi))
 
 
+def stratified_hash_sample(
+    df: DataFrame,
+    id_col: Column | str,
+    strata_col: str,
+    fractions: dict[str, float],
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic stratified sampling: per-stratum rates applied as
+    id-hash bucket thresholds (rate ``r`` keeps buckets
+    ``md5_hash64(id) % 1000 < r*1000``).  Layout-invariant and exactly
+    reproducible — the same rows survive on any cluster, under any
+    partitioning, and in ANSI SQL — unlike RNG-based ``sampleBy``,
+    whose output depends on partition iteration order.  Strata absent
+    from ``fractions`` are dropped (rate 0).  Pure narrow filter: no
+    shuffle, no state, pushdown-friendly."""
+    bucket = F.pmod(md5_hash64(id_col, seed), F.lit(1000))
+    thresh = None
+    for value, frac in fractions.items():
+        cond = F.col(strata_col) == value
+        permille = int(round(frac * 1000))
+        thresh = (
+            F.when(cond, permille) if thresh is None else thresh.when(cond, permille)
+        )
+    return df.where(bucket < thresh.otherwise(F.lit(0)))
+
+
 def reservoir_per_group(
     df: DataFrame,
     keys: list[str],
