@@ -111,6 +111,13 @@ def test_mjpm_roundtrip_and_sampling_cadence(spark):
     # every_ms == 2*frame_ms -> every other frame
     sampled = multimodal.sample_video_frames(video, every_ms=80).collect()
     assert [r["frame_idx"] for r in sampled] == [0, 2, 4]
+    # non-multiple cadence: nearest frame at-or-after each 50ms tick
+    # (ticks 0,50,100,150,200 -> frames 0,2,3,4,5), not just frame 0
+    odd = multimodal.sample_video_frames(video, every_ms=50).collect()
+    assert [r["frame_idx"] for r in odd] == [0, 2, 3, 4, 5]
+    # degenerate cadence is rejected driver-side, not as an executor crash
+    with pytest.raises(ValueError, match="every_ms"):
+        multimodal.sample_video_frames(video, every_ms=0)
     # each sampled frame is a decodable P6 equal to the fixture pattern
     img = multimodal._decode_ppm(sampled[1]["content"])
     assert img is not None and img.shape == (8, 8, 3)

@@ -232,22 +232,33 @@ def test_write_training_shards_is_deterministic_and_bounded(spark, sf_dir, tmp_p
     )
     a = spark.read.parquet(p1)
     b = spark.read.parquet(p2)
-    # same corpus + seed -> identical shard contents regardless of input layout
-    key = lambda df: sorted(map(tuple, df.select("doc_id", "shuffle_key").collect()))  # noqa: E731
-    assert key(a) == key(b)
-    # every file respects the record cap, and no row was lost
-    files = [f for f in os.listdir(p1) if f.endswith(".parquet")]
-    assert len(files) >= 4
-    for f in files:
-        assert spark.read.parquet(os.path.join(p1, f)).count() <= 100
-    assert a.count() == d.count()
-    # shards are contiguous hash ranges: per-file min/max don't overlap
-    ranges = sorted(
-        (r["mn"], r["mx"]) for f in files
-        for r in [spark.read.parquet(os.path.join(p1, f))
-                  .agg(F.min("shuffle_key").alias("mn"), F.max("shuffle_key").alias("mx")).first()]
+    # PER-SHARD membership (not just the union) is identical regardless
+    # of input layout: shard_id is an explicit function of the id hash,
+    # so boundaries cannot drift with partitioning or sampling
+    key = lambda df: sorted(  # noqa: E731
+        map(tuple, df.select("shard_id", "doc_id", "shuffle_key").collect())
     )
-    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+    assert key(a) == key(b)
+    # hive layout: one dir per shard; every file respects the record cap
+    shard_dirs = sorted(f for f in os.listdir(p1) if f.startswith("shard_id="))
+    assert len(shard_dirs) == 4
+    for sd in shard_dirs:
+        for f in os.listdir(os.path.join(p1, sd)):
+            if f.endswith(".parquet"):
+                assert (
+                    spark.read.parquet(os.path.join(p1, sd, f)).count() <= 100
+                )
+    assert a.count() == d.count()
+    # shards are contiguous hash ranges: per-shard min/max don't overlap,
+    # so concatenating dirs in shard_id order replays the global order
+    ranges = [
+        (r["shard_id"], r["mn"], r["mx"])
+        for r in a.groupBy("shard_id")
+        .agg(F.min("shuffle_key").alias("mn"), F.max("shuffle_key").alias("mx"))
+        .orderBy("shard_id")
+        .collect()
+    ]
+    for (_, _, hi1), (_, lo2, _) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2
 
 

@@ -501,17 +501,24 @@ VIDEO_FRAME_SCHEMA = StructType(
 
 
 def sample_video_frames(df: DataFrame, every_ms: int) -> DataFrame:
-    """REAL frame sampling over the MJPM container: parse the frame
-    index, keep frames whose timestamp (``frame_idx * frame_ms``) lands
-    on an ``every_ms`` boundary, and emit one row per kept frame with
-    the raw P6 bytes — ready to chain into :func:`decode_image` /
-    :func:`resize_image` (same ``media_id``/``content`` contract).
+    """REAL frame sampling over the MJPM container: for each sampling
+    tick (``0, every_ms, 2·every_ms, …``) keep the first frame whose
+    timestamp (``frame_idx * frame_ms``) is at or past the tick — one
+    row per kept frame with the raw P6 bytes, ready to chain into
+    :func:`decode_image` / :func:`resize_image` (same ``media_id``/
+    ``content`` contract).  Nearest-at-or-after selection means an
+    ``every_ms`` that is not a multiple of the frame interval still
+    samples at the requested cadence instead of silently keeping only
+    frame 0; when it IS a multiple, the kept set is exactly the
+    on-boundary frames.
 
     Arrow-batched ``mapInPandas``; a video never leaves its partition
     and only sampled frames are materialized (the skip is a byte-offset
     walk, not a decode).  Unparseable blobs become one quarantine row
     (null ``frame_idx``) instead of failing the batch.
     """
+    if every_ms < 1:
+        raise ValueError(f"every_ms must be >= 1, got {every_ms}")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -527,7 +534,9 @@ def sample_video_frames(df: DataFrame, every_ms: int) -> DataFrame:
                 frame_ms, frames = parsed
                 for idx, frame in enumerate(frames):
                     ts = idx * frame_ms
-                    if ts % every_ms == 0:
+                    # first frame at-or-after a tick: a tick falls in the
+                    # (ts - frame_ms, ts] window iff the tick count grows
+                    if idx == 0 or ts // every_ms > (ts - frame_ms) // every_ms:
                         out["media_id"].append(mid)
                         out["frame_idx"].append(idx)
                         out["ts_ms"].append(ts)

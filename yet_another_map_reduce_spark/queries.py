@@ -827,27 +827,37 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_fuzzy_match_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution by edit distance: a deterministically 'dirtied'
     copy of the supplier names (1-char substitution / insertion by key
-    class) is matched back to the clean registry — blocked equi-join on
-    a name prefix first, levenshtein <= 1 verification second, so the
-    plan is candidate-generation + verify (never an unblocked n² cross
-    join).  The 16-char block key keeps block sizes bounded as the
-    registry grows — a shorter prefix collapses everything onto one hot
-    join key, the exact skew this repo's salting/LSH ops exist to
-    avoid.  Like all blocked ER, pairs differing inside the block key
-    are unrecallable by design; real corpora run multiple blocking
-    passes (phonetic, sorted-neighborhood) to cover them."""
+    class) is matched back to the clean registry — blocked equi-join
+    first, levenshtein <= 1 verification second, so the plan is
+    candidate-generation + verify (never an unblocked n² cross join).
+
+    The block key is the identifier's LAST 6 digits (positions 13-18
+    of 'Supplier#nnnnnnnnn') — a shared-prefix corpus makes any prefix
+    key one hot block, the exact skew this repo's salting/LSH ops
+    exist to avoid, while the low-order digits are near-uniform, so
+    blocks stay bounded (~N/10⁶ names share a key) as the registry
+    grows.  Both dirt classes (substituted digit 3 / appended 'Q')
+    leave positions 13-18 intact, so every true pair is co-blocked and
+    its clean partner is the unique distance-1 candidate in the block.
+    Like all blocked ER, pairs differing inside the block key are
+    unrecallable by design; real corpora run multiple blocking passes
+    (phonetic, sorted-neighborhood) to cover them."""
     s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     dirty = s.select(
         F.col("s_suppkey").alias("d_id"),
         F.when(
             F.col("s_suppkey") % 3 == 0,
-            F.concat(F.expr("substring(s_name, 1, length(s_name) - 1)"), F.lit("X")),
+            F.concat(
+                F.expr("substring(s_name, 1, 11)"),
+                F.lit("X"),
+                F.expr("substring(s_name, 13)"),
+            ),
         )
         .when(F.col("s_suppkey") % 3 == 1, F.concat(F.col("s_name"), F.lit("Q")))
         .otherwise(F.col("s_name"))
         .alias("d_name"),
     )
-    block = lambda c: F.substring(c, 1, 16)  # noqa: E731
+    block = lambda c: F.substring(c, 13, 6)  # noqa: E731
     cand = dirty.join(s, block(F.col("d_name")) == block(F.col("s_name")))
     return (
         cand.withColumn("dist", F.levenshtein("d_name", "s_name"))
@@ -1307,15 +1317,17 @@ def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = multimodal.sample_video_frames(video, every_ms=80)
     decoded = multimodal.decode_image(
         frames.select(
-            # decode_image keys on media_id; make it unique per frame
-            (F.col("media_id") * 10 + F.col("frame_idx")).alias("media_id"),
+            # decode_image keys on media_id; make it unique per frame —
+            # ×1000 matches the fixture's frame-index space, so the key
+            # can't collide for any n_frames the fixture can produce
+            (F.col("media_id") * 1000 + F.col("frame_idx")).alias("media_id"),
             "content",
         )
     )
     return decoded.select(
-        (F.col("media_id") / 10).cast("bigint").alias("video_id"),
-        F.pmod("media_id", F.lit(10)).cast("bigint").alias("frame_idx"),
-        (F.pmod("media_id", F.lit(10)) * 40).cast("bigint").alias("ts_ms"),
+        (F.col("media_id") / 1000).cast("bigint").alias("video_id"),
+        F.pmod("media_id", F.lit(1000)).cast("bigint").alias("frame_idx"),
+        (F.pmod("media_id", F.lit(1000)) * 40).cast("bigint").alias("ts_ms"),
         "width",
         "height",
         F.round("mean_r", 6).alias("mean_r"),
@@ -3450,7 +3462,7 @@ ORACLES: dict[str, str] = {
         WITH dirty AS (
             SELECT s_suppkey AS d_id,
                    CASE WHEN s_suppkey % 3 = 0
-                        THEN substr(s_name, 1, length(s_name) - 1) || 'X'
+                        THEN substr(s_name, 1, 11) || 'X' || substr(s_name, 13)
                         WHEN s_suppkey % 3 = 1 THEN s_name || 'Q'
                         ELSE s_name END AS d_name
             FROM supplier
@@ -3458,7 +3470,7 @@ ORACLES: dict[str, str] = {
         SELECT d_id, s_suppkey AS matched_id, d_name, s_name,
                CAST(levenshtein(d_name, s_name) AS BIGINT) AS dist
         FROM dirty JOIN supplier
-          ON substr(d_name, 1, 16) = substr(s_name, 1, 16)
+          ON substr(d_name, 13, 6) = substr(s_name, 13, 6)
         WHERE levenshtein(d_name, s_name) <= 1
         ORDER BY d_id, matched_id
     """,

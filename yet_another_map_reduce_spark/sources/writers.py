@@ -12,6 +12,7 @@ the directory IS the dataset.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def _prep(df: DataFrame, num_partitions: int | None, partition_cols: list[str] | None) -> DataFrame:
@@ -142,26 +143,36 @@ def write_training_shards(
     shards — the last mile of a corpus-prep pipeline (what the trainer's
     data loader consumes).
 
-    Rows are ordered by a seeded hash of their id
-    (``sampling.deterministic_shuffle``) and range-partitioned into
-    ``num_shards`` files, so (a) the global example order is a pure
-    function of (ids, seed) — independent of cluster layout, rerunnable
-    bit-for-bit, re-seedable per epoch — and (b) each shard is a
-    contiguous hash range, so shard boundaries are stable under
-    re-writes of the same corpus.  ``max_records_per_file`` caps file
-    size for loaders that stream fixed-size chunks.
+    Shard membership is an explicit pure function of the row id:
+    ``shard_id = shuffle_key DIV ceil(2^60 / num_shards)`` — fixed-width
+    cuts of ``md5_hash64``'s 60-bit domain, not sampled range
+    boundaries — so both the global example order AND the per-shard
+    row sets are bit-stable across runs, cluster layouts, and Spark
+    versions.  (``repartitionByRange`` alone can't promise the latter:
+    its boundaries come from reservoir sampling seeded by the RDD id.)
+    Each shard is a contiguous ``shuffle_key`` range, so concatenating
+    the shard dirs in ``shard_id`` order replays the global
+    deterministic order; a different ``seed`` re-deals both order and
+    membership for a new epoch.
 
-    Scale shape: one range-partitioning shuffle (Spark samples the hash
-    key to build balanced ranges), then a parallel write; no global
-    sort bottleneck, no driver materialization.
+    Layout: Hive-partitioned ``shard_id=N/`` directories — one file per
+    shard unless ``max_records_per_file`` splits it for loaders that
+    stream fixed-size chunks.  Scale shape: one hash shuffle on the
+    ≤``num_shards``-value shard key to co-locate each shard in one
+    task, a per-task sort, then a parallel write; no global sort
+    bottleneck, no driver materialization.
     """
     from yet_another_map_reduce_spark.operators.sampling import deterministic_shuffle
 
-    shuffled = deterministic_shuffle(df, id_col, seed=seed)
+    width = ((1 << 60) + num_shards - 1) // num_shards
+    shards = deterministic_shuffle(df, id_col, seed=seed).withColumn(
+        "shard_id", F.expr(f"CAST(shuffle_key DIV {width} AS INT)")
+    )
     writer = (
-        shuffled.repartitionByRange(num_shards, "shuffle_key")
-        .sortWithinPartitions("shuffle_key")
+        shards.repartition(num_shards, "shard_id")
+        .sortWithinPartitions("shard_id", "shuffle_key")
         .write.mode(mode)
+        .partitionBy("shard_id")
     )
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
@@ -179,4 +190,8 @@ def read_training_shards(spark, path: str, id_col: str, epoch_seed: int | None =
     df = spark.read.parquet(path)
     if epoch_seed is None:
         return df.orderBy("shuffle_key", id_col)
-    return deterministic_shuffle(df.drop("shuffle_key"), id_col, seed=epoch_seed)
+    # drop the written epoch's order AND membership columns before
+    # re-dealing — both are functions of the old seed
+    return deterministic_shuffle(
+        df.drop("shuffle_key", "shard_id"), id_col, seed=epoch_seed
+    )
