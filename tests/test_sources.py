@@ -131,6 +131,46 @@ def test_yamr_format_roundtrip_and_manifest(spark, tmp_path):
     assert back.where((F.col("line_no") == 0)).count() == 3
 
 
+def test_yamr_append_merges_manifest(spark, tmp_path):
+    """Appending over an existing dataset keeps every prior manifest
+    entry, writes the new chunks under a fresh generation prefix (no
+    filename collisions with earlier writes), and the merged dataset
+    reads back as the union."""
+    from yet_another_map_reduce_spark.sources import yamr_format
+
+    yamr_format.register(spark)
+    out = str(tmp_path / "ds")
+    w = lambda df: (  # noqa: E731
+        df.write.format("yamr").option("path", out).option("name", "tx")
+    )
+    base = spark.createDataFrame([(f"base{i}",) for i in range(10)], "value string")
+    w(base.repartition(2)).mode("overwrite").save()
+    assert len(yamr_format.read_manifest(out, "tx")) == 2
+
+    extra1 = spark.createDataFrame([(f"gen1-{i}",) for i in range(5)], "value string")
+    w(extra1.repartition(2)).mode("append").save()
+    extra2 = spark.createDataFrame([(f"gen2-{i}",) for i in range(5)], "value string")
+    w(extra2.repartition(1)).mode("append").save()
+
+    manifest = yamr_format.read_manifest(out, "tx")
+    names = [f for f, _ in manifest]
+    assert len(manifest) == 5 and len(set(names)) == 5
+    assert sum(f.startswith("tx_part-g00001-") for f in names) == 2
+    assert sum(f.startswith("tx_part-g00002-") for f in names) == 1
+    for fname, fsize in manifest:
+        assert os.path.getsize(os.path.join(out, fname)) == fsize
+
+    back = spark.read.format("yamr").option("path", out).option("name", "tx").load()
+    assert sorted(r["value"] for r in back.collect()) == sorted(
+        [f"base{i}" for i in range(10)]
+        + [f"gen1-{i}" for i in range(5)]
+        + [f"gen2-{i}" for i in range(5)]
+    )
+    # overwrite after appends resets the manifest to the new dataset only
+    w(base.repartition(1)).mode("overwrite").save()
+    assert len(yamr_format.read_manifest(out, "tx")) == 1
+
+
 def test_compact_parquet_reduces_file_count(spark, tmp_path):
     src, dst = str(tmp_path / "frag"), str(tmp_path / "compact")
     spark.range(5000).withColumn("v", F.col("id") * 2).repartition(40).write.parquet(src)

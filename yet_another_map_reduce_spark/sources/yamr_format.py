@@ -16,7 +16,10 @@ This DataSource makes that layout a first-class Spark format:
   writes the manifest only in ``commit()`` — a two-phase commit, so a
   half-failed job leaves no manifest and readers never see partial
   output (the atomicity the reference's direct-write protocol lacks,
-  SURVEY.md §3.2).
+  SURVEY.md §3.2).  ``mode('append')`` over an existing dataset writes
+  its chunks under a fresh generation prefix and atomically merges the
+  prior manifest entries with the new ones — a failed append leaves the
+  old dataset fully intact.
 
 Registered under the short name ``yamr``.  Options:
 ``path`` (directory) and ``name`` (dataset name, default ``data``).
@@ -25,6 +28,7 @@ Registered under the short name ``yamr``.  Options:
 from __future__ import annotations
 
 import os
+import re as _re
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -87,15 +91,42 @@ class _PartCommit(WriterCommitMessage):
 
 
 class YamrWriter(DataSourceWriter):
-    def __init__(self, options: dict):
+    """Batch writer.  ``append=True`` merges the prior manifest instead
+    of replacing it: the previous entries are snapshotted driver-side at
+    writer construction, this job's chunks are written under a fresh
+    generation prefix (``<name>_part-gNNNNN-PPPPP.txt`` — never colliding
+    with earlier generations or the base ``part-PPPPP`` files), and
+    ``commit`` atomically rewrites the manifest as previous + new.  A
+    failed append aborts without touching the manifest, so readers keep
+    seeing the old dataset — the same two-phase guarantee as overwrite."""
+
+    def __init__(self, options: dict, append: bool = False):
         self.path = options["path"]
         self.name = options.get("name", "data")
+        self.append = append
+        self.previous: list[tuple[str, int]] = []
+        self.generation = 0
+        if append:
+            try:
+                self.previous = read_manifest(self.path, self.name)
+            except FileNotFoundError:
+                self.previous = []
+            gen_pat = _re.compile(_re.escape(self.name) + r"_part-g(\d+)-")
+            gens = [
+                int(m.group(1))
+                for fname, _ in self.previous
+                if (m := gen_pat.match(fname))
+            ]
+            self.generation = max(gens, default=0) + 1
 
     def write(self, iterator):
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        fname = f"{self.name}_part-{pid:05d}.txt"
+        if self.append:
+            fname = f"{self.name}_part-g{self.generation:05d}-{pid:05d}.txt"
+        else:
+            fname = f"{self.name}_part-{pid:05d}.txt"
         full = os.path.join(self.path, fname)
         os.makedirs(self.path, exist_ok=True)
         with open(full, "w", encoding="utf-8") as fh:
@@ -104,12 +135,19 @@ class YamrWriter(DataSourceWriter):
         return _PartCommit(fname, os.path.getsize(full))
 
     def commit(self, messages):
-        # manifest written LAST, driver-side: readers can never observe
-        # a dataset whose chunks aren't all on disk
-        with open(_manifest_path(self.path, self.name), "w", encoding="utf-8") as fh:
+        # manifest written LAST, driver-side, via atomic rename: readers
+        # can never observe a dataset whose chunks aren't all on disk,
+        # nor a half-written manifest
+        entries = self.previous + sorted(
+            ((m.filename, m.filesize) for m in messages), key=lambda e: e[0]
+        )
+        target = _manifest_path(self.path, self.name)
+        tmp = target + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
             fh.write("filename,filesize,header\n")
-            for m in sorted(messages, key=lambda m: m.filename):
-                fh.write(f"{m.filename},{m.filesize},False\n")
+            for fname, fsize in entries:
+                fh.write(f"{fname},{fsize},False\n")
+        os.replace(tmp, target)
 
     def abort(self, messages):
         for m in messages:
@@ -237,21 +275,7 @@ class YamrDataSource(DataSource):
         return YamrReader(self.options)
 
     def writer(self, schema, overwrite: bool) -> YamrWriter:
-        if not overwrite:
-            # commit() rewrites the manifest with only this batch's part
-            # files, so appending over an EXISTING dataset would silently
-            # orphan previous entries — refuse until manifest merging is
-            # implemented.  A fresh path (no manifest yet) is fine under
-            # any mode: there is nothing to lose.
-            path = self.options.get("path", "")
-            name = self.options.get("name", "data")
-            if os.path.exists(_manifest_path(path, name)):
-                raise NotImplementedError(
-                    "yamr format supports mode('overwrite') only over an existing "
-                    "dataset: append would drop prior manifest entries "
-                    "(data orphaned, not appended)"
-                )
-        return YamrWriter(self.options)
+        return YamrWriter(self.options, append=not overwrite)
 
     def streamWriter(self, schema, overwrite: bool) -> YamrStreamWriter:
         return YamrStreamWriter(self.options)
