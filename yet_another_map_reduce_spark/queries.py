@@ -766,10 +766,33 @@ def q_json_from_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct — sketch output is algorithm-specific, so
-    this is a rows-only check; the exact twin is agg_distinct."""
+    """HyperLogLog++ distinct VERIFIED against the exact count.  The
+    estimate itself is engine-specific, so the query emits the exact
+    per-group distinct count plus a boolean pinning the estimate inside
+    3× the configured rsd (5% → 15% band); HLL++ registers are a pure
+    function of the value set, so the boolean is partitioning-
+    independent.  The oracle recomputes the exact count and emits
+    literal TRUE — a green hash certifies the sketch's error bound
+    (upgraded from rows-only)."""
     li = read_table(spark, sf_dir, "lineitem")
-    return aggregates.approx_distinct_count(li, ["l_returnflag"], "l_partkey", "approx_parts")
+    est = aggregates.approx_distinct_count(
+        li, ["l_returnflag"], "l_partkey", "approx_parts"
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts")
+    )
+    return (
+        exact.join(est, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_parts",
+            (
+                F.abs(F.col("approx_parts") - F.col("n_parts"))
+                <= 0.15 * F.col("n_parts")
+            ).alias("approx_ok"),
+        )
+        .orderBy("l_returnflag")
+    )
 
 
 # ---- array functions ------------------------------------------------------
@@ -1337,17 +1360,23 @@ def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL WAV PCM16 parse (pure-numpy RIFF walker): synthesized square
-    waves per document; sample_rate/n_samples/duration are exact parses
-    of real WAV bytes (rows-only: waveform synthesis isn't SQL)."""
+    """REAL WAV PCM16 parse (pure-numpy RIFF walker) over synthesized
+    square waves — hash-verified: a square wave's statistics are exact
+    arithmetic (RMS = amplitude, since every sample is ±amp; crossings
+    = floor((n-1)/half_period)), so the oracle re-derives every value
+    from the fixture parameters in ANSI SQL, float32-quantizing where
+    the Arrow schema does.  The WAV bytes and the RIFF walk are real —
+    the oracle checks the decode, not a stub."""
     from yet_another_map_reduce_spark.operators import multimodal
 
     d = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
     wav = multimodal.synthetic_wav_media(d, "doc_id", rate=8000, n_samples=800)
     return multimodal.extract_audio_features(wav).select(
         "media_id", "sample_rate", "n_samples", "duration_ms",
-        F.round("rms", 2).alias("rms"),
-        F.round("zero_crossing_rate", 4).alias("zero_crossing_rate"),
+        F.round(F.col("rms").cast("double"), 2).alias("rms"),
+        F.round(F.col("zero_crossing_rate").cast("double"), 4).alias(
+            "zero_crossing_rate"
+        ),
     )
 
 
@@ -1635,13 +1664,32 @@ def q_heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DataSketches HLL distinct estimate per group (rows-only check:
-    the sketch internals aren't reproducible in the oracle engine;
-    mergeability is pinned by test_hll_sketch_merge_matches_full)."""
+    """DataSketches HLL distinct estimate per group, VERIFIED against
+    the exact count via an error-bound boolean (same pattern as
+    agg_approx_distinct; default lgK=12 gives ~1.6% rsd, checked at a
+    loose 15% band).  Mergeability of the raw sketches is pinned by
+    test_hll_sketch_merge_matches_full; the oracle's literal-TRUE
+    column certifies the estimate's accuracy on real data (upgraded
+    from rows-only)."""
     li = read_table(spark, sf_dir, "lineitem")
-    return aggregates.hll_sketch_count(
+    est = aggregates.hll_sketch_count(
         li, ["l_returnflag"], "l_orderkey", alias="distinct_orders_est"
-    ).orderBy("l_returnflag")
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    return (
+        exact.join(est, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_orders",
+            (
+                F.abs(F.col("distinct_orders_est") - F.col("n_orders"))
+                <= 0.15 * F.col("n_orders")
+            ).alias("est_ok"),
+        )
+        .orderBy("l_returnflag")
+    )
 
 
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4279,6 +4327,38 @@ ORACLES: dict[str, str] = {
         WHERE doc_id < 100
         GROUP BY doc_id, f.f
         ORDER BY video_id, frame_idx
+    """,
+    # exact distinct counts + literal TRUE: a hash match certifies the
+    # sketch estimates landed inside their error bands on this data
+    "agg_approx_distinct": """
+        SELECT l_returnflag,
+               count(DISTINCT l_partkey) AS n_parts,
+               TRUE AS approx_ok
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "agg_hll_sketch": """
+        SELECT l_returnflag,
+               count(DISTINCT l_orderkey) AS n_orders,
+               TRUE AS est_ok
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    # mirrors extract_audio_features over synthetic_wav_media square
+    # waves: amp = 1000 + (i%100)*10, half-period = 4 + (i%8), n = 800,
+    # rate = 8000.  RMS of a ±amp square wave is exactly amp; sign
+    # changes happen at sample t iff t % half == 0 (t in [1, n-1]), so
+    # ZCR = floor((n-1)/half) / (n-1), float32-quantized like the
+    # Arrow schema before the 4-decimal round
+    "multimodal_audio": """
+        SELECT CAST(doc_id AS BIGINT) AS media_id,
+               CAST(8000 AS BIGINT) AS sample_rate,
+               CAST(800 AS BIGINT) AS n_samples,
+               CAST(100 AS BIGINT) AS duration_ms,
+               round(CAST(CAST(1000 + (doc_id % 100) * 10 AS FLOAT) AS DOUBLE), 2)
+                   AS rms,
+               round(CAST(CAST(
+                   CAST(799 // (4 + (doc_id % 8)) AS DOUBLE) / 799.0
+                   AS FLOAT) AS DOUBLE), 4) AS zero_crossing_rate
+        FROM documents WHERE doc_id < 100
     """,
     # mirrors _feature_vector over synthetic_ppm_media pixels: dims,
     # per-channel means (exact multiples of 1/64), integer-exact
