@@ -170,27 +170,11 @@ def frequent_items(
     optional broadcast-filtered recount.  No full-data groupBy on the
     raw column, which is the point when the column is long-tailed text.
     """
-    import pandas as pd
-
     out_top = top if top is not None else k
-
-    def mg(batches):
-        counters: dict = {}
-        for pdf in batches:
-            vc = pdf[col].value_counts()
-            for v, c in vc.items():
-                counters[v] = counters.get(v, 0) + int(c)
-            if len(counters) > k:
-                kth = sorted(counters.values(), reverse=True)[k]
-                counters = {v: c - kth for v, c in counters.items() if c > kth}
-        yield pd.DataFrame({"item": list(counters), "weight": list(counters.values())})
-
-    field = df.schema[col]
-    summaries = df.select(col).mapInPandas(
-        mg, schema=f"item {field.dataType.simpleString()}, weight long"
-    )
     cands = (
-        summaries.groupBy("item")
+        _mg_summaries(df, col, k)
+        .where(~F.col("is_total"))
+        .groupBy("item")
         .agg(F.sum("weight").alias("est_count"))
         .orderBy(F.col("est_count").desc(), F.col("item"))
         .limit(out_top)
@@ -206,25 +190,81 @@ def frequent_items(
     return exact
 
 
+def _mg_summaries(df: DataFrame, col: str, k: int) -> DataFrame:
+    """Per-partition Misra-Gries summaries in ONE linear scan: ≤k
+    counter rows per partition plus one ``is_total`` row carrying the
+    partition's row count (so callers that need n don't pay a second
+    scan).  Null values are not counted, matching ``value_counts``."""
+    import pandas as pd
+
+    def mg(batches):
+        counters: dict = {}
+        total = 0
+        for pdf in batches:
+            total += len(pdf)
+            vc = pdf[col].value_counts()
+            for v, c in vc.items():
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > k:
+                kth = sorted(counters.values(), reverse=True)[k]
+                counters = {v: c - kth for v, c in counters.items() if c > kth}
+        yield pd.DataFrame(
+            {
+                "item": list(counters) + [None],
+                "weight": list(counters.values()) + [total],
+                "is_total": [False] * len(counters) + [True],
+            }
+        )
+
+    field = df.schema[col]
+    return df.select(col).mapInPandas(
+        mg, schema=f"item {field.dataType.simpleString()}, weight long, is_total boolean"
+    )
+
+
 def heavy_hitters_exact(df: DataFrame, col: str, k: int) -> DataFrame:
     """Two-pass exact heavy hitters: items with true count > n/(k+1).
 
-    Pass 1 is the Misra-Gries candidate sketch (:func:`frequent_items`
-    with ``top=k``), whose mergeable-summaries guarantee makes the ≤k
-    candidates a *superset* of every item with count > n/(k+1) under
-    any partitioning.  Pass 2 exactly recounts only the candidates
+    Pass 1 is the Misra-Gries candidate sketch (:func:`_mg_summaries`),
+    whose mergeable-summaries guarantee makes the ≤k candidates a
+    *superset* of every item with count > n/(k+1) under any
+    partitioning; the same scan's ``is_total`` rows carry n, so the
+    total is free.  Pass 2 exactly recounts only the candidates
     (broadcast semi-join) and filters on ``count·(k+1) > n`` — exact
     counts, so no false positives; the superset guarantee, so no false
     negatives.  The output therefore provably equals the full-group-by
-    answer while never shuffling the long-tailed raw column: the big
-    scans move ≤k distinct items, and the threshold join broadcasts a
-    1-row total.
+    answer in exactly two linear scans, never shuffling the long-tailed
+    raw column: the shuffles move ≤(partitions·(k+1)) summary rows, and
+    the threshold join broadcasts a 1-row total.
+
+    The merged summary (≤ partitions·(k+1) rows — KB-scale) is fetched
+    to the driver once and re-enters pass 2 as literals: the same
+    bounded "model fetch" pattern the ANN operators use for centroids,
+    and the only way to guarantee a single physical pass-1 scan (two
+    broadcast subqueries over the same subtree are NOT exchange-reused
+    by Spark).
     """
-    cands = frequent_items(df, col, k=k, top=k, exact_recount=True)
-    total = df.agg(F.count(F.lit(1)).alias("n"))
+    summary = (
+        _mg_summaries(df, col, k)
+        .groupBy("item", "is_total")
+        .agg(F.sum("weight").alias("weight"))
+        .collect()
+    )
+    n = sum(r["weight"] for r in summary if r["is_total"])
+    cand_rows = sorted(
+        ((r["weight"], r["item"]) for r in summary if not r["is_total"]),
+        key=lambda t: (-t[0], t[1]),
+    )[:k]
+    spark = df.sparkSession
+    item_type = df.schema[col].dataType.simpleString()
+    cands = spark.createDataFrame(
+        [(item,) for _, item in cand_rows], schema=f"item {item_type}"
+    )
     return (
-        cands.join(F.broadcast(total))
-        .where(F.col("count") * (k + 1) > F.col("n"))
+        df.join(F.broadcast(cands), df[col] == F.col("item"), "inner")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .where(F.col("count") * (k + 1) > F.lit(n))
         .select("item", "count")
         .orderBy(F.col("count").desc(), F.col("item"))
     )
