@@ -398,6 +398,37 @@ def test_pack_sequences_respects_budget(spark, sf_dir):
     assert packed.select("doc_id").distinct().count() == d.count()
 
 
+def test_pack_sequences_deterministic_is_layout_invariant(spark, sf_dir):
+    """The next-fit variant's bin assignment is a pure function of the
+    data — identical under any input partitioning — and keeps the
+    budget invariant."""
+    from yet_another_map_reduce_spark.operators.text import (
+        pack_sequences_deterministic,
+        token_count,
+    )
+    from yet_another_map_reduce_spark.sources.readers import read_table
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("n_tok")
+    )
+    pack = lambda df: sorted(  # noqa: E731
+        map(
+            tuple,
+            pack_sequences_deterministic(
+                df, "doc_id", "n_tok", budget=128, num_parts=8, seed=3
+            ).collect(),
+        )
+    )
+    a = pack(d)
+    b = pack(d.repartition(13))
+    assert a == b
+    per_bin: dict = {}
+    for _, _, bin_id, n in a:
+        per_bin.setdefault(bin_id, []).append(n)
+    for ns in per_bin.values():
+        assert sum(ns) <= 128 or len(ns) == 1
+
+
 def test_embedding_gram_path_equals_declarative(spark, sf_dir):
     from yet_another_map_reduce_spark.operators import dedup
     from yet_another_map_reduce_spark.sources.readers import read_table

@@ -264,6 +264,74 @@ def pack_sequences(
     return src.mapInPandas(fn, schema="doc_id long, bin_id long")
 
 
+def pack_sequences_deterministic(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: str,
+    budget: int,
+    num_parts: int = 64,
+    seed: int = 0,
+) -> DataFrame:
+    """Layout-invariant NEXT-FIT packing into fixed-token-budget bins.
+
+    Bin assignment is a pure function of (ids, token counts, budget,
+    num_parts, seed): docs are dealt to ``num_parts`` lanes by id-hash,
+    ordered within a lane by the hash, and packed next-fit (close the
+    bin when the next doc doesn't fit).  Re-running corpus prep on any
+    cluster layout reproduces identical batches bit-for-bit — the
+    property a resumable/verifiable pretraining pipeline needs, and
+    what makes the packing SQL-checkable (the oracle replays the same
+    recurrence as a recursive CTE).  :func:`pack_sequences` remains the
+    first-fit variant for when density beats reproducibility.
+
+    Scale shape: one shuffle on the lane key (each lane lives wholly in
+    one task), then a single Arrow-streaming pass whose state is O(1) —
+    a running fill and a bin counter, reset at lane boundaries.  A doc
+    longer than ``budget`` gets a singleton bin (truncation is the
+    caller's policy).  Bin ids are ``lane << 32 | bin`` — globally
+    unique and stable.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from yet_another_map_reduce_spark.functions import md5_hash64
+
+    src = (
+        df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(token_count_col).cast("long").alias("n_tokens"),
+            md5_hash64(F.col(id_col), seed).alias("__hv"),
+        )
+        .withColumn("part", F.pmod(F.col("__hv"), F.lit(num_parts)))
+        .repartition(num_parts, "part")
+        .sortWithinPartitions("part", "__hv", "doc_id")
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cur_part, fill, bin_no = None, 0, -1
+        for b in batches:
+            out = {"doc_id": [], "part": [], "bin_id": [], "n_tokens": []}
+            for doc, n, part in zip(b["doc_id"], b["n_tokens"], b["part"]):
+                doc, n, part = int(doc), int(n), int(part)
+                if part != cur_part:
+                    cur_part, fill, bin_no = part, 0, -1
+                if bin_no < 0 or fill + n > budget:
+                    bin_no += 1
+                    fill = n
+                else:
+                    fill += n
+                out["doc_id"].append(doc)
+                out["part"].append(part)
+                out["bin_id"].append((part << 32) | bin_no)
+                out["n_tokens"].append(n)
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        fn, schema="doc_id long, part long, bin_id long, n_tokens long"
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     k: int = 3,

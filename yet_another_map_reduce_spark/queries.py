@@ -1639,13 +1639,20 @@ def q_tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-budget sequence packing for pretraining batches (rows-only:
-    bin assignment is partition-layout dependent; the budget invariant
-    is pinned by test_pack_sequences_respects_budget)."""
+    """Token-budget sequence packing for pretraining batches —
+    LAYOUT-INVARIANT next-fit (text.pack_sequences_deterministic): bin
+    assignment is a pure function of (ids, counts, budget, lanes,
+    seed), so the DuckDB oracle replays the identical recurrence as a
+    recursive CTE and the packing is hash-verified (the old per-
+    partition first-fit variant remains available as
+    text.pack_sequences; its budget invariant stays pinned by
+    test_pack_sequences_respects_budget)."""
     d = read_table(spark, sf_dir, "documents").select(
         "doc_id", text.token_count("text").alias("n_tok")
     )
-    return text.pack_sequences(d, "doc_id", "n_tok", budget=128)
+    return text.pack_sequences_deterministic(
+        d, "doc_id", "n_tok", budget=128, num_parts=8, seed=11
+    ).orderBy("doc_id")
 
 
 def q_heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4327,6 +4334,42 @@ ORACLES: dict[str, str] = {
         WHERE doc_id < 100
         GROUP BY doc_id, f.f
         ORDER BY video_id, frame_idx
+    """,
+    # replays pack_sequences_deterministic's next-fit recurrence: deal
+    # docs to 8 lanes by id-hash, order by hash within a lane, close a
+    # bin when the next doc would overflow budget=128.  Linear
+    # recursion advances all lanes one row per step, so depth = the
+    # largest lane, not the corpus.
+    "pack_sequences": f"""
+        WITH RECURSIVE parts AS (
+            SELECT doc_id,
+                   CAST({_N_TOK} AS BIGINT) AS n_tokens,
+                   hv % 8 AS part,
+                   row_number() OVER (PARTITION BY hv % 8
+                                      ORDER BY hv, doc_id) AS rn
+            FROM (
+                SELECT doc_id, text,
+                       {_sql_hash64("CAST(doc_id AS VARCHAR)", seed=11)} AS hv
+                FROM documents
+            )
+        ), packed AS (
+            SELECT part, rn, doc_id, n_tokens, n_tokens AS fill,
+                   CAST(0 AS BIGINT) AS bin
+            FROM parts WHERE rn = 1
+            UNION ALL
+            SELECT t.part, t.rn, t.doc_id, t.n_tokens,
+                   CASE WHEN p.fill + t.n_tokens > 128
+                        THEN t.n_tokens ELSE p.fill + t.n_tokens END,
+                   CASE WHEN p.fill + t.n_tokens > 128
+                        THEN p.bin + 1 ELSE p.bin END
+            FROM parts t JOIN packed p
+              ON t.part = p.part AND t.rn = p.rn + 1
+        )
+        SELECT doc_id,
+               CAST(part AS BIGINT) AS part,
+               CAST(part * 4294967296 + bin AS BIGINT) AS bin_id,
+               n_tokens
+        FROM packed ORDER BY doc_id
     """,
     # exact distinct counts + literal TRUE: a hash match certifies the
     # sketch estimates landed inside their error bands on this data
