@@ -137,10 +137,17 @@ def _nearest_centroids(
         df.select(F.col(id_out).alias("__rid"), v.alias("__v"))
         .crossJoin(F.broadcast(cent))
         .withColumn(
+            # quantize BEFORE ranking (then tie-break on centroid_id) so
+            # the chosen cell is stable under last-ulp summation-order
+            # differences — the property that lets an external engine
+            # replay the assignment exactly
             "__cos",
-            F.try_divide(
-                dot(F.col("__v"), F.col("__centv")),
-                norm(F.col("__v")) * norm(F.col("__centv")),
+            F.round(
+                F.try_divide(
+                    dot(F.col("__v"), F.col("__centv")),
+                    norm(F.col("__v")) * norm(F.col("__centv")),
+                ),
+                9,
             ),
         )
     )

@@ -1164,8 +1164,12 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN via sign-LSH buckets — no SQL oracle (hyperplane
-    constants are code-side); driver records rows-only."""
+    """Approximate ANN via sign-LSH buckets — hash-verified: the
+    hyperplanes are md5-derived (similarity._hyperplane), so the oracle
+    rebuilds the identical planes, signatures, and bucket-restricted
+    cosine top-k in ANSI SQL.  A green hash certifies the whole
+    pipeline — plane generation, signature bits, bucket join, and
+    ranking — not just row counts."""
     emb = read_table(spark, sf_dir, "embeddings")
     out = similarity.lsh_topk(
         corpus=emb,
@@ -1181,8 +1185,11 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN via IVF inverted lists (nprobe of nlist cells
-    searched) — approximate by construction, driver records rows-only;
-    exhaustive-probe equivalence to brute force is pinned by test."""
+    searched) — hash-verified: the lowest-id seed centroids, the
+    quantized nearest-centroid assignment, the nprobe cell probe, and
+    the in-cell cosine top-k are all replayed by the SQL oracle, so a
+    green hash certifies the full inverted-file pipeline.  Exhaustive-
+    probe equivalence to brute force stays pinned by test."""
     emb = read_table(spark, sf_dir, "embeddings")
     out = similarity.ivf_topk(
         corpus=emb,
@@ -3697,6 +3704,106 @@ ORACLES: dict[str, str] = {
             FROM embeddings a JOIN embeddings b
               ON a.label = b.label AND a.vec_id < b.vec_id
         ) WHERE cos >= 0.35
+    """,
+    # replays the full IVF pipeline with the deterministic lowest-id
+    # seed centroids: assign every corpus vector to its nearest centroid
+    # (cos rounded to 9 before ranking, ties on centroid_id — matching
+    # similarity._nearest_centroids), probe the 4 nearest cells per
+    # query, cosine top-k within probed cells only
+    "ann_ivf_topk": """
+        WITH cent AS (
+            SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS centv
+            FROM embeddings ORDER BY vec_id ASC LIMIT 16
+        ),
+        assigned AS (
+            SELECT vec_id AS neighbor_id, cv, centroid_id FROM (
+                SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS cv,
+                       c.centroid_id,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY round(list_cosine_similarity(
+                               CAST(e.embedding AS DOUBLE[]), c.centv), 9) DESC,
+                               c.centroid_id ASC) AS cr
+                FROM embeddings e, cent c
+            ) WHERE cr = 1
+        ),
+        probes AS (
+            SELECT vec_id AS query_id, qv, centroid_id FROM (
+                SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS qv,
+                       c.centroid_id,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY round(list_cosine_similarity(
+                               CAST(e.embedding AS DOUBLE[]), c.centv), 9) DESC,
+                               c.centroid_id ASC) AS cr
+                FROM embeddings e, cent c
+                WHERE e.vec_id < 5
+            ) WHERE cr <= 4
+        ),
+        s AS (
+            SELECT query_id, neighbor_id,
+                   round(list_cosine_similarity(cv, qv), 6) AS cos
+            FROM assigned JOIN probes USING (centroid_id)
+            WHERE neighbor_id <> query_id
+        ),
+        r AS (
+            SELECT query_id, neighbor_id, cos,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id ASC) AS rn
+            FROM s
+        )
+        SELECT query_id, neighbor_id, cos, CAST(rn AS BIGINT) AS rank
+        FROM r WHERE rn <= 10
+    """,
+    # replays the full LSH pipeline: hyperplane components are
+    # md5-derived exactly as similarity._hyperplane builds them, sign
+    # bits form the bucket, and the cosine top-k runs only on
+    # bucket-mates (cos rounded to 6 BEFORE ranking on both engines, so
+    # last-ulp summation-order noise can't reorder neighbors)
+    "ann_lsh_topk": """
+        WITH planes AS (
+            SELECT i.i AS plane, j.j AS dim,
+                   ('0x' || substr(md5(CAST(i.i AS VARCHAR) || ':'
+                                       || CAST(j.j AS VARCHAR)), 1, 8))::BIGINT
+                       / 4294967295.0 - 0.5 AS pv
+            FROM generate_series(0, 5) i(i), generate_series(0, 63) j(j)
+        ),
+        comps AS (
+            SELECT vec_id,
+                   generate_subscripts(embedding, 1) - 1 AS dim,
+                   CAST(unnest(embedding) AS DOUBLE) AS x
+            FROM embeddings
+        ),
+        dots AS (
+            SELECT c.vec_id, p.plane, sum(c.x * p.pv) AS d
+            FROM comps c JOIN planes p ON c.dim = p.dim
+            GROUP BY c.vec_id, p.plane
+        ),
+        sig AS (
+            SELECT vec_id,
+                   CAST(sum(CASE WHEN d >= 0 THEN 1 << plane ELSE 0 END)
+                        AS BIGINT) AS bucket
+            FROM dots GROUP BY vec_id
+        ),
+        q AS (SELECT e.vec_id AS query_id, e.embedding AS qv, s.bucket
+              FROM embeddings e JOIN sig s USING (vec_id) WHERE e.vec_id < 5),
+        c2 AS (SELECT e.vec_id AS neighbor_id, e.embedding AS cv, s.bucket
+               FROM embeddings e JOIN sig s USING (vec_id)),
+        s2 AS (
+            SELECT query_id, neighbor_id,
+                   round(list_cosine_similarity(CAST(cv AS DOUBLE[]),
+                                                CAST(qv AS DOUBLE[])), 6) AS cos
+            FROM c2 JOIN q USING (bucket)
+            WHERE neighbor_id <> query_id
+        ),
+        r AS (
+            SELECT query_id, neighbor_id, cos,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id ASC) AS rn
+            FROM s2
+        )
+        SELECT query_id, neighbor_id, cos, CAST(rn AS BIGINT) AS rank
+        FROM r WHERE rn <= 10
     """,
     "ann_cosine_topk": """
         WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
