@@ -1208,8 +1208,10 @@ def q_embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     kmeans_assign: distributed Lloyd's training + broadcast-centroid
     assignment), rolled up to per-cluster size and mean cosine — the
     topic-bucketing step of an embedding-space curation pipeline.
-    Iterative training is not SQL-expressible: driver records
-    rows-only; planted-cluster recovery is pinned by tests."""
+    Hash-verified: training rounds every fixpoint to 6 decimals, so the
+    oracle replays the full iterative loop (seed → assign → mean,
+    twice) as chained CTEs and a green hash certifies the training
+    itself; planted-cluster recovery stays pinned by tests."""
     emb = read_table(spark, sf_dir, "embeddings")
     # 2 training iterations keep the demo inside the suite's time
     # budget (convergence is pinned by the planted-cluster test)
@@ -1230,8 +1232,10 @@ def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF search over k-means-TRAINED centroids (similarity.
     train_ivf_centroids — distributed Lloyd's, map-only assignment +
     one partial-agged shuffle per iteration) instead of the lowest-id
-    seeding; approximate by construction, driver records rows-only.
-    Planted-cluster recovery and determinism are pinned by tests."""
+    seeding.  Hash-verified end to end: the oracle replays the
+    training loop (rounded fixpoints) AND the probe/top-k, so a green
+    hash certifies training + search together.  Planted-cluster
+    recovery and determinism stay pinned by tests."""
     emb = read_table(spark, sf_dir, "embeddings")
     # 2 training iterations keep the demo inside the suite's time
     # budget; multi-iteration convergence is pinned by the planted-
@@ -4572,6 +4576,150 @@ ORACLES["pipeline_corpus_hygiene"] = f"""
     JOIN ({ORACLES["text_repetition_stats"]}) r ON d.doc_id = r.doc_id
     JOIN ({ORACLES["corpus_boilerplate_ngrams"]}) b ON d.doc_id = b.doc_id
     ORDER BY d.doc_id
+"""
+
+
+def _kmeans_train_cte(nlist: int, iterations: int) -> str:
+    """Chained-CTE replay of ``similarity.train_ivf_centroids``: seed
+    with the ``nlist`` lowest-id vectors (dense cids), then per
+    iteration unit-normalize, assign every vector by 6-rounded dot
+    (ties to the lower cid), and take 6-rounded member means (empty
+    cells keep the prior centroid).  The training loop rounds every
+    fixpoint to 6 decimals precisely so an external engine can replay
+    it bit-for-bit despite float accumulation-order differences.
+    Emits CTEs ``comps`` / ``cent0..cent{iterations}``."""
+    parts = [
+        """comps AS (
+            SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+                   CAST(unnest(embedding) AS DOUBLE) AS x
+            FROM embeddings
+        )""",
+        f"""seed AS (
+            SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cid, vec_id
+            FROM (SELECT vec_id FROM embeddings ORDER BY vec_id ASC LIMIT {nlist})
+        )""",
+        """cent0 AS (
+            SELECT s.cid, c.dim, c.x AS val
+            FROM seed s JOIN comps c USING (vec_id)
+        )""",
+    ]
+    for t in range(1, iterations + 1):
+        p = t - 1
+        parts += [
+            f"""unit{t} AS (
+                SELECT c.cid, c.dim,
+                       c.val / (CASE WHEN n.n = 0 THEN 1.0 ELSE n.n END) AS u
+                FROM cent{p} c JOIN (
+                    SELECT cid, sqrt(sum(val * val)) AS n
+                    FROM cent{p} GROUP BY cid
+                ) n ON c.cid = n.cid
+            )""",
+            f"""dot{t} AS (
+                SELECT c.vec_id, u.cid, round(sum(c.x * u.u), 6) AS d
+                FROM comps c JOIN unit{t} u ON c.dim = u.dim
+                GROUP BY c.vec_id, u.cid
+            )""",
+            f"""asg{t} AS (
+                SELECT vec_id, cid FROM (
+                    SELECT vec_id, cid, row_number() OVER (
+                        PARTITION BY vec_id ORDER BY d DESC, cid ASC) AS rn
+                    FROM dot{t}
+                ) WHERE rn = 1
+            )""",
+            f"""mean{t} AS (
+                SELECT a.cid, c.dim, round(sum(c.x) / count(*), 6) AS val
+                FROM asg{t} a JOIN comps c USING (vec_id)
+                GROUP BY a.cid, c.dim
+            )""",
+            f"""cent{t} AS (
+                SELECT p.cid, p.dim, COALESCE(m.val, p.val) AS val
+                FROM cent{p} p LEFT JOIN mean{t} m
+                  ON p.cid = m.cid AND p.dim = m.dim
+            )""",
+        ]
+    return ",\n".join(parts)
+
+
+# replays kmeans_assign (train 2 iterations, nlist=8) + the per-cluster
+# rollup: final assignment repeats training's 6-rounded-dot argmax with
+# the trained centroids, cos = rounded dot / vector norm
+ORACLES["embedding_kmeans_clusters"] = f"""
+    WITH {_kmeans_train_cte(8, 2)},
+    unitf AS (
+        SELECT c.cid, c.dim,
+               c.val / (CASE WHEN n.n = 0 THEN 1.0 ELSE n.n END) AS u
+        FROM cent2 c JOIN (
+            SELECT cid, sqrt(sum(val * val)) AS n FROM cent2 GROUP BY cid
+        ) n ON c.cid = n.cid
+    ),
+    dotf AS (
+        SELECT c.vec_id, u.cid, round(sum(c.x * u.u), 6) AS d
+        FROM comps c JOIN unitf u ON c.dim = u.dim
+        GROUP BY c.vec_id, u.cid
+    ),
+    vnorm AS (
+        SELECT vec_id, sqrt(sum(x * x)) AS nv FROM comps GROUP BY vec_id
+    ),
+    best AS (
+        SELECT vec_id, cid, d FROM (
+            SELECT vec_id, cid, d, row_number() OVER (
+                PARTITION BY vec_id ORDER BY d DESC, cid ASC) AS rn
+            FROM dotf
+        ) WHERE rn = 1
+    )
+    SELECT CAST(b.cid AS BIGINT) AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           round(avg(round(b.d / (CASE WHEN v.nv = 0 THEN NULL ELSE v.nv END),
+                           6)), 6) AS avg_cos
+    FROM best b JOIN vnorm v USING (vec_id)
+    GROUP BY b.cid ORDER BY cluster_id
+"""
+
+# replays ivf_topk over the TRAINED centroids (2 Lloyd's iterations):
+# nearest-cell assignment and the 2-cell probe both use the 9-rounded
+# cosine + lower-centroid-id tiebreak of similarity._nearest_centroids
+ORACLES["ann_ivf_trained"] = f"""
+    WITH {_kmeans_train_cte(8, 2)},
+    centlist AS (
+        SELECT cid, list(val ORDER BY dim) AS centv FROM cent2 GROUP BY cid
+    ),
+    assigned AS (
+        SELECT vec_id AS neighbor_id, cv, cid FROM (
+            SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS cv, c.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round(list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]), c.centv), 9) DESC,
+                           c.cid ASC) AS cr
+            FROM embeddings e, centlist c
+        ) WHERE cr = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, qv, cid FROM (
+            SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS qv, c.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round(list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]), c.centv), 9) DESC,
+                           c.cid ASC) AS cr
+            FROM embeddings e, centlist c
+            WHERE e.vec_id < 5
+        ) WHERE cr <= 2
+    ),
+    s AS (
+        SELECT query_id, neighbor_id,
+               round(list_cosine_similarity(cv, qv), 6) AS cos
+        FROM assigned JOIN probes USING (cid)
+        WHERE neighbor_id <> query_id
+    ),
+    r AS (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id ASC) AS rn
+        FROM s
+    )
+    SELECT query_id, neighbor_id, cos, CAST(rn AS BIGINT) AS rank
+    FROM r WHERE rn <= 10
 """
 
 
