@@ -1710,6 +1710,38 @@ def q_agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental distinct-count rollup from MERGED partial sketches —
+    the pattern that makes 100 TB rollups affordable: per-(flag,status)
+    HLL sketches are built once (e.g. nightly per partition), then
+    re-aggregated to per-flag estimates by lossless sketch union
+    (hll_union_agg) WITHOUT rescanning the fact table.  Verified like
+    the other sketch queries: exact distinct counts beside an
+    error-bound boolean on the merged estimate, so a green hash
+    certifies that merge-then-estimate stays inside the band (the
+    union's losslessness vs one-shot sketching is pinned by
+    test_hll_sketch_merge_matches_full)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    partials = aggregates.hll_sketch_partials(
+        li, ["l_returnflag", "l_linestatus"], "l_orderkey"
+    )
+    merged = aggregates.hll_merge(partials, ["l_returnflag"], alias="est")
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    return (
+        exact.join(merged, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_orders",
+            (F.abs(F.col("est") - F.col("n_orders")) <= 0.15 * F.col("n_orders")).alias(
+                "est_ok"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel (view → later click → later purchase) as
     conditional-min aggregates chained by per-user joins — each stage
@@ -4496,6 +4528,12 @@ ORACLES: dict[str, str] = {
                TRUE AS est_ok
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
+    "agg_hll_rollup": """
+        SELECT l_returnflag,
+               count(DISTINCT l_orderkey) AS n_orders,
+               TRUE AS est_ok
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
     # mirrors extract_audio_features over synthetic_wav_media square
     # waves: amp = 1000 + (i%100)*10, half-period = 4 + (i%8), n = 800,
     # rate = 8000.  RMS of a ±amp square wave is exactly amp; sign
@@ -4806,6 +4844,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_cte": q_sql_cte,
     "dedup_components": q_dedup_components,
     "agg_hll_sketch": q_agg_hll_sketch,
+    "agg_hll_rollup": q_agg_hll_rollup,
     "pack_sequences": q_pack_sequences,
     "agg_approx_distinct": q_agg_approx_distinct,
     "sample_stratified": q_sample_stratified,
