@@ -54,6 +54,8 @@ def stratified_hash_sample(
     whose output depends on partition iteration order.  Strata absent
     from ``fractions`` are dropped (rate 0).  Pure narrow filter: no
     shuffle, no state, pushdown-friendly."""
+    if not fractions:
+        raise ValueError("fractions must name at least one stratum")
     bucket = F.pmod(md5_hash64(id_col, seed), F.lit(1000))
     thresh = None
     for value, frac in fractions.items():
