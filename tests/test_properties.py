@@ -161,3 +161,42 @@ def test_mixture_sample_copy_counts_bracket_weight(spark, n, weight, seed):
     # ...and dropped rows only exist when floor(w) == 0
     if lo >= 1:
         assert len(per_doc) == n
+
+
+@settings(
+    deadline=None,
+    max_examples=15,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    values=st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",)), max_size=40
+        ),
+        min_size=1,
+        max_size=25,
+        unique=True,
+    ),
+    seed=st.one_of(st.none(), st.integers(min_value=0, max_value=99)),
+)
+def test_md5_hash64_matches_sql_twin(spark, values, seed):
+    """The portable hash underpinning every sampling/shuffle/LSH oracle:
+    Spark's functions.md5_hash64 and the DuckDB _sql_hash64 expression
+    must agree bit-for-bit on arbitrary unicode, for any seed."""
+    import duckdb
+
+    from yet_another_map_reduce_spark.functions import md5_hash64
+    from yet_another_map_reduce_spark.queries import _sql_hash64
+
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    got = {
+        r["v"]: r["h"]
+        for r in df.select("v", md5_hash64(F.col("v"), seed).alias("h")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (v VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in values])
+    want = dict(
+        con.execute(f"SELECT v, {_sql_hash64('v', seed=seed)} FROM t").fetchall()
+    )
+    assert got == want
