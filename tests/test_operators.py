@@ -670,3 +670,36 @@ def test_ivf_partitioned_index_prunes_partitions(spark, sf_dir, tmp_path):
     # pruned read returns exactly the rows of the probed cells
     expected = assigned.where(F.col("cluster_id").isin(0, 1)).count()
     assert probed.count() == expected and expected > 0
+
+
+def test_quantize_embeddings_values_and_zero_vector(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, -2.0, 0.5]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r["qvec"] for r in similarity.quantize_embeddings(
+        df, "vec_id", "embedding").collect()}
+    # scale = 127/2: floor([63.5, -127, 31.75] + 0.5) = [64, -127, 32]
+    assert out[1] == [64, -127, 32]
+    assert out[2] == [0, 0, 0]  # zero vector stays zero, no division error
+
+
+def test_quantized_topk_matches_exact_ranking_on_separated_vectors(spark):
+    # well-separated directions: int8 quantization must preserve the
+    # exact cosine ranking, and the zero vector must rank last (NULL)
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, [0.0, 1.0]),
+            (4, [0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = similarity.quantized_topk(
+        df, df.where(F.col("vec_id") == 1), "vec_id", "embedding", k=4
+    )
+    rows = sorted(out.collect(), key=lambda r: r["qrank"])
+    assert [r["neighbor_id"] for r in rows] == [2, 3, 4]
+    assert rows[0]["qcos"] > rows[1]["qcos"]
+    assert rows[2]["qcos"] is None

@@ -15,7 +15,7 @@ ship), so results are reproducible run-to-run and testable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from yet_another_map_reduce_spark.functions import cosine_similarity, md5_hash64
@@ -421,4 +421,85 @@ def kmeans_assign(
         F.col(id_col),
         (-best["ni"]).cast("bigint").alias("cluster_id"),
         F.round(F.try_divide(best["d"], norm(v)), 6).alias("cos"),
+    )
+
+
+def quantize_embeddings(
+    df: DataFrame, id_col: str, vec_col: str, qvec_col: str = "qvec"
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization of an embedding
+    column: ``scale = 127 / max(|v_i|)``, ``q_i = floor(v_i*scale + 0.5)``
+    (floor-of-shifted instead of round() so Spark and ANSI-SQL engines
+    agree bit-for-bit on negative halves).
+
+    Cosine is scale-invariant, so the per-vector scale factor cancels and
+    never needs to be stored for similarity search — the quantized
+    corpus is just ``array<tinyint>``-valued (carried as bigint here for
+    arithmetic width), a 4× storage/scan reduction vs float32 at 100 TB,
+    and the dot products downstream are exact integer arithmetic
+    (deterministic across engines, no float summation-order drift).
+
+    All-zero vectors quantize to all zeros (scale 0) and rank last via
+    ``try_divide`` NULLs downstream rather than raising.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(maxabs > 0, F.lit(127.0) / maxabs).otherwise(F.lit(0.0))
+    q = F.transform(v, lambda x: F.floor(x * scale + F.lit(0.5)).cast("bigint"))
+    return df.select(F.col(id_col), q.alias(qvec_col))
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors over int8-quantized vectors —
+    the memory-bandwidth tier of the ANN stack (quantize → integer dot),
+    composable with :func:`lsh_topk` / :func:`ivf_topk` bucketing for
+    candidate pruning.
+
+    Same scale shape as :func:`cosine_topk`: the (small, by contract)
+    query side is quantized and broadcast; the corpus is quantized
+    on the fly inside whole-stage codegen and read exactly once, never
+    shuffled.  The integer dot/norms make the score fully deterministic,
+    so the whole pipeline — including ranking ties broken on neighbor
+    id — is reproducible in an ANSI-SQL oracle.
+    """
+    q = quantize_embeddings(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("qvec").alias("__qq")
+    )
+    c = quantize_embeddings(corpus, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("__qc")
+    )
+    idot = F.aggregate(
+        F.zip_with(F.col("__qc"), F.col("__qq"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+    def _inorm(col: str) -> Column:
+        return F.sqrt(
+            F.aggregate(
+                F.col(col), F.lit(0).cast("bigint"), lambda acc, v: acc + v * v
+            ).cast("double")
+        )
+
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "qcos",
+            F.round(F.try_divide(idot, _inorm("__qc") * _inorm("__qq")), 6),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qcos").desc_nulls_last(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("qrank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("qrank") <= k)
+        .select("query_id", "neighbor_id", "qcos", "qrank")
     )

@@ -1203,6 +1203,25 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
+def q_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN over int8 scalar-quantized vectors — the
+    memory-bandwidth tier: ``scale = 127/max|v|`` per vector,
+    ``q = floor(v*scale + 0.5)``, cosine over the integer vectors (the
+    per-vector scale cancels).  The integer dots/norms are exact, so the
+    oracle replays the full quantize→dot→rank pipeline bit-for-bit and
+    a green hash certifies quantization, scoring, and ranking.  At
+    100 TB the quantized corpus is a 4× smaller scan and the hot loop
+    is integer SIMD; composes with IVF/LSH bucketing for pruning."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.quantized_topk(
+        corpus=emb,
+        queries=emb.where(F.col("vec_id") < 5),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=10,
+    )
+
+
 def q_embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic clustering of the embedding corpus (similarity.
     kmeans_assign: distributed Lloyd's training + broadcast-centroid
@@ -3859,6 +3878,33 @@ ORACLES: dict[str, str] = {
         SELECT query_id, neighbor_id, cos, CAST(rn AS BIGINT) AS rank
         FROM r WHERE rn <= 10
     """,
+    "ann_quantized_topk": """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS ma FROM e),
+        -- q_i = floor(v_i * 127/max|v| + 0.5): integer-valued doubles, so
+        -- every dot/norm below is exact integer arithmetic (< 2^53)
+        qv AS (
+            SELECT vec_id,
+                   list_transform(v, x -> floor(x * (CASE WHEN ma > 0
+                        THEN 127.0 / ma ELSE 0.0 END) + 0.5)) AS q
+            FROM m),
+        n AS (SELECT vec_id, sqrt(list_sum(list_transform(q, x -> x * x))) AS nn FROM qv),
+        s AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   round(CASE WHEN na.nn * nb.nn > 0
+                         THEN list_inner_product(a.q, b.q) / (na.nn * nb.nn) END, 6) AS qcos
+            FROM qv a JOIN qv b ON b.vec_id <> a.vec_id
+            JOIN n na ON na.vec_id = a.vec_id
+            JOIN n nb ON nb.vec_id = b.vec_id
+            WHERE a.vec_id < 5),
+        r AS (
+            SELECT query_id, neighbor_id, qcos,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY qcos DESC NULLS LAST, neighbor_id ASC) AS rn
+            FROM s)
+        SELECT query_id, neighbor_id, qcos, CAST(rn AS BIGINT) AS qrank
+        FROM r WHERE rn <= 10
+    """,
     "tpch_q6_revenue": """
         SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
         FROM lineitem
@@ -4850,6 +4896,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_stratified": q_sample_stratified,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_quantized_topk": q_ann_quantized_topk,
     "embedding_kmeans_clusters": q_embedding_kmeans_clusters,
     "ann_ivf_trained": q_ann_ivf_trained,
     "multimodal_features": q_multimodal_features,
