@@ -703,3 +703,34 @@ def test_quantized_topk_matches_exact_ranking_on_separated_vectors(spark):
     assert [r["neighbor_id"] for r in rows] == [2, 3, 4]
     assert rows[0]["qcos"] > rows[1]["qcos"]
     assert rows[2]["qcos"] is None
+
+
+def test_chunk_dedup_first_occurrence_wins_and_reassembles(spark):
+    # doc 1 owns chunk "a b"; doc 2 repeats it then adds its own; doc 3
+    # is entirely a copy of doc 1 and must come back empty
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b c d"), (3, "a b")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.chunk_dedup(df, "text", "doc_id", chunk_tokens=2).collect()
+    }
+    assert (out[1]["n_chunks"], out[1]["n_kept"], out[1]["dedup_text"]) == (1, 1, "a b")
+    assert (out[2]["n_chunks"], out[2]["n_kept"], out[2]["dedup_text"]) == (2, 1, "c d")
+    assert (out[3]["n_chunks"], out[3]["n_kept"], out[3]["dedup_text"]) == (1, 0, "")
+    assert out[3]["kept_frac"] == 0.0
+
+
+def test_chunk_dedup_chunk_order_preserved_within_doc(spark):
+    # surviving chunks must reassemble in original order even when the
+    # duplicate removed is in the middle
+    df = spark.createDataFrame(
+        [(1, "x y"), (2, "p q x y r s")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["dedup_text"]
+        for r in dedup.chunk_dedup(df, "text", "doc_id", chunk_tokens=2).collect()
+    }
+    assert out[2] == "p q r s"

@@ -819,6 +819,15 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(d, "text", "doc_id")
 
 
+def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup at 10-token chunk granularity: first corpus
+    occurrence of each chunk wins, documents are reassembled from their
+    surviving chunks.  Hash-verified — the oracle replays tokenization,
+    chunking, first-occurrence selection, and reassembly in ANSI SQL."""
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.chunk_dedup(d, "text", "doc_id", chunk_tokens=10)
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     return text.text_stats(d, "text", "doc_id")
@@ -3442,6 +3451,30 @@ ORACLES: dict[str, str] = {
                CAST(count(*) AS BIGINT) AS dup_count
         FROM documents GROUP BY md5({_TEXT_NORM})
     """,
+    "dedup_chunks": f"""
+        WITH toks AS (
+            SELECT doc_id, string_split({_TEXT_NORM}, ' ') AS t FROM documents),
+        tok AS (
+            SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos, unnest(t) AS tok
+            FROM toks),
+        ch AS (
+            SELECT doc_id, CAST(pos // 10 AS BIGINT) AS chunk_idx,
+                   string_agg(tok, ' ' ORDER BY pos) AS chunk
+            FROM tok GROUP BY doc_id, pos // 10),
+        rk AS (
+            SELECT doc_id, chunk_idx, chunk,
+                   row_number() OVER (PARTITION BY md5(chunk)
+                                      ORDER BY doc_id, chunk_idx) AS rn
+            FROM ch)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               COALESCE(string_agg(chunk, ' ' ORDER BY chunk_idx)
+                        FILTER (WHERE rn = 1), '') AS dedup_text,
+               round(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+                   AS kept_frac
+        FROM rk GROUP BY doc_id
+    """,
     "text_stats": f"""
         WITH scored AS (
             SELECT doc_id,
@@ -4825,6 +4858,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_tumbling": q_window_tumbling,
     "window_sliding": q_window_sliding,
     "dedup_exact": q_dedup_exact,
+    "dedup_chunks": q_dedup_chunks,
     "tpch_q14_promo_share": q_tpch_q14_promo_share,
     "hof_array_pipeline": q_hof_array_pipeline,
     "datetime_functions": q_datetime_functions,
