@@ -734,3 +734,26 @@ def test_chunk_dedup_chunk_order_preserved_within_doc(spark):
         for r in dedup.chunk_dedup(df, "text", "doc_id", chunk_tokens=2).collect()
     }
     assert out[2] == "p q r s"
+
+
+def test_bigram_lm_score_hand_computed_and_bucketed(spark):
+    # corpus: ab=4, ba=2, bc=1, zz=2; c(a)=4, c(b)=3, c(z)=2; V=4
+    from yet_another_map_reduce_spark.operators import text
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "a b c"), (3, "z z z")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.bigram_lm_score(
+        df, "text", "doc_id", add_k=0.5).collect()}
+    import math
+    # doc1: (3*ln(4.5/6) + 2*ln(2.5/5)) / 5
+    assert out[1]["avg_logprob"] == round(
+        (3 * math.log(0.75) + 2 * math.log(0.5)) / 5, 6)
+    # doc3: ln(2.5/4); doc2: (ln(4.5/6) + ln(1.5/5)) / 2
+    assert out[3]["avg_logprob"] == round(math.log(0.625), 6)
+    assert out[2]["avg_logprob"] == round(
+        (math.log(0.75) + math.log(0.3)) / 2, 6)
+    # terciles: doc1 most fluent, doc2 least
+    assert (out[1]["lm_bucket"], out[3]["lm_bucket"], out[2]["lm_bucket"]) == (
+        "head", "middle", "tail")
+    assert out[1]["n_bigrams"] == 5

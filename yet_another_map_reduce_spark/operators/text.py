@@ -557,3 +557,81 @@ def boilerplate_ngram_stats(
             (frac <= max_boilerplate_frac).alias("keep"),
         )
     )
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    add_k: float = 0.5,
+) -> DataFrame:
+    """Corpus-trained bigram language-model scoring — the CCNet-style
+    perplexity-bucket filter with the KenLM swapped for a bigram LM
+    trained on the corpus itself (self-scoring finds the documents the
+    corpus finds surprising: noise, tables, wrong-language spans).
+
+    Per document: mean add-k-smoothed log-probability
+    ``avg over positions of ln((c(prev,cur)+k) / (c(prev)+k*V))`` and a
+    head/middle/tail tercile bucket over the whole corpus (head = most
+    fluent), assigned by exact percent_rank with a doc-id tie-break so
+    the bucketing is a pure function of the corpus.
+
+    Scale shape: train and score in ONE pass over the exploded bigrams —
+    per-doc bigram counts aggregate map-side, corpus bigram counts
+    derive from a second grouping of the SAME aggregate (never a second
+    corpus scan), unigram context counts fold from the bigram counts,
+    and V rides along as a broadcast 1-row aggregate (no driver-side
+    scalar collect).  The tercile window runs over one 3-column row per
+    document — orders of magnitude smaller than the token stream; past
+    ~10^8 documents swap it for approx-percentile thresholds at the
+    cost of hash-exactness.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("__pos", "__tok")
+    )
+    wseq = Window.partitionBy(id_col).orderBy("__pos")
+    big = (
+        tok.select(
+            F.col(id_col),
+            F.col("__tok").alias("prev"),
+            F.lead("__tok", 1).over(wseq).alias("cur"),
+        )
+        .where(F.col("cur").isNotNull())
+    )
+    docbig = big.groupBy(id_col, "prev", "cur").agg(
+        F.count(F.lit(1)).alias("__m")
+    )
+    bc = docbig.groupBy("prev", "cur").agg(F.sum("__m").alias("__cb"))
+    pc = bc.groupBy("prev").agg(F.sum("__cb").alias("__cp"))
+    vdf = tok.agg(F.countDistinct("__tok").alias("__V"))
+
+    term = (
+        docbig.join(bc, ["prev", "cur"])
+        .join(pc, "prev")
+        .crossJoin(F.broadcast(vdf))
+        .withColumn(
+            "__lp",
+            F.col("__m")
+            * F.log(
+                (F.col("__cb") + F.lit(add_k))
+                / (F.col("__cp") + F.lit(add_k) * F.col("__V"))
+            ),
+        )
+    )
+    doc = term.groupBy(id_col).agg(
+        F.sum("__m").cast("bigint").alias("n_bigrams"),
+        F.round(F.sum("__lp") / F.sum("__m"), 6).alias("avg_logprob"),
+    )
+    wrank = Window.orderBy(F.col("avg_logprob").desc(), F.col(id_col).asc())
+    pr = F.percent_rank().over(wrank)
+    return doc.select(
+        F.col(id_col),
+        "n_bigrams",
+        "avg_logprob",
+        F.when(pr < 1.0 / 3, F.lit("head"))
+        .when(pr < 2.0 / 3, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("lm_bucket"),
+    )

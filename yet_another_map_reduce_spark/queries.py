@@ -1022,6 +1022,15 @@ def q_text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram-LM scoring with head/middle/tail terciles
+    (the CCNet perplexity-bucket shape, self-trained).  Hash-verified:
+    the oracle retrains the same add-k LM and replays the exact tercile
+    assignment."""
+    d = read_table(spark, sf_dir, "documents")
+    return text.bigram_lm_score(d, "text", "doc_id", add_k=0.5)
+
+
 def q_pipeline_corpus_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus-hygiene verdict: decontamination (4-gram
     overlap vs the doc_id%10 holdout) + Gopher repetition filters +
@@ -3475,6 +3484,42 @@ ORACLES: dict[str, str] = {
                    AS kept_frac
         FROM rk GROUP BY doc_id
     """,
+    "text_bigram_lm": f"""
+        WITH toks AS (
+            SELECT doc_id, string_split({_TEXT_NORM}, ' ') AS t FROM documents),
+        tok AS (
+            SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos, unnest(t) AS tok
+            FROM toks),
+        big AS (
+            SELECT doc_id, tok AS prev,
+                   lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS cur
+            FROM tok),
+        bg AS (SELECT * FROM big WHERE cur IS NOT NULL),
+        db AS (SELECT doc_id, prev, cur, count(*) AS m
+               FROM bg GROUP BY doc_id, prev, cur),
+        bc AS (SELECT prev, cur, count(*) AS cb FROM bg GROUP BY prev, cur),
+        pc AS (SELECT prev, sum(cb) AS cp FROM bc GROUP BY prev),
+        v AS (SELECT count(DISTINCT tok) AS vs FROM tok),
+        term AS (
+            SELECT d.doc_id, d.m,
+                   d.m * ln((bc.cb + 0.5) / (pc.cp + 0.5 * v.vs)) AS lp
+            FROM db d
+            JOIN bc ON d.prev = bc.prev AND d.cur = bc.cur
+            JOIN pc ON d.prev = pc.prev
+            CROSS JOIN v),
+        doc AS (
+            SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+                   round(sum(lp) / sum(m), 6) AS avg_logprob
+            FROM term GROUP BY doc_id),
+        r AS (
+            SELECT *, percent_rank() OVER (ORDER BY avg_logprob DESC, doc_id ASC) AS pr
+            FROM doc)
+        SELECT doc_id, n_bigrams, avg_logprob,
+               CASE WHEN pr < 1.0/3 THEN 'head'
+                    WHEN pr < 2.0/3 THEN 'middle'
+                    ELSE 'tail' END AS lm_bucket
+        FROM r
+    """,
     "text_stats": f"""
         WITH scored AS (
             SELECT doc_id,
@@ -4890,6 +4935,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_chunking": q_text_chunking,
     "text_decontaminate": q_text_decontaminate,
     "text_repetition_stats": q_text_repetition_stats,
+    "text_bigram_lm": q_text_bigram_lm,
     "corpus_boilerplate_ngrams": q_corpus_boilerplate_ngrams,
     "pipeline_corpus_hygiene": q_pipeline_corpus_hygiene,
     "ann_cosine_topk": q_ann_cosine_topk,
