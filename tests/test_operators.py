@@ -757,3 +757,31 @@ def test_bigram_lm_score_hand_computed_and_bucketed(spark):
     assert (out[1]["lm_bucket"], out[3]["lm_bucket"], out[2]["lm_bucket"]) == (
         "head", "middle", "tail")
     assert out[1]["n_bigrams"] == 5
+
+
+def test_build_vocab_rank_and_tiebreak(spark):
+    from yet_another_map_reduce_spark.operators import text
+
+    df = spark.createDataFrame(
+        [(1, "b b a a c")], "doc_id long, text string"
+    )
+    rows = sorted(
+        text.build_vocab(df, "text", vocab_size=2).collect(),
+        key=lambda r: r["vocab_id"],
+    )
+    # a and b tie on count 2 -> token asc breaks it; c is cut
+    assert [(r["token"], r["token_count"], r["vocab_id"]) for r in rows] == [
+        ("a", 2, 1), ("b", 2, 2)]
+
+
+def test_oov_stats_counts_out_of_vocab_tokens(spark):
+    from yet_another_map_reduce_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [(1, "a b zz"), (2, "a a")], "doc_id long, text string"
+    )
+    vocab = spark.createDataFrame([("a",), ("b",)], "token string")
+    out = {r["doc_id"]: r for r in text.oov_stats(
+        docs, "text", "doc_id", vocab).collect()}
+    assert (out[1]["n_tokens"], out[1]["n_oov"], out[1]["oov_rate"]) == (3, 1, round(1 / 3, 6))
+    assert (out[2]["n_tokens"], out[2]["n_oov"], out[2]["oov_rate"]) == (2, 0, 0.0)

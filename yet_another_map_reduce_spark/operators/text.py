@@ -635,3 +635,57 @@ def bigram_lm_score(
         .otherwise(F.lit("tail"))
         .alias("lm_bucket"),
     )
+
+
+def build_vocab(df: DataFrame, text_col: str, vocab_size: int) -> DataFrame:
+    """Corpus token vocabulary: the ``vocab_size`` most frequent tokens,
+    ranked by (count desc, token asc) — the deterministic tie-break makes
+    vocab ids a pure function of the corpus, stable across runs and
+    layouts.  Returns ``(token, token_count, vocab_id)`` with ids 1..N.
+
+    Scale shape: one map-side-partial count over the exploded tokens
+    reduces the corpus to its distinct-token set, the top-N comes out of
+    a distributed TakeOrdered (``orderBy().limit()`` — no global window
+    over the full vocabulary), and only the N surviving rows pass
+    through the id-assigning window.
+    """
+    from pyspark.sql import Window
+
+    cnt = (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("token_count"))
+    )
+    top = cnt.orderBy(F.col("token_count").desc(), F.col("token").asc()).limit(
+        vocab_size
+    )
+    w = Window.orderBy(F.col("token_count").desc(), F.col("token").asc())
+    return top.withColumn("vocab_id", F.row_number().over(w).cast("bigint"))
+
+
+def oov_stats(
+    df: DataFrame, text_col: str, id_col: str, vocab: DataFrame
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against a vocab relation
+    (any DataFrame with a ``token`` column, e.g. :func:`build_vocab`
+    output) — the coverage check run before committing to a tokenizer
+    vocabulary, and a cheap wrong-language/noise signal per document.
+
+    The vocab is broadcast (vocab_size rows by construction), so the
+    corpus is read once and never shuffled until the per-document
+    aggregation on the id key.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("token")
+    )
+    marked = tok.join(
+        F.broadcast(vocab.select("token", F.lit(True).alias("__in_vocab"))),
+        "token",
+        "left",
+    )
+    oov = F.col("__in_vocab").isNull().cast("bigint")
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(oov).cast("bigint").alias("n_oov"),
+        F.round(F.sum(oov) / F.count(F.lit(1)), 6).alias("oov_rate"),
+    )

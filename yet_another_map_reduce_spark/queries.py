@@ -1031,6 +1031,16 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bigram_lm_score(d, "text", "doc_id", add_k=0.5)
 
 
+def q_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage: build the 24-token corpus vocab
+    (count-desc, token-asc tie-break) and report each document's
+    out-of-vocabulary token rate.  Hash-verified end to end — the
+    oracle rebuilds the same vocab and recomputes every rate."""
+    d = read_table(spark, sf_dir, "documents")
+    vocab = text.build_vocab(d, "text", vocab_size=24)
+    return text.oov_stats(d, "text", "doc_id", vocab)
+
+
 def q_pipeline_corpus_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus-hygiene verdict: decontamination (4-gram
     overlap vs the doc_id%10 holdout) + Gopher repetition filters +
@@ -3520,6 +3530,25 @@ ORACLES: dict[str, str] = {
                     ELSE 'tail' END AS lm_bucket
         FROM r
     """,
+    "vocab_oov": f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split({_TEXT_NORM}, ' ')) AS token
+            FROM documents),
+        cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+        voc AS (
+            SELECT token FROM (
+                SELECT token, row_number() OVER (ORDER BY c DESC, token ASC) AS rn
+                FROM cnt)
+            WHERE rn <= 24)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_oov,
+               round(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) * 1.0
+                     / count(*), 6) AS oov_rate
+        FROM tok LEFT JOIN voc v USING (token)
+        GROUP BY doc_id
+    """,
     "text_stats": f"""
         WITH scored AS (
             SELECT doc_id,
@@ -4936,6 +4965,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_decontaminate": q_text_decontaminate,
     "text_repetition_stats": q_text_repetition_stats,
     "text_bigram_lm": q_text_bigram_lm,
+    "vocab_oov": q_vocab_oov,
     "corpus_boilerplate_ngrams": q_corpus_boilerplate_ngrams,
     "pipeline_corpus_hygiene": q_pipeline_corpus_hygiene,
     "ann_cosine_topk": q_ann_cosine_topk,
