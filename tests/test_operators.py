@@ -785,3 +785,15 @@ def test_oov_stats_counts_out_of_vocab_tokens(spark):
         docs, "text", "doc_id", vocab).collect()}
     assert (out[1]["n_tokens"], out[1]["n_oov"], out[1]["oov_rate"]) == (3, 1, round(1 / 3, 6))
     assert (out[2]["n_tokens"], out[2]["n_oov"], out[2]["oov_rate"]) == (2, 0, 0.0)
+
+
+def test_incremental_dedup_drops_seen_and_dedups_within_batch(spark):
+    seen = spark.createDataFrame([(100, "old news")], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(1, "Old  News"), (2, "fresh story"), (3, "fresh story"), (4, "unique")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["dup_count"] for r in dedup.incremental_dedup(
+        batch, seen, "text", "doc_id").collect()}
+    # doc 1 normalizes to seen text -> dropped; 2/3 collapse; 4 survives
+    assert out == {2: 2, 4: 1}

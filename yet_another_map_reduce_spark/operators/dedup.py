@@ -672,3 +672,37 @@ def chunk_dedup(
         )
         .withColumn("kept_frac", F.round(F.col("n_kept") / F.col("n_chunks"), 6))
     )
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    seen_df: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Dedup an incoming batch against an already-ingested corpus — the
+    incremental-crawl shape: drop new documents whose normalized-text
+    fingerprint already exists in ``seen_df``, then exact-dedup what
+    remains within the batch (lowest id wins).
+
+    Returns ``(id, dup_count)`` for the surviving batch documents, the
+    same contract as :func:`exact_dedup`, so the two compose: bootstrap
+    with exact_dedup, then run every subsequent crawl increment through
+    incremental_dedup against the growing seen set.
+
+    Scale shape: both sides reduce to fixed-width md5 fingerprints
+    before any shuffle (the seen corpus is never re-read as text —
+    production keeps the fingerprint relation as its own compact
+    table); the LEFT ANTI join and the in-batch groupBy co-partition on
+    that same key, and the seen side deduplicates map-side via partial
+    aggregation.  Nothing is ever corpus x corpus.
+    """
+    fp = F.md5(normalize_text(text_col))
+    new_fp = new_df.select(F.col(id_col), fp.alias("__fp"))
+    seen_fp = seen_df.select(fp.alias("__fp")).distinct()
+    return (
+        new_fp.join(seen_fp, "__fp", "left_anti")
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+        .drop("__fp")
+    )

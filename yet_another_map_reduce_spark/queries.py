@@ -1031,6 +1031,63 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bigram_lm_score(d, "text", "doc_id", add_k=0.5)
 
 
+def q_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (top-2 orders per customer) through
+    the SQL surface — Catalyst decorrelates the per-row ORDER BY/LIMIT
+    into a ranked window join rather than re-executing the subquery per
+    outer row."""
+    read_table(spark, sf_dir, "customer").createOrReplaceTempView("yamr_lat_customer")
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("yamr_lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM yamr_lat_customer c,
+        LATERAL (
+            SELECT o_orderkey, o_totalprice FROM yamr_lat_orders
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2
+        ) o
+        """
+    )
+
+
+def q_agg_statistical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate surface per event_type: sample stddev /
+    variance of value, and correlation / sample covariance between
+    value and user_id.  Both engines use numerically-stable one-pass
+    co-moments; round(6) absorbs merge-order ulp drift."""
+    e = read_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.stddev_samp("value"), 6).alias("sd_value"),
+        F.round(F.var_samp("value"), 6).alias("var_value"),
+        F.round(F.corr("value", F.col("user_id").cast("double")), 6).alias(
+            "corr_value_user"
+        ),
+        F.round(F.covar_samp("value", F.col("user_id").cast("double")), 6).alias(
+            "covar_value_user"
+        ),
+    )
+
+
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long UNPIVOT via the DataFrame melt API: three lineitem
+    measures become (metric, val) rows keyed by (orderkey, linenumber)."""
+    li = read_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 1000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("double").alias("l_quantity"),
+        F.col("l_extendedprice").cast("double").alias("l_extendedprice"),
+        F.col("l_discount").cast("double").alias("l_discount"),
+    ).unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
 def q_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-vocabulary coverage: build the 24-token corpus vocab
     (count-desc, token-asc tie-break) and report each document's
@@ -3530,6 +3587,39 @@ ORACLES: dict[str, str] = {
                     ELSE 'tail' END AS lm_bucket
         FROM r
     """,
+    "lateral_join": """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer c,
+        LATERAL (
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2
+        ) o
+    """,
+    "agg_statistical": """
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               round(stddev_samp(value), 6) AS sd_value,
+               round(var_samp(value), 6) AS var_value,
+               round(corr(value, CAST(user_id AS DOUBLE)), 6) AS corr_value_user,
+               round(covar_samp(value, CAST(user_id AS DOUBLE)), 6)
+                   AS covar_value_user
+        FROM events GROUP BY event_type
+    """,
+    "unpivot_metrics": """
+        WITH src AS (
+            SELECT l_orderkey, l_linenumber,
+                   CAST(l_quantity AS DOUBLE) AS l_quantity,
+                   CAST(l_extendedprice AS DOUBLE) AS l_extendedprice,
+                   CAST(l_discount AS DOUBLE) AS l_discount
+            FROM lineitem WHERE l_orderkey < 1000)
+        SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+               l_quantity AS val FROM src
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM src
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM src
+    """,
     "vocab_oov": f"""
         WITH tok AS (
             SELECT doc_id, unnest(string_split({_TEXT_NORM}, ' ')) AS token
@@ -4933,6 +5023,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_sliding": q_window_sliding,
     "dedup_exact": q_dedup_exact,
     "dedup_chunks": q_dedup_chunks,
+    "lateral_join": q_lateral_join,
+    "agg_statistical": q_agg_statistical,
+    "unpivot_metrics": q_unpivot_metrics,
     "tpch_q14_promo_share": q_tpch_q14_promo_share,
     "hof_array_pipeline": q_hof_array_pipeline,
     "datetime_functions": q_datetime_functions,
