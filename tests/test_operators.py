@@ -797,3 +797,27 @@ def test_incremental_dedup_drops_seen_and_dedups_within_batch(spark):
         batch, seen, "text", "doc_id").collect()}
     # doc 1 normalizes to seen text -> dropped; 2/3 collapse; 4 survives
     assert out == {2: 2, 4: 1}
+
+
+def test_pmi_cooccurrence_hand_computed(spark):
+    from yet_another_map_reduce_spark.operators import text
+    import math
+
+    # 4 docs: (a,b) together in 2, a alone in 1, b alone in 1
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a"), (4, "b")],
+        "doc_id long, text string",
+    )
+    rows = text.pmi_cooccurrence(
+        df, "text", "doc_id", min_token_docs=1, min_pair_docs=1
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["token_a"], r["token_b"], r["pair_docs"], r["docs_a"], r["docs_b"]) == (
+        "a", "b", 2, 3, 3)
+    # pmi = ln(2*4 / (3*3))
+    assert r["pmi"] == round(math.log(8 / 9), 6)
+    # duplicate tokens within a doc must not inflate document frequency
+    df2 = spark.createDataFrame([(1, "a a b")], "doc_id long, text string")
+    r2 = text.pmi_cooccurrence(df2, "text", "doc_id", 1, 1).collect()[0]
+    assert (r2["pair_docs"], r2["docs_a"], r2["docs_b"]) == (1, 1, 1)

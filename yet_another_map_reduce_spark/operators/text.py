@@ -689,3 +689,64 @@ def oov_stats(
         F.sum(oov).cast("bigint").alias("n_oov"),
         F.round(F.sum(oov) / F.count(F.lit(1)), 6).alias("oov_rate"),
     )
+
+
+def pmi_cooccurrence(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_token_docs: int = 5,
+    min_pair_docs: int = 5,
+) -> DataFrame:
+    """Document-level pointwise mutual information between token pairs:
+    ``pmi(a,b) = ln(c_ab * N / (c_a * c_b))`` over document frequencies
+    (each token counted once per doc) — the classic distributional
+    signal behind collocation mining and embedding-free relatedness.
+
+    Scale shape: the corpus reduces to its distinct (doc, token) pairs
+    first (map-side partial distinct), tokens below ``min_token_docs``
+    document frequency are cut BEFORE pair expansion — the expansion is
+    quadratic in per-document vocabulary, so the frequency floor is the
+    blowup guard, the same role ``max_bucket_size`` plays for LSH — and
+    the pair self-join co-partitions on the document id.  A single ln
+    per output row (no float summation), so round(6) is drift-free.
+    """
+    doctok = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+        .distinct()
+    )
+    cnt = doctok.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    kept = doctok.join(
+        F.broadcast(cnt.where(F.col("__c") >= min_token_docs)), "token"
+    )
+    a = kept.select(
+        F.col(id_col), F.col("token").alias("token_a"), F.col("__c").alias("__ca")
+    )
+    b = kept.select(
+        F.col(id_col), F.col("token").alias("token_b"), F.col("__c").alias("__cb")
+    )
+    pairs = a.join(b, id_col).where(F.col("token_a") < F.col("token_b"))
+    ndf = df.agg(F.count(F.lit(1)).cast("bigint").alias("__N"))
+    return (
+        pairs.groupBy("token_a", "token_b", "__ca", "__cb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pair_docs"))
+        .where(F.col("pair_docs") >= min_pair_docs)
+        .crossJoin(F.broadcast(ndf))
+        .select(
+            "token_a",
+            "token_b",
+            "pair_docs",
+            F.col("__ca").alias("docs_a"),
+            F.col("__cb").alias("docs_b"),
+            F.round(
+                F.log(
+                    F.col("pair_docs")
+                    * F.col("__N")
+                    / (F.col("__ca") * F.col("__cb"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

@@ -1088,6 +1088,15 @@ def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-frequency PMI over token pairs (collocation mining).
+    Hash-verified — one ln per row, no float summation to drift."""
+    d = read_table(spark, sf_dir, "documents")
+    return text.pmi_cooccurrence(
+        d, "text", "doc_id", min_token_docs=20, min_pair_docs=20
+    )
+
+
 def q_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-vocabulary coverage: build the 24-token corpus vocab
     (count-desc, token-asc tie-break) and report each document's
@@ -3620,6 +3629,28 @@ ORACLES: dict[str, str] = {
         UNION ALL
         SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM src
     """,
+    "pmi_cooccurrence": f"""
+        WITH doctok AS (
+            SELECT DISTINCT doc_id,
+                   unnest(string_split({_TEXT_NORM}, ' ')) AS token
+            FROM documents),
+        cnt AS (
+            SELECT token, CAST(count(*) AS BIGINT) AS c FROM doctok
+            GROUP BY token HAVING count(*) >= 20),
+        kept AS (SELECT d.doc_id, d.token, c.c FROM doctok d JOIN cnt c USING (token)),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+        pairs AS (
+            SELECT a.token AS token_a, b.token AS token_b,
+                   a.c AS docs_a, b.c AS docs_b,
+                   CAST(count(*) AS BIGINT) AS pair_docs
+            FROM kept a JOIN kept b
+              ON a.doc_id = b.doc_id AND a.token < b.token
+            GROUP BY a.token, b.token, a.c, b.c
+            HAVING count(*) >= 20)
+        SELECT token_a, token_b, pair_docs, docs_a, docs_b,
+               round(ln(pair_docs * n.nd * 1.0 / (docs_a * docs_b)), 6) AS pmi
+        FROM pairs CROSS JOIN n
+    """,
     "vocab_oov": f"""
         WITH tok AS (
             SELECT doc_id, unnest(string_split({_TEXT_NORM}, ' ')) AS token
@@ -5059,6 +5090,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_repetition_stats": q_text_repetition_stats,
     "text_bigram_lm": q_text_bigram_lm,
     "vocab_oov": q_vocab_oov,
+    "pmi_cooccurrence": q_pmi_cooccurrence,
     "corpus_boilerplate_ngrams": q_corpus_boilerplate_ngrams,
     "pipeline_corpus_hygiene": q_pipeline_corpus_hygiene,
     "ann_cosine_topk": q_ann_cosine_topk,
