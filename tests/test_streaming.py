@@ -410,3 +410,59 @@ def test_foreach_batch_upsert_seq_col_beats_partition_order(spark, tmp_path):
 
     got = {r["k"]: r["v"] for r in spark.read.parquet(snap).collect()}
     assert got == {1: "new"}
+
+
+def test_stream_stream_interval_join_left_outer_emits_unmatched(spark, tmp_path):
+    """Outer interval join: the impression with no click inside the
+    bound must be emitted with NULL click columns — but only after the
+    click-side watermark proves no match can still arrive (advanced
+    here by a later click file replayed as a second micro-batch)."""
+    from yet_another_map_reduce_spark.streaming import stream_stream_interval_join
+
+    imp_dir = os.path.join(str(tmp_path), "imp_src_lo")
+    clk_dir = os.path.join(str(tmp_path), "clk_src_lo")
+    imp = spark.createDataFrame(
+        [(10, "2024-01-01 00:00:00"), (20, "2024-01-01 00:00:00")],
+        "ad long, ts_str string",
+    ).withColumn("imp_ts", F.col("ts_str").cast("timestamp")).drop("ts_str")
+    clk1 = spark.createDataFrame(
+        [(10, "2024-01-01 00:05:00")], "ad long, ts_str string"
+    ).withColumn("clk_ts", F.col("ts_str").cast("timestamp")).drop("ts_str")
+    # far-future rows on BOTH sides: the query watermark is the MIN of
+    # the per-input watermarks, so each must pass 00:10 before ad 20's
+    # no-match verdict becomes provable and the outer row can emit
+    clk2 = spark.createDataFrame(
+        [(99, "2024-01-01 03:00:00")], "ad long, ts_str string"
+    ).withColumn("clk_ts", F.col("ts_str").cast("timestamp")).drop("ts_str")
+    imp2 = spark.createDataFrame(
+        [(98, "2024-01-01 03:00:00")], "ad long, ts_str string"
+    ).withColumn("imp_ts", F.col("ts_str").cast("timestamp")).drop("ts_str")
+    imp.coalesce(1).write.mode("overwrite").parquet(imp_dir)
+    imp2.coalesce(1).write.mode("append").parquet(imp_dir)
+    clk1.coalesce(1).write.mode("overwrite").parquet(clk_dir)
+    clk2.coalesce(1).write.mode("append").parquet(clk_dir)
+
+    outer = stream_stream_interval_join(
+        file_stream(spark, imp_dir, imp.schema, fmt="parquet"),
+        file_stream(spark, clk_dir, clk1.schema, fmt="parquet"),
+        key="ad",
+        left_ts="imp_ts",
+        right_ts="clk_ts",
+        watermark="1 minute",
+        within="10 minutes",
+        how="left_outer",
+    ).select("ad", "imp_ts", "clk_ts")
+    q = (
+        outer.writeStream.format("memory")
+        .queryName("ssj_outer_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["ad"]: r for r in spark.sql("SELECT * FROM ssj_outer_out").collect()}
+    assert str(rows[10]["clk_ts"]) == "2024-01-01 00:05:00"  # matched pair
+    assert rows[20]["clk_ts"] is None  # unmatched left emitted with NULL
+    # the 03:00 impression's bound is still ahead of the watermark: its
+    # verdict is unprovable, so it must stay buffered, not emit
+    assert 98 not in rows

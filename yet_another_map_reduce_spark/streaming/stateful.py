@@ -168,6 +168,7 @@ def stream_stream_interval_join(
     right_ts: str,
     watermark: str,
     within: str,
+    how: str = "inner",
 ) -> DataFrame:
     """Event-time interval join of two streams.
 
@@ -176,6 +177,12 @@ def stream_stream_interval_join(
     would hold both streams in state forever).  A right row matches a
     left row with the same ``key`` when it arrives in
     ``[left_ts, left_ts + within]``.
+
+    ``how='left_outer'`` additionally emits each unmatched left row
+    (right columns NULL) — but only once the right-side watermark has
+    passed ``left_ts + within``, i.e. the engine has PROVEN no match can
+    still arrive; until then the row sits in state, so outer results
+    trail the watermark by design (funnel analyses must expect the lag).
     """
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
@@ -184,4 +191,6 @@ def stream_stream_interval_join(
         & (rw[right_ts] >= lw[left_ts])
         & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {within}"))
     )
-    return lw.join(rw, cond)
+    # drop the right copy of the key: the left one is authoritative (and
+    # non-NULL in outer results), so downstream selects are unambiguous
+    return lw.join(rw, cond, how).drop(rw[key])
