@@ -215,3 +215,14 @@ def test_pagerank_non_broadcast_path(spark, sf_dir):
         for r in graph.pagerank(edges, iterations=2, assume_distinct=True).collect()
     }
     assert got == want, "fixpoint must be identical with and without broadcast"
+
+
+def test_lateral_join_decorrelates_to_window_group_limit(spark, sf_dir):
+    """The correlated LATERAL ORDER BY/LIMIT must decorrelate into a
+    ranked window join with the WindowGroupLimit top-k pushdown — NOT a
+    per-outer-row re-execution (which would be quadratic at scale)."""
+    df = QUERIES["lateral_join"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

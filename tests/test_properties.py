@@ -200,3 +200,53 @@ def test_md5_hash64_matches_sql_twin(spark, values, seed):
         con.execute(f"SELECT v, {_sql_hash64('v', seed=seed)} FROM t").fetchall()
     )
     assert got == want
+
+
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(KEYS), min_size=1, max_size=12).map(" ".join),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=docs_strategy)
+def test_chunk_dedup_conserves_distinct_chunks(spark, texts):
+    """For any corpus: every doc's chunk count is ceil(len/k); kept
+    counts never exceed totals; and the kept-chunk multiset equals the
+    corpus's DISTINCT chunk set exactly (each distinct chunk survives
+    exactly once, in its first-occurrence document)."""
+    from yet_another_map_reduce_spark.operators.dedup import chunk_dedup
+
+    k = 3
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    rows = chunk_dedup(df, "text", "doc_id", chunk_tokens=k).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+
+    def chunks_of(t: str) -> list[str]:
+        toks = t.split(" ")
+        return [" ".join(toks[i : i + k]) for i in range(0, len(toks), k)]
+
+    all_chunks = [c for t in texts for c in chunks_of(t)]
+    assert sum(r["n_kept"] for r in rows) == len(set(all_chunks))
+    for i, t in enumerate(texts):
+        r = by_id[i]
+        assert r["n_chunks"] == len(chunks_of(t))
+        assert 0 <= r["n_kept"] <= r["n_chunks"]
+        # kept text is the in-order concatenation of this doc's first-
+        # occurrence chunks
+        seen_before = set()
+        for j, tt in enumerate(texts[:i]):
+            seen_before.update(chunks_of(tt))
+        expect, seen_here = [], set()
+        for c in chunks_of(t):
+            if c not in seen_before and c not in seen_here:
+                expect.append(c)
+            seen_here.add(c)
+        assert r["dedup_text"] == " ".join(expect)
