@@ -142,3 +142,27 @@ def test_rollup_hypertable_reuses_finer_grain_stage(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     assert "ReusedExchange" in plan
+
+
+def test_ewma_recurrence_hand_computed(spark):
+    from yet_another_map_reduce_spark.operators.timeseries import ewma
+
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 0.0), (1, 3, 10.0), (2, 1, 5.0)],
+        "k long, seq long, value double",
+    )
+    out = {(r["k"], r["seq"]): r["ewma"] for r in ewma(
+        df, "k", ["seq"], "value", alpha=0.5).collect()}
+    # y1=10; y2=.5*0+.5*10=5; y3=.5*10+.5*5=7.5; key 2 seeds fresh
+    assert out == {(1, 1): 10.0, (1, 2): 5.0, (1, 3): 7.5, (2, 1): 5.0}
+
+
+def test_ewma_is_arrival_order_invariant(spark):
+    from yet_another_map_reduce_spark.operators.timeseries import ewma
+
+    rows = [(1, i, float(i % 7)) for i in range(50)]
+    df1 = spark.createDataFrame(rows, "k long, seq long, value double")
+    df2 = spark.createDataFrame(rows[::-1], "k long, seq long, value double").repartition(8)
+    a = sorted(ewma(df1, "k", ["seq"], "value", 0.3).collect())
+    b = sorted(ewma(df2, "k", ["seq"], "value", 0.3).collect())
+    assert a == b

@@ -187,3 +187,53 @@ def rollup_hypertable(
         )
         out = out.unionByName(publish(level, grain))
     return out
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float,
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average:
+    ``y_0 = x_0; y_i = alpha*x_i + (1-alpha)*y_{i-1}`` over rows ordered
+    by ``order_cols`` (pass a unique tie-breaker, e.g. the event id, or
+    the result depends on arrival order).
+
+    This is the honest use case for the Arrow path: the recurrence has
+    no shuffle-free closed form in Spark SQL — the algebraic rewrite
+    ``y_i = alpha*(1-alpha)^i * running_sum(x_j/(1-alpha)^j)`` overflows
+    double past a few hundred rows — so each key's series runs through
+    ``applyInPandas`` with O(1) state per step.  The kernel applies the
+    recurrence in the exact double-op order written above, so an ANSI-SQL
+    recursive CTE replays it bit-for-bit (hash-verifiable).
+
+    Scale shape: one shuffle on the key; each group must fit an Arrow
+    batch (time-series-per-entity, not the whole corpus — for
+    million-row single keys, segment the key by epoch and stitch
+    boundary state).  Returns input columns + ``ewma``.
+    """
+    out_fields = df.select(key_col, *order_cols, value_col).schema.fields
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in out_fields)
+    schema += ", ewma double"
+    a = float(alpha)
+
+    def _kernel(pdf):
+        pdf = pdf.sort_values(order_cols, kind="mergesort", ignore_index=True)
+        x = pdf[value_col].astype("float64").to_numpy()
+        y = x.copy()
+        for i in range(1, len(y)):
+            # keep this exact op order: the SQL oracle replays it
+            y[i] = a * x[i] + (1.0 - a) * y[i - 1]
+        pdf["ewma"] = y
+        return pdf
+
+    out = (
+        df.select(key_col, *order_cols, value_col)
+        .groupBy(key_col)
+        .applyInPandas(_kernel, schema)
+    )
+    # round JVM-side: Spark's HALF_UP matches ANSI round() (numpy's
+    # .round is half-even and would drift from the SQL twin)
+    return out.withColumn("ewma", F.round("ewma", 6))

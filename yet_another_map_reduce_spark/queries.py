@@ -2531,6 +2531,18 @@ def q_events_rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values (alpha=0.3) through the Arrow
+    stateful path — hash-verified: the applyInPandas kernel applies the
+    recurrence in a fixed double-op order that the oracle's recursive
+    CTE replays bit-for-bit."""
+    e = read_table(spark, sf_dir, "events").where(F.col("user_id") < 5)
+    e = e.select("user_id", "event_id", F.col("value").cast("double").alias("value"))
+    return timeseries.ewma(
+        e, key_col="user_id", order_cols=["event_id"], value_col="value", alpha=0.3
+    )
+
+
 def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly per-user activity with missing hours materialized (count 0)
     and the rolling average forward-filled from the last active hour."""
@@ -3628,6 +3640,25 @@ ORACLES: dict[str, str] = {
         SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM src
         UNION ALL
         SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM src
+    """,
+    "timeseries_ewma": """
+        WITH RECURSIVE ord AS (
+            SELECT user_id, event_id, CAST(value AS DOUBLE) AS value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY event_id) AS rn
+            FROM events WHERE user_id < 5),
+        -- coefficients MUST be CAST to DOUBLE: bare 0.3/0.7 literals
+        -- take DuckDB's exact-DECIMAL path and drift from the float64
+        -- recurrence the Arrow kernel runs
+        rec AS (
+            SELECT user_id, event_id, value, rn, value AS e
+            FROM ord WHERE rn = 1
+            UNION ALL
+            SELECT o.user_id, o.event_id, o.value, o.rn,
+                   CAST(0.3 AS DOUBLE) * o.value + CAST(0.7 AS DOUBLE) * r.e
+            FROM ord o JOIN rec r
+              ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+        SELECT user_id, event_id, value, round(e, 6) AS ewma FROM rec
     """,
     "pmi_cooccurrence": f"""
         WITH doctok AS (
@@ -5180,6 +5211,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_distinct": q_agg_distinct,
     "merge_upsert": q_merge_upsert,
     "timeseries_gapfill": q_timeseries_gapfill,
+    "timeseries_ewma": q_timeseries_ewma,
     "range_join": q_range_join,
     "agg_median": q_agg_median,
     "sample_hash_split": q_sample_hash_split,
