@@ -12,7 +12,11 @@ parquet tables.  Parity rules (SURVEY.md §7 "oracle-parity traps"):
   accumulation order differs across engines);
 - hashing uses the md5-prefix scheme from ``functions.md5_hash64`` —
   bit-identical in both engines;
-- timestamps stay naive (session TZ pinned to UTC in session.py).
+- timestamps stay naive (session TZ pinned to UTC in session.py);
+- fractional literals mixed into double arithmetic are written
+  ``CAST(0.3 AS DOUBLE)`` in oracle SQL — DuckDB parses bare ``0.3``
+  as exact DECIMAL and the whole expression takes the decimal path,
+  drifting from Spark/NumPy float64 (bit-for-bit demo: timeseries_ewma).
 """
 
 from __future__ import annotations
