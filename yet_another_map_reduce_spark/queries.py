@@ -1111,6 +1111,40 @@ def q_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.oov_stats(d, "text", "doc_id", vocab)
 
 
+def q_pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-generation curation verdict composing the round-4 stages:
+    chunk-level dedup survival (>= 0.5 of chunks first-occurrence),
+    bigram-LM fluency (not the tail tercile), and vocabulary coverage
+    (OOV <= 0.25) join into one keep/drop per document.  Oracle =
+    the three already-verified stage oracles joined, so a green hash
+    certifies the composition, not a fourth re-derivation."""
+    d = read_table(spark, sf_dir, "documents")
+    chunks = dedup.chunk_dedup(d, "text", "doc_id", chunk_tokens=10).select(
+        "doc_id", "kept_frac"
+    )
+    lm = text.bigram_lm_score(d, "text", "doc_id", add_k=0.5).select(
+        "doc_id", "lm_bucket"
+    )
+    vocab = text.build_vocab(d, "text", vocab_size=24)
+    oov = text.oov_stats(d, "text", "doc_id", vocab).select("doc_id", "oov_rate")
+    return (
+        chunks.join(lm, "doc_id")
+        .join(oov, "doc_id")
+        .select(
+            "doc_id",
+            "kept_frac",
+            "lm_bucket",
+            "oov_rate",
+            (
+                (F.col("kept_frac") >= 0.5)
+                & (F.col("lm_bucket") != "tail")
+                & (F.col("oov_rate") <= 0.25)
+            ).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_pipeline_corpus_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus-hygiene verdict: decontamination (4-gram
     overlap vs the doc_id%10 holdout) + Gopher repetition filters +
@@ -1446,6 +1480,26 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
     media = multimodal.synthetic_ppm_media(d, "doc_id", width=8, height=8)
     return multimodal.decode_image(media).select(
+        "media_id", "width", "height", "channels",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL nearest-neighbor resize chained into the REAL PPM decode:
+    8x8 synthetic images shrink to 4x4, so the decoded pixel (y,x,c) is
+    the source pixel (2y,2x,c) = (i*31 + 14y + 6x + 11c) % 256 — the
+    oracle re-derives the resampled channel means arithmetically, so a
+    green hash certifies the resize index math AND the re-encode/decode
+    round trip."""
+    from yet_another_map_reduce_spark.operators import multimodal
+
+    d = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    media = multimodal.synthetic_ppm_media(d, "doc_id", width=8, height=8)
+    small = multimodal.resize_image(media, width=4, height=4)
+    return multimodal.decode_image(small).select(
         "media_id", "width", "height", "channels",
         F.round("mean_r", 6).alias("mean_r"),
         F.round("mean_g", 6).alias("mean_g"),
@@ -2765,6 +2819,39 @@ def q_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_value_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based RANGE frame on a numeric axis: for each order, the
+    count and total of same-customer orders priced within ±1000 of it —
+    frames defined by the measure's value, not row offsets."""
+    o = read_table(spark, sf_dir, "orders")
+    frame = (
+        "OVER (PARTITION BY o_custkey ORDER BY o_totalprice "
+        "RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING)"
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.expr(f"CAST(count(*) {frame} AS BIGINT)").alias("n_near"),
+        F.expr(f"round(sum(o_totalprice) {frame}, 2)").alias("near_total"),
+    )
+
+
+def q_agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with grouping()/grouping_id() marker columns — the
+    disambiguators that tell a NULL group key from a subtotal row."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.grouping("l_returnflag").cast("bigint").alias("g_flag"),
+            F.grouping("l_linestatus").cast("bigint").alias("g_status"),
+            F.grouping_id().cast("bigint").alias("gid"),
+        )
+    )
+
+
 def q_null_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null-handling scalar surface: nullif / ifnull / coalesce chains /
     IS [NOT] NULL predicates."""
@@ -3644,6 +3731,24 @@ ORACLES: dict[str, str] = {
         SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM src
         UNION ALL
         SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM src
+    """,
+    "window_value_range": """
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               CAST(count(*) OVER w AS BIGINT) AS n_near,
+               round(sum(o_totalprice) OVER w, 2) AS near_total
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice
+                     RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING)
+    """,
+    "agg_grouping_id": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+               CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+               CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
+                   AS gid
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
     "timeseries_ewma": """
         WITH RECURSIVE ord AS (
@@ -4910,6 +5015,20 @@ ORACLES: dict[str, str] = {
         WHERE doc_id < 300
         GROUP BY doc_id
     """,
+    "multimodal_resize": """
+        SELECT CAST(doc_id AS BIGINT) AS media_id,
+               CAST(4 AS BIGINT) AS width,
+               CAST(4 AS BIGINT) AS height,
+               CAST(3 AS BIGINT) AS channels,
+               round(avg((doc_id * 31 + g1.y * 14 + g2.x * 6) % 256), 6) AS mean_r,
+               round(avg((doc_id * 31 + g1.y * 14 + g2.x * 6 + 11) % 256), 6) AS mean_g,
+               round(avg((doc_id * 31 + g1.y * 14 + g2.x * 6 + 22) % 256), 6) AS mean_b
+        FROM documents,
+             generate_series(0, 3) AS g1(y),
+             generate_series(0, 3) AS g2(x)
+        WHERE doc_id < 300
+        GROUP BY doc_id
+    """,
 }
 
 # composed oracle: the hygiene pipeline is exactly its three stages
@@ -4923,6 +5042,18 @@ ORACLES["pipeline_corpus_hygiene"] = f"""
     JOIN ({ORACLES["text_repetition_stats"]}) r ON d.doc_id = r.doc_id
     JOIN ({ORACLES["corpus_boilerplate_ngrams"]}) b ON d.doc_id = b.doc_id
     ORDER BY d.doc_id
+"""
+
+# same composition pattern for the round-4 curation stack: reuse the
+# three verified stage oracles, assert only the join + verdict here
+ORACLES["pipeline_curation_v2"] = f"""
+    SELECT c.doc_id, c.kept_frac, l.lm_bucket, v.oov_rate,
+           (c.kept_frac >= 0.5 AND l.lm_bucket <> 'tail'
+            AND v.oov_rate <= 0.25) AS keep
+    FROM ({ORACLES["dedup_chunks"]}) c
+    JOIN ({ORACLES["text_bigram_lm"]}) l ON c.doc_id = l.doc_id
+    JOIN ({ORACLES["vocab_oov"]}) v ON c.doc_id = v.doc_id
+    ORDER BY c.doc_id
 """
 
 
@@ -5126,6 +5257,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bigram_lm": q_text_bigram_lm,
     "vocab_oov": q_vocab_oov,
     "pmi_cooccurrence": q_pmi_cooccurrence,
+    "pipeline_curation_v2": q_pipeline_curation_v2,
     "corpus_boilerplate_ngrams": q_corpus_boilerplate_ngrams,
     "pipeline_corpus_hygiene": q_pipeline_corpus_hygiene,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -5154,6 +5286,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_banded": q_dedup_simhash_banded,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_resize": q_multimodal_resize,
     "multimodal_audio": q_multimodal_audio,
     "multimodal_video_frames": q_multimodal_video_frames,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -5216,6 +5349,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "merge_upsert": q_merge_upsert,
     "timeseries_gapfill": q_timeseries_gapfill,
     "timeseries_ewma": q_timeseries_ewma,
+    "window_value_range": q_window_value_range,
+    "agg_grouping_id": q_agg_grouping_id,
     "range_join": q_range_join,
     "agg_median": q_agg_median,
     "sample_hash_split": q_sample_hash_split,
