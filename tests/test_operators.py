@@ -821,3 +821,49 @@ def test_pmi_cooccurrence_hand_computed(spark):
     df2 = spark.createDataFrame([(1, "a a b")], "doc_id long, text string")
     r2 = text.pmi_cooccurrence(df2, "text", "doc_id", 1, 1).collect()[0]
     assert (r2["pair_docs"], r2["docs_a"], r2["docs_b"]) == (1, 1, 1)
+
+
+def test_pq_encode_seeds_map_to_their_own_codes(spark):
+    # with iterations=0 the codebooks ARE the k lowest-id vectors'
+    # subvectors, so each seed must encode to its own cid in every
+    # subspace (distance 0, ties impossible on distinct vectors)
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 5.0, 0.0]), (2, [0.0, 2.0, 0.0, 6.0]), (3, [9.0, 9.0, 1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    books = similarity.train_pq_codebooks(
+        df, "vec_id", "embedding", m=2, k=3, iterations=0
+    )
+    assert len(books) == 2 and len(books[0]) == 3 and len(books[0][0]) == 2
+    codes = {r["vec_id"]: r["pq_codes"] for r in similarity.pq_encode(
+        df, "vec_id", "embedding", books).collect()}
+    assert codes == {1: [0, 0], 2: [1, 1], 3: [2, 2]}
+
+
+def test_pq_training_is_deterministic(spark):
+    import random
+
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    b1 = similarity.train_pq_codebooks(df, "vec_id", "embedding", m=2, k=4, iterations=2)
+    b2 = similarity.train_pq_codebooks(
+        df.repartition(7), "vec_id", "embedding", m=2, k=4, iterations=2
+    )
+    assert b1 == b2  # layout-invariant fixpoints (the 6-rounding contract)
+
+
+def test_pq_topk_single_subspace_matches_l2_to_codebook(spark):
+    # m=1, iterations=0: ADC distance == exact squared L2 to the
+    # nearest seed, so ranking equals brute-force L2 over the seed set
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [4.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = similarity.pq_topk(
+        df, df.where(F.col("vec_id") == 1), "vec_id", "embedding",
+        k=2, m=1, nclusters=3, iterations=0,
+    )
+    rows = sorted(out.collect(), key=lambda r: r["qrank"])
+    assert [r["neighbor_id"] for r in rows] == [2, 3]
+    assert rows[0]["adist"] == 1.0 and rows[1]["adist"] == 16.0

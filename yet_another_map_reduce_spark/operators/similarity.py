@@ -1,16 +1,24 @@
 """Similarity search over embedding columns (``array<float>``).
 
-North-star extension (no analog in the reference).  Two tiers:
+North-star extension (no analog in the reference).  The tiers:
 
 - ``cosine_topk``: brute-force exact top-k — the correctness baseline.
   Query side must be small (it is broadcast); corpus side streams.
   Cost O(|Q|·|C|·d) but perfectly parallel, no shuffle of the corpus.
-- ``lsh_bucket`` + ``lsh_topk``: random-hyperplane LSH — the scale path.
-  Corpus is bucketed once by sign-bit signature; queries probe only
-  matching buckets, turning the scan into an equi-join.
+- ``lsh_bucket`` + ``lsh_topk``: random-hyperplane LSH — candidate
+  pruning by bucket equi-join.
+- ``ivf_topk`` (+ ``train_ivf_centroids``): inverted-file cells, probe
+  ``nprobe``/``nlist`` of the corpus (file-level pruning when the index
+  is persisted partitioned by cell).
+- ``quantize_embeddings`` + ``quantized_topk``: int8 scalar
+  quantization — 4× smaller scans, exact-integer scoring.
+- ``train_pq_codebooks`` + ``pq_encode`` + ``pq_topk``: product
+  quantization with ADC ranking — bytes per vector, the FAISS IVF-PQ
+  shape (compose with IVF cells for the full IVF-PQ index).
 
-Hyperplanes are derived deterministically from md5 (no RNG state to
-ship), so results are reproducible run-to-run and testable.
+Hyperplanes/codebooks are derived deterministically (md5 planes; Lloyd's
+with 6-rounded fixpoints), so every tier is reproducible run-to-run and
+replayable by an external SQL engine for verification.
 """
 
 from __future__ import annotations
@@ -502,4 +510,199 @@ def quantized_topk(
         scored.withColumn("qrank", F.row_number().over(w).cast("bigint"))
         .where(F.col("qrank") <= k)
         .select("query_id", "neighbor_id", "qcos", "qrank")
+    )
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 4,
+    k: int = 8,
+    iterations: int = 2,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: split the vector into ``m``
+    subspaces and train ``k`` L2 centroids per subspace with the same
+    deterministic Lloyd's recipe as :func:`train_ivf_centroids` — seeds
+    are the ``k`` lowest-id vectors' subvectors, assignment is by
+    6-rounded squared L2 (ties to the lower centroid id), member means
+    are 6-rounded, empty cells keep the prior centroid.  The rounding
+    makes every fixpoint replayable in ANSI SQL despite accumulation-
+    order drift.
+
+    Returns ``books[s][j]`` = centroid ``j`` of subspace ``s`` (a list
+    of ``dim/m`` floats) — KB-scale model parameters fetched driver-side,
+    the pyspark.ml pattern.  Training cost: one corpus scan + one tiny
+    (m*k*subdim rows) shuffle per iteration; all subspaces train in the
+    SAME pass via an exploded (s, code, component) relation.
+    """
+    rows = corpus.orderBy(F.col(id_col).asc()).limit(k).select(vec_col).collect()
+    vecs = [[float(x) for x in r[vec_col]] for r in rows]
+    dim = len(vecs[0])
+    sub = dim // m
+    books: list[list[list[float]]] = [
+        [vecs[j][s * sub : (s + 1) * sub] for j in range(k)] for s in range(m)
+    ]
+
+    def _code_expr(subv, book):  # struct-min argmin: (d asc, cid asc)
+        cands = []
+        for j, cent in enumerate(book):
+            d = F.aggregate(
+                F.zip_with(
+                    subv,
+                    F.array(*[F.lit(c) for c in cent]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            cands.append(F.struct(F.round(d, 6).alias("d"), F.lit(j).alias("j")))
+        return F.array_min(F.array(*cands))["j"]
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    for _ in range(iterations):
+        per_s = [
+            F.struct(
+                F.lit(s).alias("s"),
+                _code_expr(F.slice(v, s * sub + 1, sub), books[s]).alias("code"),
+                F.slice(v, s * sub + 1, sub).alias("sv"),
+            )
+            for s in range(m)
+        ]
+        exploded = (
+            corpus.select(F.explode(F.array(*per_s)).alias("e"))
+            .select("e.s", "e.code", F.posexplode("e.sv").alias("sd", "x"))
+        )
+        means = (
+            exploded.groupBy("s", "code", "sd")
+            .agg(F.round(F.sum("x") / F.count(F.lit(1)), 6).alias("val"))
+            .collect()
+        )
+        got: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            got.setdefault((int(r["s"]), int(r["code"])), {})[int(r["sd"])] = float(
+                r["val"]
+            )
+        for s in range(m):
+            for j in range(k):
+                cell = got.get((s, j))
+                if cell is not None:
+                    books[s][j] = [cell[d] for d in range(sub)]
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    books: list[list[list[float]]],
+) -> DataFrame:
+    """Map-only PQ encoding: per subspace, the 6-rounded-L2-nearest
+    codebook entry (ties to the lower id) — the codebooks ride along as
+    literal arrays, so the corpus is read once with zero shuffles and
+    each vector compresses to ``m`` small ints (64 float32 dims → 4
+    bytes at m=4: a 64× scan reduction for the candidate-ranking pass).
+    """
+    m = len(books)
+    sub = len(books[0][0])
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+    def _code(subv, book):
+        cands = []
+        for j, cent in enumerate(book):
+            d = F.aggregate(
+                F.zip_with(
+                    subv,
+                    F.array(*[F.lit(c) for c in cent]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            cands.append(F.struct(F.round(d, 6).alias("d"), F.lit(j).alias("j")))
+        return F.array_min(F.array(*cands))["j"]
+
+    codes = F.array(
+        *[_code(F.slice(v, s * sub + 1, sub), books[s]) for s in range(m)]
+    )
+    return corpus.select(F.col(id_col), codes.alias("pq_codes"))
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    m: int = 4,
+    nclusters: int = 8,
+    iterations: int = 2,
+    books: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation (ADC) over
+    PQ codes: each query builds an ``m x nclusters`` lookup table of
+    6-rounded subspace distances to the codebooks, and a corpus vector's
+    approximate distance is the sum of its codes' table entries — the
+    FAISS IVF-PQ ranking tier, here as pure codegen expressions.
+
+    Scale shape: training is :func:`train_pq_codebooks` (model-param
+    collects only), encoding is map-only, and ranking scans the
+    code-compressed corpus (bytes per vector, not KBs) against the
+    broadcast query side — no shuffle except the final per-query top-k
+    window.  Deterministic end to end, so the whole train→encode→ADC
+    pipeline is replayable in ANSI SQL.
+    """
+    if books is None:
+        books = train_pq_codebooks(
+            corpus, id_col, vec_col, m=m, k=nclusters, iterations=iterations
+        )
+    m = len(books)
+    sub = len(books[0][0])
+    enc = pq_encode(corpus, id_col, vec_col, books).select(
+        F.col(id_col).alias("neighbor_id"), "pq_codes"
+    )
+    qv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    q = queries.select(F.col(id_col).alias("query_id"), qv.alias("__qv"))
+
+    def _lut(subv, book):
+        return F.array(
+            *[
+                F.round(
+                    F.aggregate(
+                        F.zip_with(
+                            subv,
+                            F.array(*[F.lit(c) for c in cent]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ),
+                    6,
+                )
+                for cent in book
+            ]
+        )
+
+    terms = [
+        F.element_at(
+            _lut(F.slice(F.col("__qv"), s * sub + 1, sub), books[s]),
+            F.element_at(F.col("pq_codes"), s + 1) + 1,
+        )
+        for s in range(m)
+    ]
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    scored = (
+        enc.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("adist", F.round(total, 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("qrank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("qrank") <= k)
+        .select("query_id", "neighbor_id", "adist", "qrank")
     )

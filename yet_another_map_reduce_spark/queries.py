@@ -1354,6 +1354,26 @@ def q_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN via product quantization + asymmetric distance
+    (the FAISS IVF-PQ ranking tier): 4 subspaces x 8 L2 codebooks
+    trained with deterministic Lloyd's, corpus encoded to 4 small ints
+    per vector (64x scan reduction), queries ranked by summed LUT
+    distances.  Hash-verified end to end — the oracle replays codebook
+    training, encoding, and the ADC ranking as chained CTEs."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.pq_topk(
+        corpus=emb,
+        queries=emb.where(F.col("vec_id") < 5),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=10,
+        m=4,
+        nclusters=8,
+        iterations=2,
+    )
+
+
 def q_embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic clustering of the embedding corpus (similarity.
     kmeans_assign: distributed Lloyd's training + broadcast-centroid
@@ -5057,6 +5077,98 @@ ORACLES["pipeline_curation_v2"] = f"""
 """
 
 
+def _pq_train_cte(m: int, k: int, sub: int, iterations: int) -> str:
+    """Chained-CTE replay of ``similarity.train_pq_codebooks``: the
+    vector splits into ``m`` subspaces of ``sub`` dims; per subspace,
+    ``k`` L2 centroids seed from the lowest-id vectors and iterate with
+    6-rounded distances (ties to the lower cid) and 6-rounded member
+    means (empty cells keep the prior centroid) — the same rounded
+    fixpoints the Spark trainer commits, so any engine replays the loop
+    bit-for-bit.  Emits ``subcomps`` / ``pcent0..pcent{iterations}``."""
+    parts = [
+        f"""subcomps AS (
+            SELECT vec_id,
+                   CAST((generate_subscripts(embedding, 1) - 1) // {sub} AS INT) AS s,
+                   (generate_subscripts(embedding, 1) - 1) % {sub} AS sd,
+                   CAST(unnest(embedding) AS DOUBLE) AS x
+            FROM embeddings
+        )""",
+        f"""pseed AS (
+            SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cid, vec_id
+            FROM (SELECT vec_id FROM embeddings ORDER BY vec_id ASC LIMIT {k})
+        )""",
+        """pcent0 AS (
+            SELECT p.cid, c.s, c.sd, c.x AS val
+            FROM pseed p JOIN subcomps c USING (vec_id)
+        )""",
+    ]
+    for t in range(1, iterations + 1):
+        p = t - 1
+        parts += [
+            f"""pdist{t} AS (
+                SELECT c.vec_id, c.s, kk.cid,
+                       round(sum((c.x - kk.val) * (c.x - kk.val)), 6) AS d
+                FROM subcomps c JOIN pcent{p} kk ON c.s = kk.s AND c.sd = kk.sd
+                GROUP BY c.vec_id, c.s, kk.cid
+            )""",
+            f"""pasg{t} AS (
+                SELECT vec_id, s, cid FROM (
+                    SELECT vec_id, s, cid, row_number() OVER (
+                        PARTITION BY vec_id, s ORDER BY d ASC, cid ASC) AS rn
+                    FROM pdist{t}
+                ) WHERE rn = 1
+            )""",
+            f"""pmean{t} AS (
+                SELECT a.s, a.cid, c.sd, round(sum(c.x) / count(*), 6) AS val
+                FROM pasg{t} a JOIN subcomps c
+                  ON a.vec_id = c.vec_id AND a.s = c.s
+                GROUP BY a.s, a.cid, c.sd
+            )""",
+            f"""pcent{t} AS (
+                SELECT p.cid, p.s, p.sd, COALESCE(m.val, p.val) AS val
+                FROM pcent{p} p LEFT JOIN pmean{t} m
+                  ON p.s = m.s AND p.cid = m.cid AND p.sd = m.sd
+            )""",
+        ]
+    return ",\n".join(parts)
+
+
+# PQ/ADC replay: one more assignment round with the FINAL codebooks
+# encodes every vector; the same distance relation doubles as each
+# query's LUT, so the approximate distance is a (s,cid)-join + sum
+ORACLES["ann_pq_topk"] = f"""
+    WITH {_pq_train_cte(4, 8, 16, 2)},
+    pdistf AS (
+        SELECT c.vec_id, c.s, kk.cid,
+               round(sum((c.x - kk.val) * (c.x - kk.val)), 6) AS d
+        FROM subcomps c JOIN pcent2 kk ON c.s = kk.s AND c.sd = kk.sd
+        GROUP BY c.vec_id, c.s, kk.cid
+    ),
+    pasgf AS (
+        SELECT vec_id, s, cid FROM (
+            SELECT vec_id, s, cid, row_number() OVER (
+                PARTITION BY vec_id, s ORDER BY d ASC, cid ASC) AS rn
+            FROM pdistf
+        ) WHERE rn = 1
+    ),
+    adist AS (
+        SELECT e.vec_id AS neighbor_id, q.vec_id AS query_id,
+               round(sum(q.d), 6) AS adist
+        FROM pasgf e JOIN pdistf q ON e.s = q.s AND e.cid = q.cid
+        WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id
+        GROUP BY e.vec_id, q.vec_id
+    ),
+    r AS (
+        SELECT query_id, neighbor_id, adist,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adist ASC, neighbor_id ASC) AS rn
+        FROM adist
+    )
+    SELECT query_id, neighbor_id, adist, CAST(rn AS BIGINT) AS qrank
+    FROM r WHERE rn <= 10
+"""
+
+
 def _kmeans_train_cte(nlist: int, iterations: int) -> str:
     """Chained-CTE replay of ``similarity.train_ivf_centroids``: seed
     with the ``nlist`` lowest-id vectors (dense cids), then per
@@ -5300,6 +5412,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_quantized_topk": q_ann_quantized_topk,
+    "ann_pq_topk": q_ann_pq_topk,
     "embedding_kmeans_clusters": q_embedding_kmeans_clusters,
     "ann_ivf_trained": q_ann_ivf_trained,
     "multimodal_features": q_multimodal_features,
