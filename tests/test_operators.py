@@ -867,3 +867,22 @@ def test_pq_topk_single_subspace_matches_l2_to_codebook(spark):
     rows = sorted(out.collect(), key=lambda r: r["qrank"])
     assert [r["neighbor_id"] for r in rows] == [2, 3]
     assert rows[0]["adist"] == 1.0 and rows[1]["adist"] == 16.0
+
+
+def test_hash_embed_buckets_and_l2_norm(spark):
+    from yet_another_map_reduce_spark.operators import text
+
+    df = spark.createDataFrame([(1, "a a b")], "doc_id long, text string")
+    rows = text.hash_embed(df, "text", "doc_id", dim=16).collect()
+    by_dim = {r["dim"]: r for r in rows}
+    import hashlib
+    buckets = {
+        t: int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % 16 for t in ("a", "b")
+    }
+    if buckets["a"] == buckets["b"]:  # one combined bucket of count 3
+        assert len(rows) == 1 and rows[0]["n"] == 3 and rows[0]["w"] == 1.0
+    else:
+        assert by_dim[buckets["a"]]["n"] == 2 and by_dim[buckets["b"]]["n"] == 1
+        import math
+        assert by_dim[buckets["a"]]["w"] == round(2 / math.sqrt(5), 6)
+        assert by_dim[buckets["b"]]["w"] == round(1 / math.sqrt(5), 6)

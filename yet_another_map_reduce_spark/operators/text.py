@@ -750,3 +750,34 @@ def pmi_cooccurrence(
             ).alias("pmi"),
         )
     )
+
+
+def hash_embed(
+    df: DataFrame, text_col: str, id_col: str, dim: int = 16
+) -> DataFrame:
+    """Feature-hashing (hashing-trick) document vectors: each token
+    lands in bucket ``md5_hash64(token) % dim``, giving a fixed-width
+    sparse count vector per document with NO vocabulary state to train
+    or ship — the classic bridge from raw text into the similarity
+    stack (HashingTF's shape, built portably so any engine re-derives
+    the exact same buckets).
+
+    Returns sparse rows ``(id, dim, n, w)`` — ``w`` is the
+    L2-normalized weight — exploded rather than assembled into an
+    array so results stay canonicalizable and joinable.  One map-side-
+    partial count on (id, bucket) plus a per-document window over at
+    most ``dim`` rows.
+    """
+    from pyspark.sql import Window
+
+    from yet_another_map_reduce_spark.functions import md5_hash64
+
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    bucket = (md5_hash64("token") % dim).cast("bigint")
+    cnt = tok.groupBy(F.col(id_col), bucket.alias("dim")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w = Window.partitionBy(id_col)
+    return cnt.withColumn(
+        "w", F.round(F.col("n") / F.sqrt(F.sum(F.col("n") * F.col("n")).over(w)), 6)
+    )

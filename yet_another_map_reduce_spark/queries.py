@@ -1111,6 +1111,34 @@ def q_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.oov_stats(d, "text", "doc_id", vocab)
 
 
+def q_text_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick document vectors (HashingTF shape) over the
+    portable md5 bucket hash — vocabulary-free text→vector bridge into
+    the similarity stack; hash-verified bucket-for-bucket."""
+    d = read_table(spark, sf_dir, "documents")
+    return text.hash_embed(d, "text", "doc_id", dim=16)
+
+
+def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile) bucketing via ntile: 10 buckets of
+    near-equal row count over order totals, with per-bucket bounds and
+    counts — the partition-boundary analysis behind range-partitioned
+    writes."""
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .withColumn("bucket", F.ntile(10).over(w).cast("bigint"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def q_pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second-generation curation verdict composing the round-4 stages:
     chunk-level dedup survival (>= 0.5 of chunks first-occurrence),
@@ -3789,6 +3817,30 @@ ORACLES: dict[str, str] = {
               ON o.user_id = r.user_id AND o.rn = r.rn + 1)
         SELECT user_id, event_id, value, round(e, 6) AS ewma FROM rec
     """,
+    "text_hash_embed": f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split({_TEXT_NORM}, ' ')) AS token
+            FROM documents),
+        cnt AS (
+            SELECT doc_id,
+                   CAST({_sql_hash64("token")} % 16 AS BIGINT) AS dim,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM tok GROUP BY doc_id, dim)
+        SELECT doc_id, dim, n,
+               round(n / sqrt(sum(n * n) OVER (PARTITION BY doc_id)), 6) AS w
+        FROM cnt
+    """,
+    "histogram_equidepth": """
+        WITH b AS (
+            SELECT o_orderkey, o_totalprice,
+                   CAST(ntile(10) OVER (ORDER BY o_totalprice ASC,
+                                        o_orderkey ASC) AS BIGINT) AS bucket
+            FROM orders)
+        SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+               round(min(o_totalprice), 2) AS lo,
+               round(max(o_totalprice), 2) AS hi
+        FROM b GROUP BY bucket ORDER BY bucket
+    """,
     "pmi_cooccurrence": f"""
         WITH doctok AS (
             SELECT DISTINCT doc_id,
@@ -5370,6 +5422,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_oov": q_vocab_oov,
     "pmi_cooccurrence": q_pmi_cooccurrence,
     "pipeline_curation_v2": q_pipeline_curation_v2,
+    "text_hash_embed": q_text_hash_embed,
+    "histogram_equidepth": q_histogram_equidepth,
     "corpus_boilerplate_ngrams": q_corpus_boilerplate_ngrams,
     "pipeline_corpus_hygiene": q_pipeline_corpus_hygiene,
     "ann_cosine_topk": q_ann_cosine_topk,
