@@ -886,3 +886,22 @@ def test_hash_embed_buckets_and_l2_norm(spark):
         import math
         assert by_dim[buckets["a"]]["w"] == round(2 / math.sqrt(5), 6)
         assert by_dim[buckets["b"]]["w"] == round(1 / math.sqrt(5), 6)
+
+
+def test_ivfpq_exhaustive_probe_equals_pq(spark):
+    # with nprobe == nlist the cell pruning is a no-op, so the composed
+    # index must return exactly the plain PQ/ADC ranking
+    import random
+
+    rnd = random.Random(3)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.where(F.col("vec_id") < 2)
+    full = similarity.ivfpq_topk(
+        df, q, "vec_id", "embedding", k=5, nlist=4, nprobe=4,
+        m=2, nclusters=4, iterations=1,
+    )
+    plain = similarity.pq_topk(
+        df, q, "vec_id", "embedding", k=5, m=2, nclusters=4, iterations=1,
+    )
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, plain.collect()))

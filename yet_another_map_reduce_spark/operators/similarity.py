@@ -663,6 +663,29 @@ def pq_topk(
     )
     qv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     q = queries.select(F.col(id_col).alias("query_id"), qv.alias("__qv"))
+    scored = (
+        enc.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("adist", _adc_dist(books))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("qrank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("qrank") <= k)
+        .select("query_id", "neighbor_id", "adist", "qrank")
+    )
+
+
+def _adc_dist(books: list[list[list[float]]]) -> Column:
+    """Asymmetric-distance expression over columns ``__qv`` (query
+    vector, double array) and ``pq_codes``: per subspace, the 6-rounded
+    squared L2 from the query subvector to every codebook entry forms a
+    literal-array LUT indexed by the corpus code; the approximate
+    distance is the 6-rounded sum of the ``m`` table entries."""
+    m = len(books)
+    sub = len(books[0][0])
 
     def _lut(subv, book):
         return F.array(
@@ -693,10 +716,54 @@ def pq_topk(
     total = terms[0]
     for t in terms[1:]:
         total = total + t
+    return F.round(total, 6)
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    m: int = 4,
+    nclusters: int = 8,
+    iterations: int = 2,
+) -> DataFrame:
+    """The composed IVF-PQ index — the FAISS shape end to end: corpus
+    vectors live in inverted-file cells (nearest seed centroid), each
+    compressed to ``m`` PQ codes; a query probes ``nprobe`` of
+    ``nlist`` cells and ranks ONLY the cell-mates, by ADC lookup-table
+    distance instead of full-vector arithmetic.
+
+    Scale shape: the two prunings multiply — I/O touches
+    ~``nprobe/nlist`` of the corpus (file-level when the encoded index
+    is persisted partitioned by cell, as ``ivf_topk``'s persisted
+    variant demonstrates) and the scanned bytes per candidate are the
+    ``m`` codes, not the vector.  Everything downstream of the two
+    deterministic trainings is map-only + one broadcast join + the
+    per-query top-k window, and the whole pipeline remains replayable
+    in ANSI SQL.
+    """
+    cent = ivf_centroids(corpus, id_col, vec_col, nlist)
+    assigned = _nearest_centroids(corpus, id_col, vec_col, cent, 1).select(
+        F.col("__rid").alias("neighbor_id"), "centroid_id"
+    )
+    probes = _nearest_centroids(queries, id_col, vec_col, cent, nprobe).select(
+        F.col("__rid").alias("query_id"), F.col("__v").alias("__qv"), "centroid_id"
+    )
+    books = train_pq_codebooks(
+        corpus, id_col, vec_col, m=m, k=nclusters, iterations=iterations
+    )
+    enc = pq_encode(corpus, id_col, vec_col, books).withColumnRenamed(
+        id_col, "neighbor_id"
+    )
+    index = assigned.join(enc, "neighbor_id")
     scored = (
-        enc.crossJoin(F.broadcast(q))
+        index.join(F.broadcast(probes), "centroid_id")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("adist", F.round(total, 6))
+        .withColumn("adist", _adc_dist(books))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adist").asc(), F.col("neighbor_id").asc()

@@ -1402,6 +1402,27 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed IVF-PQ index (FAISS shape): inverted-file cell
+    pruning (probe 4 of 16 cells) times PQ code compression (4 codes
+    per vector), ranked by ADC lookup distance.  Hash-verified — the
+    oracle replays cell assignment, codebook training, encoding, and
+    the cell-restricted ADC ranking."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_topk(
+        corpus=emb,
+        queries=emb.where(F.col("vec_id") < 5),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=10,
+        nlist=16,
+        nprobe=4,
+        m=4,
+        nclusters=8,
+        iterations=2,
+    )
+
+
 def q_embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic clustering of the embedding corpus (similarity.
     kmeans_assign: distributed Lloyd's training + broadcast-centroid
@@ -5221,6 +5242,75 @@ ORACLES["ann_pq_topk"] = f"""
 """
 
 
+# the composed index: IVF cell CTEs (cosine round-9 assignment, the
+# ann_ivf_topk shape) x PQ CTEs (the ann_pq_topk shape); candidates are
+# cell-mates only, ranked by the same (s,cid)-join ADC sum
+ORACLES["ann_ivfpq_topk"] = f"""
+    WITH {_pq_train_cte(4, 8, 16, 2)},
+    pdistf AS (
+        SELECT c.vec_id, c.s, kk.cid,
+               round(sum((c.x - kk.val) * (c.x - kk.val)), 6) AS d
+        FROM subcomps c JOIN pcent2 kk ON c.s = kk.s AND c.sd = kk.sd
+        GROUP BY c.vec_id, c.s, kk.cid
+    ),
+    pasgf AS (
+        SELECT vec_id, s, cid FROM (
+            SELECT vec_id, s, cid, row_number() OVER (
+                PARTITION BY vec_id, s ORDER BY d ASC, cid ASC) AS rn
+            FROM pdistf
+        ) WHERE rn = 1
+    ),
+    cent AS (
+        SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS centv
+        FROM embeddings ORDER BY vec_id ASC LIMIT 16
+    ),
+    assigned AS (
+        SELECT vec_id AS neighbor_id, centroid_id FROM (
+            SELECT e.vec_id, c.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round(list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]), c.centv), 9) DESC,
+                           c.centroid_id ASC) AS cr
+            FROM embeddings e, cent c
+        ) WHERE cr = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, centroid_id FROM (
+            SELECT e.vec_id, c.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round(list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]), c.centv), 9) DESC,
+                           c.centroid_id ASC) AS cr
+            FROM embeddings e, cent c
+            WHERE e.vec_id < 5
+        ) WHERE cr <= 4
+    ),
+    cand AS (
+        SELECT p.query_id, a.neighbor_id
+        FROM assigned a JOIN probes p USING (centroid_id)
+        WHERE a.neighbor_id <> p.query_id
+    ),
+    adist AS (
+        SELECT c.query_id, c.neighbor_id, round(sum(q.d), 6) AS adist
+        FROM cand c
+        JOIN pasgf e ON e.vec_id = c.neighbor_id
+        JOIN pdistf q ON q.vec_id = c.query_id
+                     AND q.s = e.s AND q.cid = e.cid
+        GROUP BY c.query_id, c.neighbor_id
+    ),
+    r AS (
+        SELECT query_id, neighbor_id, adist,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adist ASC, neighbor_id ASC) AS rn
+        FROM adist
+    )
+    SELECT query_id, neighbor_id, adist, CAST(rn AS BIGINT) AS qrank
+    FROM r WHERE rn <= 10
+"""
+
+
 def _kmeans_train_cte(nlist: int, iterations: int) -> str:
     """Chained-CTE replay of ``similarity.train_ivf_centroids``: seed
     with the ``nlist`` lowest-id vectors (dense cids), then per
@@ -5467,6 +5557,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_quantized_topk": q_ann_quantized_topk,
     "ann_pq_topk": q_ann_pq_topk,
+    "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "embedding_kmeans_clusters": q_embedding_kmeans_clusters,
     "ann_ivf_trained": q_ann_ivf_trained,
     "multimodal_features": q_multimodal_features,
