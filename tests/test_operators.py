@@ -905,3 +905,55 @@ def test_ivfpq_exhaustive_probe_equals_pq(spark):
         df, q, "vec_id", "embedding", k=5, m=2, nclusters=4, iterations=1,
     )
     assert sorted(map(tuple, full.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_quantized_and_pq_recall_on_planted_clusters(spark):
+    # 6 tight clusters of 5 vectors each: for every query, the exact
+    # top-4 are its cluster-mates; int8 quantization must preserve that
+    # perfectly, and PQ/ADC must keep high overlap (recall@4 >= 0.75)
+    import random
+
+    rnd = random.Random(11)
+    rows = []
+    for c in range(6):
+        center = [rnd.uniform(-1, 1) for _ in range(16)]
+        for j in range(5):
+            rows.append(
+                (c * 10 + j, [x + rnd.uniform(-0.01, 0.01) for x in center])
+            )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.where(F.col("vec_id") % 10 == 0)
+
+    def recall(out_df, rank_col):
+        got = {}
+        for r in out_df.collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        per_q = [
+            len({qid + 1, qid + 2, qid + 3, qid + 4} & neigh) / 4
+            for qid, neigh in got.items()
+        ]
+        return sum(per_q) / len(per_q)
+
+    quant = similarity.quantized_topk(df, q, "vec_id", "embedding", k=4)
+    assert recall(quant, "qrank") == 1.0
+    pq = similarity.pq_topk(
+        df, q, "vec_id", "embedding", k=4, m=4, nclusters=8, iterations=2
+    )
+    assert recall(pq, "qrank") >= 0.75
+
+
+def test_bm25_ranks_planted_relevant_doc_first(spark):
+    from yet_another_map_reduce_spark.operators import text
+
+    docs = [
+        (1, "cats cats cats dogs"),          # high tf for 'cats'
+        (2, "cats and other animals here"),  # one hit, longer
+        (3, "nothing about pets at all"),    # no hits
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = sorted(
+        text.bm25_search(df, "text", "doc_id", ["cats"], top=5).collect(),
+        key=lambda r: r["qrank"],
+    )
+    assert [r["doc_id"] for r in out] == [1, 2]  # no-hit doc absent
+    assert out[0]["score"] > out[1]["score"]

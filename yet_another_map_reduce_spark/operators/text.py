@@ -781,3 +781,58 @@ def hash_embed(
     return cnt.withColumn(
         "w", F.round(F.col("n") / F.sqrt(F.sum(F.col("n") * F.col("n")).over(w)), 6)
     )
+
+
+def bm25_search(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top: int = 20,
+) -> DataFrame:
+    """Okapi BM25 retrieval: rank documents for a bag of query terms —
+    idf (Lucene's ``ln(1 + (N-df+0.5)/(df+0.5))`` form) times the
+    saturated-tf factor with length normalization.  The full-text-search
+    scoring function, as two aggregations and a broadcast join.
+
+    Scale shape: tokens explode once; per-(doc, term) tf only for the
+    |Q| query terms (the filter lands before the aggregation, so the
+    shuffle carries query-term hits, not the corpus); document lengths
+    and df/N are map-side-partial aggregates, df/N broadcast as a
+    |Q|-row relation.  One ln per (term), fixed-order arithmetic per
+    row, score rounded at 6 — ANSI-SQL replayable.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    lens = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("len_d"))
+    stats = lens.agg(
+        F.sum("len_d").alias("__lsum"), F.count(F.lit(1)).alias("__N")
+    )
+    hits = tok.where(F.col("term").isin(*query_terms))
+    tf = hits.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    avgdl = F.col("__lsum") / F.col("__N")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__N") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("len_d") / avgdl
+    )
+    term_score = idf * (F.col("tf") * F.lit(k1 + 1.0)) / denom
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(lens, id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(term_score), 6).alias("score"))
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("qrank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("qrank") <= top)
+    )

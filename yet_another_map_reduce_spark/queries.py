@@ -1111,6 +1111,17 @@ def q_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.oov_stats(d, "text", "doc_id", vocab)
 
 
+def q_text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval for a 3-term query over the corpus: top-20
+    docs by summed term scores (Lucene idf form, k1=1.2, b=0.75).
+    Hash-verified — the oracle recomputes idf/tf/length-norm with the
+    identical parenthesization."""
+    d = read_table(spark, sf_dir, "documents")
+    return text.bm25_search(
+        d, "text", "doc_id", query_terms=["table", "scan", "stream"], top=20
+    )
+
+
 def q_text_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashing-trick document vectors (HashingTF shape) over the
     portable md5 bucket hash — vocabulary-free text→vector bridge into
@@ -3838,6 +3849,38 @@ ORACLES: dict[str, str] = {
               ON o.user_id = r.user_id AND o.rn = r.rn + 1)
         SELECT user_id, event_id, value, round(e, 6) AS ewma FROM rec
     """,
+    "text_bm25_search": f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split({_TEXT_NORM}, ' ')) AS term
+            FROM documents),
+        lens AS (SELECT doc_id, count(*) AS len_d FROM tok GROUP BY doc_id),
+        stats AS (SELECT sum(len_d) AS lsum, count(*) AS n FROM lens),
+        tf AS (
+            SELECT doc_id, term, count(*) AS tf FROM tok
+            WHERE term IN ('table', 'scan', 'stream')
+            GROUP BY doc_id, term),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        -- parenthesization mirrors the Spark expression exactly (and
+        -- fractional literals are CAST to DOUBLE per the module rules)
+        sc AS (
+            SELECT t.doc_id,
+                   round(sum(
+                       ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                       * (t.tf * (CAST(1.2 AS DOUBLE) + 1.0))
+                       / (t.tf + CAST(1.2 AS DOUBLE) * (1.0 - CAST(0.75 AS DOUBLE)
+                          + CAST(0.75 AS DOUBLE) * l.len_d / (s.lsum / s.n)))
+                   ), 6) AS score
+            FROM tf t
+            JOIN dfreq d USING (term)
+            JOIN lens l USING (doc_id)
+            CROSS JOIN stats s
+            GROUP BY t.doc_id),
+        r AS (
+            SELECT doc_id, score,
+                   row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+            FROM sc)
+        SELECT doc_id, score, CAST(rn AS BIGINT) AS qrank FROM r WHERE rn <= 20
+    """,
     "text_hash_embed": f"""
         WITH tok AS (
             SELECT doc_id, unnest(string_split({_TEXT_NORM}, ' ')) AS token
@@ -5513,6 +5556,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pmi_cooccurrence": q_pmi_cooccurrence,
     "pipeline_curation_v2": q_pipeline_curation_v2,
     "text_hash_embed": q_text_hash_embed,
+    "text_bm25_search": q_text_bm25_search,
     "histogram_equidepth": q_histogram_equidepth,
     "corpus_boilerplate_ngrams": q_corpus_boilerplate_ngrams,
     "pipeline_corpus_hygiene": q_pipeline_corpus_hygiene,
