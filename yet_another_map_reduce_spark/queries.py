@@ -1122,6 +1122,35 @@ def q_text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order map functions: per-doc token-count maps built with
+    map_from_entries, reshaped with transform_values and pruned with
+    map_filter, then exploded back to rows — the oracle verifies the
+    relational meaning (per-doc token counts with the same arithmetic
+    and threshold), so a green hash certifies the map pipeline's
+    semantics end to end."""
+    d = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    from yet_another_map_reduce_spark.functions import tokens as _tokens
+
+    tok = d.select(F.col("doc_id"), F.explode(_tokens("text")).alias("token"))
+    counts = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("n"))
+    as_map = counts.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("token", "n")))
+        ).alias("m")
+    )
+    reshaped = as_map.select(
+        "doc_id",
+        F.map_filter(
+            F.transform_values(F.col("m"), lambda _, v: v * 2),
+            lambda _, v: v > 4,
+        ).alias("m2"),
+    )
+    return reshaped.select(
+        "doc_id", F.explode(F.col("m2")).alias("token", "doubled")
+    ).select("doc_id", "token", F.col("doubled").cast("bigint").alias("doubled"))
+
+
 def q_text_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashing-trick document vectors (HashingTF shape) over the
     portable md5 bucket hash — vocabulary-free text→vector bridge into
@@ -1431,6 +1460,37 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         m=4,
         nclusters=8,
         iterations=2,
+    )
+
+
+def q_ann_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximation-quality report: recall@10 of the int8-quantized
+    tier against exact cosine, per query vector — the eval every ANN
+    deployment runs before trusting an approximate index.  Both tiers
+    and the overlap count are hash-verified (oracle composes the two
+    verified pipelines)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(emb, q, "vec_id", "embedding", k=10).select(
+        "query_id", "neighbor_id"
+    )
+    quant = (
+        similarity.quantized_topk(emb, q, "vec_id", "embedding", k=10)
+        .select("query_id", "neighbor_id", F.lit(1).alias("__hit"))
+    )
+    return (
+        exact.join(quant, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_overlap")
+        )
+        .select(
+            "query_id",
+            "n_overlap",
+            F.round(F.col("n_overlap") / 10, 6).alias("recall_at_10"),
+        )
     )
 
 
@@ -3849,6 +3909,14 @@ ORACLES: dict[str, str] = {
               ON o.user_id = r.user_id AND o.rn = r.rn + 1)
         SELECT user_id, event_id, value, round(e, 6) AS ewma FROM rec
     """,
+    "map_higher_order": f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split({_TEXT_NORM}, ' ')) AS token
+            FROM documents WHERE doc_id < 100)
+        SELECT doc_id, token, CAST(count(*) * 2 AS BIGINT) AS doubled
+        FROM tok GROUP BY doc_id, token
+        HAVING count(*) * 2 > 4
+    """,
     "text_bm25_search": f"""
         WITH tok AS (
             SELECT doc_id, unnest(string_split({_TEXT_NORM}, ' ')) AS term
@@ -5285,6 +5353,19 @@ ORACLES["ann_pq_topk"] = f"""
 """
 
 
+# recall report: the two already-verified tier oracles joined; the
+# division is CAST to DOUBLE (never /10.0 — DuckDB's decimal path)
+ORACLES["ann_quantized_recall"] = f"""
+    SELECT e.query_id,
+           CAST(count(q.neighbor_id) AS BIGINT) AS n_overlap,
+           round(CAST(count(q.neighbor_id) AS DOUBLE) / 10, 6) AS recall_at_10
+    FROM ({ORACLES["ann_cosine_topk"]}) e
+    LEFT JOIN ({ORACLES["ann_quantized_topk"]}) q
+      ON e.query_id = q.query_id AND e.neighbor_id = q.neighbor_id
+    GROUP BY e.query_id
+"""
+
+
 # the composed index: IVF cell CTEs (cosine round-9 assignment, the
 # ann_ivf_topk shape) x PQ CTEs (the ann_pq_topk shape); candidates are
 # cell-mates only, ranked by the same (s,cid)-join ADC sum
@@ -5602,6 +5683,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_quantized_topk": q_ann_quantized_topk,
     "ann_pq_topk": q_ann_pq_topk,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
+    "ann_quantized_recall": q_ann_quantized_recall,
+    "map_higher_order": q_map_higher_order,
     "embedding_kmeans_clusters": q_embedding_kmeans_clusters,
     "ann_ivf_trained": q_ann_ivf_trained,
     "multimodal_features": q_multimodal_features,
