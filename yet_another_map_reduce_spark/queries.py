@@ -1286,6 +1286,64 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(F.col("id").alias("doc_id"), "component").orderBy("doc_id")
 
 
+def q_corpus_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture accounting per (source, lang): docs, tokens, and share
+    of the corpus token budget — the report every dataset card and
+    mixing-weight decision starts from.  One map-side-partial agg; the
+    total rides a window over the already-tiny grouped relation."""
+    d = read_table(spark, sf_dir, "documents")
+    from yet_another_map_reduce_spark.functions import tokens as _tokens
+
+    g = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(_tokens("text"))).cast("bigint").alias("n_tokens"),
+    )
+    total = Window.partitionBy()
+    return g.select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.sum("n_tokens").over(total), 6).alias(
+            "token_share"
+        ),
+    )
+
+
+def q_dedup_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's end state: LSH pairs → connected components
+    → per-cluster canonical document selection (highest quality score,
+    ties to the lowest id) — what actually ships to training after
+    near-dup clustering.  One max(struct) aggregation per cluster, no
+    window over the corpus; oracle composes the verified components and
+    quality oracles."""
+    d = read_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        d, "text", "doc_id", num_hashes=12, bands=4, shingle_k=3
+    )
+    comp = dedup.connected_components(pairs, "id_a", "id_b").select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    q = text.text_stats(d, "text", "doc_id").select("doc_id", "quality")
+    best = F.max(
+        F.struct(F.col("quality").alias("q"), (-F.col("doc_id")).alias("nid"))
+    )
+    return (
+        comp.join(q, "doc_id")
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            best.alias("__best"),
+        )
+        .select(
+            "component",
+            "n_members",
+            (-F.col("__best")["nid"]).cast("bigint").alias("canonical_doc_id"),
+            F.col("__best")["q"].alias("best_quality"),
+        )
+    )
+
+
 def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same clustering as dedup_components but via large-star/small-star
     contraction (O(log n) rounds on any graph shape) — must land on the
@@ -3909,6 +3967,18 @@ ORACLES: dict[str, str] = {
               ON o.user_id = r.user_id AND o.rn = r.rn + 1)
         SELECT user_id, event_id, value, round(e, 6) AS ewma FROM rec
     """,
+    "corpus_mixture_report": f"""
+        WITH g AS (
+            SELECT source, lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(string_split({_TEXT_NORM}, ' '))) AS BIGINT)
+                       AS n_tokens
+            FROM documents GROUP BY source, lang)
+        SELECT source, lang, n_docs, n_tokens,
+               round(CAST(n_tokens AS DOUBLE)
+                     / CAST(sum(n_tokens) OVER () AS DOUBLE), 6) AS token_share
+        FROM g
+    """,
     "map_higher_order": f"""
         WITH tok AS (
             SELECT doc_id, unnest(string_split({_TEXT_NORM}, ' ')) AS token
@@ -5353,6 +5423,23 @@ ORACLES["ann_pq_topk"] = f"""
 """
 
 
+# canonicalization: components oracle x quality oracle, arg-max per
+# cluster (quality desc, id asc)
+ORACLES["dedup_canonicalize"] = f"""
+    WITH comp AS ({ORACLES["dedup_components"]}),
+    q AS (SELECT doc_id, quality FROM ({ORACLES["text_stats"]})),
+    j AS (SELECT c.component, c.doc_id, q.quality
+          FROM comp c JOIN q USING (doc_id)),
+    r AS (SELECT *, row_number() OVER (PARTITION BY component
+                       ORDER BY quality DESC, doc_id ASC) AS rn FROM j),
+    m AS (SELECT component, CAST(count(*) AS BIGINT) AS n_members
+          FROM j GROUP BY component)
+    SELECT r.component, m.n_members, r.doc_id AS canonical_doc_id,
+           r.quality AS best_quality
+    FROM r JOIN m USING (component) WHERE r.rn = 1
+"""
+
+
 # recall report: the two already-verified tier oracles joined; the
 # division is CAST to DOUBLE (never /10.0 — DuckDB's decimal path)
 ORACLES["ann_quantized_recall"] = f"""
@@ -5685,6 +5772,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "ann_quantized_recall": q_ann_quantized_recall,
     "map_higher_order": q_map_higher_order,
+    "dedup_canonicalize": q_dedup_canonicalize,
+    "corpus_mixture_report": q_corpus_mixture_report,
     "embedding_kmeans_clusters": q_embedding_kmeans_clusters,
     "ann_ivf_trained": q_ann_ivf_trained,
     "multimodal_features": q_multimodal_features,
