@@ -320,3 +320,34 @@ def test_read_training_shards_epoch_reshuffle(spark, sf_dir, tmp_path):
     assert ep0 != ep1  # epoch reseed gives a new order
     # written order is reproducible
     assert ep0 == [r["doc_id"] for r in read_training_shards(spark, p, "doc_id").collect()]
+
+
+def test_yamr_time_travel_reads_committed_snapshots(spark, tmp_path):
+    """Every commit snapshots the manifest: version 1 keeps serving the
+    pre-append dataset after an append, the live read sees the union,
+    and a nonexistent version fails with the available versions listed."""
+    import pytest
+
+    from yet_another_map_reduce_spark.sources import yamr_format
+
+    yamr_format.register(spark)
+    out = str(tmp_path / "tt")
+    w = lambda df: (  # noqa: E731
+        df.write.format("yamr").option("path", out).option("name", "tx")
+    )
+    base = spark.createDataFrame([("old1",), ("old2",)], "value string")
+    w(base.repartition(1)).mode("overwrite").save()
+    extra = spark.createDataFrame([("new1",)], "value string")
+    w(extra.repartition(1)).mode("append").save()
+
+    assert yamr_format.list_versions(out, "tx") == [1, 2]
+    r = lambda: spark.read.format("yamr").option("path", out).option("name", "tx")  # noqa: E731
+    assert sorted(x["value"] for x in r().load().collect()) == ["new1", "old1", "old2"]
+    assert sorted(
+        x["value"] for x in r().option("version", 1).load().collect()
+    ) == ["old1", "old2"]
+    assert sorted(
+        x["value"] for x in r().option("version", 2).load().collect()
+    ) == ["new1", "old1", "old2"]
+    with pytest.raises(Exception, match="available: \\[1, 2\\]"):
+        r().option("version", 9).load().collect()

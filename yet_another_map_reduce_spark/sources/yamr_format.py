@@ -21,8 +21,15 @@ This DataSource makes that layout a first-class Spark format:
   prior manifest entries with the new ones — a failed append leaves the
   old dataset fully intact.
 
+- **time travel**: every commit (batch overwrite/append AND each
+  streaming micro-batch) also writes an immutable snapshot manifest
+  ``<name>_manifest.vNNNNN``; ``.option('version', N)`` on read pins
+  that snapshot.  Chunks are never deleted by commits, so snapshots
+  always resolve.
+
 Registered under the short name ``yamr``.  Options:
-``path`` (directory) and ``name`` (dataset name, default ``data``).
+``path`` (directory), ``name`` (dataset name, default ``data``) and
+``version`` (read-side snapshot pin, default: live manifest).
 """
 
 from __future__ import annotations
@@ -41,14 +48,20 @@ from pyspark.sql.datasource import (
 )
 
 
-def _manifest_path(path: str, name: str) -> str:
-    return os.path.join(path, f"{name}_manifest")
+def _manifest_path(path: str, name: str, version: int | None = None) -> str:
+    if version is None:
+        return os.path.join(path, f"{name}_manifest")
+    return os.path.join(path, f"{name}_manifest.v{int(version):05d}")
 
 
-def read_manifest(path: str, name: str) -> list[tuple[str, int]]:
-    """Parse ``filename,filesize,header`` rows (header line skipped)."""
+def read_manifest(
+    path: str, name: str, version: int | None = None
+) -> list[tuple[str, int]]:
+    """Parse ``filename,filesize,header`` rows (header line skipped).
+    ``version`` reads a committed snapshot manifest instead of the live
+    one (time travel)."""
     entries: list[tuple[str, int]] = []
-    with open(_manifest_path(path, name), encoding="utf-8") as fh:
+    with open(_manifest_path(path, name, version), encoding="utf-8") as fh:
         next(fh)  # "filename,filesize,header"
         for line in fh:
             line = line.strip()
@@ -57,6 +70,40 @@ def read_manifest(path: str, name: str) -> list[tuple[str, int]]:
             fname, fsize, _header = line.split(",")
             entries.append((fname, int(fsize)))
     return entries
+
+
+def list_versions(path: str, name: str) -> list[int]:
+    """Committed snapshot versions, ascending (empty for pre-snapshot
+    datasets)."""
+    pat = _re.compile(_re.escape(name) + r"_manifest\.v(\d+)$")
+    try:
+        names = os.listdir(path)
+    except FileNotFoundError:
+        return []
+    return sorted(int(m.group(1)) for n in names if (m := pat.match(n)))
+
+
+def _commit_manifest(path: str, name: str, entries: list[tuple[str, int]]) -> None:
+    """Two-phase manifest publish with a time-travel snapshot.
+
+    The snapshot ``<name>_manifest.vNNNNN`` lands first, then the live
+    manifest is atomically replaced — chunk files are already durable
+    when this runs, so a snapshot can never reference missing data, and
+    a crash between the two steps costs at most one snapshot that never
+    became live (readers of the live dataset are unaffected).
+    """
+    version = (list_versions(path, name) or [0])[-1] + 1
+    body = "filename,filesize,header\n" + "".join(
+        f"{fname},{fsize},False\n" for fname, fsize in entries
+    )
+    snap = _manifest_path(path, name, version)
+    with open(snap + ".tmp", "w", encoding="utf-8") as fh:
+        fh.write(body)
+    os.replace(snap + ".tmp", snap)
+    target = _manifest_path(path, name)
+    with open(target + ".tmp", "w", encoding="utf-8") as fh:
+        fh.write(body)
+    os.replace(target + ".tmp", target)
 
 
 class _ChunkPartition(InputPartition):
@@ -69,12 +116,22 @@ class YamrReader(DataSourceReader):
     def __init__(self, options: dict):
         self.path = options["path"]
         self.name = options.get("name", "data")
+        # time travel: .option("version", N) pins a committed snapshot
+        v = options.get("version")
+        self.version = int(v) if v is not None else None
 
     def partitions(self):
-        return [
-            _ChunkPartition(self.path, fname)
-            for fname, _ in read_manifest(self.path, self.name)
-        ]
+        try:
+            entries = read_manifest(self.path, self.name, self.version)
+        except FileNotFoundError:
+            if self.version is not None:
+                known = list_versions(self.path, self.name)
+                raise FileNotFoundError(
+                    f"yamr dataset '{self.name}' has no snapshot version "
+                    f"{self.version}; available: {known}"
+                ) from None
+            raise
+        return [_ChunkPartition(self.path, fname) for fname, _ in entries]
 
     def read(self, partition: _ChunkPartition):
         with open(
@@ -135,19 +192,13 @@ class YamrWriter(DataSourceWriter):
         return _PartCommit(fname, os.path.getsize(full))
 
     def commit(self, messages):
-        # manifest written LAST, driver-side, via atomic rename: readers
-        # can never observe a dataset whose chunks aren't all on disk,
-        # nor a half-written manifest
+        # manifest written LAST, driver-side, via atomic rename (plus a
+        # time-travel snapshot): readers can never observe a dataset
+        # whose chunks aren't all on disk, nor a half-written manifest
         entries = self.previous + sorted(
             ((m.filename, m.filesize) for m in messages), key=lambda e: e[0]
         )
-        target = _manifest_path(self.path, self.name)
-        tmp = target + ".tmp"
-        with open(tmp, "w", encoding="utf-8") as fh:
-            fh.write("filename,filesize,header\n")
-            for fname, fsize in entries:
-                fh.write(f"{fname},{fsize},False\n")
-        os.replace(tmp, target)
+        _commit_manifest(self.path, self.name, entries)
 
     def abort(self, messages):
         for m in messages:
@@ -247,12 +298,9 @@ class YamrStreamWriter(DataSourceStreamWriter):
         entries = previous + [
             (m.filename, m.filesize) for m in messages if m.filename
         ]
-        tmp = _manifest_path(self.path, self.name) + ".tmp"
-        with open(tmp, "w", encoding="utf-8") as fh:
-            fh.write("filename,filesize,header\n")
-            for fname, fsize in sorted(entries):
-                fh.write(f"{fname},{fsize},False\n")
-        os.replace(tmp, _manifest_path(self.path, self.name))
+        # every micro-batch commit is a snapshot version too: streaming
+        # datasets get the same time-travel surface as batch ones
+        _commit_manifest(self.path, self.name, sorted(entries))
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages:
