@@ -351,3 +351,37 @@ def test_yamr_time_travel_reads_committed_snapshots(spark, tmp_path):
     ) == ["new1", "old1", "old2"]
     with pytest.raises(Exception, match="available: \\[1, 2\\]"):
         r().option("version", 9).load().collect()
+
+
+def test_yamr_vacuum_prunes_unreachable_chunks_only(spark, tmp_path):
+    """Vacuum with keep_versions=1 drops the pre-overwrite snapshot and
+    its now-unreachable chunks, while everything referenced by the live
+    manifest (or retained snapshots) survives and still reads back."""
+    from yet_another_map_reduce_spark.sources import yamr_format
+
+    yamr_format.register(spark)
+    out = str(tmp_path / "vac")
+    w = lambda df: (  # noqa: E731
+        df.write.format("yamr").option("path", out).option("name", "tx")
+    )
+    w(spark.createDataFrame([("old",)], "value string").repartition(1)).mode(
+        "overwrite"
+    ).save()
+    # overwrite again: v1's chunk is replaced in the live manifest but
+    # still referenced by snapshot v1 (same filename is reused by the
+    # second overwrite, so plant a distinct chunk via append instead)
+    w(spark.createDataFrame([("extra",)], "value string").repartition(1)).mode(
+        "append"
+    ).save()
+    w(spark.createDataFrame([("fresh",)], "value string").repartition(1)).mode(
+        "overwrite"
+    ).save()
+    assert yamr_format.list_versions(out, "tx") == [1, 2, 3]
+
+    res = yamr_format.vacuum(out, "tx", keep_versions=1)
+    assert res["removed_snapshots"] == [1, 2]
+    # the g00001 append chunk is only reachable from dropped snapshots
+    assert any("part-g00001" in c for c in res["removed_chunks"])
+    assert yamr_format.list_versions(out, "tx") == [3]
+    back = spark.read.format("yamr").option("path", out).option("name", "tx").load()
+    assert [r["value"] for r in back.collect()] == ["fresh"]

@@ -110,6 +110,8 @@ def skew_stats(df: DataFrame, key: str | Column, top: int = 10) -> DataFrame:
             "share",
             F.round(F.col("n_rows") / F.sum("n_rows").over(Window.partitionBy()), 6),
         )
-        .orderBy(F.col("n_rows").desc())
+        # key-value tiebreak: the top-k boundary is deterministic even
+        # when several keys share the cutoff count
+        .orderBy(F.col("n_rows").desc(), F.col(counts.columns[0]).asc())
         .limit(top)
     )

@@ -704,6 +704,16 @@ def q_sql_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- skew mitigation ------------------------------------------------------
 
 
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-frequency skew diagnostic (the lookahead before salting):
+    the 10 heaviest event users with row counts and corpus share, count
+    ties broken on the key so the top-k boundary is deterministic."""
+    from yet_another_map_reduce_spark.operators import skew
+
+    e = read_table(spark, sf_dir, "events")
+    return skew.skew_stats(e, "user_id", top=10)
+
+
 def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregation — lineitem has only 3 return-flag
     groups, the textbook hot-key layout; result is identical to the
@@ -3967,6 +3977,18 @@ ORACLES: dict[str, str] = {
               ON o.user_id = r.user_id AND o.rn = r.rn + 1)
         SELECT user_id, event_id, value, round(e, 6) AS ewma FROM rec
     """,
+    "skew_report": """
+        WITH c AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows
+            FROM events GROUP BY user_id),
+        s AS (
+            SELECT user_id, n_rows,
+                   round(CAST(n_rows AS DOUBLE)
+                         / CAST(sum(n_rows) OVER () AS DOUBLE), 6) AS share
+            FROM c)
+        SELECT user_id, n_rows, share FROM s
+        ORDER BY n_rows DESC, user_id ASC LIMIT 10
+    """,
     "corpus_mixture_report": f"""
         WITH g AS (
             SELECT source, lang,
@@ -5774,6 +5796,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "map_higher_order": q_map_higher_order,
     "dedup_canonicalize": q_dedup_canonicalize,
     "corpus_mixture_report": q_corpus_mixture_report,
+    "skew_report": q_skew_report,
     "embedding_kmeans_clusters": q_embedding_kmeans_clusters,
     "ann_ivf_trained": q_ann_ivf_trained,
     "multimodal_features": q_multimodal_features,

@@ -335,3 +335,48 @@ class YamrDataSource(DataSource):
 def register(spark) -> None:
     """Idempotently register the ``yamr`` format on a session."""
     spark.dataSource.register(YamrDataSource)
+
+
+def vacuum(path: str, name: str, keep_versions: int = 2) -> dict:
+    """Retire old snapshots and delete chunk files no longer reachable
+    from any retained manifest (the Delta-VACUUM analog for this
+    format).
+
+    Keeps the live manifest plus the newest ``keep_versions`` snapshot
+    manifests; every chunk referenced by ANY retained manifest
+    survives, everything else under the dataset's chunk-name prefix is
+    deleted.  Safe by construction: the live manifest is always
+    retained, so current readers are never broken — only time travel
+    beyond the retention window is given up.
+
+    Returns ``{"removed_snapshots": [...], "removed_chunks": [...]}``.
+    """
+    versions = list_versions(path, name)
+    drop_versions = versions[:-keep_versions] if keep_versions > 0 else versions
+    keep = versions[len(drop_versions):]
+
+    reachable: set[str] = set()
+    for v in [None, *keep]:
+        try:
+            reachable.update(f for f, _ in read_manifest(path, name, v))
+        except FileNotFoundError:
+            continue
+
+    removed_snapshots = []
+    for v in drop_versions:
+        try:
+            os.remove(_manifest_path(path, name, v))
+            removed_snapshots.append(v)
+        except OSError:
+            pass
+
+    chunk_pat = _re.compile(_re.escape(name) + r"_part-.*\.txt$")
+    removed_chunks = []
+    for fname in sorted(os.listdir(path)):
+        if chunk_pat.match(fname) and fname not in reachable:
+            try:
+                os.remove(os.path.join(path, fname))
+                removed_chunks.append(fname)
+            except OSError:
+                pass
+    return {"removed_snapshots": removed_snapshots, "removed_chunks": removed_chunks}
