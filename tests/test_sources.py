@@ -155,8 +155,9 @@ def test_yamr_append_merges_manifest(spark, tmp_path):
     manifest = yamr_format.read_manifest(out, "tx")
     names = [f for f, _ in manifest]
     assert len(manifest) == 5 and len(set(names)) == 5
-    assert sum(f.startswith("tx_part-g00001-") for f in names) == 2
-    assert sum(f.startswith("tx_part-g00002-") for f in names) == 1
+    # base overwrite takes g00001; each append a fresh later generation
+    assert sum(f.startswith("tx_part-g00002-") for f in names) == 2
+    assert sum(f.startswith("tx_part-g00003-") for f in names) == 1
     for fname, fsize in manifest:
         assert os.path.getsize(os.path.join(out, fname)) == fsize
 
@@ -385,3 +386,51 @@ def test_yamr_vacuum_prunes_unreachable_chunks_only(spark, tmp_path):
     assert yamr_format.list_versions(out, "tx") == [3]
     back = spark.read.format("yamr").option("path", out).option("name", "tx").load()
     assert [r["value"] for r in back.collect()] == ["fresh"]
+
+
+def test_yamr_overwrite_never_clobbers_snapshot_chunks(spark, tmp_path):
+    """Regression: a second overwrite must write NEW chunk files (fresh
+    generation), or the v1 snapshot would silently serve the new data."""
+    from yet_another_map_reduce_spark.sources import yamr_format
+
+    yamr_format.register(spark)
+    out = str(tmp_path / "ow")
+    w = lambda df: (  # noqa: E731
+        df.write.format("yamr").option("path", out).option("name", "tx")
+    )
+    w(spark.createDataFrame([("first",)], "value string").repartition(1)).mode(
+        "overwrite"
+    ).save()
+    w(spark.createDataFrame([("second",)], "value string").repartition(1)).mode(
+        "overwrite"
+    ).save()
+    r = lambda: spark.read.format("yamr").option("path", out).option("name", "tx")  # noqa: E731
+    assert [x["value"] for x in r().option("version", 1).load().collect()] == ["first"]
+    assert [x["value"] for x in r().load().collect()] == ["second"]
+
+
+def test_yamr_delete_where_is_copy_on_write(spark, tmp_path):
+    """COW delete: matching rows vanish from the live dataset, the
+    pre-delete snapshot still serves them, and vacuum then retires the
+    old chunks."""
+    from yet_another_map_reduce_spark.sources import yamr_format
+
+    yamr_format.register(spark)
+    out = str(tmp_path / "del")
+    src = spark.createDataFrame(
+        [("keep1",), ("drop1",), ("keep2",), ("drop2",)], "value string"
+    ).repartition(1)
+    src.write.format("yamr").option("path", out).option("name", "tx").mode(
+        "overwrite"
+    ).save()
+
+    res = yamr_format.delete_where(spark, out, "tx", "value LIKE 'drop%'")
+    assert res == {"deleted": 2, "remaining": 2}
+    r = lambda: spark.read.format("yamr").option("path", out).option("name", "tx")  # noqa: E731
+    assert sorted(x["value"] for x in r().load().collect()) == ["keep1", "keep2"]
+    assert sorted(
+        x["value"] for x in r().option("version", 1).load().collect()
+    ) == ["drop1", "drop2", "keep1", "keep2"]
+    gone = yamr_format.vacuum(out, "tx", keep_versions=1)
+    assert gone["removed_snapshots"] == [1]
+    assert sorted(x["value"] for x in r().load().collect()) == ["keep1", "keep2"]

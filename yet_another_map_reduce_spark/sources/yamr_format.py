@@ -24,8 +24,11 @@ This DataSource makes that layout a first-class Spark format:
 - **time travel**: every commit (batch overwrite/append AND each
   streaming micro-batch) also writes an immutable snapshot manifest
   ``<name>_manifest.vNNNNN``; ``.option('version', N)`` on read pins
-  that snapshot.  Chunks are never deleted by commits, so snapshots
-  always resolve.
+  that snapshot.  Batch writes always take a fresh generation prefix —
+  chunk files are immutable once written — so snapshots stay valid
+  across overwrites; :func:`vacuum` retires old snapshots and their
+  unreachable chunks, and :func:`delete_where` is a copy-on-write
+  row delete that commits as a new version.
 
 Registered under the short name ``yamr``.  Options:
 ``path`` (directory), ``name`` (dataset name, default ``data``) and
@@ -162,28 +165,31 @@ class YamrWriter(DataSourceWriter):
         self.name = options.get("name", "data")
         self.append = append
         self.previous: list[tuple[str, int]] = []
-        self.generation = 0
         if append:
             try:
                 self.previous = read_manifest(self.path, self.name)
             except FileNotFoundError:
                 self.previous = []
-            gen_pat = _re.compile(_re.escape(self.name) + r"_part-g(\d+)-")
+        # EVERY batch write — overwrite included — takes a fresh
+        # generation prefix, discovered from the directory (not just the
+        # live manifest): chunk files are immutable once written, which
+        # is what keeps time-travel snapshots valid across overwrites.
+        gen_pat = _re.compile(_re.escape(self.name) + r"_part-g(\d+)-")
+        try:
             gens = [
                 int(m.group(1))
-                for fname, _ in self.previous
+                for fname in os.listdir(self.path)
                 if (m := gen_pat.match(fname))
             ]
-            self.generation = max(gens, default=0) + 1
+        except FileNotFoundError:
+            gens = []
+        self.generation = max(gens, default=0) + 1
 
     def write(self, iterator):
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        if self.append:
-            fname = f"{self.name}_part-g{self.generation:05d}-{pid:05d}.txt"
-        else:
-            fname = f"{self.name}_part-{pid:05d}.txt"
+        fname = f"{self.name}_part-g{self.generation:05d}-{pid:05d}.txt"
         full = os.path.join(self.path, fname)
         os.makedirs(self.path, exist_ok=True)
         with open(full, "w", encoding="utf-8") as fh:
@@ -380,3 +386,38 @@ def vacuum(path: str, name: str, keep_versions: int = 2) -> dict:
             except OSError:
                 pass
     return {"removed_snapshots": removed_snapshots, "removed_chunks": removed_chunks}
+
+
+def delete_where(spark, path: str, name: str, predicate: str) -> dict:
+    """Copy-on-write row deletion: rewrite the live dataset WITHOUT the
+    rows matching ``predicate`` (a SQL boolean over ``part``,
+    ``line_no``, ``value``) and commit the result as a new snapshot
+    version.
+
+    The old chunks are untouched — time travel to pre-delete versions
+    keeps working until :func:`vacuum` retires them — and the rewrite
+    goes through the same two-phase manifest commit as every write, so
+    a failed delete leaves the live dataset exactly as it was.  Returns
+    ``{"deleted": n, "remaining": m}``.
+
+    Scale note: this rewrites the surviving rows (the COW trade: cheap
+    reads + atomic versions, expensive deletes).  Production engines
+    restrict the rewrite to chunks that actually contain matches; here
+    chunk pruning would need per-chunk min/max stats in the manifest —
+    the natural next format extension.
+    """
+    before = (
+        spark.read.format("yamr").option("path", path).option("name", name).load()
+    )
+    total = before.count()
+    keep = before.where(f"NOT ({predicate})")
+    remaining = keep.count()
+    (
+        keep.select("value")
+        .write.format("yamr")
+        .option("path", path)
+        .option("name", name)
+        .mode("overwrite")
+        .save()
+    )
+    return {"deleted": total - remaining, "remaining": remaining}
