@@ -250,3 +250,60 @@ def test_chunk_dedup_conserves_distinct_chunks(spark, texts):
                 expect.append(c)
             seen_here.add(c)
         assert r["dedup_text"] == " ".join(expect)
+
+
+_yamr_op = st.one_of(
+    st.tuples(st.just("overwrite"), st.integers(1, 3)),
+    st.tuples(st.just("append"), st.integers(1, 3)),
+    st.tuples(st.just("delete"), st.just(0)),
+)
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_yamr_op, min_size=1, max_size=3))
+def test_yamr_version_history_matches_model(spark, tmp_path_factory, ops):
+    """Any sequence of overwrite/append/delete: the live dataset equals
+    a plain Python model of the operations, and EVERY snapshot version
+    equals the model's state right after the corresponding commit."""
+    from yet_another_map_reduce_spark.sources import yamr_format
+
+    yamr_format.register(spark)
+    out = str(tmp_path_factory.mktemp("yamrprop") / "ds")
+    state: list[str] = []
+    history: list[list[str]] = []
+    counter = 0
+    for kind, n in [("overwrite", 2), *ops]:  # always start with a write
+        if kind == "delete":
+            if not state:
+                continue
+            yamr_format.delete_where(spark, out, "tx", "value LIKE 'del-%'")
+            state = [v for v in state if not v.startswith("del-")]
+        else:
+            rows = []
+            for _ in range(n):
+                prefix = "del-" if counter % 3 == 1 else "keep-"
+                rows.append(f"{prefix}{counter}")
+                counter += 1
+            df = spark.createDataFrame([(v,) for v in rows], "value string")
+            (
+                df.repartition(1)
+                .write.format("yamr")
+                .option("path", out)
+                .option("name", "tx")
+                .mode(kind)
+                .save()
+            )
+            state = rows if kind == "overwrite" else state + rows
+        history.append(sorted(state))
+
+    r = lambda: spark.read.format("yamr").option("path", out).option("name", "tx")  # noqa: E731
+    assert sorted(x["value"] for x in r().load().collect()) == history[-1]
+    versions = yamr_format.list_versions(out, "tx")
+    assert versions == list(range(1, len(history) + 1))
+    for v, want in zip(versions, history):
+        got = sorted(x["value"] for x in r().option("version", v).load().collect())
+        assert got == want, f"version {v}"
