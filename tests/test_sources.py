@@ -434,3 +434,36 @@ def test_yamr_delete_where_is_copy_on_write(spark, tmp_path):
     gone = yamr_format.vacuum(out, "tx", keep_versions=1)
     assert gone["removed_snapshots"] == [1]
     assert sorted(x["value"] for x in r().load().collect()) == ["keep1", "keep2"]
+
+
+def test_yamr_chunk_stats_prune_partitions_on_pushed_filters(spark, tmp_path):
+    """Min/max chunk stats + pushFilters: a selective value predicate
+    plans fewer input partitions (chunk skipping), while results stay
+    identical to the unpruned filter — the stats only pick which chunks
+    to open, Spark still evaluates every filter on the rows."""
+    from yet_another_map_reduce_spark.sources import yamr_format
+
+    yamr_format.register(spark)
+    out = str(tmp_path / "prune")
+    # range-partitioned so the three chunks carry disjoint value ranges
+    src = spark.createDataFrame(
+        [(f"{i:03d}-row",) for i in range(30)], "value string"
+    ).repartitionByRange(3, "value")
+    src.write.format("yamr").option("path", out).option("name", "tx").mode(
+        "overwrite"
+    ).save()
+    assert len(yamr_format.read_chunk_stats(out, "tx")) == 3
+
+    r = lambda: spark.read.format("yamr").option("path", out).option("name", "tx")  # noqa: E731
+    full = r().load()
+    assert full.rdd.getNumPartitions() == 3
+    sel = r().load().where(F.col("value") >= "025-row")
+    # only the chunk(s) whose max reaches past the cutoff get opened
+    assert sel.rdd.getNumPartitions() < 3
+    assert sorted(x["value"] for x in sel.collect()) == [
+        f"{i:03d}-row" for i in range(25, 30)
+    ]
+    # prefix pushdown prunes too
+    pre = r().load().where(F.col("value").startswith("00"))
+    assert pre.rdd.getNumPartitions() < 3
+    assert pre.count() == 10

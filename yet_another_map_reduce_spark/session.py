@@ -62,6 +62,8 @@ def build_session(
         # --- python interop: Arrow batches, never row-at-a-time pickling ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+        # Python DataSource filter pushdown (yamr chunk-stats pruning)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # --- determinism ---
         .config("spark.sql.session.timeZone", "UTC")
         # keep the UI off in test/bench containers

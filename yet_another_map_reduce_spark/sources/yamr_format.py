@@ -29,6 +29,11 @@ This DataSource makes that layout a first-class Spark format:
   across overwrites; :func:`vacuum` retires old snapshots and their
   unreachable chunks, and :func:`delete_where` is a copy-on-write
   row delete that commits as a new version.
+- **chunk pruning**: commits record per-chunk min/max ``value`` stats
+  in a sidecar; the reader's ``pushFilters`` (Spark 4.1 Python
+  DataSource pushdown) skips chunks that provably contain no matching
+  row for =, range, and prefix predicates — partial pushdown, so Spark
+  still evaluates every filter on the emitted rows.
 
 Registered under the short name ``yamr``.  Options:
 ``path`` (directory), ``name`` (dataset name, default ``data``) and
@@ -109,6 +114,63 @@ def _commit_manifest(path: str, name: str, entries: list[tuple[str, int]]) -> No
     os.replace(target + ".tmp", target)
 
 
+def _stats_path(path: str, name: str) -> str:
+    return os.path.join(path, f"{name}_chunkstats")
+
+
+def read_chunk_stats(path: str, name: str) -> dict[str, tuple[str, str]]:
+    """Per-chunk (min_value, max_value) sidecar, base64-encoded so
+    values with commas/newlines round-trip.  Missing file → no stats
+    (chunks without stats are never pruned — always safe)."""
+    import base64
+
+    stats: dict[str, tuple[str, str]] = {}
+    try:
+        with open(_stats_path(path, name), encoding="utf-8") as fh:
+            next(fh)  # header
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                fname, lo, hi = line.split(",")
+                stats[fname] = (
+                    base64.b64decode(lo).decode("utf-8"),
+                    base64.b64decode(hi).decode("utf-8"),
+                )
+    except FileNotFoundError:
+        pass
+    return stats
+
+
+def _merge_chunk_stats(path: str, name: str, new: dict[str, tuple[str, str]]) -> None:
+    """Merge chunk stats into the sidecar (atomic rename).  Written
+    AFTER the manifest commit: a crash in between leaves chunks without
+    stats, which only disables pruning for them, never correctness."""
+    import base64
+
+    stats = read_chunk_stats(path, name)
+    stats.update(new)
+    tmp = _stats_path(path, name) + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write("filename,min_b64,max_b64\n")
+        for fname in sorted(stats):
+            lo, hi = stats[fname]
+            fh.write(
+                f"{fname},{base64.b64encode(lo.encode()).decode()},"
+                f"{base64.b64encode(hi.encode()).decode()}\n"
+            )
+    os.replace(tmp, _stats_path(path, name))
+
+
+def _prefix_successor(p: str) -> str | None:
+    """Smallest string greater than every string with prefix ``p``
+    (None if no finite successor exists)."""
+    for i in range(len(p) - 1, -1, -1):
+        if ord(p[i]) < 0x10FFFF:
+            return p[:i] + chr(ord(p[i]) + 1)
+    return None
+
+
 class _ChunkPartition(InputPartition):
     def __init__(self, directory: str, filename: str):
         self.directory = directory
@@ -122,6 +184,66 @@ class YamrReader(DataSourceReader):
         # time travel: .option("version", N) pins a committed snapshot
         v = options.get("version")
         self.version = int(v) if v is not None else None
+        self._pushed: list = []
+
+    def pushFilters(self, filters):
+        """Partial pushdown for chunk pruning: remember the ``value``
+        filters we can evaluate against per-chunk min/max stats, but
+        return EVERY filter for Spark to re-apply post-scan — the stats
+        only decide which chunks to open, never which rows to emit."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+            StringStartsWith,
+        )
+
+        usable = (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+            StringStartsWith,
+        )
+        self._pushed = [
+            f
+            for f in filters
+            if isinstance(f, usable)
+            and tuple(f.attribute) == ("value",)
+            and isinstance(f.value, str)
+        ]
+        return filters
+
+    def _chunk_can_match(self, lo: str, hi: str) -> bool:
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+            StringStartsWith,
+        )
+
+        for f in self._pushed:
+            v = f.value
+            if isinstance(f, EqualTo) and (v < lo or v > hi):
+                return False
+            if isinstance(f, GreaterThan) and hi <= v:
+                return False
+            if isinstance(f, GreaterThanOrEqual) and hi < v:
+                return False
+            if isinstance(f, LessThan) and lo >= v:
+                return False
+            if isinstance(f, LessThanOrEqual) and lo > v:
+                return False
+            if isinstance(f, StringStartsWith):
+                succ = _prefix_successor(v)
+                if hi < v or (succ is not None and lo >= succ):
+                    return False
+        return True
 
     def partitions(self):
         try:
@@ -134,7 +256,14 @@ class YamrReader(DataSourceReader):
                     f"{self.version}; available: {known}"
                 ) from None
             raise
-        return [_ChunkPartition(self.path, fname) for fname, _ in entries]
+        stats = read_chunk_stats(self.path, self.name) if self._pushed else {}
+        parts = []
+        for fname, _ in entries:
+            st = stats.get(fname)
+            if st is not None and not self._chunk_can_match(*st):
+                continue  # provably no matching row in this chunk
+            parts.append(_ChunkPartition(self.path, fname))
+        return parts
 
     def read(self, partition: _ChunkPartition):
         with open(
@@ -145,9 +274,17 @@ class YamrReader(DataSourceReader):
 
 
 class _PartCommit(WriterCommitMessage):
-    def __init__(self, filename: str, filesize: int):
+    def __init__(
+        self,
+        filename: str,
+        filesize: int,
+        vmin: str | None = None,
+        vmax: str | None = None,
+    ):
         self.filename = filename
         self.filesize = filesize
+        self.vmin = vmin
+        self.vmax = vmax
 
 
 class YamrWriter(DataSourceWriter):
@@ -192,10 +329,14 @@ class YamrWriter(DataSourceWriter):
         fname = f"{self.name}_part-g{self.generation:05d}-{pid:05d}.txt"
         full = os.path.join(self.path, fname)
         os.makedirs(self.path, exist_ok=True)
+        vmin = vmax = None
         with open(full, "w", encoding="utf-8") as fh:
             for row in iterator:
-                fh.write(f"{row[0]}\n")
-        return _PartCommit(fname, os.path.getsize(full))
+                v = row[0]
+                fh.write(f"{v}\n")
+                vmin = v if vmin is None or v < vmin else vmin
+                vmax = v if vmax is None or v > vmax else vmax
+        return _PartCommit(fname, os.path.getsize(full), vmin, vmax)
 
     def commit(self, messages):
         # manifest written LAST, driver-side, via atomic rename (plus a
@@ -205,6 +346,15 @@ class YamrWriter(DataSourceWriter):
             ((m.filename, m.filesize) for m in messages), key=lambda e: e[0]
         )
         _commit_manifest(self.path, self.name, entries)
+        _merge_chunk_stats(
+            self.path,
+            self.name,
+            {
+                m.filename: (m.vmin, m.vmax)
+                for m in messages
+                if m.vmin is not None
+            },
+        )
 
     def abort(self, messages):
         for m in messages:
@@ -283,14 +433,18 @@ class YamrStreamWriter(DataSourceStreamWriter):
         full = os.path.join(self.path, fname)
         os.makedirs(self.path, exist_ok=True)
         wrote = 0
+        vmin = vmax = None
         with open(full, "w", encoding="utf-8") as fh:
             for row in iterator:
-                fh.write(f"{row[0]}\n")
+                v = row[0]
+                fh.write(f"{v}\n")
                 wrote += 1
+                vmin = v if vmin is None or v < vmin else vmin
+                vmax = v if vmax is None or v > vmax else vmax
         if wrote == 0:
             os.remove(full)  # empty partitions add no chunk
             return _PartCommit("", 0)
-        return _PartCommit(fname, os.path.getsize(full))
+        return _PartCommit(fname, os.path.getsize(full), vmin, vmax)
 
     def commit(self, messages, batchId: int) -> None:
         prefix = f"{self.name}_part-b{batchId:05d}-"
@@ -307,6 +461,15 @@ class YamrStreamWriter(DataSourceStreamWriter):
         # every micro-batch commit is a snapshot version too: streaming
         # datasets get the same time-travel surface as batch ones
         _commit_manifest(self.path, self.name, sorted(entries))
+        _merge_chunk_stats(
+            self.path,
+            self.name,
+            {
+                m.filename: (m.vmin, m.vmax)
+                for m in messages
+                if m.filename and m.vmin is not None
+            },
+        )
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages:
