@@ -166,3 +166,28 @@ def test_ewma_is_arrival_order_invariant(spark):
     a = sorted(ewma(df1, "k", ["seq"], "value", 0.3).collect())
     b = sorted(ewma(df2, "k", ["seq"], "value", 0.3).collect())
     assert a == b
+
+
+def test_funnel_requires_strictly_later_steps(spark):
+    from yet_another_map_reduce_spark.operators.timeseries import funnel
+
+    rows = [
+        # user 1: full ordered funnel
+        (1, "2024-01-01 00:00:00", "view"),
+        (1, "2024-01-01 01:00:00", "click"),
+        (1, "2024-01-01 02:00:00", "purchase"),
+        # user 2: purchase BEFORE click -> chain breaks at stage 2
+        (2, "2024-01-01 00:00:00", "view"),
+        (2, "2024-01-01 02:00:00", "click"),
+        (2, "2024-01-01 01:00:00", "purchase"),
+        # user 3: never viewed -> not in the funnel at all
+        (3, "2024-01-01 00:00:00", "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_s string, event_type string"
+    ).withColumn("ts", F.col("ts_s").cast("timestamp"))
+    out = {r["user_id"]: r for r in funnel(
+        df, "user_id", "ts", "event_type", ["view", "click", "purchase"]).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["stage"] == 3
+    assert out[2]["stage"] == 2 and out[2]["t_purchase"] is None

@@ -237,3 +237,45 @@ def ewma(
     # round JVM-side: Spark's HALF_UP matches ANSI round() (numpy's
     # .round is half-even and would drift from the SQL twin)
     return out.withColumn("ewma", F.round("ewma", 6))
+
+
+def funnel(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Ordered-funnel analysis: for each user, the first time they
+    completed each step STRICTLY AFTER completing the previous one
+    (view → click → purchase and the like).  Returns one row per user
+    who entered the funnel: ``(user, t_<step>..., stage)`` where stage
+    counts completed steps; later-step columns are NULL once the chain
+    breaks.
+
+    Scale shape: one filtered min-aggregation per step (map-side
+    partials) chained by co-partitioned joins on the user key — no
+    window over raw events, no per-user collect; AQE reuses the user
+    partitioning across the joins.
+    """
+    out = (
+        df.where(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias(f"t_{steps[0]}"))
+    )
+    prev = f"t_{steps[0]}"
+    for step in steps[1:]:
+        nxt = (
+            df.where(F.col(type_col) == step)
+            .join(out.select(user_col, prev), user_col)
+            .where(F.col(ts_col) > F.col(prev))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias(f"t_{step}"))
+        )
+        out = out.join(nxt, user_col, "left")
+        prev = f"t_{step}"
+    # stage = highest completed prefix: walk from the last step down
+    expr = F.lit(len(steps))
+    for i in range(len(steps) - 1, 0, -1):
+        expr = F.when(F.col(f"t_{steps[i]}").isNull(), F.lit(i)).otherwise(expr)
+    return out.withColumn("stage", expr.cast("bigint"))

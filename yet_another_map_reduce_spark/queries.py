@@ -1562,6 +1562,37 @@ def q_ann_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the PQ/ADC tier against exact cosine, per query
+    vector — the lossiest tier gets the same verified eval as the int8
+    one, so approximation quality is a measured number, not a hope."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(emb, q, "vec_id", "embedding", k=10).select(
+        "query_id", "neighbor_id"
+    )
+    pq = (
+        similarity.pq_topk(
+            emb, q, "vec_id", "embedding", k=10, m=4, nclusters=8, iterations=2
+        )
+        .select("query_id", "neighbor_id", F.lit(1).alias("__hit"))
+    )
+    return (
+        exact.join(pq, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_overlap")
+        )
+        .select(
+            "query_id",
+            "n_overlap",
+            F.round(F.col("n_overlap") / 10, 6).alias("recall_at_10"),
+        )
+    )
+
+
 def q_embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic clustering of the embedding corpus (similarity.
     kmeans_assign: distributed Lloyd's training + broadcast-centroid
@@ -2797,6 +2828,17 @@ def q_events_rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_funnel_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user funnel detail (the row-level companion to the
+    aggregated events_funnel): first completion time of each step
+    strictly after the previous one, plus the highest stage reached —
+    via the generic timeseries.funnel operator."""
+    e = read_table(spark, sf_dir, "events")
+    return timeseries.funnel(
+        e, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    )
+
+
 def q_timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user EWMA of event values (alpha=0.3) through the Arrow
     stateful path — hash-verified: the applyInPandas kernel applies the
@@ -3957,6 +3999,28 @@ ORACLES: dict[str, str] = {
                    AS gid
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "events_funnel_users": """
+        WITH s1 AS (
+            SELECT user_id, min(ts) AS t_view FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+        s2 AS (
+            SELECT e.user_id, min(e.ts) AS t_click
+            FROM events e JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'click' AND e.ts > s1.t_view
+            GROUP BY e.user_id),
+        s3 AS (
+            SELECT e.user_id, min(e.ts) AS t_purchase
+            FROM events e JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+            GROUP BY e.user_id)
+        SELECT s1.user_id, s1.t_view, s2.t_click, s3.t_purchase,
+               CAST(CASE WHEN s3.t_purchase IS NOT NULL THEN 3
+                         WHEN s2.t_click IS NOT NULL THEN 2
+                         ELSE 1 END AS BIGINT) AS stage
+        FROM s1
+        LEFT JOIN s2 ON s1.user_id = s2.user_id
+        LEFT JOIN s3 ON s1.user_id = s3.user_id
     """,
     "timeseries_ewma": """
         WITH RECURSIVE ord AS (
@@ -5475,6 +5539,17 @@ ORACLES["ann_quantized_recall"] = f"""
 """
 
 
+ORACLES["ann_pq_recall"] = f"""
+    SELECT e.query_id,
+           CAST(count(q.neighbor_id) AS BIGINT) AS n_overlap,
+           round(CAST(count(q.neighbor_id) AS DOUBLE) / 10, 6) AS recall_at_10
+    FROM ({ORACLES["ann_cosine_topk"]}) e
+    LEFT JOIN ({ORACLES["ann_pq_topk"]}) q
+      ON e.query_id = q.query_id AND e.neighbor_id = q.neighbor_id
+    GROUP BY e.query_id
+"""
+
+
 # the composed index: IVF cell CTEs (cosine round-9 assignment, the
 # ann_ivf_topk shape) x PQ CTEs (the ann_pq_topk shape); candidates are
 # cell-mates only, ranked by the same (s,cid)-join ADC sum
@@ -5793,6 +5868,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_pq_topk": q_ann_pq_topk,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "ann_quantized_recall": q_ann_quantized_recall,
+    "ann_pq_recall": q_ann_pq_recall,
+    "events_funnel_users": q_events_funnel_users,
     "map_higher_order": q_map_higher_order,
     "dedup_canonicalize": q_dedup_canonicalize,
     "corpus_mixture_report": q_corpus_mixture_report,
