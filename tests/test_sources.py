@@ -467,3 +467,20 @@ def test_yamr_chunk_stats_prune_partitions_on_pushed_filters(spark, tmp_path):
     pre = r().load().where(F.col("value").startswith("00"))
     assert pre.rdd.getNumPartitions() < 3
     assert pre.count() == 10
+
+
+def test_xml_roundtrip(spark, tmp_path):
+    """Spark 4 built-in XML source: schema'd write → read roundtrip with
+    nested elements typed back."""
+    from yet_another_map_reduce_spark.sources.readers import read_xml
+    from yet_another_map_reduce_spark.sources.writers import write_xml
+
+    df = spark.createDataFrame(
+        [(1, "alpha", 1.5), (2, "beta", 2.5)], "id long, name string, score double"
+    )
+    out = str(tmp_path / "xml")
+    write_xml(df, out, row_tag="item", root_tag="items", num_partitions=1)
+    back = read_xml(spark, out, row_tag="item")
+    rows = sorted(back.collect(), key=lambda r: r["id"])
+    assert [(r["id"], r["name"], r["score"]) for r in rows] == [
+        (1, "alpha", 1.5), (2, "beta", 2.5)]

@@ -75,6 +75,22 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str = "row",
+    schema: StructType | str | None = None,
+) -> DataFrame:
+    """XML scan via Spark 4's built-in xml source (one row per
+    ``row_tag`` element; schema inferred unless given).  Row-level
+    parallelism like any file source — the split unit is the file, so
+    many medium files beat one giant document at scale."""
+    r = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.load(path)
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one canonical test table from a scale-factor directory.
 
