@@ -1132,6 +1132,22 @@ def q_text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_csv_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV expression surface: to_csv serializes a struct, from_csv
+    parses it back typed — the embedded-delimited-payload shape (only
+    int/string fields: float→text rendering is engine-specific and
+    would break the portable oracle)."""
+    o = read_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 2000)
+    line = F.to_csv(F.struct(F.col("o_orderkey"), F.col("o_orderpriority")))
+    parsed = F.from_csv(line, "k BIGINT, pri STRING")
+    return o.select(
+        "o_orderkey",
+        line.alias("csv_line"),
+        parsed["k"].alias("k"),
+        parsed["pri"].alias("pri"),
+    )
+
+
 def q_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order map functions: per-doc token-count maps built with
     map_from_entries, reshaped with transform_values and pruned with
@@ -4065,6 +4081,13 @@ ORACLES: dict[str, str] = {
                      / CAST(sum(n_tokens) OVER () AS DOUBLE), 6) AS token_share
         FROM g
     """,
+    "csv_functions": """
+        SELECT o_orderkey,
+               CAST(o_orderkey AS VARCHAR) || ',' || o_orderpriority AS csv_line,
+               o_orderkey AS k,
+               o_orderpriority AS pri
+        FROM orders WHERE o_orderkey < 2000
+    """,
     "map_higher_order": f"""
         WITH tok AS (
             SELECT doc_id, unnest(string_split({_TEXT_NORM}, ' ')) AS token
@@ -5871,6 +5894,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_pq_recall": q_ann_pq_recall,
     "events_funnel_users": q_events_funnel_users,
     "map_higher_order": q_map_higher_order,
+    "csv_functions": q_csv_functions,
     "dedup_canonicalize": q_dedup_canonicalize,
     "corpus_mixture_report": q_corpus_mixture_report,
     "skew_report": q_skew_report,
