@@ -379,7 +379,7 @@ def test_yamr_vacuum_prunes_unreachable_chunks_only(spark, tmp_path):
     ).save()
     assert yamr_format.list_versions(out, "tx") == [1, 2, 3]
 
-    res = yamr_format.vacuum(out, "tx", keep_versions=1)
+    res = yamr_format.vacuum(out, "tx", keep_versions=1, retention_seconds=0)
     assert res["removed_snapshots"] == [1, 2]
     # the g00001 append chunk is only reachable from dropped snapshots
     assert any("part-g00001" in c for c in res["removed_chunks"])
@@ -431,7 +431,7 @@ def test_yamr_delete_where_is_copy_on_write(spark, tmp_path):
     assert sorted(
         x["value"] for x in r().option("version", 1).load().collect()
     ) == ["drop1", "drop2", "keep1", "keep2"]
-    gone = yamr_format.vacuum(out, "tx", keep_versions=1)
+    gone = yamr_format.vacuum(out, "tx", keep_versions=1, retention_seconds=0)
     assert gone["removed_snapshots"] == [1]
     assert sorted(x["value"] for x in r().load().collect()) == ["keep1", "keep2"]
 
@@ -484,3 +484,133 @@ def test_xml_roundtrip(spark, tmp_path):
     rows = sorted(back.collect(), key=lambda r: r["id"])
     assert [(r["id"], r["name"], r["score"]) for r in rows] == [
         (1, "alpha", 1.5), (2, "beta", 2.5)]
+
+
+def test_yamr_concurrent_writer_conflict_aborts_cleanly(spark, tmp_path):
+    """Optimistic concurrency: a writer whose base manifest version was
+    advanced by a concurrent commit must raise ManifestConflictError at
+    commit time instead of silently last-write-winning — and the live
+    dataset must still serve the winner's rows, with no extra snapshot
+    published by the loser."""
+    from yet_another_map_reduce_spark.sources import yamr_format
+    from yet_another_map_reduce_spark.sources.yamr_format import (
+        ManifestConflictError,
+        YamrWriter,
+        _PartCommit,
+    )
+
+    yamr_format.register(spark)
+    out = str(tmp_path / "occ")
+    w = lambda df, mode: (  # noqa: E731
+        df.write.format("yamr")
+        .option("path", out)
+        .option("name", "tx")
+        .mode(mode)
+        .save()
+    )
+    w(spark.createDataFrame([("base",)], "value string").repartition(1), "overwrite")
+
+    # Writer A starts an append: snapshots the manifest at version 1.
+    slow = YamrWriter({"path": out, "name": "tx"}, append=True)
+    assert slow.base_version == 1
+
+    # Writer B lands a full append while A is still "running".
+    w(spark.createDataFrame([("winner",)], "value string").repartition(1), "append")
+    assert yamr_format.list_versions(out, "tx") == [1, 2]
+
+    # A's commit must now abort — its merged entry list was computed
+    # against a manifest that no longer exists.
+    orphan = str(tmp_path / "occ" / "tx_part-g99999-00000.txt")
+    with open(orphan, "w") as fh:
+        fh.write("loser\n")
+    with pytest.raises(ManifestConflictError, match="another writer"):
+        slow.commit([_PartCommit("tx_part-g99999-00000.txt", 6)])
+
+    # Loser published nothing: versions unchanged, live data = winner's.
+    assert yamr_format.list_versions(out, "tx") == [1, 2]
+    back = spark.read.format("yamr").option("path", out).option("name", "tx").load()
+    assert sorted(x["value"] for x in back.collect()) == ["base", "winner"]
+
+
+def test_yamr_vacuum_retention_spares_young_orphans(spark, tmp_path):
+    """An unreferenced chunk younger than retention_seconds survives
+    vacuum (it may belong to an in-flight write whose manifest hasn't
+    been published yet); with retention 0 it is collected."""
+    import os as _os
+
+    from yet_another_map_reduce_spark.sources import yamr_format
+
+    yamr_format.register(spark)
+    out = str(tmp_path / "ret")
+    (
+        spark.createDataFrame([("live",)], "value string")
+        .repartition(1)
+        .write.format("yamr")
+        .option("path", out)
+        .option("name", "tx")
+        .mode("overwrite")
+        .save()
+    )
+    # a just-written, not-yet-committed chunk: unreferenced but young
+    inflight = _os.path.join(out, "tx_part-g00099-00000.txt")
+    with open(inflight, "w") as fh:
+        fh.write("pending\n")
+
+    kept = yamr_format.vacuum(out, "tx", keep_versions=1)
+    assert kept["removed_chunks"] == []
+    assert _os.path.exists(inflight)
+
+    gone = yamr_format.vacuum(out, "tx", keep_versions=1, retention_seconds=0)
+    assert "tx_part-g00099-00000.txt" in gone["removed_chunks"]
+    assert not _os.path.exists(inflight)
+
+
+def test_yamr_vacuum_prunes_stats_sidecar(spark, tmp_path):
+    """Stats entries for vacuumed chunks are dropped from the sidecar so
+    it cannot grow without bound across overwrite/vacuum cycles."""
+    from yet_another_map_reduce_spark.sources import yamr_format
+
+    yamr_format.register(spark)
+    out = str(tmp_path / "sp")
+    w = lambda v: (  # noqa: E731
+        spark.createDataFrame([(v,)], "value string")
+        .repartition(1)
+        .write.format("yamr")
+        .option("path", out)
+        .option("name", "tx")
+        .mode("overwrite")
+        .save()
+    )
+    w("first")
+    w("second")
+    before = yamr_format.read_chunk_stats(out, "tx")
+    assert len(before) == 2  # one chunk per generation
+    res = yamr_format.vacuum(out, "tx", keep_versions=1, retention_seconds=0)
+    assert res["removed_chunks"]
+    after = yamr_format.read_chunk_stats(out, "tx")
+    assert set(after) == set(before) - set(res["removed_chunks"])
+    assert len(after) == 1
+
+
+def test_yamr_write_null_values_is_stats_safe(spark, tmp_path):
+    """Regression: a NULL value after a non-NULL one must not fail the
+    write task's min/max stats tracking; NULL rows round-trip (as the
+    string 'None' — the format is line-text, matching the reference's
+    str() serialization) and the chunk still records real stats."""
+    from yet_another_map_reduce_spark.sources import yamr_format
+
+    yamr_format.register(spark)
+    out = str(tmp_path / "nulls")
+    (
+        spark.createDataFrame([("aaa",), (None,), ("zzz",)], "value string")
+        .repartition(1)
+        .write.format("yamr")
+        .option("path", out)
+        .option("name", "tx")
+        .mode("overwrite")
+        .save()
+    )
+    back = spark.read.format("yamr").option("path", out).option("name", "tx").load()
+    assert back.count() == 3
+    stats = yamr_format.read_chunk_stats(out, "tx")
+    assert list(stats.values()) == [("aaa", "zzz")]

@@ -91,27 +91,73 @@ def list_versions(path: str, name: str) -> list[int]:
     return sorted(int(m.group(1)) for n in names if (m := pat.match(n)))
 
 
-def _commit_manifest(path: str, name: str, entries: list[tuple[str, int]]) -> None:
-    """Two-phase manifest publish with a time-travel snapshot.
+class ManifestConflictError(RuntimeError):
+    """Optimistic-concurrency conflict: the dataset's manifest advanced
+    between the start of a write job and its commit.  The losing commit
+    is aborted cleanly (its chunks are garbage, never referenced)."""
+
+
+def _commit_manifest(
+    path: str,
+    name: str,
+    entries: list[tuple[str, int]],
+    expected_version: int | None = None,
+) -> int:
+    """Two-phase manifest publish with a time-travel snapshot and
+    optimistic concurrency control.
 
     The snapshot ``<name>_manifest.vNNNNN`` lands first, then the live
     manifest is atomically replaced — chunk files are already durable
     when this runs, so a snapshot can never reference missing data, and
     a crash between the two steps costs at most one snapshot that never
     became live (readers of the live dataset are unaffected).
+
+    Concurrency: the snapshot version number is claimed with
+    ``os.link`` (atomic fail-if-exists on POSIX), so two concurrent
+    commits can never write the same snapshot.  When
+    ``expected_version`` is given (the version the writer observed at
+    job start), a commit whose predecessor is NOT that version raises
+    :class:`ManifestConflictError` instead of last-write-winning the
+    live manifest — the Delta/Iceberg optimistic protocol.  Without it,
+    the commit retries onto the next free version (live manifest is
+    still last-write-wins for explicitly unconditional callers).
+
+    Returns the committed version number.
     """
-    version = (list_versions(path, name) or [0])[-1] + 1
     body = "filename,filesize,header\n" + "".join(
         f"{fname},{fsize},False\n" for fname, fsize in entries
     )
-    snap = _manifest_path(path, name, version)
-    with open(snap + ".tmp", "w", encoding="utf-8") as fh:
-        fh.write(body)
-    os.replace(snap + ".tmp", snap)
+    while True:
+        latest = (list_versions(path, name) or [0])[-1]
+        if expected_version is not None and latest != expected_version:
+            raise ManifestConflictError(
+                f"dataset '{name}' at {path}: expected version "
+                f"{expected_version} at commit, found {latest} — another "
+                "writer committed first; aborting this commit"
+            )
+        version = latest + 1
+        snap = _manifest_path(path, name, version)
+        tmp = f"{snap}.tmp.{os.getpid()}"
+        os.makedirs(path, exist_ok=True)
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(body)
+        try:
+            os.link(tmp, snap)  # atomic version claim
+        except FileExistsError:
+            os.remove(tmp)
+            if expected_version is not None:
+                raise ManifestConflictError(
+                    f"dataset '{name}' at {path}: version {version} was "
+                    "claimed by a concurrent writer; aborting this commit"
+                )
+            continue  # unconditional commit: retry on the next version
+        os.remove(tmp)
+        break
     target = _manifest_path(path, name)
     with open(target + ".tmp", "w", encoding="utf-8") as fh:
         fh.write(body)
     os.replace(target + ".tmp", target)
+    return version
 
 
 def _stats_path(path: str, name: str) -> str:
@@ -142,14 +188,12 @@ def read_chunk_stats(path: str, name: str) -> dict[str, tuple[str, str]]:
     return stats
 
 
-def _merge_chunk_stats(path: str, name: str, new: dict[str, tuple[str, str]]) -> None:
-    """Merge chunk stats into the sidecar (atomic rename).  Written
-    AFTER the manifest commit: a crash in between leaves chunks without
-    stats, which only disables pruning for them, never correctness."""
+def _rewrite_chunk_stats(
+    path: str, name: str, stats: dict[str, tuple[str, str]]
+) -> None:
+    """Replace the stats sidecar wholesale (atomic rename)."""
     import base64
 
-    stats = read_chunk_stats(path, name)
-    stats.update(new)
     tmp = _stats_path(path, name) + ".tmp"
     with open(tmp, "w", encoding="utf-8") as fh:
         fh.write("filename,min_b64,max_b64\n")
@@ -160,6 +204,15 @@ def _merge_chunk_stats(path: str, name: str, new: dict[str, tuple[str, str]]) ->
                 f"{base64.b64encode(hi.encode()).decode()}\n"
             )
     os.replace(tmp, _stats_path(path, name))
+
+
+def _merge_chunk_stats(path: str, name: str, new: dict[str, tuple[str, str]]) -> None:
+    """Merge chunk stats into the sidecar (atomic rename).  Written
+    AFTER the manifest commit: a crash in between leaves chunks without
+    stats, which only disables pruning for them, never correctness."""
+    stats = read_chunk_stats(path, name)
+    stats.update(new)
+    _rewrite_chunk_stats(path, name, stats)
 
 
 def _prefix_successor(p: str) -> str | None:
@@ -307,6 +360,11 @@ class YamrWriter(DataSourceWriter):
                 self.previous = read_manifest(self.path, self.name)
             except FileNotFoundError:
                 self.previous = []
+        # Optimistic concurrency: remember the committed version this
+        # job's plan is based on; commit() aborts if it moved (another
+        # writer won) instead of silently last-write-winning — an
+        # append would otherwise drop the concurrent writer's rows.
+        self.base_version = (list_versions(self.path, self.name) or [0])[-1]
         # EVERY batch write — overwrite included — takes a fresh
         # generation prefix, discovered from the directory (not just the
         # live manifest): chunk files are immutable once written, which
@@ -334,8 +392,10 @@ class YamrWriter(DataSourceWriter):
             for row in iterator:
                 v = row[0]
                 fh.write(f"{v}\n")
-                vmin = v if vmin is None or v < vmin else vmin
-                vmax = v if vmax is None or v > vmax else vmax
+                if v is not None:  # NULLs never update stats; a chunk
+                    # without stats is simply never pruned, which is safe
+                    vmin = v if vmin is None or v < vmin else vmin
+                    vmax = v if vmax is None or v > vmax else vmax
         return _PartCommit(fname, os.path.getsize(full), vmin, vmax)
 
     def commit(self, messages):
@@ -345,7 +405,9 @@ class YamrWriter(DataSourceWriter):
         entries = self.previous + sorted(
             ((m.filename, m.filesize) for m in messages), key=lambda e: e[0]
         )
-        _commit_manifest(self.path, self.name, entries)
+        _commit_manifest(
+            self.path, self.name, entries, expected_version=self.base_version
+        )
         _merge_chunk_stats(
             self.path,
             self.name,
@@ -439,8 +501,9 @@ class YamrStreamWriter(DataSourceStreamWriter):
                 v = row[0]
                 fh.write(f"{v}\n")
                 wrote += 1
-                vmin = v if vmin is None or v < vmin else vmin
-                vmax = v if vmax is None or v > vmax else vmax
+                if v is not None:  # NULL-safe, same rule as the batch writer
+                    vmin = v if vmin is None or v < vmin else vmin
+                    vmax = v if vmax is None or v > vmax else vmax
         if wrote == 0:
             os.remove(full)  # empty partitions add no chunk
             return _PartCommit("", 0)
@@ -448,6 +511,7 @@ class YamrStreamWriter(DataSourceStreamWriter):
 
     def commit(self, messages, batchId: int) -> None:
         prefix = f"{self.name}_part-b{batchId:05d}-"
+        base_version = (list_versions(self.path, self.name) or [0])[-1]
         try:
             previous = [
                 e for e in read_manifest(self.path, self.name)
@@ -459,8 +523,13 @@ class YamrStreamWriter(DataSourceStreamWriter):
             (m.filename, m.filesize) for m in messages if m.filename
         ]
         # every micro-batch commit is a snapshot version too: streaming
-        # datasets get the same time-travel surface as batch ones
-        _commit_manifest(self.path, self.name, sorted(entries))
+        # datasets get the same time-travel surface as batch ones;
+        # expected_version pins the manifest read above — a concurrent
+        # writer between read and commit aborts this micro-batch
+        # (Structured Streaming retries it) rather than dropping rows
+        _commit_manifest(
+            self.path, self.name, sorted(entries), expected_version=base_version
+        )
         _merge_chunk_stats(
             self.path,
             self.name,
@@ -506,7 +575,12 @@ def register(spark) -> None:
     spark.dataSource.register(YamrDataSource)
 
 
-def vacuum(path: str, name: str, keep_versions: int = 2) -> dict:
+def vacuum(
+    path: str,
+    name: str,
+    keep_versions: int = 2,
+    retention_seconds: float = 3600.0,
+) -> dict:
     """Retire old snapshots and delete chunk files no longer reachable
     from any retained manifest (the Delta-VACUUM analog for this
     format).
@@ -518,8 +592,20 @@ def vacuum(path: str, name: str, keep_versions: int = 2) -> dict:
     retained, so current readers are never broken — only time travel
     beyond the retention window is given up.
 
+    ``retention_seconds`` (Delta-style, default 1 h) additionally
+    protects any chunk whose mtime is within the window: an in-flight
+    write lands its chunk files BEFORE commit() publishes the manifest,
+    so a freshly-written, not-yet-referenced chunk is indistinguishable
+    from garbage by reachability alone — age is the tiebreaker.  Pass
+    ``0`` only when no concurrent writer can exist.
+
+    Stats-sidecar entries for removed chunks are dropped in the same
+    pass so the sidecar can't grow without bound.
+
     Returns ``{"removed_snapshots": [...], "removed_chunks": [...]}``.
     """
+    import time
+
     versions = list_versions(path, name)
     drop_versions = versions[:-keep_versions] if keep_versions > 0 else versions
     keep = versions[len(drop_versions):]
@@ -540,14 +626,24 @@ def vacuum(path: str, name: str, keep_versions: int = 2) -> dict:
             pass
 
     chunk_pat = _re.compile(_re.escape(name) + r"_part-.*\.txt$")
+    cutoff = time.time() - retention_seconds
     removed_chunks = []
     for fname in sorted(os.listdir(path)):
         if chunk_pat.match(fname) and fname not in reachable:
+            full = os.path.join(path, fname)
             try:
-                os.remove(os.path.join(path, fname))
+                if os.path.getmtime(full) > cutoff:
+                    continue  # young orphan: likely an in-flight write
+                os.remove(full)
                 removed_chunks.append(fname)
             except OSError:
                 pass
+    if removed_chunks:
+        stats = read_chunk_stats(path, name)
+        if any(f in stats for f in removed_chunks):
+            for f in removed_chunks:
+                stats.pop(f, None)
+            _rewrite_chunk_stats(path, name, stats)
     return {"removed_snapshots": removed_snapshots, "removed_chunks": removed_chunks}
 
 
@@ -565,9 +661,12 @@ def delete_where(spark, path: str, name: str, predicate: str) -> dict:
 
     Scale note: this rewrites the surviving rows (the COW trade: cheap
     reads + atomic versions, expensive deletes).  Production engines
-    restrict the rewrite to chunks that actually contain matches; here
-    chunk pruning would need per-chunk min/max stats in the manifest —
-    the natural next format extension.
+    restrict the rewrite to chunks that actually contain matches; the
+    per-chunk min/max stats sidecar this format now keeps (see
+    :func:`read_chunk_stats` / the reader's ``pushFilters``) is the
+    needed ingredient — routing the rewrite through a pruned read of
+    matching chunks plus a manifest-level carry-over of untouched
+    chunks is the natural next optimization.
     """
     before = (
         spark.read.format("yamr").option("path", path).option("name", name).load()
