@@ -226,3 +226,72 @@ def test_lateral_join_decorrelates_to_window_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_persisted_ivfpq_index_prunes_partitions(spark, sf_dir, tmp_path):
+    """The persisted IVF-PQ index's probe scan must show
+    PartitionFilters on centroid_id (file-level pruning of unprobed
+    cells) and read only PQ-code bytes — never the raw embedding
+    column.  This is what makes nprobe/nlist the real I/O fraction of
+    an encoded 100 TB index."""
+    import os
+
+    from yet_another_map_reduce_spark.operators import similarity
+    from yet_another_map_reduce_spark.queries import _pq_books
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    books = _pq_books(emb, sf_dir)
+    cent = similarity.ivf_centroids(emb, "vec_id", "embedding", nlist=8)
+    index_dir = os.path.join(str(tmp_path), "pq_index")
+    similarity.build_ivfpq_index(
+        emb, "vec_id", "embedding", index_dir, centroids=cent, books=books
+    )
+    out = similarity.search_ivfpq_index(
+        spark,
+        index_dir,
+        queries=emb.where(F.col("vec_id") < 3),
+        id_col="vec_id",
+        vec_col="embedding",
+        centroids=cent,
+        books=books,
+        k=5,
+        nprobe=2,
+    )
+    plan = plans.formatted_plan(out)
+    scan = plan[plan.index("pq_index"):]
+    assert "PartitionFilters: [" in scan
+    assert "centroid_id" in scan.split("PartitionFilters")[1][:160]
+    # the index scan reads codes only — the raw vectors never leave
+    # the (separate, already-scanned-for-probes) corpus table
+    readschema = scan.split("ReadSchema:")[1].splitlines()[0]
+    assert "pq_codes" in readschema and "embedding" not in readschema
+    assert out.count() > 0
+
+
+def test_persisted_ivfpq_search_equals_in_memory(spark, sf_dir, tmp_path):
+    """Persistence must not change values: searching the materialized
+    index returns exactly ivfpq_topk's rows for the same model."""
+    import os
+
+    from yet_another_map_reduce_spark.operators import similarity
+    from yet_another_map_reduce_spark.queries import _pq_books
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    books = _pq_books(emb, sf_dir)
+    cent = similarity.ivf_centroids(emb, "vec_id", "embedding", nlist=8)
+    q = emb.where(F.col("vec_id") < 3)
+    index_dir = os.path.join(str(tmp_path), "pq_index_eq")
+    similarity.build_ivfpq_index(
+        emb, "vec_id", "embedding", index_dir, centroids=cent, books=books
+    )
+    mem = similarity.ivfpq_topk(
+        emb, q, "vec_id", "embedding", k=5, nprobe=2,
+        centroids=cent, books=books,
+    )
+    per = similarity.search_ivfpq_index(
+        spark, index_dir, q, "vec_id", "embedding",
+        centroids=cent, books=books, k=5, nprobe=2,
+    )
+    key = lambda r: (r["query_id"], r["qrank"])  # noqa: E731
+    assert sorted(map(tuple, per.collect()), key=lambda t: (t[0], t[3])) == \
+        sorted(map(tuple, mem.collect()), key=lambda t: (t[0], t[3]))

@@ -730,6 +730,8 @@ def ivfpq_topk(
     m: int = 4,
     nclusters: int = 8,
     iterations: int = 2,
+    centroids: DataFrame | None = None,
+    books: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """The composed IVF-PQ index — the FAISS shape end to end: corpus
     vectors live in inverted-file cells (nearest seed centroid), each
@@ -746,22 +748,107 @@ def ivfpq_topk(
     per-query top-k window, and the whole pipeline remains replayable
     in ANSI SQL.
     """
-    cent = ivf_centroids(corpus, id_col, vec_col, nlist)
+    # both model halves are injectable (train-once / search-many: train
+    # and persist the model, then pass it to every search call — the
+    # FAISS index lifecycle; retraining per query would rescan the
+    # corpus per call for an identical deterministic result)
+    cent = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(corpus, id_col, vec_col, nlist)
+    )
     assigned = _nearest_centroids(corpus, id_col, vec_col, cent, 1).select(
         F.col("__rid").alias("neighbor_id"), "centroid_id"
     )
     probes = _nearest_centroids(queries, id_col, vec_col, cent, nprobe).select(
         F.col("__rid").alias("query_id"), F.col("__v").alias("__qv"), "centroid_id"
     )
-    books = train_pq_codebooks(
-        corpus, id_col, vec_col, m=m, k=nclusters, iterations=iterations
-    )
+    if books is None:
+        books = train_pq_codebooks(
+            corpus, id_col, vec_col, m=m, k=nclusters, iterations=iterations
+        )
     enc = pq_encode(corpus, id_col, vec_col, books).withColumnRenamed(
         id_col, "neighbor_id"
     )
     index = assigned.join(enc, "neighbor_id")
     scored = (
         index.join(F.broadcast(probes), "centroid_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("adist", _adc_dist(books))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("qrank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("qrank") <= k)
+        .select("query_id", "neighbor_id", "adist", "qrank")
+    )
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    index_dir: str,
+    centroids: DataFrame,
+    books: list[list[list[float]]],
+) -> None:
+    """Materialize the IVF-PQ index: every corpus vector's cell
+    assignment + PQ codes, written as parquet **partitioned by
+    centroid_id** — the train-once half of the FAISS lifecycle.
+
+    At 100 TB this runs once per corpus version; the index is bytes per
+    vector (``m`` small ints), and the hive partitioning is what turns
+    ``nprobe/nlist`` from a post-scan filter into file-level pruning
+    (``PartitionFilters`` in the probe scan — pinned by test).
+    """
+    assigned = _nearest_centroids(corpus, id_col, vec_col, centroids, 1).select(
+        F.col("__rid").alias("neighbor_id"), "centroid_id"
+    )
+    enc = pq_encode(corpus, id_col, vec_col, books).withColumnRenamed(
+        id_col, "neighbor_id"
+    )
+    (
+        assigned.join(enc, "neighbor_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(index_dir)
+    )
+
+
+def search_ivfpq_index(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: DataFrame,
+    books: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Search a persisted IVF-PQ index: probe ``nprobe`` cells per
+    query, rank the cell-mates by ADC lookup distance.  Identical
+    results to :func:`ivfpq_topk` with the same model (pinned by test)
+    — but the corpus is never rescanned and the probe reads ONLY the
+    probed cells' files.
+
+    The probed cell set (|queries| x nprobe ids, KB-scale) is collected
+    driver-side and planted as a static ``isin`` on the partition
+    column, so the scan shows ``PartitionFilters`` — deterministic
+    file-level pruning, no reliance on runtime DPP.
+    """
+    probes = _nearest_centroids(queries, id_col, vec_col, centroids, nprobe).select(
+        F.col("__rid").alias("query_id"), F.col("__v").alias("__qv"), "centroid_id"
+    )
+    cells = sorted(
+        int(r["centroid_id"])
+        for r in probes.select("centroid_id").distinct().collect()
+    )
+    idx = spark.read.parquet(index_dir).where(F.col("centroid_id").isin(cells))
+    scored = (
+        idx.join(F.broadcast(probes), "centroid_id")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("adist", _adc_dist(books))
     )
