@@ -131,3 +131,32 @@ def test_mjpm_quarantines_garbage(spark):
     rows = multimodal.sample_video_frames(bad, every_ms=40).collect()
     assert len(rows) == 2
     assert all(r["frame_idx"] is None and r["content"] is None for r in rows)
+
+
+def test_extract_features_routes_wav_through_pcm_kernel(spark):
+    """WAV blobs through the GENERIC extract_features kernel get real
+    PCM-derived features (rate, n, duration, rms, zcr, min, max, mean)
+    — not the byte-stats stub — matching extract_audio_features'
+    statistics for the same blob."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(3).select(F.col("id").alias("media_id"))
+    wav = multimodal.synthetic_wav_media(base, "media_id", rate=8000, n_samples=800)
+    feats = {
+        r["media_id"]: r["features"]
+        for r in multimodal.extract_features(wav).collect()
+    }
+    audio = {
+        r["media_id"]: r
+        for r in multimodal.extract_audio_features(wav).collect()
+    }
+    assert set(feats) == {0, 1, 2}
+    for mid, f in feats.items():
+        a = audio[mid]
+        assert f[0] == 8000.0 and f[1] == 800.0
+        assert f[2] == float(a["duration_ms"])
+        assert abs(f[3] - a["rms"]) < 1e-3
+        assert abs(f[4] - a["zero_crossing_rate"]) < 1e-6
+        # square wave: min = -amplitude, max = +amplitude
+        amp = 1000.0 + (mid % 100) * 10
+        assert f[5] == -amp and f[6] == amp

@@ -116,8 +116,9 @@ def extract_features(df: DataFrame, batch_size_hint: int = 256) -> DataFrame:
 
     The iterator-of-batches signature is the real production shape:
     model/codec state loads once per partition, blobs stream through
-    without materializing the partition.  Decode itself is stubbed
-    (``_fake_feature_vector``).
+    without materializing the partition.  PPM and WAV blobs get REAL
+    decoded features (pixel / PCM statistics); only unknown codecs fall
+    back to the byte-stats stub (``_fake_feature_vector``).
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -133,9 +134,34 @@ def extract_features(df: DataFrame, batch_size_hint: int = 256) -> DataFrame:
     return df.select("media_id", "content").mapInPandas(kernel, schema=FEATURES_SCHEMA)
 
 
+def _wav_feature_vector(parsed) -> list[float]:
+    """8-dim PCM-derived features for a parsed WAV: (rate, n_samples,
+    duration_ms, rms, zero-crossing rate, min, max, mean) — the same
+    sample statistics :func:`extract_audio_features` emits, packed into
+    the generic fixed-width feature slot."""
+    import numpy as np
+
+    rate, samples = parsed
+    x = samples.astype(np.float64)
+    if x.size == 0:
+        return [float(rate), 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    return [
+        float(rate),
+        float(x.size),
+        float(int(x.size * 1000 // max(rate, 1))),
+        float(np.sqrt((x ** 2).mean())),
+        float((np.signbit(x[1:]) != np.signbit(x[:-1])).mean()) if x.size > 1 else 0.0,
+        float(x.min()),
+        float(x.max()),
+        float(x.mean()),
+    ]
+
+
 def _feature_vector(blob: bytes | None) -> list[float]:
-    """REAL pixel-statistics features for decodable PPM blobs (dims,
-    per-channel means, contrast); byte-stats fallback otherwise.
+    """REAL decode for the container's decodable media: pixel-statistics
+    features for PPM blobs (dims, per-channel means, contrast),
+    PCM-sample statistics for WAV blobs; byte-stats fallback only for
+    genuinely unknown codecs (JPEG/MP4 etc. — no codec libs here).
 
     The contrast (population std) is computed from the integer-exact
     identity ``n²·var = n·Σv² − (Σv)²`` — every intermediate is an
@@ -145,6 +171,9 @@ def _feature_vector(blob: bytes | None) -> list[float]:
     integer sum by a power-of-two pixel count — also exact."""
     img = _decode_ppm(blob)
     if img is None:
+        parsed = _parse_wav_pcm16(blob)
+        if parsed is not None:
+            return _wav_feature_vector(parsed)
         return _fake_feature_vector(blob)
     import numpy as np
 
