@@ -505,6 +505,22 @@ def q_rdd_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(counts, "token string, cnt bigint")
 
 
+def q_df_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The idiomatic-DataFrame twin of ``rdd_wordcount``: the same
+    normalize → split → count, as explode + groupBy — whole-stage
+    codegen, Tungsten hash aggregation, zero Python in the hot path.
+    Registered separately so the perf delta between the RDD fidelity
+    layer and the idiomatic layer is a measured bench row, not an
+    assertion.  Identical results (same oracle replay)."""
+    d = read_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return (
+        d.select(F.explode(F.split(norm, " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 # ---- event-time windows (batch mode; same code path as streaming) ---------
 
 
@@ -3110,6 +3126,38 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_pagerank_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure-DataFrame twin of ``graph_pagerank``: identical power
+    iteration, but lineage is held by ``cache()`` (InMemoryRelation —
+    stays a Catalyst plan) instead of ``localCheckpoint`` (which
+    truncates to an RDD scan).  Same fixpoint, same oracle; registered
+    separately so the cost of deep-iteration plan re-nesting vs RDD
+    checkpoint truncation is a measured bench row, not the docstring's
+    assertion."""
+    from yet_another_map_reduce_spark.operators import graph
+
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    return (
+        graph.pagerank(
+            edges, iterations=3, assume_distinct=True, checkpoint_ranks=False
+        )
+        .select("node", F.col("rank").alias("pr"))
+        .orderBy("node")
+    )
+
+
 def q_udf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cogrouped-map UDF (udxf.cogrouped_order_fill) on a 0.1%-of-keys
     hash slice (the cogroup API pays per-group Python overhead — the
@@ -3446,6 +3494,7 @@ ORACLES: dict[str, str] = {
               FROM orders)
     """,
     "graph_pagerank": _pagerank_sql(3),
+    "graph_pagerank_cached": _pagerank_sql(3),
     "udf_cogrouped": """
         SELECT o.o_orderkey, o.o_totalprice,
                CAST(coalesce(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
@@ -3915,6 +3964,12 @@ ORACLES: dict[str, str] = {
         ) GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 20
     """,
     "rdd_wordcount": f"""
+        SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM (
+            SELECT unnest(string_split({_TEXT_NORM}, ' ')) AS token FROM documents
+        ) GROUP BY token
+    """,
+    # the idiomatic twin computes the identical relation
+    "df_wordcount": f"""
         SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM (
             SELECT unnest(string_split({_TEXT_NORM}, ' ')) AS token FROM documents
         ) GROUP BY token
@@ -6019,10 +6074,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_revenue_by_nation": q_join_revenue_by_nation,
     "tfidf_top_terms": q_tfidf_top_terms,
     "rdd_wordcount": q_rdd_wordcount,
+    "df_wordcount": q_df_wordcount,
     "udf_cogrouped": q_udf_cogrouped,
     "quality_percentile_filter": q_quality_percentile_filter,
     "feature_scaling": q_feature_scaling,
     "graph_pagerank": q_graph_pagerank,
+    "graph_pagerank_cached": q_graph_pagerank_cached,
 }
 
 
