@@ -11,9 +11,13 @@ Usage: python scripts/scale_check.py [replica_dir] [query ...]
 
 from __future__ import annotations
 
+import os
 import statistics
 import sys
 import time
+
+# 10x data needs a real heap in local mode (the suite default 1g OOMs)
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
 
 sys.path.insert(0, ".")
 
@@ -55,11 +59,12 @@ def main() -> None:
     replica = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1_replica"
     names = sys.argv[2:] or DEFAULT
     spark = build_session(app_name="scale-check")
-    print(f"{'query':34s} {'sf0.1':>8s} {'10x':>8s} {'ratio':>6s}")
+    print(f"{'query':34s} {'sf0.1':>8s} {'10x':>8s} {'ratio':>6s}", flush=True)
     for q in names:
         a = median_time(q, spark, SF01)
+        print(f"{q:34s} {a:8.2f}", end="", flush=True)
         b = median_time(q, spark, replica)
-        print(f"{q:34s} {a:8.2f} {b:8.2f} {b / a:6.2f}")
+        print(f" {b:8.2f} {b / a:6.2f}", flush=True)
 
 
 if __name__ == "__main__":

@@ -425,7 +425,7 @@ def test_yamr_delete_where_is_copy_on_write(spark, tmp_path):
     ).save()
 
     res = yamr_format.delete_where(spark, out, "tx", "value LIKE 'drop%'")
-    assert res == {"deleted": 2, "remaining": 2}
+    assert res["deleted"] == 2 and res["remaining"] == 2
     r = lambda: spark.read.format("yamr").option("path", out).option("name", "tx")  # noqa: E731
     assert sorted(x["value"] for x in r().load().collect()) == ["keep1", "keep2"]
     assert sorted(
@@ -614,3 +614,94 @@ def test_yamr_write_null_values_is_stats_safe(spark, tmp_path):
     assert back.count() == 3
     stats = yamr_format.read_chunk_stats(out, "tx")
     assert list(stats.values()) == [("aaa", "zzz")]
+
+
+def test_yamr_delete_where_rewrites_only_matching_chunks(spark, tmp_path):
+    """Chunk-pruned COW delete: a predicate whose matches live in one
+    chunk rewrites that chunk only — the other chunks are carried over
+    by reference (same filenames in the new manifest), not rewritten."""
+    from yet_another_map_reduce_spark.sources import yamr_format
+
+    yamr_format.register(spark)
+    out = str(tmp_path / "pruned")
+    w = lambda rows, mode: (  # noqa: E731
+        spark.createDataFrame([(v,) for v in rows], "value string")
+        .repartition(1)
+        .write.format("yamr")
+        .option("path", out)
+        .option("name", "tx")
+        .mode(mode)
+        .save()
+    )
+    w(["aaa-1", "aaa-2"], "overwrite")       # chunk g1
+    w(["drop-1", "keep-1"], "append")        # chunk g2 (contains matches)
+    w(["zzz-1", "zzz-2"], "append")          # chunk g3
+    before = {e[0] for e in yamr_format.read_manifest(out, "tx")}
+    assert len(before) == 3
+
+    res = yamr_format.delete_where(spark, out, "tx", "value LIKE 'drop-%'")
+    assert res["deleted"] == 1 and res["remaining"] == 5
+    assert res["rewritten_chunks"] == 1 and res["carried_chunks"] == 2
+
+    after = {e[0] for e in yamr_format.read_manifest(out, "tx")}
+    # both non-matching chunks carried over verbatim; matching chunk
+    # replaced by a new-generation rewrite
+    g2 = next(f for f in before if "part-g00002" in f)
+    assert (before - after) == {g2}
+    assert sum(1 for f in after if f in before) == 2
+    back = spark.read.format("yamr").option("path", out).option("name", "tx").load()
+    assert sorted(x["value"] for x in back.collect()) == [
+        "aaa-1", "aaa-2", "keep-1", "zzz-1", "zzz-2"]
+
+
+def test_yamr_part_filter_prunes_chunks(spark, tmp_path):
+    """An equality/IN filter on `part` prunes at the filename level:
+    the scan plans exactly the named chunks as input partitions."""
+    from pyspark.sql import functions as F
+
+    from yet_another_map_reduce_spark.sources import yamr_format
+
+    yamr_format.register(spark)
+    out = str(tmp_path / "partf")
+    for i, mode in enumerate(["overwrite", "append", "append"]):
+        (
+            spark.createDataFrame([(f"v{i}",)], "value string")
+            .repartition(1)
+            .write.format("yamr")
+            .option("path", out)
+            .option("name", "tx")
+            .mode(mode)
+            .save()
+        )
+    r = spark.read.format("yamr").option("path", out).option("name", "tx").load()
+    names = sorted(x["part"] for x in r.select("part").distinct().collect())
+    assert len(names) == 3
+    one = r.where(F.col("part") == names[1])
+    assert one.rdd.getNumPartitions() == 1
+    assert [x["value"] for x in one.collect()] == ["v1"]
+    two = r.where(F.col("part").isin(names[0], names[2]))
+    assert two.rdd.getNumPartitions() == 2
+    assert sorted(x["value"] for x in two.collect()) == ["v0", "v2"]
+
+
+def test_yamr_noop_delete_commits_auditable_version(spark, tmp_path):
+    """A delete with zero matches still commits a carried-only snapshot
+    version (auditable history; one version per operation)."""
+    from yet_another_map_reduce_spark.sources import yamr_format
+
+    yamr_format.register(spark)
+    out = str(tmp_path / "noop")
+    (
+        spark.createDataFrame([("keep",)], "value string")
+        .repartition(1)
+        .write.format("yamr")
+        .option("path", out)
+        .option("name", "tx")
+        .mode("overwrite")
+        .save()
+    )
+    res = yamr_format.delete_where(spark, out, "tx", "value LIKE 'nope%'")
+    assert res["deleted"] == 0 and res["rewritten_chunks"] == 0
+    assert yamr_format.list_versions(out, "tx") == [1, 2]
+    back = spark.read.format("yamr").option("path", out).option("name", "tx").load()
+    assert [x["value"] for x in back.collect()] == ["keep"]

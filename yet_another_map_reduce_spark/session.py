@@ -69,6 +69,12 @@ def build_session(
         # keep the UI off in test/bench containers
         .config("spark.ui.enabled", "false")
     )
+    # local-mode JVM heap: the 1g default is fine for the sf0.1 suite;
+    # scale experiments (10x replicas) export SPARK_GRAFT_DRIVER_MEM.
+    # Only effective before the JVM starts — first session in a process.
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if mem:
+        builder = builder.config("spark.driver.memory", mem)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

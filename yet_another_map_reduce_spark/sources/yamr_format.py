@@ -238,16 +238,20 @@ class YamrReader(DataSourceReader):
         v = options.get("version")
         self.version = int(v) if v is not None else None
         self._pushed: list = []
+        self._part_allow: set[str] | None = None
 
     def pushFilters(self, filters):
         """Partial pushdown for chunk pruning: remember the ``value``
-        filters we can evaluate against per-chunk min/max stats, but
-        return EVERY filter for Spark to re-apply post-scan — the stats
-        only decide which chunks to open, never which rows to emit."""
+        filters we can evaluate against per-chunk min/max stats, and
+        ``part`` equality/IN filters that prune by filename directly
+        (exact — ``part`` IS the chunk), but return EVERY filter for
+        Spark to re-apply post-scan — pruning only decides which chunks
+        to open, never which rows to emit."""
         from pyspark.sql.datasource import (
             EqualTo,
             GreaterThan,
             GreaterThanOrEqual,
+            In,
             LessThan,
             LessThanOrEqual,
             StringStartsWith,
@@ -268,6 +272,20 @@ class YamrReader(DataSourceReader):
             and tuple(f.attribute) == ("value",)
             and isinstance(f.value, str)
         ]
+        for f in filters:
+            if tuple(getattr(f, "attribute", ())) != ("part",):
+                continue
+            if isinstance(f, EqualTo) and isinstance(f.value, str):
+                allowed = {f.value}
+            elif isinstance(f, In) and all(isinstance(v, str) for v in f.value):
+                allowed = set(f.value)
+            else:
+                continue
+            self._part_allow = (
+                allowed
+                if self._part_allow is None
+                else self._part_allow & allowed
+            )
         return filters
 
     def _chunk_can_match(self, lo: str, hi: str) -> bool:
@@ -312,13 +330,22 @@ class YamrReader(DataSourceReader):
         stats = read_chunk_stats(self.path, self.name) if self._pushed else {}
         parts = []
         for fname, _ in entries:
+            if self._part_allow is not None and fname not in self._part_allow:
+                continue  # part filter names other chunks
             st = stats.get(fname)
             if st is not None and not self._chunk_can_match(*st):
                 continue  # provably no matching row in this chunk
             parts.append(_ChunkPartition(self.path, fname))
+        if not parts:
+            # every chunk pruned: the Python DataSource API maps an
+            # empty partition list to a single None partition, so hand
+            # back an explicit empty sentinel instead
+            parts.append(_ChunkPartition(self.path, None))
         return parts
 
     def read(self, partition: _ChunkPartition):
+        if partition is None or partition.filename is None:
+            return  # empty sentinel: all chunks pruned
         with open(
             os.path.join(partition.directory, partition.filename), encoding="utf-8"
         ) as fh:
@@ -648,38 +675,111 @@ def vacuum(
 
 
 def delete_where(spark, path: str, name: str, predicate: str) -> dict:
-    """Copy-on-write row deletion: rewrite the live dataset WITHOUT the
-    rows matching ``predicate`` (a SQL boolean over ``part``,
-    ``line_no``, ``value``) and commit the result as a new snapshot
-    version.
+    """Chunk-pruned copy-on-write row deletion: rewrite ONLY the chunks
+    that contain rows matching ``predicate`` (a SQL boolean over
+    ``part``, ``line_no``, ``value``); untouched chunks are carried
+    over in the new manifest by reference.  Commits as a new snapshot
+    version with optimistic concurrency (a concurrent writer aborts
+    this delete, not vice versa).
 
-    The old chunks are untouched — time travel to pre-delete versions
-    keeps working until :func:`vacuum` retires them — and the rewrite
-    goes through the same two-phase manifest commit as every write, so
-    a failed delete leaves the live dataset exactly as it was.  Returns
-    ``{"deleted": n, "remaining": m}``.
+    The old chunks stay on disk — time travel to pre-delete versions
+    keeps working until :func:`vacuum` retires them — and the manifest
+    lands in one atomic commit, so a failed delete leaves the live
+    dataset exactly as it was.  Returns ``{"deleted": n, "remaining":
+    m, "rewritten_chunks": r, "carried_chunks": c}``.
 
-    Scale note: this rewrites the surviving rows (the COW trade: cheap
-    reads + atomic versions, expensive deletes).  Production engines
-    restrict the rewrite to chunks that actually contain matches; the
-    per-chunk min/max stats sidecar this format now keeps (see
-    :func:`read_chunk_stats` / the reader's ``pushFilters``) is the
-    needed ingredient — routing the rewrite through a pruned read of
-    matching chunks plus a manifest-level carry-over of untouched
-    chunks is the natural next optimization.
+    Scale shape: the match scan benefits from min/max chunk pruning
+    when the predicate is pushable (value =/range/prefix), the rewrite
+    scan opens only the matching chunks (``part`` filename pushdown),
+    and carried chunks cost one manifest row each — a selective delete
+    on a 100 TB dataset rewrites only the affected fraction.
     """
-    before = (
+    base_version = (list_versions(path, name) or [0])[-1]
+    reader = lambda: (  # noqa: E731
         spark.read.format("yamr").option("path", path).option("name", name).load()
     )
-    total = before.count()
-    keep = before.where(f"NOT ({predicate})")
-    remaining = keep.count()
-    (
-        keep.select("value")
-        .write.format("yamr")
-        .option("path", path)
-        .option("name", name)
-        .mode("overwrite")
-        .save()
+    total = reader().count()
+    # which chunks contain matches? (stats-pruned scan when pushable)
+    matches = reader().where(predicate)
+    touched = sorted(
+        r["part"] for r in matches.select("part").distinct().collect()
     )
-    return {"deleted": total - remaining, "remaining": remaining}
+    deleted = matches.count()
+    if not touched:
+        # no-op delete still commits a (carried-only) version: every
+        # delete is an auditable point in the snapshot history, Delta-
+        # style, and "one version per operation" stays property-testable
+        carried = read_manifest(path, name)
+        _commit_manifest(path, name, carried, expected_version=base_version)
+        return {
+            "deleted": 0,
+            "remaining": total,
+            "rewritten_chunks": 0,
+            "carried_chunks": len(carried),
+        }
+
+    from pyspark.sql import functions as _F
+
+    surviving = (
+        reader()
+        .where(_F.col("part").isin(touched))  # filename-level pruning
+        .where(f"NOT ({predicate})")
+        .select("value")
+    )
+    # manual chunk write (same layout as YamrWriter) so the carried +
+    # rewritten entry list can land in ONE atomic manifest commit
+    gen_pat = _re.compile(_re.escape(name) + r"_part-g(\d+)-")
+    gens = [
+        int(m.group(1)) for f in os.listdir(path) if (m := gen_pat.match(f))
+    ]
+    generation = max(gens, default=0) + 1
+
+    def _write_chunk(pid: int, rows):
+        fname = f"{name}_part-g{generation:05d}-{pid:05d}.txt"
+        full = os.path.join(path, fname)
+        wrote = 0
+        vmin = vmax = None
+        with open(full, "w", encoding="utf-8") as fh:
+            for row in rows:
+                v = row[0]
+                fh.write(f"{v}\n")
+                wrote += 1
+                if v is not None:
+                    vmin = v if vmin is None or v < vmin else vmin
+                    vmax = v if vmax is None or v > vmax else vmax
+        if wrote == 0:
+            os.remove(full)
+            return iter(())
+        return iter([(fname, os.path.getsize(full), vmin, vmax)])
+
+    new_chunks = surviving.rdd.mapPartitionsWithIndex(_write_chunk).collect()
+    carried = [
+        e for e in read_manifest(path, name) if e[0] not in set(touched)
+    ]
+    entries = sorted(
+        carried + [(fname, fsize) for fname, fsize, _, _ in new_chunks]
+    )
+    try:
+        _commit_manifest(path, name, entries, expected_version=base_version)
+    except ManifestConflictError:
+        for fname, _, _, _ in new_chunks:  # abort: new chunks are garbage
+            try:
+                os.remove(os.path.join(path, fname))
+            except OSError:
+                pass
+        raise
+    _merge_chunk_stats(
+        path,
+        name,
+        {
+            fname: (vmin, vmax)
+            for fname, _, vmin, vmax in new_chunks
+            if vmin is not None
+        },
+    )
+    return {
+        "deleted": deleted,
+        "remaining": total - deleted,
+        "rewritten_chunks": len(touched),
+        "carried_chunks": len(carried),
+    }
