@@ -183,15 +183,34 @@ def test_pagerank_costs_one_shuffle_per_iteration(spark, sf_dir):
 
 
 def test_pagerank_checkpoint_keeps_plan_constant_size(spark, sf_dir):
-    # checkpoint_ranks=True truncates lineage every iteration, so the
+    # checkpoint_interval=1 truncates lineage every iteration, so the
     # FINAL plan is the same size at 1 and at 4 iterations — the property
-    # that keeps deep iteration counts from hitting the optimizer wall
+    # that keeps deep iteration counts from hitting the optimizer wall.
+    # The DEFAULT interval (10) must instead compile shallow runs (≤10
+    # iterations) to the same plan as the never-checkpoint path — eager
+    # every-round truncation was measured 2.2× slower at 3 iterations
+    # (r5 bench; BASELINE.md "graph_pagerank r5 regression").
     from yet_another_map_reduce_spark.operators import graph
 
     edges = _pagerank_edges(spark, sf_dir)
-    one = plans.count_exchanges(graph.pagerank(edges, iterations=1, assume_distinct=True))
-    four = plans.count_exchanges(graph.pagerank(edges, iterations=4, assume_distinct=True))
-    assert one == four, f"checkpointed plan should not grow with iterations ({one} -> {four})"
+    # 2 vs 4: both final plans sit on a checkpointed ranks relation (a
+    # 1-iteration run never checkpoints — the final round is excluded)
+    two = plans.count_exchanges(
+        graph.pagerank(edges, iterations=2, assume_distinct=True, checkpoint_interval=1)
+    )
+    four = plans.count_exchanges(
+        graph.pagerank(edges, iterations=4, assume_distinct=True, checkpoint_interval=1)
+    )
+    assert two == four, f"checkpointed plan should not grow with iterations ({two} -> {four})"
+    default = plans.count_exchanges(
+        graph.pagerank(edges, iterations=3, assume_distinct=True)
+    )
+    nocp = plans.count_exchanges(
+        graph.pagerank(edges, iterations=3, assume_distinct=True, checkpoint_ranks=False)
+    )
+    assert default == nocp, (
+        f"default interval must not eagerly checkpoint shallow runs ({default} != {nocp})"
+    )
 
 
 def test_pagerank_non_broadcast_path(spark, sf_dir):

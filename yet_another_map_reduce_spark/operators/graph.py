@@ -31,6 +31,7 @@ def pagerank(
     assume_distinct: bool = False,
     broadcast_ranks: bool = True,
     checkpoint_ranks: bool = True,
+    checkpoint_interval: int = 10,
 ) -> DataFrame:
     """Power-iteration PageRank over a directed edge list (``src``, ``dst``).
 
@@ -52,11 +53,20 @@ def pagerank(
     AQE-chosen) join with edges pre-partitioned on the probe key; same
     fixpoint, two exchanges per iteration instead of one.
 
-    ``checkpoint_ranks=True`` truncates lineage with ``localCheckpoint``
-    after every iteration: without it the plan re-nests per round (plan
-    build + codegen grow superlinearly — measured 8.3 s → 3 s at three
-    iterations on a 1,600-node graph), and deep iteration counts would
-    hit the optimizer wall long before the data does.
+    ``checkpoint_ranks=True`` truncates the evolving rank lineage with
+    ``localCheckpoint`` every ``checkpoint_interval`` iterations: the
+    plan re-nests per round, so plan build + codegen grow superlinearly
+    with UNBOUNDED iteration depth — but ``localCheckpoint`` is EAGER
+    (it materializes and blocks), so truncating every round at shallow
+    depth is a net loss.  Measured at sf0.1 / 3 iterations: every-round
+    checkpointing of ranks+statics ran 3.65 s vs 1.67 s for the pure
+    cached plan (round-5 bench, BASELINE.md "graph_pagerank r5
+    regression") — hence the default interval of 10, which at ≤10
+    iterations is exactly the cached plan, and at 100 iterations caps
+    the nested-plan depth at 10 rounds.  The static relations (edges /
+    deg / nodes) have FIXED lineage regardless of depth, so they are
+    always ``cache()``-materialized (lazy, spillable), never eagerly
+    checkpointed.
     """
     edges = edges.select("src", "dst")
     if not assume_distinct:
@@ -64,21 +74,17 @@ def pagerank(
     # hash-partition once on the key every iteration reuses: the
     # groupBy(dst) under broadcast joins (which preserve partitioning),
     # or the rank-join probe key src in non-broadcast mode
-    edges = edges.repartition("dst" if broadcast_ranks else "src")
-    edges = edges.localCheckpoint() if checkpoint_ranks else edges.cache()
+    edges = edges.repartition("dst" if broadcast_ranks else "src").cache()
     # deg and nodes are static across iterations AND appear in every
     # iteration's lineage — materialize both or each re-nests per
     # iteration (the 1-shuffle distinct would re-plan 3x per round)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg")).cache()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .cache()
     )
-    if checkpoint_ranks:
-        deg, nodes = deg.localCheckpoint(), nodes.localCheckpoint()
-    else:
-        deg, nodes = deg.cache(), nodes.cache()
     maybe_bc = F.broadcast if broadcast_ranks else (lambda df: df)
     ranks = nodes.withColumn("rank", F.lit(1.0))
     for i in range(iterations):
@@ -100,6 +106,10 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        if checkpoint_ranks and i < iterations - 1:
+        if (
+            checkpoint_ranks
+            and i < iterations - 1
+            and (i + 1) % checkpoint_interval == 0
+        ):
             ranks = ranks.localCheckpoint()
     return ranks

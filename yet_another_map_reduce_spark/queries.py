@@ -3128,12 +3128,14 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_graph_pagerank_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pure-DataFrame twin of ``graph_pagerank``: identical power
-    iteration, but lineage is held by ``cache()`` (InMemoryRelation —
-    stays a Catalyst plan) instead of ``localCheckpoint`` (which
-    truncates to an RDD scan).  Same fixpoint, same oracle; registered
-    separately so the cost of deep-iteration plan re-nesting vs RDD
-    checkpoint truncation is a measured bench row, not the docstring's
-    assertion."""
+    iteration with ``checkpoint_ranks=False`` — lineage is never
+    truncated, the plan re-nests per round.  Since round 6 the default
+    path checkpoints only every ``checkpoint_interval=10`` rounds (the
+    r5 every-round eager checkpointing was measured 2.2× slower at 3
+    iterations — see BASELINE.md), so at 3 iterations the two queries
+    compile to the same plan; the twin stays registered to pin that
+    equivalence as a measured bench row and to guard the re-nesting
+    path for deep-iteration users."""
     from yet_another_map_reduce_spark.operators import graph
 
     li = read_table(spark, sf_dir, "lineitem")

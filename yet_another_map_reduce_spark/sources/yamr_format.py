@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import os
 import re as _re
+import uuid as _uuid
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -137,7 +138,10 @@ def _commit_manifest(
             )
         version = latest + 1
         snap = _manifest_path(path, name, version)
-        tmp = f"{snap}.tmp.{os.getpid()}"
+        # per-call unique tmp name: pid alone is not enough — two
+        # threads in one driver (a streaming micro-batch commit racing
+        # a batch commit) would share the path and link the wrong body
+        tmp = f"{snap}.tmp.{os.getpid()}.{_uuid.uuid4().hex[:8]}"
         os.makedirs(path, exist_ok=True)
         with open(tmp, "w", encoding="utf-8") as fh:
             fh.write(body)
@@ -154,9 +158,10 @@ def _commit_manifest(
         os.remove(tmp)
         break
     target = _manifest_path(path, name)
-    with open(target + ".tmp", "w", encoding="utf-8") as fh:
+    ltmp = f"{target}.tmp.{os.getpid()}.{_uuid.uuid4().hex[:8]}"
+    with open(ltmp, "w", encoding="utf-8") as fh:
         fh.write(body)
-    os.replace(target + ".tmp", target)
+    os.replace(ltmp, target)
     return version
 
 
@@ -406,16 +411,31 @@ class YamrWriter(DataSourceWriter):
         except FileNotFoundError:
             gens = []
         self.generation = max(gens, default=0) + 1
+        # Writer-unique token in every chunk filename: two writers
+        # constructed before either commits observe the SAME directory
+        # scan, so generation numbers alone can collide — the loser's
+        # abort() would then delete chunk files the winner's committed
+        # manifest references.  The token makes each writer's chunk
+        # namespace disjoint; mode='x' below turns any residual
+        # collision into a loud failure instead of a silent clobber.
+        self.token = _uuid.uuid4().hex[:8]
 
     def write(self, iterator):
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
-        fname = f"{self.name}_part-g{self.generation:05d}-{pid:05d}.txt"
+        tc = TaskContext.get()
+        # attempt number in the name: a retried/speculative attempt
+        # writes its OWN file — the committed manifest references only
+        # the winning attempt's; losers are unreachable chunks that
+        # vacuum() collects
+        fname = (
+            f"{self.name}_part-g{self.generation:05d}-{self.token}"
+            f"-{tc.partitionId():05d}-a{tc.attemptNumber()}.txt"
+        )
         full = os.path.join(self.path, fname)
         os.makedirs(self.path, exist_ok=True)
         vmin = vmax = None
-        with open(full, "w", encoding="utf-8") as fh:
+        with open(full, "x", encoding="utf-8") as fh:
             for row in iterator:
                 v = row[0]
                 fh.write(f"{v}\n")
@@ -723,7 +743,11 @@ def delete_where(spark, path: str, name: str, predicate: str) -> dict:
     surviving = (
         reader()
         .where(_F.col("part").isin(touched))  # filename-level pruning
-        .where(f"NOT ({predicate})")
+        # DELETE semantics: only predicate=TRUE rows are removed, so a
+        # NULL-evaluating row SURVIVES — plain NOT(pred) would drop it
+        # from both sides (matches neither pred nor NOT pred) while the
+        # returned counts claim it remains
+        .where(f"NOT coalesce(({predicate}), false)")
         .select("value")
     )
     # manual chunk write (same layout as YamrWriter) so the carried +
@@ -733,13 +757,15 @@ def delete_where(spark, path: str, name: str, predicate: str) -> dict:
         int(m.group(1)) for f in os.listdir(path) if (m := gen_pat.match(f))
     ]
     generation = max(gens, default=0) + 1
+    token = _uuid.uuid4().hex[:8]  # same cross-writer namespace
+    # isolation as YamrWriter
 
     def _write_chunk(pid: int, rows):
-        fname = f"{name}_part-g{generation:05d}-{pid:05d}.txt"
+        fname = f"{name}_part-g{generation:05d}-{token}-{pid:05d}.txt"
         full = os.path.join(path, fname)
         wrote = 0
         vmin = vmax = None
-        with open(full, "w", encoding="utf-8") as fh:
+        with open(full, "x", encoding="utf-8") as fh:
             for row in rows:
                 v = row[0]
                 fh.write(f"{v}\n")
