@@ -957,3 +957,60 @@ def test_bm25_ranks_planted_relevant_doc_first(spark):
     )
     assert [r["doc_id"] for r in out] == [1, 2]  # no-hit doc absent
     assert out[0]["score"] > out[1]["score"]
+
+
+def test_bpe_train_merges_hand_computed(spark):
+    from yet_another_map_reduce_spark.operators import text
+
+    # corpus: "abab" x2, "ab" x1.
+    # round 1 pair counts: (a,b)=2*2+1=5, (b,a)=2 -> merge (a,b)
+    # round 2 segments: abab->[ab,ab], ab->[ab]; pairs: (ab,ab)=2 -> merge
+    # round 3 segments: abab->[abab], ab->[ab]; no pairs -> early stop
+    merges = text.bpe_train_merges([("abab", 2), ("ab", 1)], 5)
+    assert merges == [("a", "b"), ("ab", "ab")]
+
+
+def test_bpe_train_tie_breaks_lexicographic(spark):
+    from yet_another_map_reduce_spark.operators import text
+
+    # (a,b) and (b,c) both appear once in "abc": tie at count 1+... in
+    # "abc": pairs (a,b)=1, (b,c)=1 -> lexicographic smallest wins
+    merges = text.bpe_train_merges([("abc", 1)], 1)
+    assert merges == [("a", "b")]
+
+
+def test_bpe_tokens_expression_matches_python_apply(spark):
+    from yet_another_map_reduce_spark.operators import text
+
+    docs = [
+        (1, "the merger merged mergers"),
+        (2, "merge other theory there"),
+        (3, "Mixed CASE and, punctuation! the"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    wc = {}
+    import re as _re
+
+    for _, t in docs:
+        for w in _re.findall("[a-z]+", t.lower()):
+            wc[w] = wc.get(w, 0) + 1
+    word_counts = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))
+    merges = text.bpe_train_merges(word_counts, 8)
+    assert merges, "training must learn at least one merge"
+
+    got = {
+        r["doc_id"]: r["toks"]
+        for r in df.select(
+            "doc_id", text.bpe_tokens("text", merges).alias("toks")
+        ).collect()
+    }
+    for doc_id, t in docs:
+        want = []
+        for w in _re.findall("[a-z]+", t.lower()):
+            s = list(w)
+            for m in merges:
+                s = text._bpe_apply_merge(s, m)
+            want.extend(s)
+        assert got[doc_id] == want, (doc_id, got[doc_id], want)
+    # leftmost-greedy: concatenating tokens reconstructs the words
+    assert "".join(got[1]) == "themergermergedmergers"

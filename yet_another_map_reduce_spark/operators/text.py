@@ -836,3 +836,126 @@ def bm25_search(
         scored.withColumn("qrank", F.row_number().over(w).cast("bigint"))
         .where(F.col("qrank") <= top)
     )
+
+
+# ---------------------------------------------------------------------------
+# Real BPE tokenizer (train merge ranks on the corpus, apply as a pure
+# JVM expression).  Replaces the `bpe_ish_token_count` heuristic with
+# actual learned byte-pair-encoding over the corpus's own statistics.
+#
+# Train-once lifecycle (the PQ/kmeans pattern, similarity.py): ONE
+# shuffle reduces the corpus to its word-frequency table, the top
+# `max_vocab_words` rows (KB-scale, Zipf-bounded) are collected, and the
+# merge loop runs driver-side in pure deterministic Python — exactly how
+# HuggingFace/SentencePiece train from pre-aggregated word counts.
+# Application is pure codegen: wrap each word's characters, apply each
+# merge in rank order as a literal `replace`, split — no Python, no UDF,
+# fully replayable in an ANSI-SQL oracle (chained per-round CTEs with a
+# scalar-subquery argmax reproduce the SAME training, so the oracle
+# verifies training AND application end-to-end).
+#
+# Symbols are wrapped as `<sym>` so adjacent pairs share no characters
+# (a bare space separator would make `replace` skip every other
+# occurrence of back-to-back pairs) — safe because words come from
+# `[a-z]+` extraction, so `<`/`>` can never appear inside a symbol.
+# ---------------------------------------------------------------------------
+
+#: pre-tokenizer contract shared by train + apply + oracle: lowercase,
+#: alphabetic runs only
+BPE_WORD_RE = "[a-z]+"
+
+
+def _bpe_apply_merge(symbols: list[str], pair: tuple[str, str]) -> list[str]:
+    """One merge over a symbol sequence, leftmost-first non-overlapping —
+    the same semantics as a single left-to-right string `replace` pass."""
+    out: list[str] = []
+    i = 0
+    while i < len(symbols):
+        if i + 1 < len(symbols) and (symbols[i], symbols[i + 1]) == pair:
+            out.append(symbols[i] + symbols[i + 1])
+            i += 2
+        else:
+            out.append(symbols[i])
+            i += 1
+    return out
+
+
+def bpe_train_merges(
+    word_counts: list[tuple[str, int]], num_merges: int
+) -> list[tuple[str, str]]:
+    """Learn ``num_merges`` BPE merges from a (word, count) table.
+
+    Deterministic: each round merges the adjacent symbol pair with the
+    highest count weighted by word frequency; ties break to the
+    lexicographically smallest (a, b) — the same (count DESC, a ASC,
+    b ASC) argmax the SQL oracle replays.  Stops early when no pair is
+    left (every word fully merged)."""
+    segs: list[tuple[list[str], int]] = [
+        (list(w), n) for w, n in word_counts
+    ]
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, n in segs:
+            for p in zip(syms, syms[1:]):
+                counts[p] = counts.get(p, 0) + n
+        if not counts:
+            break
+        mx = max(counts.values())
+        best = min(p for p, c in counts.items() if c == mx)
+        merges.append(best)
+        segs = [(_bpe_apply_merge(s, best), n) for s, n in segs]
+    return merges
+
+
+def bpe_learn(
+    df: DataFrame,
+    text_col: str,
+    num_merges: int = 16,
+    max_vocab_words: int = 4096,
+) -> list[tuple[str, str]]:
+    """Distributed word-count pass + driver-side merge training.
+
+    Scale shape: the only corpus-sized work is ONE explode + groupBy
+    shuffle whose output is the distinct-word table (Zipf: millions of
+    rows at 100 TB, not corpus-sized); the collect is capped at
+    ``max_vocab_words`` rows by a distributed TakeOrdered with a
+    deterministic (count DESC, word ASC) tie-break."""
+    vocab = (
+        df.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_WORD_RE), F.lit(0))
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("w").asc())
+        .limit(max_vocab_words)
+    )
+    wc = [(r["w"], int(r["cnt"])) for r in vocab.collect()]
+    return bpe_train_merges(wc, num_merges)
+
+
+def bpe_tokens(col: Column | str, merges: list[tuple[str, str]]) -> Column:
+    """``array<string>`` of BPE tokens for a text column, as a pure JVM
+    expression: extract ``[a-z]+`` words, wrap each character as
+    ``<c>``, apply each trained merge in rank order as a literal
+    ``replace``, split the wrappers back off, flatten across words.
+    Everything stays inside whole-stage codegen — merges are string
+    literals, exactly like the PQ LUTs."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.regexp_extract_all(F.lower(c), F.lit(BPE_WORD_RE), F.lit(0))
+
+    def encode(w: Column) -> Column:
+        seq = F.regexp_replace(w, "(.)", "<$1>")
+        for a, b in merges:
+            seq = F.replace(seq, F.lit(f"<{a}><{b}>"), F.lit(f"<{a}{b}>"))
+        return F.split(F.regexp_replace(seq, "^<|>$", ""), "><")
+
+    return F.flatten(F.transform(words, encode))
+
+
+def bpe_token_count(col: Column | str, merges: list[tuple[str, str]]) -> Column:
+    """Learned-tokenizer token count — the drop-in upgrade for
+    ``bpe_ish_token_count`` wherever trained merges are available."""
+    return F.size(bpe_tokens(col, merges))

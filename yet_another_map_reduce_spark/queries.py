@@ -1034,6 +1034,62 @@ def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.chunk_documents(d, "text", "doc_id", chunk_tokens=32, stride=24)
 
 
+#: train-once memoized BPE merges per (sf_dir, params) — the _pq_books
+#: lifecycle: the tokenizer is data, trained once per corpus version,
+#: injected into every query that tokenizes
+_BPE_MERGES_CACHE: dict = {}
+
+
+def _bpe_merges(
+    docs: DataFrame, sf_dir: str, num_merges: int = 16, max_vocab: int = 4096
+) -> list:
+    key = (sf_dir, num_merges, max_vocab)
+    if key not in _BPE_MERGES_CACHE:
+        _BPE_MERGES_CACHE[key] = text.bpe_learn(
+            docs, "text", num_merges=num_merges, max_vocab_words=max_vocab
+        )
+    return _BPE_MERGES_CACHE[key]
+
+
+def q_text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL learned BPE tokenizer (not the `bpe_ish` heuristic): 16
+    merge ranks trained on the corpus's own word-frequency table
+    (bounded top-4096 collect, deterministic count-desc/pair-asc
+    argmax), applied corpus-wide as a pure-codegen chain of literal
+    `replace` calls inside a higher-order transform.  Output: top-100
+    token frequencies.  Hash-verified end to end — the oracle replays
+    the ENTIRE training loop as 16 chained materialized CTEs (pair
+    extraction → argmax → merge application per round) and then the
+    tokenization, so training AND application are both checked."""
+    d = read_table(spark, sf_dir, "documents")
+    merges = _bpe_merges(d, sf_dir)
+    toks = d.select(F.explode(text.bpe_tokens(F.col("text"), merges)).alias("token"))
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tok_count"))
+        .orderBy(F.col("tok_count").desc(), F.col("token").asc())
+        .limit(100)
+    )
+
+
+def q_text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token accounting with the LEARNED tokenizer: word
+    count vs BPE token count (`text.bpe_token_count`, the drop-in
+    upgrade for `bpe_ish_token_count` behind chunking/packing).  One
+    projection, zero shuffles beyond the train-once vocab pass shared
+    via _bpe_merges."""
+    d = read_table(spark, sf_dir, "documents")
+    merges = _bpe_merges(d, sf_dir)
+    words = F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit(text.BPE_WORD_RE), F.lit(0)
+    )
+    return d.select(
+        "doc_id",
+        F.size(words).cast("bigint").alias("n_words"),
+        text.bpe_token_count("text", merges).cast("bigint").alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
 def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: docs with doc_id % 10 == 0 stand in
     for the eval/holdout set; flag training docs sharing any 4-gram."""
@@ -5903,6 +5959,119 @@ ORACLES["ann_ivf_trained"] = f"""
 """
 
 
+def _bpe_train_ctes(num_merges: int, max_vocab: int) -> str:
+    """The BPE training loop as chained MATERIALIZED CTEs — one
+    (pair-extraction, argmax, guarded-pattern, merge-application) block
+    per merge rank, mirroring operators/text.bpe_train_merges exactly:
+    symbols wrapped as ``<sym>``, pair counts weighted by word
+    frequency, argmax ties broken (count DESC, a ASC, b ASC), merges
+    applied as leftmost-first string replaces.  MATERIALIZED is
+    load-bearing: seg{{r}} is referenced by both the next round's pair
+    scan and its merge application, so inlined CTEs would re-derive the
+    chain exponentially.  chr(1) pattern guard makes rounds past
+    merge-exhaustion no-ops (matches Python's early break)."""
+    parts = [
+        f"""words AS (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        FROM documents
+    ),
+    vocab AS MATERIALIZED (
+        SELECT w, count(*) AS cnt FROM words GROUP BY w
+        ORDER BY cnt DESC, w ASC LIMIT {max_vocab}
+    ),
+    seg0 AS MATERIALIZED (
+        SELECT cnt, regexp_replace(w, '(.)', '<\\1>', 'g') AS seq FROM vocab
+    )"""
+    ]
+    for r in range(1, num_merges + 1):
+        parts.append(
+            f""",
+    p{r} AS (
+        SELECT cnt,
+               unnest(list_zip(list_slice(l, 1, len(l) - 1),
+                               list_slice(l, 2, len(l)))) AS pr
+        FROM (SELECT cnt, str_split(trim(seq, '<>'), '><') AS l
+              FROM seg{r - 1})
+    ),
+    m{r} AS MATERIALIZED (
+        SELECT struct_extract(pr, 1) AS a, struct_extract(pr, 2) AS b,
+               sum(cnt) AS c
+        FROM p{r} WHERE struct_extract(pr, 2) IS NOT NULL
+        GROUP BY 1, 2 ORDER BY c DESC, a ASC, b ASC LIMIT 1
+    ),
+    g{r} AS MATERIALIZED (
+        SELECT coalesce('<' || a || '><' || b || '>', chr(1)) AS pat,
+               coalesce('<' || a || b || '>', chr(1)) AS rep
+        FROM (SELECT (SELECT a FROM m{r}) AS a, (SELECT b FROM m{r}) AS b)
+    ),
+    seg{r} AS MATERIALIZED (
+        SELECT cnt, replace(seq, (SELECT pat FROM g{r}),
+                            (SELECT rep FROM g{r})) AS seq
+        FROM seg{r - 1}
+    )"""
+        )
+    return "".join(parts)
+
+
+def _bpe_apply_expr(num_merges: int, wrapped: str) -> str:
+    """Nested replace() application of the trained merges, rank order
+    innermost-first, over an already-wrapped symbol sequence."""
+    expr = wrapped
+    for r in range(1, num_merges + 1):
+        expr = (
+            f"replace({expr}, (SELECT pat FROM g{r}), (SELECT rep FROM g{r}))"
+        )
+    return expr
+
+
+_BPE_R, _BPE_V = 16, 4096
+#: wrap each char of a word as <c> (symbol encoding) — hoisted because
+#: f-string expressions cannot contain the \\1 backreference
+_BPE_WRAP = "regexp_replace(w, '(.)', '<\\1>', 'g')"
+
+ORACLES["text_bpe_tokenize"] = f"""
+    WITH {_bpe_train_ctes(_BPE_R, _BPE_V)},
+    applied AS (
+        SELECT {_bpe_apply_expr(_BPE_R, _BPE_WRAP)} AS seq
+        FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+              FROM documents)
+    ),
+    toks AS (
+        SELECT unnest(str_split(trim(seq, '<>'), '><')) AS token FROM applied
+    )
+    SELECT token, CAST(count(*) AS BIGINT) AS tok_count
+    FROM toks GROUP BY token
+    ORDER BY tok_count DESC, token ASC LIMIT 100
+"""
+
+# per-doc accounting: token count per word = 1 + number of '><' symbol
+# boundaries after merge application; LEFT JOIN keeps wordless docs at 0
+ORACLES["text_bpe_token_stats"] = f"""
+    WITH {_bpe_train_ctes(_BPE_R, _BPE_V)},
+    doc_words AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        FROM documents
+    ),
+    applied AS (
+        SELECT doc_id,
+               {_bpe_apply_expr(_BPE_R, _BPE_WRAP)} AS seq
+        FROM doc_words
+    ),
+    per AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(len(str_split(trim(seq, '<>'), '><'))) AS BIGINT)
+                   AS n_bpe_tokens
+        FROM applied GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(p.n_words, 0) AS n_words,
+           coalesce(p.n_bpe_tokens, 0) AS n_bpe_tokens
+    FROM documents d LEFT JOIN per p USING (doc_id)
+    ORDER BY d.doc_id
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -5954,6 +6123,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "udaf_weighted_avg": q_udaf_weighted_avg,
     "udtf_tokenize": q_udtf_tokenize,
     "text_chunking": q_text_chunking,
+    "text_bpe_tokenize": q_text_bpe_tokenize,
+    "text_bpe_token_stats": q_text_bpe_token_stats,
     "text_decontaminate": q_text_decontaminate,
     "text_repetition_stats": q_text_repetition_stats,
     "text_bigram_lm": q_text_bigram_lm,
