@@ -314,3 +314,53 @@ def test_persisted_ivfpq_search_equals_in_memory(spark, sf_dir, tmp_path):
     key = lambda r: (r["query_id"], r["qrank"])  # noqa: E731
     assert sorted(map(tuple, per.collect()), key=lambda t: (t[0], t[3])) == \
         sorted(map(tuple, mem.collect()), key=lambda t: (t[0], t[3]))
+
+
+def test_persisted_ivfpq_interrupted_rebuild_never_visible(spark, sf_dir, tmp_path):
+    """Crash consistency of the two-phase index commit: a torn rebuild
+    (versioned subdir with garbage, no pointer swap) must be invisible
+    — readers keep resolving the last committed version — and a
+    completed rebuild must swap atomically to identical results
+    (training is deterministic)."""
+    import os
+
+    from yet_another_map_reduce_spark.operators import similarity
+    from yet_another_map_reduce_spark.queries import _pq_books
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    books = _pq_books(emb, sf_dir)
+    cent = similarity.ivf_centroids(emb, "vec_id", "embedding", nlist=8)
+    q = emb.where(F.col("vec_id") < 3)
+    index_dir = os.path.join(str(tmp_path), "pq_index_crash")
+    committed = similarity.build_ivfpq_index(
+        emb, "vec_id", "embedding", index_dir, centroids=cent, books=books
+    )
+    assert os.path.dirname(committed) == index_dir
+
+    def results():
+        out = similarity.search_ivfpq_index(
+            spark, index_dir, q, "vec_id", "embedding",
+            centroids=cent, books=books, k=5, nprobe=2,
+        )
+        return sorted(map(tuple, out.collect()))
+
+    baseline = results()
+    assert baseline
+
+    # simulate a rebuild that died mid-write: garbage versioned subdir
+    # (unreadable-as-parquet), CURRENT untouched
+    torn = os.path.join(index_dir, "v_deadbeefdead")
+    os.makedirs(os.path.join(torn, "centroid_id=0"))
+    with open(os.path.join(torn, "centroid_id=0", "part-00000.parquet"), "wb") as fh:
+        fh.write(b"\x00not a parquet file")
+    assert results() == baseline, "torn rebuild must be invisible to readers"
+
+    # a COMPLETED rebuild swaps the pointer; deterministic training
+    # means identical results from the new version
+    recommitted = similarity.build_ivfpq_index(
+        emb, "vec_id", "embedding", index_dir, centroids=cent, books=books
+    )
+    assert recommitted != committed
+    with open(os.path.join(index_dir, "CURRENT"), encoding="utf-8") as fh:
+        assert fh.read().strip() == os.path.basename(recommitted)
+    assert results() == baseline

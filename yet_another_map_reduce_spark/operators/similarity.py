@@ -793,28 +793,65 @@ def build_ivfpq_index(
     index_dir: str,
     centroids: DataFrame,
     books: list[list[list[float]]],
-) -> None:
+) -> str:
     """Materialize the IVF-PQ index: every corpus vector's cell
     assignment + PQ codes, written as parquet **partitioned by
     centroid_id** — the train-once half of the FAISS lifecycle.
+
+    Crash-consistent two-phase commit (the yamr manifest pattern,
+    sources/yamr_format.py): the data lands in a fresh versioned
+    subdirectory ``v_<token>`` under ``index_dir``, and the ``CURRENT``
+    pointer file is swapped in atomically LAST (tmp + ``os.replace``).
+    A reader resolving ``CURRENT`` therefore never sees a half-written
+    index, an interrupted rebuild leaves the live version untouched,
+    and two concurrent rebuilds write disjoint subdirs (last pointer
+    swap wins — safe, training is deterministic so both bodies are
+    identical).  Orphan ``v_*`` dirs from crashed builds are invisible
+    garbage, collectable by listing against ``CURRENT``.
 
     At 100 TB this runs once per corpus version; the index is bytes per
     vector (``m`` small ints), and the hive partitioning is what turns
     ``nprobe/nlist`` from a post-scan filter into file-level pruning
     (``PartitionFilters`` in the probe scan — pinned by test).
+
+    Returns the committed versioned data directory.
     """
+    import os
+    import uuid
+
     assigned = _nearest_centroids(corpus, id_col, vec_col, centroids, 1).select(
         F.col("__rid").alias("neighbor_id"), "centroid_id"
     )
     enc = pq_encode(corpus, id_col, vec_col, books).withColumnRenamed(
         id_col, "neighbor_id"
     )
+    version = f"v_{uuid.uuid4().hex[:12]}"
+    build_dir = os.path.join(index_dir, version)
     (
         assigned.join(enc, "neighbor_id")
         .write.mode("overwrite")
         .partitionBy("centroid_id")
-        .parquet(index_dir)
+        .parquet(build_dir)
     )
+    tmp = os.path.join(index_dir, f"CURRENT.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(version)
+    os.replace(tmp, os.path.join(index_dir, "CURRENT"))
+    return build_dir
+
+
+def _resolve_index_dir(index_dir: str) -> str:
+    """Follow the ``CURRENT`` pointer when present (two-phase-committed
+    index); fall back to treating ``index_dir`` as the data directory
+    itself (pre-pointer layouts, or a directly-passed versioned dir)."""
+    import os
+
+    cur = os.path.join(index_dir, "CURRENT")
+    try:
+        with open(cur, encoding="utf-8") as fh:
+            return os.path.join(index_dir, fh.read().strip())
+    except FileNotFoundError:
+        return index_dir
 
 
 def search_ivfpq_index(
@@ -846,7 +883,9 @@ def search_ivfpq_index(
         int(r["centroid_id"])
         for r in probes.select("centroid_id").distinct().collect()
     )
-    idx = spark.read.parquet(index_dir).where(F.col("centroid_id").isin(cells))
+    idx = spark.read.parquet(_resolve_index_dir(index_dir)).where(
+        F.col("centroid_id").isin(cells)
+    )
     scored = (
         idx.join(F.broadcast(probes), "centroid_id")
         .where(F.col("neighbor_id") != F.col("query_id"))

@@ -1653,10 +1653,21 @@ def q_ann_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     books = _pq_books(emb, sf_dir)
     cent = similarity.ivf_centroids(emb, "vec_id", "embedding", nlist=16)
+    # cache key includes a corpus fingerprint (mtime+size of the source
+    # parquet): regenerated testdata at the same path gets a fresh
+    # index instead of a stale one, and the CURRENT-pointer commit in
+    # build_ivfpq_index makes concurrent rebuilds race-free (each
+    # writes its own versioned subdir; the pointer swap is atomic)
+    try:
+        st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+        fp = f"{st.st_mtime_ns:x}_{st.st_size:x}"
+    except OSError:
+        fp = "nofp"
     key = sf_dir.strip("/").replace("/", "_")
-    index_dir = os.path.join(tempfile.gettempdir(), f"ivfpq_index_{key}")
-    marker = os.path.join(index_dir, "_SUCCESS")
-    if not os.path.exists(marker):  # build once per process/sf
+    index_dir = os.path.join(
+        tempfile.gettempdir(), f"ivfpq_index_{key}_{fp}"
+    )
+    if not os.path.exists(os.path.join(index_dir, "CURRENT")):
         similarity.build_ivfpq_index(
             emb, "vec_id", "embedding", index_dir, centroids=cent, books=books
         )
