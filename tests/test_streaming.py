@@ -466,3 +466,79 @@ def test_stream_stream_interval_join_left_outer_emits_unmatched(spark, tmp_path)
     # the 03:00 impression's bound is still ahead of the watermark: its
     # verdict is unprovable, so it must stay buffered, not emit
     assert 98 not in rows
+
+
+def test_yamr_stream_commit_beats_concurrent_batch_writer(spark, tmp_path):
+    """Optimistic concurrency across the batch/stream boundary: a batch
+    writer whose plan snapshot predates a streaming micro-batch commit
+    must abort with ManifestConflictError — the stream's rows survive,
+    the loser publishes no snapshot, its chunks are cleaned by abort(),
+    and vacuum honors the retention window over the winner's history."""
+    import os
+
+    import pytest
+
+    from yet_another_map_reduce_spark.sources import yamr_format
+    from yet_another_map_reduce_spark.sources.yamr_format import (
+        ManifestConflictError,
+        YamrWriter,
+        _PartCommit,
+    )
+
+    yamr_format.register(spark)
+    src_dir, out, ck = (str(tmp_path / d) for d in ("src", "out", "ck"))
+    spark.createDataFrame([("seed",)], "value string").repartition(
+        1
+    ).write.format("yamr").option("path", out).option("name", "ev").mode(
+        "overwrite"
+    ).save()
+    assert yamr_format.list_versions(out, "ev") == [1]
+
+    # batch writer A snapshots the manifest at version 1 ("job starts")
+    slow = YamrWriter({"path": out, "name": "ev"}, append=True)
+    assert slow.base_version == 1
+
+    # a streaming micro-batch commits while A is still running
+    spark.createDataFrame(
+        [("s1",), ("s2",)], "value string"
+    ).coalesce(1).write.mode("overwrite").parquet(src_dir)
+    q = (
+        spark.readStream.schema("value string")
+        .parquet(src_dir)
+        .writeStream.format("yamr")
+        .option("path", out)
+        .option("name", "ev")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert yamr_format.list_versions(out, "ev") == [1, 2]
+
+    # A's commit aborts; its already-written chunk is cleaned up by
+    # abort() (the Spark commit protocol calls it on commit failure)
+    loser_chunk = "ev_part-g99999-deadbeef-00000-a0.txt"
+    with open(os.path.join(out, loser_chunk), "w") as fh:
+        fh.write("loser\n")
+    msgs = [_PartCommit(loser_chunk, 6)]
+    with pytest.raises(ManifestConflictError, match="another writer"):
+        slow.commit(msgs)
+    slow.abort(msgs)
+    assert not os.path.exists(os.path.join(out, loser_chunk))
+
+    # no orphaned snapshot: versions are exactly the two committed ones
+    assert yamr_format.list_versions(out, "ev") == [1, 2]
+    back = (
+        spark.read.format("yamr").option("path", out).option("name", "ev").load()
+    )
+    assert sorted(r["value"] for r in back.collect()) == ["s1", "s2", "seed"]
+
+    # vacuum inside the retention window removes nothing young: both
+    # snapshots retained, every committed chunk still readable
+    stats = yamr_format.vacuum(out, "ev", keep_versions=2, retention_seconds=3600)
+    assert yamr_format.list_versions(out, "ev") == [1, 2]
+    assert stats["removed_chunks"] == []
+    again = (
+        spark.read.format("yamr").option("path", out).option("name", "ev").load()
+    )
+    assert sorted(r["value"] for r in again.collect()) == ["s1", "s2", "seed"]

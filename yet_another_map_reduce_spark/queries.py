@@ -2229,6 +2229,25 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing accounted by the LEARNED BPE tokenizer
+    (text.bpe_token_count) instead of the whitespace proxy — the token
+    budget a real pretraining batch is packed against.  Same
+    layout-invariant next-fit recurrence as pack_sequences; the oracle
+    composes the full 16-round BPE training replay with the recursive
+    packing CTE, so tokenizer training, token accounting, AND packing
+    are all hash-verified in one query."""
+    d = read_table(spark, sf_dir, "documents")
+    merges = _bpe_merges(d, sf_dir)
+    dd = d.select(
+        "doc_id",
+        text.bpe_token_count("text", merges).cast("bigint").alias("n_tok"),
+    )
+    return text.pack_sequences_deterministic(
+        dd, "doc_id", "n_tok", budget=128, num_parts=8, seed=11
+    ).orderBy("doc_id")
+
+
 def q_heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-pass exact heavy hitters over document tokens: Misra-Gries
     candidate sketch (superset of every token with count > n/101 under
@@ -6082,6 +6101,55 @@ ORACLES["text_bpe_token_stats"] = f"""
     ORDER BY d.doc_id
 """
 
+# tokenizer training + token accounting + packing, one hash: the BPE
+# CTE chain feeds per-doc counts into the SAME next-fit recurrence as
+# the pack_sequences oracle
+ORACLES["pack_sequences_bpe"] = f"""
+    WITH RECURSIVE {_bpe_train_ctes(_BPE_R, _BPE_V)},
+    doc_words AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        FROM documents
+    ),
+    applied AS (
+        SELECT doc_id, {_bpe_apply_expr(_BPE_R, _BPE_WRAP)} AS seq
+        FROM doc_words
+    ),
+    bpe_cnt AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(sum(len(str_split(trim(seq, '<>'), '><'))) AS BIGINT)
+                   AS n_tokens
+        FROM applied GROUP BY doc_id
+    ),
+    parts AS (
+        SELECT doc_id, n_tokens,
+               hv % 8 AS part,
+               row_number() OVER (PARTITION BY hv % 8
+                                  ORDER BY hv, doc_id) AS rn
+        FROM (
+            SELECT d.doc_id, coalesce(c.n_tokens, 0) AS n_tokens,
+                   {_sql_hash64("CAST(d.doc_id AS VARCHAR)", seed=11)} AS hv
+            FROM documents d LEFT JOIN bpe_cnt c USING (doc_id)
+        )
+    ), packed AS (
+        SELECT part, rn, doc_id, n_tokens, n_tokens AS fill,
+               CAST(0 AS BIGINT) AS bin
+        FROM parts WHERE rn = 1
+        UNION ALL
+        SELECT t.part, t.rn, t.doc_id, t.n_tokens,
+               CASE WHEN p.fill + t.n_tokens > 128
+                    THEN t.n_tokens ELSE p.fill + t.n_tokens END,
+               CASE WHEN p.fill + t.n_tokens > 128
+                    THEN p.bin + 1 ELSE p.bin END
+        FROM parts t JOIN packed p
+          ON t.part = p.part AND t.rn = p.rn + 1
+    )
+    SELECT doc_id,
+           CAST(part AS BIGINT) AS part,
+           CAST(part * 4294967296 + bin AS BIGINT) AS bin_id,
+           n_tokens
+    FROM packed ORDER BY doc_id
+"""
+
 
 # ===========================================================================
 # registry
@@ -6136,6 +6204,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_chunking": q_text_chunking,
     "text_bpe_tokenize": q_text_bpe_tokenize,
     "text_bpe_token_stats": q_text_bpe_token_stats,
+    "pack_sequences_bpe": q_pack_sequences_bpe,
     "text_decontaminate": q_text_decontaminate,
     "text_repetition_stats": q_text_repetition_stats,
     "text_bigram_lm": q_text_bigram_lm,
