@@ -1014,3 +1014,31 @@ def test_bpe_tokens_expression_matches_python_apply(spark):
         assert got[doc_id] == want, (doc_id, got[doc_id], want)
     # leftmost-greedy: concatenating tokens reconstructs the words
     assert "".join(got[1]) == "themergermergedmergers"
+
+
+def test_semantic_dedup_drops_higher_id_near_dups_within_cluster(spark):
+    from yet_another_map_reduce_spark.operators import dedup, similarity
+
+    # two tight planted clusters around orthogonal axes; vec 3 is an
+    # exact dup of vec 1, vec 12 a near-dup of vec 10; vec 20 is far
+    # from everything (kept)
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (3, [1.0, 0.0, 0.0, 0.0]),          # dup of 1 -> dropped
+        (10, [0.0, 1.0, 0.0, 0.0]),
+        (12, [0.0, 0.98, 0.2, 0.0]),        # near-dup of 10 -> dropped
+        (20, [0.0, 0.0, 0.0, 1.0]),         # isolated -> kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cent = similarity.train_ivf_centroids(
+        df, "vec_id", "embedding", nlist=3, iterations=2
+    )
+    out = {
+        r["vec_id"]: r["is_kept"]
+        for r in dedup.semantic_dedup(
+            df, "vec_id", "embedding", cent, threshold=0.9
+        ).collect()
+    }
+    assert out[1] and out[10] and out[20], "cluster representatives kept"
+    assert not out[3], "exact dup of a lower id must be dropped"
+    assert not out[12], "near-dup above threshold must be dropped"

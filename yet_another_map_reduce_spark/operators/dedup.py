@@ -706,3 +706,76 @@ def incremental_dedup(
         .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
         .drop("__fp")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: DataFrame,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """SemDeDup-style embedding dedup (Abbas et al. 2023, "SemDeDup:
+    Data-efficient learning at web-scale through semantic
+    deduplication"): cluster the corpus with trained k-means centroids,
+    then prune within each cluster — a vector is DROPPED iff some
+    lower-id cluster-mate has cosine >= ``threshold`` (deterministic
+    greedy keep-min-id; cross-cluster near-dups are the method's
+    documented approximation).
+
+    Returns ``(id, centroid_id, is_kept)`` for every corpus vector.
+
+    Scale shape: assignment is map-only (KB-scale centroid set
+    broadcast, no corpus shuffle — similarity._nearest_centroids); the
+    near-dup scan is BLOCKED by the cluster equi-join, never all-pairs
+    over the corpus — with nlist sized to the corpus (FAISS practice:
+    ~sqrt(n) cells) each block is ~n/nlist rows and the pair scan is
+    O(n^2/nlist) spread across cells, the same bound SemDeDup's
+    per-cluster pairwise step has on a GPU.  The kept flag is an
+    aggregate over pairs (any-lower-id-match), so only matching pairs
+    survive past the filter.
+    """
+    from yet_another_map_reduce_spark.functions import dot, norm
+    from yet_another_map_reduce_spark.operators.similarity import (
+        _nearest_centroids,
+    )
+
+    assigned = _nearest_centroids(corpus, id_col, vec_col, centroids, 1).select(
+        F.col("__rid").alias("__id"),
+        F.col("__v").alias("__vec"),
+        "centroid_id",
+    )
+    a = assigned.select(
+        F.col("__id").alias("__ida"),
+        F.col("__vec").alias("__va"),
+        "centroid_id",
+    )
+    b = assigned.select(
+        F.col("__id").alias("__idb"),
+        F.col("__vec").alias("__vb"),
+        "centroid_id",
+    )
+    cos = F.round(
+        F.try_divide(
+            dot(F.col("__va"), F.col("__vb")),
+            norm(F.col("__va")) * norm(F.col("__vb")),
+        ),
+        6,
+    )
+    dropped = (
+        a.join(b, "centroid_id")
+        .where(F.col("__ida") > F.col("__idb"))
+        .where(cos >= F.lit(threshold))
+        .select(F.col("__ida").alias("__id"))
+        .distinct()
+    )
+    return (
+        assigned.join(
+            dropped.withColumn("__drop", F.lit(True)), "__id", "left"
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("centroid_id").cast("bigint").alias("centroid_id"),
+            F.coalesce(~F.col("__drop"), F.lit(True)).alias("is_kept"),
+        )
+    )

@@ -1013,6 +1013,23 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("l_orderkey", "l_linenumber", "l_returnflag")
 
 
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): trained-kmeans clustering of the
+    embedding corpus, then within-cluster cosine pruning at tau=0.3
+    (keep-min-id greedy) — the embedding-space member of the dedup
+    family, beside the token-space (minhash/simhash) and byte-space
+    (exact) tiers.  Hash-verified end to end: the oracle replays the
+    2-iteration Lloyd's training as chained CTEs, the 9-rounded
+    assignment argmax, and the 6-rounded pairwise prune."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    cent = similarity.train_ivf_centroids(
+        emb, "vec_id", "embedding", nlist=8, iterations=2
+    )
+    return dedup.semantic_dedup(
+        emb, "vec_id", "embedding", cent, threshold=0.3
+    ).orderBy("vec_id")
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-load dedup: an incoming batch keeps only documents
     whose fingerprint is unseen in the existing corpus (anti join on
@@ -5989,6 +6006,37 @@ ORACLES["ann_ivf_trained"] = f"""
 """
 
 
+ORACLES["dedup_semantic"] = f"""
+    WITH {_kmeans_train_cte(8, 2)},
+    centlist AS (
+        SELECT cid, list(val ORDER BY dim) AS centv FROM cent2 GROUP BY cid
+    ),
+    assigned AS MATERIALIZED (
+        SELECT vec_id, cv, cid FROM (
+            SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS cv, c.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round(list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]), c.centv), 9) DESC,
+                           c.cid ASC) AS cr
+            FROM embeddings e, centlist c
+        ) WHERE cr = 1
+    ),
+    dropped AS (
+        SELECT DISTINCT a.vec_id
+        FROM assigned a JOIN assigned b
+          ON a.cid = b.cid AND a.vec_id > b.vec_id
+        WHERE round(list_cosine_similarity(a.cv, b.cv), 6)
+              >= CAST(0.3 AS DOUBLE)
+    )
+    SELECT a.vec_id,
+           CAST(a.cid AS BIGINT) AS centroid_id,
+           (d.vec_id IS NULL) AS is_kept
+    FROM assigned a LEFT JOIN dropped d USING (vec_id)
+    ORDER BY a.vec_id
+"""
+
+
 def _bpe_train_ctes(num_merges: int, max_vocab: int) -> str:
     """The BPE training loop as chained MATERIALIZED CTEs — one
     (pair-extraction, argmax, guarded-pattern, merge-application) block
@@ -6181,6 +6229,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_from_struct": q_json_from_struct,
     "window_session": q_window_session,
     "dedup_incremental": q_dedup_incremental,
+    "dedup_semantic": q_dedup_semantic,
     "cross_join_small": q_cross_join_small,
     "recursive_hierarchy": q_recursive_hierarchy,
     "group_by_all": q_group_by_all,
