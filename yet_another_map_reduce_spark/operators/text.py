@@ -422,16 +422,19 @@ def decontaminate(
         .distinct()
     )
     probe = F.broadcast(hold_grams) if broadcast_holdout else hold_grams
-    matched = (
-        doc_grams.join(probe, "g")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("matched_ngrams"))
-    )
-    totals = doc_grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("total_ngrams"))
+    # ONE pass over the train grams: a flagged LEFT join against the
+    # holdout set lets a single aggregate produce both the total and
+    # the matched count — the r6 scale run caught the previous
+    # two-branch form (separate matched/totals aggregates) re-running
+    # the whole scan→explode→distinct pipeline twice
+    flagged = doc_grams.join(probe.withColumn("__hit", F.lit(1)), "g", "left")
     ratio = F.col("matched_ngrams") / F.greatest(F.col("total_ngrams"), F.lit(1))
     return (
-        totals.join(matched, id_col, "left")
-        .fillna({"matched_ngrams": 0})
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("total_ngrams"),
+            F.count("__hit").alias("matched_ngrams"),
+        )
         .select(
             F.col(id_col),
             F.col("total_ngrams").cast("bigint").alias("total_ngrams"),
