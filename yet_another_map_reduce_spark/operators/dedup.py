@@ -740,11 +740,15 @@ def semantic_dedup(
         _nearest_centroids,
     )
 
+    # materialized: the assigned relation feeds both sides of the pair
+    # join AND the final flag join — without the cache each branch
+    # re-scans the corpus and re-runs the assignment (r6 scan audit:
+    # 3 FileScans)
     assigned = _nearest_centroids(corpus, id_col, vec_col, centroids, 1).select(
         F.col("__rid").alias("__id"),
         F.col("__v").alias("__vec"),
         "centroid_id",
-    )
+    ).cache()
     a = assigned.select(
         F.col("__id").alias("__ida"),
         F.col("__vec").alias("__va"),

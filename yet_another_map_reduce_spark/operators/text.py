@@ -356,7 +356,10 @@ def tfidf_top_terms(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(text_col)).alias("term"),
     ).where(F.length("term") > 0)
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # materialized: tf feeds both the df re-aggregation and the scoring
+    # join — without the cache the corpus is re-scanned + re-exploded
+    # per branch (r6 scan audit: 3 FileScans)
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).cache()
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
@@ -579,12 +582,13 @@ def bigram_lm_score(
     fluent), assigned by exact percent_rank with a doc-id tie-break so
     the bucketing is a pure function of the corpus.
 
-    Scale shape: train and score in ONE pass over the exploded bigrams —
-    per-doc bigram counts aggregate map-side, corpus bigram counts
-    derive from a second grouping of the SAME aggregate (never a second
-    corpus scan), unigram context counts fold from the bigram counts,
-    and V rides along as a broadcast 1-row aggregate (no driver-side
-    scalar collect).  The tercile window runs over one 3-column row per
+    Scale shape: the per-doc bigram aggregate is MATERIALIZED once —
+    corpus bigram counts, unigram context counts, and the scoring join
+    all fold from that cached summary relation, so the corpus is read
+    exactly twice (once into the aggregate, once for the vocabulary
+    size V, which needs the tokens a bigram-only relation loses for
+    single-token documents); V rides along as a broadcast 1-row
+    aggregate (no driver-side scalar collect).  The tercile window runs over one 3-column row per
     document — orders of magnitude smaller than the token stream; past
     ~10^8 documents swap it for approx-percentile thresholds at the
     cost of hash-exactness.
@@ -603,9 +607,14 @@ def bigram_lm_score(
         )
         .where(F.col("cur").isNotNull())
     )
+    # materialized: docbig feeds the corpus bigram counts (bc -> pc)
+    # AND the scoring join — without the cache each branch re-runs the
+    # whole scan→explode→window pipeline (r6 scan audit: 4 FileScans
+    # despite the "same aggregate" wording below).  With it the corpus
+    # is read twice total: once into this aggregate, once for V.
     docbig = big.groupBy(id_col, "prev", "cur").agg(
         F.count(F.lit(1)).alias("__m")
-    )
+    ).cache()
     bc = docbig.groupBy("prev", "cur").agg(F.sum("__m").alias("__cb"))
     pc = bc.groupBy("prev").agg(F.sum("__cb").alias("__cp"))
     vdf = tok.agg(F.countDistinct("__tok").alias("__V"))
@@ -714,9 +723,13 @@ def pmi_cooccurrence(
     the pair self-join co-partitions on the document id.  A single ln
     per output row (no float summation), so round(6) is drift-free.
     """
+    # materialized: doctok feeds the document-frequency count AND both
+    # sides of the pair self-join — without the cache each branch
+    # re-scans + re-explodes the corpus (r6 scan audit: 5 FileScans)
     doctok = (
         df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
         .distinct()
+        .cache()
     )
     cnt = doctok.groupBy("token").agg(
         F.count(F.lit(1)).cast("bigint").alias("__c")
@@ -810,12 +823,17 @@ def bm25_search(
     from pyspark.sql import Window
 
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
-    lens = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("len_d"))
+    # lens and tf are each consumed by two branches (stats + scoring
+    # join; dfreq + scoring join) — materializing these summary-sized
+    # aggregates caps the corpus reads at the honest two (full-length
+    # pass + query-term-filtered pass); without them the r6 scan audit
+    # measured 4 FileScans
+    lens = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("len_d")).cache()
     stats = lens.agg(
         F.sum("len_d").alias("__lsum"), F.count(F.lit(1)).alias("__N")
     )
     hits = tok.where(F.col("term").isin(*query_terms))
-    tf = hits.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = hits.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")).cache()
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
     avgdl = F.col("__lsum") / F.col("__N")

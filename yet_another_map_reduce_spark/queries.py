@@ -1300,8 +1300,10 @@ def q_pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram-LM fluency (not the tail tercile), and vocabulary coverage
     (OOV <= 0.25) join into one keep/drop per document.  Oracle =
     the three already-verified stage oracles joined, so a green hash
-    certifies the composition, not a fourth re-derivation."""
-    d = read_table(spark, sf_dir, "documents")
+    certifies the composition, not a fourth re-derivation.  The corpus
+    is cached: three stage operators (each with internal branches)
+    otherwise re-scan it eight times (r6 scan audit)."""
+    d = read_table(spark, sf_dir, "documents").cache()
     chunks = dedup.chunk_dedup(d, "text", "doc_id", chunk_tokens=10).select(
         "doc_id", "kept_frac"
     )
@@ -1334,9 +1336,10 @@ def q_pipeline_corpus_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-frequency boilerplate detection, joined into one keep/drop
     decision per training document — the filter stack a pretraining
     corpus passes before mixing.  Three per-doc relations join on the
-    doc id (AQE broadcasts the small aggregates); at petabyte scale the
-    gram passes would share one exploded-token relation."""
-    d = read_table(spark, sf_dir, "documents")
+    doc id (AQE broadcasts the small aggregates); the corpus is cached
+    so the three stage operators share one real read (r6 scan audit:
+    five FileScans without it)."""
+    d = read_table(spark, sf_dir, "documents").cache()
     holdout = d.where(F.col("doc_id") % 10 == 0)
     train = d.where(F.col("doc_id") % 10 != 0)
     dec = text.decontaminate(train, holdout, n=4, threshold=0.01)
@@ -2345,8 +2348,15 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel (view → later click → later purchase) as
     conditional-min aggregates chained by per-user joins — each stage
     is one shuffle on user_id, no per-user event collection, so a
-    billion-user funnel stays distributed."""
-    e = read_table(spark, sf_dir, "events")
+    billion-user funnel stays distributed.  The step-typed event slice
+    is materialized once — the three stage branches and the chained
+    joins otherwise re-scan the raw table six times (r6 scan audit)."""
+    e = (
+        read_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", "ts", "event_type")
+        .cache()
+    )
     t1 = (
         e.where(F.col("event_type") == "view")
         .groupBy("user_id")
