@@ -99,6 +99,38 @@ def test_extract_features_byte_stats_fallback_for_non_ppm(spark):
     assert feats == [np.float32(v) for v in multimodal._fake_feature_vector(b"not a ppm blob")]
 
 
+def test_registered_codec_claims_blob_before_fallback(spark):
+    """A deployment-registered decoder (here: a fake 'JPEG' codec that
+    sniffs the JFIF magic) wins over the byte-stats fallback, and the
+    built-in PPM/WAV paths are untouched.  The registry snapshot is
+    taken at extract_features() call time, so unregistering restores
+    the fallback for later calls."""
+    jpeg_blob = b"\xff\xd8\xff\xe0 fake jpeg body"
+
+    def fake_jpeg(blob):
+        if blob is not None and blob[:3] == b"\xff\xd8\xff":
+            return [float(i) for i in range(8)]
+        return None
+
+    multimodal.register_feature_codec("fake_jpeg", fake_jpeg)
+    try:
+        df = spark.createDataFrame(
+            [(1, jpeg_blob), (2, b"not any codec")], "media_id long, content binary"
+        )
+        feats = {r["media_id"]: r["features"] for r in multimodal.extract_features(df).collect()}
+        assert feats[1] == [float(i) for i in range(8)]  # claimed by registered codec
+        assert feats[2] == [np.float32(v) for v in multimodal._fake_feature_vector(b"not any codec")]
+        # built-in PPM path still first-class alongside the new codec
+        ids = spark.createDataFrame([(5,)], "doc_id long")
+        ppm = multimodal.synthetic_ppm_media(ids, "doc_id", width=4, height=4)
+        assert multimodal.extract_features(ppm).collect()[0]["features"][0] == 4.0
+    finally:
+        multimodal.unregister_feature_codec("fake_jpeg")
+    feats = multimodal.extract_features(df).collect()
+    by_id = {r["media_id"]: r["features"] for r in feats}
+    assert by_id[1] == [np.float32(v) for v in multimodal._fake_feature_vector(jpeg_blob)]
+
+
 def test_mjpm_roundtrip_and_sampling_cadence(spark):
     ids = spark.createDataFrame([(3,)], "doc_id long")
     video = multimodal.synthetic_video_media(

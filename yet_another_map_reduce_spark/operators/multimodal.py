@@ -9,8 +9,10 @@ WAV PCM16 feature extraction — behind the production interface
 multi-MB blobs: no per-row Python calls, no driver materialization).
 Compressed codecs (JPEG/PNG/mp4) require libraries absent from this
 container: video frame sampling stays an explicit stub, and the
-generic ``extract_features`` uses real pixels for PPM blobs with a
-clearly-marked deterministic byte-stats fallback for everything else.
+generic ``extract_features`` routes each blob through an ordered codec
+registry (built-ins: PPM pixels, WAV PCM; deployments plug real
+compressed-codec decoders in via ``register_feature_codec``) with a
+clearly-marked deterministic byte-stats fallback for unclaimed blobs.
 
 Scale notes:
 - blobs stay in executor memory one Arrow batch at a time
@@ -87,7 +89,8 @@ _FEATURE_DIM = 8
 
 def _fake_feature_vector(blob: bytes) -> list[float]:
     """Deterministic stand-in for a real encoder: 8 floats derived from
-    byte statistics.  STUB — replace with a real model/codec kernel."""
+    byte statistics.  Terminal fallback when no registered codec claims
+    the blob (see :func:`register_feature_codec`)."""
     if blob is None or len(blob) == 0:
         return [0.0] * _FEATURE_DIM
     n = len(blob)
@@ -110,16 +113,50 @@ FEATURES_SCHEMA = StructType(
     ]
 )
 
+#: ordered feature-codec registry: (name, decode) pairs tried front to
+#: back; ``decode(blob) -> list[float] | None`` returns the feature
+#: vector for blobs it recognizes and None to pass to the next codec.
+_FEATURE_CODECS: list[tuple[str, object]] = []
+
+
+def register_feature_codec(name: str, decode, *, prepend: bool = False) -> None:
+    """Plug a real decoder (Pillow JPEG, ffmpeg MP4, an ONNX encoder...)
+    into :func:`extract_features` without touching operator code.
+
+    ``decode(blob)`` must return a ``_FEATURE_DIM``-float list for blobs
+    it recognizes and ``None`` otherwise (sniff-by-magic-bytes, the way
+    the built-in PPM/WAV codecs do).  ``prepend=True`` puts the codec
+    ahead of the built-ins, letting a deployment override them.
+
+    Cluster note: :func:`extract_features` snapshots the registry into
+    its ``mapInPandas`` closure, so cloudpickle ships the registered
+    callables BY VALUE to every executor — driver-side registration
+    works on a real cluster without installing the decoder module on
+    workers (its imports must still resolve there if the callable
+    imports lazily, which real codec bindings do).
+    """
+    if prepend:
+        _FEATURE_CODECS.insert(0, (name, decode))
+    else:
+        _FEATURE_CODECS.append((name, decode))
+
+
+def unregister_feature_codec(name: str) -> None:
+    _FEATURE_CODECS[:] = [(n, d) for n, d in _FEATURE_CODECS if n != name]
+
 
 def extract_features(df: DataFrame, batch_size_hint: int = 256) -> DataFrame:
     """Feature extraction over Arrow batches via ``mapInPandas``.
 
     The iterator-of-batches signature is the real production shape:
     model/codec state loads once per partition, blobs stream through
-    without materializing the partition.  PPM and WAV blobs get REAL
-    decoded features (pixel / PCM statistics); only unknown codecs fall
-    back to the byte-stats stub (``_fake_feature_vector``).
+    without materializing the partition.  Each blob goes to the first
+    registered codec that claims it (built-ins: PPM pixel statistics,
+    WAV PCM statistics; deployments add real compressed-codec decoders
+    via :func:`register_feature_codec`); unclaimed blobs fall back to
+    the byte-stats stub (``_fake_feature_vector``).
     """
+    codecs = tuple(_FEATURE_CODECS)  # snapshot: ships by value in the closure
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # real impl: load codec/model ONCE here, per partition
@@ -127,7 +164,7 @@ def extract_features(df: DataFrame, batch_size_hint: int = 256) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "media_id": batch["media_id"],
-                    "features": [_feature_vector(b) for b in batch["content"]],
+                    "features": [_feature_vector(b, codecs) for b in batch["content"]],
                 }
             )
 
@@ -157,11 +194,9 @@ def _wav_feature_vector(parsed) -> list[float]:
     ]
 
 
-def _feature_vector(blob: bytes | None) -> list[float]:
-    """REAL decode for the container's decodable media: pixel-statistics
-    features for PPM blobs (dims, per-channel means, contrast),
-    PCM-sample statistics for WAV blobs; byte-stats fallback only for
-    genuinely unknown codecs (JPEG/MP4 etc. — no codec libs here).
+def _ppm_features(blob: bytes | None) -> list[float] | None:
+    """REAL pixel-statistics features for PPM blobs (dims, per-channel
+    means, contrast); None for anything that isn't a P6 PPM.
 
     The contrast (population std) is computed from the integer-exact
     identity ``n²·var = n·Σv² − (Σv)²`` — every intermediate is an
@@ -171,10 +206,7 @@ def _feature_vector(blob: bytes | None) -> list[float]:
     integer sum by a power-of-two pixel count — also exact."""
     img = _decode_ppm(blob)
     if img is None:
-        parsed = _parse_wav_pcm16(blob)
-        if parsed is not None:
-            return _wav_feature_vector(parsed)
-        return _fake_feature_vector(blob)
+        return None
     import numpy as np
 
     m = img.astype(np.int64)
@@ -192,6 +224,31 @@ def _feature_vector(blob: bytes | None) -> list[float]:
         float(m.min()),
         float(m.max()),
     ]
+
+
+def _wav_features(blob: bytes | None) -> list[float] | None:
+    """REAL PCM-sample-statistics features for WAV PCM16 blobs; None
+    for anything that isn't a RIFF/WAVE container."""
+    parsed = _parse_wav_pcm16(blob)
+    if parsed is None:
+        return None
+    return _wav_feature_vector(parsed)
+
+
+register_feature_codec("ppm", _ppm_features)
+register_feature_codec("wav_pcm16", _wav_features)
+
+
+def _feature_vector(blob: bytes | None, codecs=None) -> list[float]:
+    """First registered codec that claims the blob wins; byte-stats
+    fallback only for genuinely unknown codecs (JPEG/MP4 etc. — no
+    codec libs in this container; see :func:`register_feature_codec`
+    for how a deployment plugs real ones in)."""
+    for _name, decode in (codecs if codecs is not None else _FEATURE_CODECS):
+        feats = decode(blob)
+        if feats is not None:
+            return feats
+    return _fake_feature_vector(blob)
 
 
 def synthetic_ppm_media(df: DataFrame, id_col: str, width: int = 8, height: int = 8) -> DataFrame:
