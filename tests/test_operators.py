@@ -736,6 +736,38 @@ def test_chunk_dedup_chunk_order_preserved_within_doc(spark):
     assert out[2] == "p q r s"
 
 
+def test_duplicated_spans_maximal_boundaries(spark):
+    # docs 1 and 2 share a 10-token passage; with k=4 the span must be
+    # reported MAXIMALLY (one row covering all 10 tokens), at each doc's
+    # own offset, and the unique doc must produce no spans.
+    shared = "a b c d e f g h i j"
+    df = spark.createDataFrame(
+        [
+            (1, "x1 x2 " + shared + " y1 y2"),
+            (2, "z1 " + shared + " z2 z3 z4"),
+            (3, "unique tokens only here nothing repeated at all q r s t"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = dedup.duplicated_spans(df, "text", "doc_id", k=4).collect()
+    by = {r["doc_id"]: (r["span_start"], r["span_end"], r["span_tokens"]) for r in spans}
+    assert len(spans) == 2  # one maximal span per sharing doc
+    assert by[1] == (2, 11, 10)
+    assert by[2] == (1, 10, 10)
+    assert 3 not in by
+
+
+def test_duplicated_spans_merges_touching_coverage_and_intra_doc(spark):
+    # a 6-token phrase repeated inside ONE doc: duplicated 4-gram
+    # positions are {0,1,2} and {6,7,8}; coverage [2,5] and [6,9]
+    # touches, so the islands merge into a single whole-doc span.
+    df = spark.createDataFrame(
+        [(7, "p q r s t u p q r s t u")], "doc_id long, text string"
+    )
+    spans = dedup.duplicated_spans(df, "text", "doc_id", k=4).collect()
+    assert [(r["span_start"], r["span_end"], r["span_tokens"]) for r in spans] == [(0, 11, 12)]
+
+
 def test_bigram_lm_score_hand_computed_and_bucketed(spark):
     # corpus: ab=4, ba=2, bc=1, zz=2; c(a)=4, c(b)=3, c(z)=2; V=4
     from yet_another_map_reduce_spark.operators import text

@@ -674,6 +674,82 @@ def chunk_dedup(
     )
 
 
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Maximal duplicated token spans — substring-level dedup in the
+    style of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"), re-expressed relationally.  The paper's
+    suffix array is pointer-chasing over one global array — the wrong
+    shape for a cluster; positional k-gram hashing finds the same
+    duplicated regions for any duplicate ≥ ``k`` tokens, and every
+    stage is a DataFrame op in whole-stage codegen.
+
+    Unlike :func:`chunk_dedup` (fixed, alignment-sensitive chunks),
+    spans are MAXIMAL runs at token granularity: a duplicated passage
+    is reported once with its exact boundaries, wherever it starts.
+
+    Pipeline, with the 100 TB shape of each stage:
+
+    1. positional shingles ``(id, pos, hash)`` — posexplode + lead,
+       one window per doc; the 60-bit md5 hash is what shuffles, never
+       shingle text;
+    2. corpus-duplicated hashes: groupBy(hash) with map-side partials,
+       keep ``count >= min_occurrences`` (intra-doc repeats count —
+       a self-repeating doc is still duplication);
+    3. equi-join the (small) duplicated-hash set back onto positions;
+    4. gaps-and-islands per doc: coverage intervals ``[pos, pos+k-1]``
+       merge while consecutive duplicated positions are ≤ ``k`` apart
+       (overlapping or touching coverage) — lag + running sum, one
+       window shuffle on the doc id.
+
+    Returns one row per maximal span:
+    ``(id, span_start, span_end, span_tokens)`` — inclusive
+    token-index boundaries.
+    """
+    tok = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("__pos", "__tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    parts = [F.col("__tok")] + [F.lead("__tok", j).over(w) for j in range(1, k)]
+    sh = tok.select(
+        F.col(id_col),
+        F.col("__pos"),
+        md5_hash64(F.concat_ws(" ", *parts)).alias("__h"),
+        parts[-1].isNotNull().alias("__ok"),
+    ).where(F.col("__ok"))
+    dup = (
+        sh.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") >= min_occurrences)
+        .select("__h")
+    )
+    hits = sh.join(dup, "__h").select(id_col, "__pos")
+    w2 = Window.partitionBy(id_col).orderBy("__pos")
+    islands = hits.withColumn(
+        "__new",
+        F.when(F.col("__pos") - F.lag("__pos").over(w2) <= k, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    ).withColumn(
+        "__isl",
+        F.sum("__new").over(w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return (
+        islands.groupBy(id_col, "__isl")
+        .agg(
+            F.min("__pos").cast("bigint").alias("span_start"),
+            (F.max("__pos") + k - 1).cast("bigint").alias("span_end"),
+        )
+        .withColumn("span_tokens", F.col("span_end") - F.col("span_start") + 1)
+        .drop("__isl")
+    )
+
+
 def incremental_dedup(
     new_df: DataFrame,
     seen_df: DataFrame,

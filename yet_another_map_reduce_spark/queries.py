@@ -858,6 +858,25 @@ def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.chunk_dedup(d, "text", "doc_id", chunk_tokens=10)
 
 
+def q_dedup_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup (Lee et al. 2022): maximal duplicated
+    token spans via positional 8-gram hashing, summarized per document
+    (span count, duplicated-token total, longest span).  The oracle
+    replays shingling, corpus-duplicate detection, and the
+    gaps-and-islands span merge in ANSI SQL."""
+    d = read_table(spark, sf_dir, "documents")
+    spans = dedup.duplicated_spans(d, "text", "doc_id", k=8)
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.sum("span_tokens").cast("bigint").alias("dup_tokens"),
+            F.max("span_tokens").cast("bigint").alias("max_span"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     return text.text_stats(d, "text", "doc_id")
@@ -4153,6 +4172,39 @@ ORACLES: dict[str, str] = {
                    AS kept_frac
         FROM rk GROUP BY doc_id
     """,
+    "dedup_duplicated_spans": f"""
+        WITH toks AS (
+            SELECT doc_id, string_split({_TEXT_NORM}, ' ') AS t FROM documents),
+        g0 AS (
+            SELECT doc_id,
+                   list_transform(generate_series(1, len(t) - 7),
+                                  i -> {_sql_hash64("array_to_string(t[i:i+7], ' ')")})
+                       AS hs
+            FROM toks),
+        g AS (
+            SELECT doc_id, generate_subscripts(hs, 1) - 1 AS pos, unnest(hs) AS h
+            FROM g0),
+        dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+        hits AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (h)),
+        isl AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+                        THEN 0 ELSE 1 END AS new_isl
+            FROM hits),
+        isl2 AS (
+            SELECT doc_id, pos,
+                   sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos
+                                      ROWS UNBOUNDED PRECEDING) AS island
+            FROM isl),
+        spans AS (
+            SELECT doc_id, island, min(pos) AS s, max(pos) + 7 AS e
+            FROM isl2 GROUP BY doc_id, island)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
+               CAST(max(e - s + 1) AS BIGINT) AS max_span
+        FROM spans GROUP BY doc_id ORDER BY doc_id
+    """,
     "text_bigram_lm": f"""
         WITH toks AS (
             SELECT doc_id, string_split({_TEXT_NORM}, ' ') AS t FROM documents),
@@ -6228,6 +6280,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_sliding": q_window_sliding,
     "dedup_exact": q_dedup_exact,
     "dedup_chunks": q_dedup_chunks,
+    "dedup_duplicated_spans": q_dedup_duplicated_spans,
     "lateral_join": q_lateral_join,
     "agg_statistical": q_agg_statistical,
     "unpivot_metrics": q_unpivot_metrics,
