@@ -236,6 +236,25 @@ def test_pagerank_non_broadcast_path(spark, sf_dir):
     assert got == want, "fixpoint must be identical with and without broadcast"
 
 
+def test_duplicated_spans_shuffles_hashes_not_shingle_text(spark, sf_dir):
+    """Substring dedup's scale contract: every exchange carries the
+    60-bit shingle hash or the doc id — the assembled shingle string
+    (concat_ws over the token window) must be projected away BEFORE any
+    shuffle, so 100 TB of text never crosses the network."""
+    from yet_another_map_reduce_spark.operators import dedup
+
+    d = read_table(spark, sf_dir, "documents")
+    df = dedup.duplicated_spans(d, "text", "doc_id", k=8)
+    plan = plans.formatted_plan(df)
+    import re
+
+    for args in re.findall(r"^\(\d+\) Exchange\n.*\nArguments: (.*)$", plan, flags=re.MULTILINE):
+        assert "concat_ws" not in args and "__tok" not in args, args
+    # the only hash-partitioned exchanges key on the hash or the doc id
+    keys = re.findall(r"hashpartitioning\((\w+)", plan)
+    assert keys and set(keys) <= {"__h", "doc_id"}, keys
+
+
 def test_lateral_join_decorrelates_to_window_group_limit(spark, sf_dir):
     """The correlated LATERAL ORDER BY/LIMIT must decorrelate into a
     ranked window join with the WindowGroupLimit top-k pushdown — NOT a
