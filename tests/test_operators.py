@@ -736,6 +736,54 @@ def test_chunk_dedup_chunk_order_preserved_within_doc(spark):
     assert out[2] == "p q r s"
 
 
+def test_global_ranked_equals_unpartitioned_window(spark):
+    """global_ranked (range-partitioned two-phase rank) must reproduce
+    row_number over an unpartitioned window EXACTLY — it exists so the
+    single-task global window never runs on corpus-sized relations."""
+    from pyspark.sql import Window
+
+    from yet_another_map_reduce_spark.operators import sorts
+
+    rows = [(i, float((i * 37) % 19)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, v double").repartition(13)
+    order = [F.col("v").desc(), F.col("id").asc()]
+    got = {
+        r["id"]: r["rank"]
+        for r in sorts.global_ranked(df, order, "rank").collect()
+    }
+    want = {
+        r["id"]: r["rank"]
+        for r in df.withColumn(
+            "rank", F.row_number().over(Window.orderBy(*order))
+        ).collect()
+    }
+    assert got == want
+
+
+def test_histogram_equidepth_ntile_formula_matches_builtin(spark):
+    """The rank-based ntile distribution used by histogram_equidepth
+    must match F.ntile for uneven n (SQL standard: first n%B buckets
+    get one extra row)."""
+    from pyspark.sql import Window
+
+    for n in (7, 23, 101):
+        df = spark.createDataFrame([(i,) for i in range(n)], "k long")
+        w = Window.orderBy("k")
+        want = [r["b"] for r in df.select(F.ntile(10).over(w).alias("b")).collect()]
+        nn = F.lit(n)
+        q, r = F.floor(nn / 10), nn % 10
+        big = r * (q + 1)
+        rank = F.col("k") + 1
+        bucket = F.when(rank <= big, F.ceil(rank / (q + 1))).otherwise(
+            r + F.ceil((rank - big) / q)
+        )
+        got = [
+            row["b"]
+            for row in df.orderBy("k").select(bucket.cast("int").alias("b")).collect()
+        ]
+        assert got == want, n
+
+
 def test_duplicated_spans_maximal_boundaries(spark):
     # docs 1 and 2 share a 10-token passage; with k=4 the span must be
     # reported MAXIMALLY (one row covering all 10 tokens), at each doc's

@@ -632,13 +632,30 @@ def bigram_lm_score(
             ),
         )
     )
+    # materialized: the 3-column per-doc summary feeds both the rank
+    # branch and the per-partition counts inside global_ranked — without
+    # the cache each branch re-runs the scoring join tree from docbig
     doc = term.groupBy(id_col).agg(
         F.sum("__m").cast("bigint").alias("n_bigrams"),
         F.round(F.sum("__lp") / F.sum("__m"), 6).alias("avg_logprob"),
+    ).cache()
+    # percent_rank over ALL docs — but NOT via an unpartitioned window
+    # (single-task at scale; Spark's WindowExec warns at runtime).
+    # global_ranked range-partitions the per-doc summary; with the
+    # unique id tiebreaker rank == row_number == percent_rank's RANK,
+    # so pr = (rank-1)/(n-1) reproduces percent_rank() bit-for-bit.
+    from yet_another_map_reduce_spark.operators.sorts import global_ranked
+
+    ranked = global_ranked(
+        doc,
+        [F.col("avg_logprob").desc(), F.col(id_col).asc()],
+        "__r",
+        total_col="__n",
     )
-    wrank = Window.orderBy(F.col("avg_logprob").desc(), F.col(id_col).asc())
-    pr = F.percent_rank().over(wrank)
-    return doc.select(
+    pr = F.when(
+        F.col("__n") > 1, (F.col("__r") - 1) / (F.col("__n") - 1)
+    ).otherwise(F.lit(0.0))
+    return ranked.select(
         F.col(id_col),
         "n_bigrams",
         "avg_logprob",
@@ -852,11 +869,13 @@ def bm25_search(
         .groupBy(id_col)
         .agg(F.round(F.sum(term_score), 6).alias("score"))
     )
+    # top-k FIRST via distributed TakeOrdered (per-partition heaps,
+    # driver merges k·P rows), THEN rank the k survivors — the previous
+    # global row_number-then-filter pulled every scored doc through one
+    # unpartitioned window task before discarding all but `top`.
+    kept = scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(top)
     w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("qrank", F.row_number().over(w).cast("bigint"))
-        .where(F.col("qrank") <= top)
-    )
+    return kept.withColumn("qrank", F.row_number().over(w).cast("bigint"))
 
 
 # ---------------------------------------------------------------------------

@@ -1299,10 +1299,26 @@ def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts — the partition-boundary analysis behind range-partitioned
     writes."""
     o = read_table(spark, sf_dir, "orders")
-    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    # exact ntile WITHOUT the unpartitioned global window (single task
+    # over every order at scale): global rank via range partitioning,
+    # then the SQL-standard ntile distribution — with n rows and B
+    # buckets, q = n div B and r = n mod B, buckets 1..r get q+1 rows:
+    #   bucket(rank) = ceil(rank/(q+1))              if rank <= r*(q+1)
+    #                  r + ceil((rank - r*(q+1))/q)  otherwise
+    ranked = sorts.global_ranked(
+        o.select("o_orderkey", "o_totalprice"),
+        [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()],
+        "__rank",
+        total_col="__n",
+    )
+    q = F.floor(F.col("__n") / 10)
+    r = F.col("__n") % 10
+    big = r * (q + 1)
+    bucket = F.when(
+        F.col("__rank") <= big, F.ceil(F.col("__rank") / (q + 1))
+    ).otherwise(r + F.ceil((F.col("__rank") - big) / q))
     return (
-        o.select("o_orderkey", "o_totalprice")
-        .withColumn("bucket", F.ntile(10).over(w).cast("bigint"))
+        ranked.withColumn("bucket", bucket.cast("bigint"))
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
