@@ -54,10 +54,17 @@ def global_ranked(
 
     1. ``repartitionByRange`` on the order columns — ascending
        partition ids follow the requested order, so partition p holds
-       exactly the rows ranked after every row of partitions < p;
-    2. ``row_number`` within each range partition (parallel windows);
-    3. per-partition row counts (one tiny row per partition) turn into
-       cumulative offsets; ``rank = local_rank + offset[pid]``.
+       exactly the rows ranked after every row of partitions < p —
+       then ``sortWithinPartitions`` (local sort, no exchange);
+    2. ``monotonically_increasing_id`` over the sorted partitions:
+       within a partition it increments by one per physical row, so
+       ``mid - min(mid within partition)`` IS the 0-based local rank —
+       no window, no second shuffle (``Window.partitionBy(pid)`` would
+       re-shuffle the whole relation by pid on top of the range
+       exchange);
+    3. per-partition (count, min mid) — one tiny row per partition —
+       turn into cumulative offsets;
+       ``rank = (mid - min_mid) + 1 + offset[pid]``.
 
     The offsets relation is partition-count-sized (dozens-to-thousands
     of rows at any scale — a cluster-config bound, not a data bound),
@@ -76,24 +83,30 @@ def global_ranked(
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    sdf = df.repartitionByRange(*order_cols).withColumn(
-        "__pid", F.spark_partition_id()
+    local = (
+        df.repartitionByRange(*order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__mid", F.monotonically_increasing_id())
     )
-    wloc = Window.partitionBy("__pid").orderBy(*order_cols)
-    local = sdf.withColumn("__lr", F.row_number().over(wloc))
-    # counts come from the pre-window relation so the offsets branch
-    # reuses the range exchange without re-running the rank window
-    sizes = sdf.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    sizes = local.groupBy("__pid").agg(
+        F.count(F.lit(1)).alias("__cnt"), F.min("__mid").alias("__mid0")
+    )
     # #partitions rows only: the unpartitioned window here is bounded
     # by cluster width, never by data volume
     woff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offs = sizes.select(
-        "__pid", F.coalesce(F.sum("__cnt").over(woff), F.lit(0)).alias("__off")
+        "__pid",
+        "__mid0",
+        F.coalesce(F.sum("__cnt").over(woff), F.lit(0)).alias("__off"),
     )
     out = (
         local.join(F.broadcast(offs), "__pid")
-        .withColumn(rank_col, (F.col("__lr") + F.col("__off")).cast("bigint"))
-        .drop("__pid", "__lr", "__off")
+        .withColumn(
+            rank_col,
+            (F.col("__mid") - F.col("__mid0") + 1 + F.col("__off")).cast("bigint"),
+        )
+        .drop("__pid", "__mid", "__mid0", "__off")
     )
     if total_col is not None:
         total = sizes.groupBy().agg(
