@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import tracked_cache
+
 
 def pagerank(
     edges: DataFrame,
@@ -74,16 +76,16 @@ def pagerank(
     # hash-partition once on the key every iteration reuses: the
     # groupBy(dst) under broadcast joins (which preserve partitioning),
     # or the rank-join probe key src in non-broadcast mode
-    edges = edges.repartition("dst" if broadcast_ranks else "src").cache()
+    edges = edges.repartition("dst" if broadcast_ranks else "src").transform(tracked_cache)
     # deg and nodes are static across iterations AND appear in every
     # iteration's lineage — materialize both or each re-nests per
     # iteration (the 1-shuffle distinct would re-plan 3x per round)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg")).cache()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg")).transform(tracked_cache)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .cache()
+        .transform(tracked_cache)
     )
     maybe_bc = F.broadcast if broadcast_ranks else (lambda df: df)
     ranks = nodes.withColumn("rank", F.lit(1.0))

@@ -136,36 +136,80 @@ def ivf_centroids(corpus: DataFrame, id_col: str, vec_col: str, nlist: int) -> D
 def _nearest_centroids(
     df: DataFrame, id_out: str, vec_col: str, cent: DataFrame, nprobe: int
 ) -> DataFrame:
-    """Per row: the ``nprobe`` nearest centroids by cosine (broadcast
-    scan of the tiny centroid set; no corpus shuffle)."""
-    from yet_another_map_reduce_spark.functions import dot, norm
+    """Per row: the ``nprobe`` nearest centroids by cosine — MAP-ONLY.
+
+    The centroid set is model parameters (``nlist x dim`` doubles,
+    KB-scale): it is collected once and shipped in the task closure, so
+    the per-row argmax/top-nprobe is one Arrow-batched numpy matmul per
+    input batch — zero corpus shuffle, and per-row cost that stays flat
+    as corpus-aware nlist grows (BLAS, not an interpreted fold per
+    centroid).  The previous construction cross-joined the corpus
+    against the centroids and window-ranked the n x nlist blowup: with
+    nlist ~ sqrt(n) that exchange carries ``O(n^1.5)`` array-payload
+    rows — ~32 GB at the 100x replica — for what is arithmetically a
+    per-row reduction.
+
+    The cosine is quantized to 9 digits BEFORE ranking and ties go to
+    the LOWER centroid id — exactly what the DuckDB oracles replay.
+    The 9-digit rounding is what makes a numpy matmul admissible here:
+    BLAS accumulation order differs from a sequential fold only in the
+    last ulp (~1e-16 relative), so both engines land on the same
+    9-digit value except on exact decimal-half boundaries, which binary
+    doubles cannot produce at digit 10.  NULL-cosine rows (zero-norm
+    vector or centroid) rank last, matching ``cos DESC NULLS LAST``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = cent.select("centroid_id", "__centv").collect()
+    cids = np.array([int(r["centroid_id"]) for r in rows], dtype=np.int64)
+    C = np.stack(
+        [np.asarray(r["__centv"], dtype=np.float64) for r in rows]
+    )
+    order = np.argsort(cids)  # cid-ascending so argmax/stable-sort
+    cids, C = cids[order], C[order]  # ties resolve to the LOWER cid
+    cn = np.sqrt(np.einsum("ij,ij->i", C, C))
+    cn[cn == 0.0] = np.nan
 
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    scored = (
-        df.select(F.col(id_out).alias("__rid"), v.alias("__v"))
-        .crossJoin(F.broadcast(cent))
-        .withColumn(
-            # quantize BEFORE ranking (then tie-break on centroid_id) so
-            # the chosen cell is stable under last-ulp summation-order
-            # differences — the property that lets an external engine
-            # replay the assignment exactly
-            "__cos",
-            F.round(
-                F.try_divide(
-                    dot(F.col("__v"), F.col("__centv")),
-                    norm(F.col("__v")) * norm(F.col("__centv")),
-                ),
-                9,
-            ),
-        )
-    )
-    w = Window.partitionBy("__rid").orderBy(
-        F.col("__cos").desc(), F.col("centroid_id").asc()
-    )
-    return (
-        scored.withColumn("__crank", F.row_number().over(w))
-        .where(F.col("__crank") <= nprobe)
-        .select("__rid", "__v", "centroid_id")
+    base = df.select(F.col(id_out).alias("__rid"), v.alias("__v"))
+
+    def _probe(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in pdf["__v"]]
+            )
+            vn = np.sqrt(np.einsum("ij,ij->i", V, V))
+            vn[vn == 0.0] = np.nan
+            with np.errstate(invalid="ignore"):
+                S = np.round((V @ C.T) / np.outer(vn, cn), 9)
+            S = np.where(np.isnan(S), -np.inf, S)  # NULLS LAST
+            if nprobe == 1:
+                best = S.argmax(axis=1)  # first max = lower cid
+                yield pd.DataFrame(
+                    {
+                        "__rid": pdf["__rid"].to_numpy(),
+                        "__v": pdf["__v"].to_numpy(),
+                        "centroid_id": cids[best],
+                    }
+                )
+            else:
+                k = min(nprobe, S.shape[1])
+                top = np.argsort(-S, axis=1, kind="stable")[:, :k]
+                idx = np.repeat(np.arange(len(pdf)), k)
+                yield pd.DataFrame(
+                    {
+                        "__rid": pdf["__rid"].to_numpy()[idx],
+                        "__v": pdf["__v"].to_numpy()[idx],
+                        "centroid_id": cids[top.ravel()],
+                    }
+                )
+
+    rid_t = base.schema["__rid"].dataType.simpleString()
+    return base.mapInPandas(
+        _probe, f"__rid {rid_t}, __v array<double>, centroid_id long"
     )
 
 
@@ -302,8 +346,6 @@ def train_ivf_centroids(
     ``centroids`` parameter, with ``centroid_id`` densely renumbered
     ``0..nlist-1``.
     """
-    import math
-
     cv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     seeds = (
         corpus.orderBy(F.col(id_col).asc())
@@ -314,37 +356,44 @@ def train_ivf_centroids(
     cents: list[list[float]] = [list(r["v"]) for r in seeds]
     vecs = corpus.select(cv.alias("__v"))
 
-    def assign_expr(cents: list[list[float]]):
+    def assign_in_pandas(cents: list[list[float]]):
         # argmax_i dot(v, c_i / |c_i|): norm(v) is a positive common
         # factor, so unit-normalizing centroids driver-side makes the
-        # cosine argmax a plain dot-product argmax — one literal-array
-        # dot per centroid, all inside codegen
-        cands = []
-        for i, c in enumerate(cents):
-            n = math.sqrt(sum(x * x for x in c)) or 1.0
-            unit = [x / n for x in c]
-            d = F.aggregate(
-                F.zip_with(
-                    F.col("__v"),
-                    F.array(*[F.lit(x) for x in unit]),
-                    lambda a, b: a * b,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            cands.append(
-                F.struct(F.round(d, round_digits).alias("d"), F.lit(-i).alias("ni"))
-            )
-        # struct ordering: best dot first, then -i → ties go to the
-        # LOWER centroid id (array_max keeps field names; greatest
-        # would rename them col1/col2)
-        return -F.array_max(F.array(*cands))["ni"]
+        # cosine argmax a plain dot-product argmax — ONE numpy matmul
+        # per Arrow batch against the KB-scale unit-centroid matrix
+        # (task-closure model shipping, map-only, no corpus shuffle).
+        # round_digits quantization before the argmax is what lets the
+        # oracle replay it despite accumulation-order differences;
+        # np.argmax takes the FIRST max, i.e. ties to the lower cid.
+        import numpy as np
+        import pandas as pd
+
+        U = np.stack([np.asarray(c, dtype=np.float64) for c in cents])
+        un = np.sqrt(np.einsum("ij,ij->i", U, U))
+        un[un == 0.0] = 1.0
+        U = U / un[:, None]
+
+        def _assign(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.stack(
+                    [np.asarray(x, dtype=np.float64) for x in pdf["__v"]]
+                )
+                S = np.round(V @ U.T, round_digits)
+                yield pd.DataFrame(
+                    {
+                        "__cid": S.argmax(axis=1).astype(np.int64),
+                        "__v": pdf["__v"].to_numpy(),
+                    }
+                )
+
+        return _assign
 
     for _ in range(iterations):
-        # assignment in its own projection: putting the struct-argmax
-        # expression in the same select as a generator (posexplode)
-        # trips Spark's generate rewrite into renaming struct fields
-        assigned = vecs.select(assign_expr(cents).alias("__cid"), "__v")
+        assigned = vecs.mapInPandas(
+            assign_in_pandas(cents), "__cid long, __v array<double>"
+        )
         member_means = (
             assigned.select("__cid", F.posexplode("__v"))
             .groupBy("__cid", "pos")

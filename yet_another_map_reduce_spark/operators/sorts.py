@@ -83,6 +83,20 @@ def global_ranked(
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    # Contracts this construction pins (deliberately NOT a corpus-sized
+    # .cache(), which would be its own scale bug at 100 TB):
+    #  * monotonically_increasing_id's documented layout — "partition ID
+    #    in the upper 31 bits, record number within each partition in
+    #    the lower 33 bits" (pyspark.sql.functions docstring) — i.e. ids
+    #    are CONSECUTIVE within a partition, so mid - min(mid per
+    #    partition) is the 0-based local rank;
+    #  * `local` is consumed by two jobs (sizes agg, final join) but
+    #    evaluates identically in both: the range exchange is planned
+    #    once and reused (ReusedExchange, pinned by test_plans), and
+    #    even on recompute RangePartitioner's boundary sampling is
+    #    seeded from the RDD id (deterministic), the sort is total by
+    #    the order-cols contract, and the id assignment is a pure
+    #    function of partition layout.
     local = (
         df.repartitionByRange(*order_cols)
         .sortWithinPartitions(*order_cols)

@@ -14,6 +14,8 @@ from pyspark.sql import functions as F
 
 from yet_another_map_reduce_spark.functions import normalize_text, tokens
 
+from ..caching import tracked_cache
+
 #: tiny per-language stopword marker sets for the n-gram/stopword
 #: language heuristic.  Deliberately small + deterministic: language ID
 #: at pipeline scale is a scoring heuristic, not a model.
@@ -359,7 +361,7 @@ def tfidf_top_terms(
     # materialized: tf feeds both the df re-aggregation and the scoring
     # join — without the cache the corpus is re-scanned + re-exploded
     # per branch (r6 scan audit: 3 FileScans)
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).cache()
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).transform(tracked_cache)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
@@ -614,7 +616,7 @@ def bigram_lm_score(
     # is read twice total: once into this aggregate, once for V.
     docbig = big.groupBy(id_col, "prev", "cur").agg(
         F.count(F.lit(1)).alias("__m")
-    ).cache()
+    ).transform(tracked_cache)
     bc = docbig.groupBy("prev", "cur").agg(F.sum("__m").alias("__cb"))
     pc = bc.groupBy("prev").agg(F.sum("__cb").alias("__cp"))
     vdf = tok.agg(F.countDistinct("__tok").alias("__V"))
@@ -638,7 +640,7 @@ def bigram_lm_score(
     doc = term.groupBy(id_col).agg(
         F.sum("__m").cast("bigint").alias("n_bigrams"),
         F.round(F.sum("__lp") / F.sum("__m"), 6).alias("avg_logprob"),
-    ).cache()
+    ).transform(tracked_cache)
     # percent_rank over ALL docs — but NOT via an unpartitioned window
     # (single-task at scale; Spark's WindowExec warns at runtime).
     # global_ranked range-partitions the per-doc summary; with the
@@ -746,7 +748,7 @@ def pmi_cooccurrence(
     doctok = (
         df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
         .distinct()
-        .cache()
+        .transform(tracked_cache)
     )
     cnt = doctok.groupBy("token").agg(
         F.count(F.lit(1)).cast("bigint").alias("__c")
@@ -845,12 +847,12 @@ def bm25_search(
     # aggregates caps the corpus reads at the honest two (full-length
     # pass + query-term-filtered pass); without them the r6 scan audit
     # measured 4 FileScans
-    lens = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("len_d")).cache()
+    lens = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("len_d")).transform(tracked_cache)
     stats = lens.agg(
         F.sum("len_d").alias("__lsum"), F.count(F.lit(1)).alias("__N")
     )
     hits = tok.where(F.col("term").isin(*query_terms))
-    tf = hits.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")).cache()
+    tf = hits.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")).transform(tracked_cache)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
     avgdl = F.col("__lsum") / F.col("__N")

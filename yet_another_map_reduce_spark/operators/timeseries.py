@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..caching import tracked_cache
+
 
 def resample_ohlc(
     df: DataFrame,
@@ -263,7 +265,7 @@ def funnel(
     """
     ev = df.where(F.col(type_col).isin(list(steps))).select(
         user_col, ts_col, type_col
-    ).cache()
+    ).transform(tracked_cache)
     out = (
         ev.where(F.col(type_col) == steps[0])
         .groupBy(user_col)

@@ -41,6 +41,7 @@ from yet_another_map_reduce_spark.operators import (
     windows,
 )
 from yet_another_map_reduce_spark.sources.readers import read_table
+from yet_another_map_reduce_spark.caching import tracked_cache
 from yet_another_map_reduce_spark.streaming.windows import (
     session_windowed,
     sliding_windowed,
@@ -1039,13 +1040,17 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     family, beside the token-space (minhash/simhash) and byte-space
     (exact) tiers.  Hash-verified end to end: the oracle replays the
     2-iteration Lloyd's training as chained CTEs, the 9-rounded
-    assignment argmax, and the 6-rounded pairwise prune."""
+    assignment argmax, and the 6-rounded pairwise prune.
+
+    nlist is NOT a constant: ``dedup.sized_nlist`` derives it from the
+    corpus count (``ceil(sqrt(n / 8))`` — 8 at the 500-vector sf0.01
+    oracle scale, 16 at sf0.1, 50 at the 10x replica, 159 at 100x), so
+    the within-cluster pair scan stays ``O(n^1.5)`` total instead of
+    quadratic at a frozen demo nlist.  The oracle replays the SAME
+    sizing via a count()-driven LIMIT on the seed CTE."""
     emb = read_table(spark, sf_dir, "embeddings")
-    cent = similarity.train_ivf_centroids(
-        emb, "vec_id", "embedding", nlist=8, iterations=2
-    )
     return dedup.semantic_dedup(
-        emb, "vec_id", "embedding", cent, threshold=0.3
+        emb, "vec_id", "embedding", threshold=0.3, target_cluster_size=8
     ).orderBy("vec_id")
 
 
@@ -1079,7 +1084,17 @@ _BPE_MERGES_CACHE: dict = {}
 def _bpe_merges(
     docs: DataFrame, sf_dir: str, num_merges: int = 16, max_vocab: int = 4096
 ) -> list:
-    key = (sf_dir, num_merges, max_vocab)
+    import os
+
+    # corpus fingerprint (mtime+size), the same staleness guard the
+    # persisted IVF-PQ index uses: regenerated testdata at the same
+    # path retrains instead of silently reusing stale merges
+    try:
+        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+        fp = f"{st.st_mtime_ns:x}_{st.st_size:x}"
+    except OSError:
+        fp = "nofp"
+    key = (sf_dir, fp, num_merges, max_vocab)
     if key not in _BPE_MERGES_CACHE:
         _BPE_MERGES_CACHE[key] = text.bpe_learn(
             docs, "text", num_merges=num_merges, max_vocab_words=max_vocab
@@ -1338,7 +1353,7 @@ def q_pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     certifies the composition, not a fourth re-derivation.  The corpus
     is cached: three stage operators (each with internal branches)
     otherwise re-scan it eight times (r6 scan audit)."""
-    d = read_table(spark, sf_dir, "documents").cache()
+    d = read_table(spark, sf_dir, "documents").transform(tracked_cache)
     chunks = dedup.chunk_dedup(d, "text", "doc_id", chunk_tokens=10).select(
         "doc_id", "kept_frac"
     )
@@ -1374,7 +1389,7 @@ def q_pipeline_corpus_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc id (AQE broadcasts the small aggregates); the corpus is cached
     so the three stage operators share one real read (r6 scan audit:
     five FileScans without it)."""
-    d = read_table(spark, sf_dir, "documents").cache()
+    d = read_table(spark, sf_dir, "documents").transform(tracked_cache)
     holdout = d.where(F.col("doc_id") % 10 == 0)
     train = d.where(F.col("doc_id") % 10 != 0)
     dec = text.decontaminate(train, holdout, n=4, threshold=0.01)
@@ -2390,7 +2405,7 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_table(spark, sf_dir, "events")
         .where(F.col("event_type").isin("view", "click", "purchase"))
         .select("user_id", "ts", "event_type")
-        .cache()
+        .transform(tracked_cache)
     )
     t1 = (
         e.where(F.col("event_type") == "view")
@@ -5940,7 +5955,7 @@ ORACLES["ann_ivfpq_topk"] = f"""
 ORACLES["ann_ivfpq_persisted"] = ORACLES["ann_ivfpq_topk"]
 
 
-def _kmeans_train_cte(nlist: int, iterations: int) -> str:
+def _kmeans_train_cte(nlist: int | str, iterations: int) -> str:
     """Chained-CTE replay of ``similarity.train_ivf_centroids``: seed
     with the ``nlist`` lowest-id vectors (dense cids), then per
     iteration unit-normalize, assign every vector by 6-rounded dot
@@ -5948,7 +5963,11 @@ def _kmeans_train_cte(nlist: int, iterations: int) -> str:
     cells keep the prior centroid).  The training loop rounds every
     fixpoint to 6 decimals precisely so an external engine can replay
     it bit-for-bit despite float accumulation-order differences.
-    Emits CTEs ``comps`` / ``cent0..cent{iterations}``."""
+    Emits CTEs ``comps`` / ``cent0..cent{iterations}``.
+
+    ``nlist`` may be an int literal or an SQL scalar expression string
+    (e.g. ``(SELECT nl FROM nl)``) — the latter lets an oracle replay
+    corpus-aware sizing (dedup.sized_nlist) from its own count()."""
     parts = [
         """comps AS (
             SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
@@ -6085,7 +6104,11 @@ ORACLES["ann_ivf_trained"] = f"""
 
 
 ORACLES["dedup_semantic"] = f"""
-    WITH {_kmeans_train_cte(8, 2)},
+    WITH nl AS (
+        SELECT CAST(ceil(sqrt(count(*) / 8.0)) AS BIGINT) AS nl
+        FROM embeddings
+    ),
+    {_kmeans_train_cte("(SELECT nl FROM nl)", 2)},
     centlist AS (
         SELECT cid, list(val ORDER BY dim) AS centv FROM cent2 GROUP BY cid
     ),

@@ -761,7 +761,17 @@ def delete_where(spark, path: str, name: str, predicate: str) -> dict:
     # isolation as YamrWriter
 
     def _write_chunk(pid: int, rows):
-        fname = f"{name}_part-g{generation:05d}-{token}-{pid:05d}.txt"
+        from pyspark import TaskContext
+
+        # attempt number in the name, mirroring YamrWriter.write: a
+        # retried/speculative attempt writes its OWN file instead of
+        # colliding (mode='x') with its failed predecessor's partial
+        # chunk; unreferenced loser chunks are vacuum-collectable
+        tc = TaskContext.get()
+        att = tc.attemptNumber() if tc is not None else 0
+        fname = (
+            f"{name}_part-g{generation:05d}-{token}-{pid:05d}-a{att}.txt"
+        )
         full = os.path.join(path, fname)
         wrote = 0
         vmin = vmax = None
