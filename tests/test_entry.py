@@ -56,3 +56,22 @@ def test_ordered_queries_policy(tmp_path):
     assert ordered.index(names[4]) < ordered.index(names[0])
     # and the registry itself was not mutated by the call
     assert list(QUERIES) == names
+
+
+def test_doc_counts_match_registry():
+    """README/COVERAGE registry counts are generated, never typed
+    (scripts/update_doc_counts.py); this closes the loop so a registry
+    change without a doc regen fails CI instead of rotting."""
+    import pathlib
+    import re
+
+    from yet_another_map_reduce_spark.queries import QUERIES
+
+    n = len(QUERIES)
+    root = pathlib.Path(__file__).resolve().parent.parent
+    for rel in ("README.md", "COVERAGE.md"):
+        text = (root / rel).read_text()
+        for m in re.finditer(r"\b(\d+) named queries\b", text):
+            assert int(m.group(1)) == n, f"{rel}: stale count {m.group(0)}"
+        for m in re.finditer(r"\bALL (\d+)\b", text):
+            assert int(m.group(1)) == n, f"{rel}: stale count {m.group(0)}"

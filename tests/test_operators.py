@@ -1096,6 +1096,54 @@ def test_bpe_tokens_expression_matches_python_apply(spark):
     assert "".join(got[1]) == "themergermergedmergers"
 
 
+def test_bpe_arrow_tier_matches_codegen_on_trained_table(spark):
+    # the twin pattern (df_wordcount/rdd_wordcount): both apply tiers
+    # over the same trained merge table must produce identical token
+    # arrays — this is what licenses the Arrow min-rank encoder as the
+    # scale path for merge tables past the codegen ceiling
+    from yet_another_map_reduce_spark.operators import text
+
+    docs = [
+        (1, "the merger merged mergers merge"),
+        (2, "merge other theory there then them"),
+        (3, "Mixed CASE and, punctuation! the theme"),
+        (4, None),
+        (5, "zzz 123 !!!"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    wc = {}
+    import re as _re
+
+    for _, t in docs:
+        for w in _re.findall("[a-z]+", (t or "").lower()):
+            wc[w] = wc.get(w, 0) + 1
+    word_counts = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))
+    merges = text.bpe_train_merges(word_counts, 20)
+    assert len(merges) > 4
+    out = df.select(
+        "doc_id",
+        text.bpe_tokens("text", merges).alias("cg"),
+        text.bpe_tokens_arrow(merges)(F.col("text")).alias("ar"),
+    ).collect()
+    for r in out:
+        assert r["cg"] == r["ar"], (r["doc_id"], r["cg"], r["ar"])
+
+
+def test_bpe_dispatch_gates_on_merge_count(spark):
+    import pytest
+
+    from yet_another_map_reduce_spark.operators import text
+
+    big = [(f"s{i}", f"t{i}") for i in range(text.BPE_CODEGEN_MAX_MERGES + 1)]
+    with pytest.raises(ValueError):
+        text.bpe_tokens("text", big)
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    # dispatch must still evaluate (arrow tier) for an oversized table
+    assert df.select(
+        text.bpe_tokens_dispatch("text", big).alias("t")
+    ).first()["t"] == ["a", "b", "c"]
+
+
 def test_semantic_dedup_drops_higher_id_near_dups_within_cluster(spark):
     from yet_another_map_reduce_spark.operators import dedup, similarity
 

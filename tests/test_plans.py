@@ -383,3 +383,31 @@ def test_persisted_ivfpq_interrupted_rebuild_never_visible(spark, sf_dir, tmp_pa
     with open(os.path.join(index_dir, "CURRENT"), encoding="utf-8") as fh:
         assert fh.read().strip() == os.path.basename(recommitted)
     assert results() == baseline
+
+
+def test_adaptive_rank_gates_on_input_size(spark, sf_dir):
+    """global_ranked_adaptive: single-task window below the threshold
+    (no range exchange stage), the distributed two-phase rank above it
+    (range exchange present, no corpus-sized unpartitioned window)."""
+    from yet_another_map_reduce_spark.operators import sorts
+
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    order = [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()]
+
+    small = sorts.global_ranked_adaptive(
+        o, order, "rank", total_col="n", single_task_threshold=10**12
+    )
+    p_small = small._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in p_small.lower()
+    assert "window" in p_small.lower()
+
+    big = sorts.global_ranked_adaptive(
+        o, order, "rank", total_col="n", single_task_threshold=1
+    )
+    p_big = big._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in p_big.lower()
+
+    # and identical results either way (the dispatch is plan-only)
+    a = sorted(map(tuple, small.collect()))
+    b = sorted(map(tuple, big.collect()))
+    assert a == b

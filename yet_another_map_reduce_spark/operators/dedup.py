@@ -699,14 +699,22 @@ def duplicated_spans(
     1. positional shingles ``(id, pos, hash)`` — posexplode + lead,
        one window per doc; the 60-bit md5 hash is what shuffles, never
        shingle text;
-    2. corpus-duplicated hashes: groupBy(hash) with map-side partials,
-       keep ``count >= min_occurrences`` (intra-doc repeats count —
-       a self-repeating doc is still duplication);
-    3. equi-join the (small) duplicated-hash set back onto positions;
-    4. gaps-and-islands per doc: coverage intervals ``[pos, pos+k-1]``
+    2. corpus-duplicated positions: ONE exchange by hash + a window
+       count per hash, filtered in place (``count >= min_occurrences``;
+       intra-doc repeats count — a self-repeating doc is still
+       duplication).  Not a groupBy + join-back: that shape evaluates
+       the shingle pipeline TWICE (once per branch, no reuse) and
+       either broadcasts the duplicated-hash set — unbounded: on a
+       heavily duplicated corpus it approaches the distinct-shingle
+       count — or re-shuffles the corpus a second time for a sort-merge
+       join.  The window form computes shingles once and exchanges the
+       corpus exactly once on the hash (fixed-width rows), whatever the
+       duplication rate;
+    3. gaps-and-islands per doc: coverage intervals ``[pos, pos+k-1]``
        merge while consecutive duplicated positions are ≤ ``k`` apart
        (overlapping or touching coverage) — lag + running sum, one
-       window shuffle on the doc id.
+       window shuffle on the doc id; the final span aggregation reuses
+       that id partitioning (grouping keys contain the partition key).
 
     Returns one row per maximal span:
     ``(id, span_start, span_end, span_tokens)`` — inclusive
@@ -723,13 +731,12 @@ def duplicated_spans(
         md5_hash64(F.concat_ws(" ", *parts)).alias("__h"),
         parts[-1].isNotNull().alias("__ok"),
     ).where(F.col("__ok"))
-    dup = (
-        sh.groupBy("__h")
-        .agg(F.count(F.lit(1)).alias("__n"))
+    wh = Window.partitionBy("__h")
+    hits = (
+        sh.withColumn("__n", F.count(F.lit(1)).over(wh))
         .where(F.col("__n") >= min_occurrences)
-        .select("__h")
+        .select(id_col, "__pos")
     )
-    hits = sh.join(dup, "__h").select(id_col, "__pos")
     w2 = Window.partitionBy(id_col).orderBy("__pos")
     islands = hits.withColumn(
         "__new",

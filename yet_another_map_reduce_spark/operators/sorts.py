@@ -128,3 +128,43 @@ def global_ranked(
         )
         out = out.crossJoin(F.broadcast(total))
     return out
+
+
+def global_ranked_adaptive(
+    df: DataFrame,
+    order_cols: list[Column],
+    rank_col: str = "rank",
+    total_col: str | None = None,
+    single_task_threshold: int = 2_000_000,
+    n: int | None = None,
+) -> DataFrame:
+    """Size-gated exact global rank: the unpartitioned-window form for
+    small inputs, :func:`global_ranked` beyond ``single_task_threshold``
+    rows.
+
+    The distributed construction pays a fixed multi-stage overhead
+    (range exchange + offsets join) that a single-task window beats by
+    ~3x on sub-million-row inputs, while the single-task window is the
+    thing that cannot scale (one task holds the relation).  The gate
+    needs a row count: pass ``n`` if the caller already knows it,
+    otherwise ``df.count()`` runs here — intended for cheap-lineage
+    inputs (a column-pruned source scan counts from parquet metadata);
+    for expensive lineage, count once yourself and pass ``n``.
+
+    Both branches produce identical ranks (the order is total by the
+    same contract global_ranked requires); when ``total_col`` is
+    requested the small branch attaches the already-known ``n`` as a
+    literal instead of recounting.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if n is None:
+        n = df.count()
+    if n <= single_task_threshold:
+        w = Window.orderBy(*order_cols)
+        out = df.withColumn(rank_col, F.row_number().over(w).cast("bigint"))
+        if total_col is not None:
+            out = out.withColumn(total_col, F.lit(int(n)).cast("bigint"))
+        return out
+    return global_ranked(df, order_cols, rank_col, total_col)

@@ -978,13 +978,31 @@ def bpe_learn(
     return bpe_train_merges(wc, num_merges)
 
 
+#: ceiling for the chained-replace codegen apply path: one literal
+#: ``replace`` per merge means a merge-table-deep expression tree, which
+#: collapses codegen (or compiles for minutes) long before a realistic
+#: 32k-merge vocabulary.  Beyond this, dispatch to the Arrow tier.
+BPE_CODEGEN_MAX_MERGES = 32
+
+
 def bpe_tokens(col: Column | str, merges: list[tuple[str, str]]) -> Column:
     """``array<string>`` of BPE tokens for a text column, as a pure JVM
     expression: extract ``[a-z]+`` words, wrap each character as
     ``<c>``, apply each trained merge in rank order as a literal
     ``replace``, split the wrappers back off, flatten across words.
     Everything stays inside whole-stage codegen — merges are string
-    literals, exactly like the PQ LUTs."""
+    literals, exactly like the PQ LUTs.
+
+    Structurally bounded at ``BPE_CODEGEN_MAX_MERGES`` (the expression
+    tree is merge-table-deep): larger tables must go through
+    :func:`bpe_tokens_arrow` — :func:`bpe_tokens_dispatch` picks
+    automatically."""
+    if len(merges) > BPE_CODEGEN_MAX_MERGES:
+        raise ValueError(
+            f"{len(merges)} merges exceeds the codegen chained-replace "
+            f"ceiling ({BPE_CODEGEN_MAX_MERGES}); use bpe_tokens_arrow / "
+            "bpe_tokens_dispatch for realistic vocabulary sizes"
+        )
     c = F.col(col) if isinstance(col, str) else col
     words = F.regexp_extract_all(F.lower(c), F.lit(BPE_WORD_RE), F.lit(0))
 
@@ -997,7 +1015,88 @@ def bpe_tokens(col: Column | str, merges: list[tuple[str, str]]) -> Column:
     return F.flatten(F.transform(words, encode))
 
 
+def _bpe_encode_word(
+    word: str,
+    ranks: dict[tuple[str, str], int],
+    memo: dict[str, list[str]],
+) -> list[str]:
+    """Encode one word: repeatedly merge the LOWEST-rank adjacent pair
+    present (all its occurrences, leftmost-first) until none applies.
+
+    For a table produced by BPE training this is provably identical to
+    applying every merge once in rank order (the chained-replace /
+    oracle semantics): a merge at rank r only ever creates pairs
+    containing its new symbol, which no earlier-rank merge can
+    reference — training counted that pair only after the symbol
+    existed — so rank-order application never "misses" a late-created
+    earlier-rank occurrence.  The equivalence is pinned by test against
+    :func:`bpe_tokens` on the same trained table."""
+    got = memo.get(word)
+    if got is not None:
+        return got
+    syms = list(word)
+    while len(syms) > 1:
+        best_rank = None
+        best = None
+        for pair in zip(syms, syms[1:]):
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best = r, pair
+        if best is None:
+            break
+        syms = _bpe_apply_merge(syms, best)
+    memo[word] = syms
+    return syms
+
+
+def bpe_tokens_arrow(merges: list[tuple[str, str]]):
+    """Arrow-tier BPE apply for realistic merge tables (32k+): returns
+    a vectorized ``pandas_udf`` Column function ``text -> array<string>``.
+
+    The merge table rides in the task closure as a rank dict (KB-to-MB
+    scale model parameters, same shipping pattern as the IVF
+    centroids); per batch the encoder runs the standard min-rank merge
+    loop with a per-task word memo — Zipf makes the memo hit rate high,
+    so cost tracks DISTINCT words per batch, not tokens.  Map-only:
+    no shuffle, no driver involvement after the closure ships."""
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    pat = re.compile(BPE_WORD_RE)
+
+    @pandas_udf("array<string>")
+    def _tok(s):  # pd.Series[str] -> pd.Series[list[str]]
+        memo: dict[str, list[str]] = {}
+
+        def one(t):
+            if t is None:
+                return None
+            out: list[str] = []
+            for w in pat.findall(t.lower()):
+                out.extend(_bpe_encode_word(w, ranks, memo))
+            return out
+
+        return s.map(one)
+
+    return _tok
+
+
+def bpe_tokens_dispatch(
+    col: Column | str, merges: list[tuple[str, str]]
+) -> Column:
+    """Size-gated dispatch: chained-replace codegen for demo-scale merge
+    tables (oracle-replayable, zero Python), the Arrow encoder beyond
+    ``BPE_CODEGEN_MAX_MERGES`` (where the codegen tree is structurally
+    unbuildable)."""
+    if len(merges) <= BPE_CODEGEN_MAX_MERGES:
+        return bpe_tokens(col, merges)
+    c = F.col(col) if isinstance(col, str) else col
+    return bpe_tokens_arrow(merges)(c)
+
+
 def bpe_token_count(col: Column | str, merges: list[tuple[str, str]]) -> Column:
     """Learned-tokenizer token count — the drop-in upgrade for
     ``bpe_ish_token_count`` wherever trained merges are available."""
-    return F.size(bpe_tokens(col, merges))
+    return F.size(bpe_tokens_dispatch(col, merges))

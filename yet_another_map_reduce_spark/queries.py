@@ -1123,6 +1123,29 @@ def q_text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_bpe_tokenize_xl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ARROW BPE apply tier under oracle verification: 48 trained
+    merge ranks — past ``BPE_CODEGEN_MAX_MERGES``, so
+    ``bpe_tokens_dispatch`` routes to the ``pandas_udf`` min-rank
+    encoder (the tier that reaches realistic 32k-merge vocabularies;
+    the chained-replace expression tree cannot).  Same top-100 token
+    frequency output as text_bpe_tokenize; the oracle replays the full
+    48-round training AND the application, so the Arrow encoder's
+    claimed equivalence to rank-order replace is hash-checked against
+    an engine that does literal rank-order replace."""
+    d = read_table(spark, sf_dir, "documents")
+    merges = _bpe_merges(d, sf_dir, num_merges=48)
+    toks = d.select(
+        F.explode(text.bpe_tokens_dispatch(F.col("text"), merges)).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tok_count"))
+        .orderBy(F.col("tok_count").desc(), F.col("token").asc())
+        .limit(100)
+    )
+
+
 def q_text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token accounting with the LEARNED tokenizer: word
     count vs BPE token count (`text.bpe_token_count`, the drop-in
@@ -1314,13 +1337,17 @@ def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts — the partition-boundary analysis behind range-partitioned
     writes."""
     o = read_table(spark, sf_dir, "orders")
-    # exact ntile WITHOUT the unpartitioned global window (single task
-    # over every order at scale): global rank via range partitioning,
-    # then the SQL-standard ntile distribution — with n rows and B
-    # buckets, q = n div B and r = n mod B, buckets 1..r get q+1 rows:
+    # exact ntile, size-gated: below the threshold a single-task global
+    # window wins (the distributed rank's exchange+join overhead is ~3x
+    # its cost on local-scale inputs); above it, global rank via range
+    # partitioning — never a corpus-sized unpartitioned window at
+    # scale.  The gating count is a parquet-metadata count (cheap
+    # lineage).  Then the SQL-standard ntile distribution — with n rows
+    # and B buckets, q = n div B and r = n mod B, buckets 1..r get q+1
+    # rows:
     #   bucket(rank) = ceil(rank/(q+1))              if rank <= r*(q+1)
     #                  r + ceil((rank - r*(q+1))/q)  otherwise
-    ranked = sorts.global_ranked(
+    ranked = sorts.global_ranked_adaptive(
         o.select("o_orderkey", "o_totalprice"),
         [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()],
         "__rank",
@@ -6208,6 +6235,21 @@ _BPE_R, _BPE_V = 16, 4096
 #: f-string expressions cannot contain the \\1 backreference
 _BPE_WRAP = "regexp_replace(w, '(.)', '<\\1>', 'g')"
 
+ORACLES["text_bpe_tokenize_xl"] = f"""
+    WITH {_bpe_train_ctes(48, _BPE_V)},
+    applied AS (
+        SELECT {_bpe_apply_expr(48, _BPE_WRAP)} AS seq
+        FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+              FROM documents)
+    ),
+    toks AS (
+        SELECT unnest(str_split(trim(seq, '<>'), '><')) AS token FROM applied
+    )
+    SELECT token, CAST(count(*) AS BIGINT) AS tok_count
+    FROM toks GROUP BY token
+    ORDER BY tok_count DESC, token ASC LIMIT 100
+"""
+
 ORACLES["text_bpe_tokenize"] = f"""
     WITH {_bpe_train_ctes(_BPE_R, _BPE_V)},
     applied AS (
@@ -6354,6 +6396,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "udtf_tokenize": q_udtf_tokenize,
     "text_chunking": q_text_chunking,
     "text_bpe_tokenize": q_text_bpe_tokenize,
+    "text_bpe_tokenize_xl": q_text_bpe_tokenize_xl,
     "text_bpe_token_stats": q_text_bpe_token_stats,
     "pack_sequences_bpe": q_pack_sequences_bpe,
     "text_decontaminate": q_text_decontaminate,
