@@ -1170,3 +1170,27 @@ def test_semantic_dedup_drops_higher_id_near_dups_within_cluster(spark):
     assert out[1] and out[10] and out[20], "cluster representatives kept"
     assert not out[3], "exact dup of a lower id must be dropped"
     assert not out[12], "near-dup above threshold must be dropped"
+
+
+def test_operator_caches_are_tracked_and_releasable(spark):
+    """Operator-owned .cache() lifecycle: every operator cache goes
+    through caching.tracked_cache so a long-lived session can release
+    them all (release_operator_caches) instead of accumulating
+    InMemoryRelations until LRU churn."""
+    from yet_another_map_reduce_spark import caching
+    from yet_another_map_reduce_spark.operators import graph
+
+    caching.release_operator_caches()
+    before = caching.tracked_count()
+    assert before == 0
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+    )
+    out = graph.pagerank(edges, iterations=2)
+    assert out.count() == 3
+    assert caching.tracked_count() >= 3  # edges, deg, nodes
+    released = caching.release_operator_caches()
+    assert released >= 3
+    assert caching.tracked_count() == 0
+    # released caches are gone from the storage layer, work still reruns
+    assert graph.pagerank(edges, iterations=1).count() == 3
