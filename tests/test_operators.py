@@ -440,6 +440,38 @@ def test_embedding_gram_path_equals_declarative(spark, sf_dir):
     fast = {(r["id_a"], r["id_b"], r["cos"])
             for r in dedup.embedding_near_dup_pairs_gram(emb, **kw).collect()}
     assert slow == fast and len(fast) > 0
+    # tile_rows=7 forces many strips per block (blocks are ~200 rows at
+    # sf0.01): the memory-bounded tiled path must be pair-identical
+    tiled = {(r["id_a"], r["id_b"], r["cos"])
+             for r in dedup.embedding_near_dup_pairs_gram(
+                 emb, tile_rows=7, **kw).collect()}
+    assert tiled == fast
+
+
+def test_embedding_near_dup_lsh_subset_of_exact(spark, sf_dir):
+    from yet_another_map_reduce_spark.operators import dedup
+    from yet_another_map_reduce_spark.sources.readers import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    kw = dict(id_col="vec_id", vec_col="embedding", block_col="label",
+              threshold=0.3)
+    exact = {(r["id_a"], r["id_b"], r["cos"])
+             for r in dedup.embedding_near_dup_pairs_gram(emb, **kw).collect()}
+    lsh = {(r["id_a"], r["id_b"], r["cos"])
+           for r in dedup.embedding_near_dup_pairs_lsh(
+               emb, num_planes=3, **kw).collect()}
+    # LSH blocking only ever REMOVES pairs (identical cos values on the
+    # survivors), and at 3 planes a non-trivial fraction must survive
+    assert lsh <= exact
+    assert 0 < len(lsh) < len(exact)
+    # an exact-duplicate pair has an identical signature: always kept
+    dup = emb.limit(1).selectExpr("vec_id + 100000 AS vec_id",
+                                  "embedding", "label")
+    both = emb.select("vec_id", "embedding", "label").unionByName(dup)
+    got = dedup.embedding_near_dup_pairs_lsh(
+        both, num_planes=8, id_col="vec_id", vec_col="embedding",
+        block_col="label", threshold=0.99)
+    assert any(r["cos"] >= 0.999999 for r in got.collect())
 
 
 def test_connected_components_broadcast_variant_equivalent(spark):

@@ -1604,6 +1604,26 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe near-dup: label blocks sub-split by a 3-plane sign-LSH
+    signature before the exact gram scan — the registered answer to
+    `embedding_near_dup`'s inherent within-block quadratic (113× time at
+    100× data); here per-group work is divided by up to 2^planes and the
+    planes knob bounds it as the corpus grows.  Hash-verified: the
+    md5-derived hyperplanes, sign buckets, and in-bucket rounded-cosine
+    pairs are all replayed by the DuckDB oracle."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dup_pairs_lsh(
+        emb,
+        id_col="vec_id",
+        vec_col="embedding",
+        block_col="label",
+        threshold=0.35,
+        num_planes=3,
+        dim=64,
+    )
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     out = similarity.cosine_topk(
@@ -4845,6 +4865,42 @@ ORACLES: dict[str, str] = {
               ON a.label = b.label AND a.vec_id < b.vec_id
         ) WHERE cos >= 0.35
     """,
+    # replays the LSH-blocked near-dup end to end: md5-derived planes →
+    # sign buckets → exact in-(label,bucket) rounded-cosine pairs
+    "embedding_near_dup_lsh": """
+        WITH planes AS (
+            SELECT i.i AS plane, j.j AS dim,
+                   ('0x' || substr(md5(CAST(i.i AS VARCHAR) || ':'
+                                       || CAST(j.j AS VARCHAR)), 1, 8))::BIGINT
+                       / 4294967295.0 - 0.5 AS pv
+            FROM generate_series(0, 2) i(i), generate_series(0, 63) j(j)
+        ),
+        comps AS (
+            SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+                   CAST(unnest(embedding) AS DOUBLE) AS x
+            FROM embeddings
+        ),
+        dots AS (
+            SELECT c.vec_id, p.plane, sum(c.x * p.pv) AS d
+            FROM comps c JOIN planes p ON c.dim = p.dim
+            GROUP BY c.vec_id, p.plane
+        ),
+        sig AS (
+            SELECT vec_id,
+                   CAST(sum(CASE WHEN d >= 0 THEN 1 << plane ELSE 0 END)
+                        AS BIGINT) AS bucket
+            FROM dots GROUP BY vec_id
+        ),
+        v AS (SELECT e.vec_id, e.label, CAST(e.embedding AS DOUBLE[]) AS v,
+                     s.bucket
+              FROM embeddings e JOIN sig s USING (vec_id))
+        SELECT * FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cos
+            FROM v a JOIN v b ON a.label = b.label AND a.bucket = b.bucket
+                              AND a.vec_id < b.vec_id
+        ) WHERE cos >= 0.35
+    """,
     # replays the full IVF pipeline with the deterministic lowest-id
     # seed centroids: assign every corpus vector to its nearest centroid
     # (cos rounded to 9 before ranking, ties on centroid_id — matching
@@ -6387,6 +6443,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_collect_sorted": q_agg_collect_sorted,
     "dedup_keep_best": q_dedup_keep_best,
     "embedding_near_dup": q_embedding_near_dup,
+    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "tpch_q22_idle_customers": q_tpch_q22_idle_customers,
     "events_retention": q_events_retention,
     "tpch_q19_discounted_revenue": q_tpch_q19_discounted_revenue,
