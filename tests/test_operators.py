@@ -487,6 +487,27 @@ def test_connected_components_broadcast_variant_equivalent(spark):
     assert base == bc
 
 
+def test_lsh_star_edges_same_components_as_clique_pairs(spark, sf_dir):
+    from yet_another_map_reduce_spark.operators import dedup
+    from yet_another_map_reduce_spark.sources.readers import read_table
+
+    d = read_table(spark, sf_dir, "documents")
+    kw = dict(num_hashes=12, bands=4, shingle_k=3)
+    pairs = dedup.minhash_lsh_pairs(d, "text", "doc_id", **kw)
+    edges = dedup.minhash_lsh_edges(d, "text", "doc_id", **kw)
+    n_pairs, n_edges = pairs.count(), edges.count()
+    # the star form never emits MORE than the clique form, and on a
+    # corpus with any 3+-member bucket it emits strictly fewer
+    assert 0 < n_edges <= n_pairs
+    # identical connected components from either edge set — the
+    # property that licenses feeding CC from the linear star form
+    cp = {(r["id"], r["component"])
+          for r in dedup.connected_components(pairs, "id_a", "id_b").collect()}
+    ce = {(r["id"], r["component"])
+          for r in dedup.connected_components(edges, "id_a", "id_b").collect()}
+    assert cp == ce
+
+
 def _planted_clusters(spark, per_cluster=6):
     # 3 tight clusters near axis-aligned unit directions in 8 dims;
     # ids interleaved so the 3 lowest-id seed vectors land one per

@@ -163,6 +163,34 @@ def minhash_lsh_pairs(
     computed :func:`minhash_signatures` (e.g. a pipeline that also
     verifies with :func:`ngram_jaccard_pairs`) reuse the work.
     """
+    groups = _lsh_buckets(
+        df, text_col, id_col, num_hashes, bands, shingle_k, max_bucket_size, signatures
+    )
+    return (
+        groups.select(F.explode("__ids").alias("id_a"), "__ids")
+        .select("id_a", F.explode("__ids").alias("id_b"))
+        .where(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
+
+
+def _lsh_buckets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_k: int,
+    max_bucket_size: int | None,
+    signatures: DataFrame | None,
+) -> DataFrame:
+    """Shared LSH bucketing for :func:`minhash_lsh_pairs` /
+    :func:`minhash_lsh_edges`: one shuffle (groupBy on the bucket key)
+    instead of shuffling the banded relation twice for a self-join —
+    collect ids per (band, band_sig) bucket, drop singleton and
+    oversized buckets BEFORE any pair exists.  Per-group memory is
+    bounded by max_bucket_size, and the n² of a degenerate bucket never
+    materializes anywhere in the plan."""
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     rows = num_hashes // bands
@@ -182,12 +210,6 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "band_sig"),
     )
-    # ONE shuffle (groupBy on the bucket key) instead of shuffling the
-    # banded relation twice for a self-join: collect ids per bucket, drop
-    # singleton and oversized buckets BEFORE any pair exists, then expand
-    # pairs locally with a double explode.  Per-group memory is bounded
-    # by max_bucket_size, and the n² of a degenerate bucket never
-    # materializes anywhere in the plan.
     groups = (
         banded.groupBy("band", "band_sig")
         .agg(F.collect_list(F.col(id_col)).alias("__ids"))
@@ -195,9 +217,43 @@ def minhash_lsh_pairs(
     )
     if max_bucket_size is not None:
         groups = groups.where(F.size("__ids") <= max_bucket_size)
+    return groups
+
+
+def minhash_lsh_edges(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_k: int = 3,
+    max_bucket_size: int | None = 1000,
+    signatures: DataFrame | None = None,
+) -> DataFrame:
+    """Connectivity-preserving LSH edge list: per bucket, STAR edges
+    from the lowest id to every other member — for consumers that feed
+    a connected-components pass, where the clique pair list of
+    :func:`minhash_lsh_pairs` is pure waste.
+
+    Within a bucket, the star (hub = min id) connects exactly the same
+    vertex set the clique does, so the union over all buckets has
+    IDENTICAL connected components (any clique path a—b factors through
+    each bucket's hub) — but a bucket of m members emits m-1 edges
+    instead of m(m-1)/2 pairs.  The difference is what makes near-dup
+    clustering survive duplicate-heavy corpora: measured at the 100×
+    replica (every document duplicated 100-fold — band buckets 100× the
+    size), components-over-pairs blew past a 180 s budget while
+    components-over-star-edges completes in the corpus-linear time the
+    CC contraction is designed for.  Use the pair form only when the
+    pairs themselves are the product (Jaccard verification, similarity
+    reporting); use this form to cluster."""
+    groups = _lsh_buckets(
+        df, text_col, id_col, num_hashes, bands, shingle_k, max_bucket_size, signatures
+    )
     return (
-        groups.select(F.explode("__ids").alias("id_a"), "__ids")
-        .select("id_a", F.explode("__ids").alias("id_b"))
+        groups.select(
+            F.array_min("__ids").alias("id_a"), F.explode("__ids").alias("id_b")
+        )
         .where(F.col("id_a") < F.col("id_b"))
         .distinct()
     )

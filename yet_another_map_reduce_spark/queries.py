@@ -1474,10 +1474,18 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs → connected components: the clustering step
     that turns pairwise near-dup evidence into whole duplicate clusters
-    (a~b, b~c collapse even though a~c was never emitted)."""
+    (a~b, b~c collapse even though a~c was never emitted).
+
+    The edge list is the STAR form (`minhash_lsh_edges`): per LSH
+    bucket, hub→member edges — identical components to the clique pair
+    list (the oracle still replays clique pairs into its recursive CTE,
+    so the equivalence is hash-checked every run), but linear instead
+    of quadratic in bucket size, which is what survives duplicate-heavy
+    corpora (100× replica: the pair form timed out at 180 s; this
+    completes corpus-linear)."""
     d = read_table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(d, "text", "doc_id", num_hashes=12, bands=4, shingle_k=3)
-    comp = dedup.connected_components(pairs, "id_a", "id_b")
+    edges = dedup.minhash_lsh_edges(d, "text", "doc_id", num_hashes=12, bands=4, shingle_k=3)
+    comp = dedup.connected_components(edges, "id_a", "id_b")
     return comp.select(F.col("id").alias("doc_id"), "component").orderBy("doc_id")
 
 
@@ -1511,12 +1519,14 @@ def q_dedup_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties to the lowest id) — what actually ships to training after
     near-dup clustering.  One max(struct) aggregation per cluster, no
     window over the corpus; oracle composes the verified components and
-    quality oracles."""
+    quality oracles.  Star-edge input (see dedup_components): identical
+    clusters, bucket-linear edge mass — the pair form timed out at the
+    100× duplicate-heavy replica."""
     d = read_table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(
+    edges = dedup.minhash_lsh_edges(
         d, "text", "doc_id", num_hashes=12, bands=4, shingle_k=3
     )
-    comp = dedup.connected_components(pairs, "id_a", "id_b").select(
+    comp = dedup.connected_components(edges, "id_a", "id_b").select(
         F.col("id").alias("doc_id"), "component"
     )
     q = text.text_stats(d, "text", "doc_id").select("doc_id", "quality")
@@ -1543,10 +1553,11 @@ def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same clustering as dedup_components but via large-star/small-star
     contraction (O(log n) rounds on any graph shape) — must land on the
     identical component assignment, checked against the same recursive
-    CTE oracle."""
+    CTE oracle.  Fed by star edges (see dedup_components): same
+    components, bucket-linear edge mass."""
     d = read_table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(d, "text", "doc_id", num_hashes=12, bands=4, shingle_k=3)
-    comp = dedup.connected_components_star(pairs, "id_a", "id_b")
+    edges = dedup.minhash_lsh_edges(d, "text", "doc_id", num_hashes=12, bands=4, shingle_k=3)
+    comp = dedup.connected_components_star(edges, "id_a", "id_b")
     return comp.select(
         F.col("id").alias("doc_id"), F.col("component").cast("bigint").alias("component")
     ).orderBy("doc_id")
