@@ -183,6 +183,7 @@ def _lsh_buckets(
     shingle_k: int,
     max_bucket_size: int | None,
     signatures: DataFrame | None,
+    weights: DataFrame | None = None,
 ) -> DataFrame:
     """Shared LSH bucketing for :func:`minhash_lsh_pairs` /
     :func:`minhash_lsh_edges`: one shuffle (groupBy on the bucket key)
@@ -190,7 +191,15 @@ def _lsh_buckets(
     collect ids per (band, band_sig) bucket, drop singleton and
     oversized buckets BEFORE any pair exists.  Per-group memory is
     bounded by max_bucket_size, and the n² of a degenerate bucket never
-    materializes anywhere in the plan."""
+    materializes anywhere in the plan.
+
+    ``weights`` ((id_col, __w) rows) makes both the cap and the
+    singleton filter count MULTIPLICITY instead of rows — used by the
+    exact-collapsed jaccard path, where each id is a representative of
+    ``__w`` verbatim-identical documents: a bucket whose summed weight
+    exceeds the cap is exactly the bucket whose uncollapsed doc count
+    would have, and a single-rep bucket of weight ≥ 2 must be kept
+    (its group yields within-group pairs)."""
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     rows = num_hashes // bands
@@ -210,6 +219,19 @@ def _lsh_buckets(
             )
         ).alias("band", "band_sig"),
     )
+    if weights is not None:
+        banded = banded.join(weights, id_col)
+        groups = (
+            banded.groupBy("band", "band_sig")
+            .agg(
+                F.collect_list(F.col(id_col)).alias("__ids"),
+                F.sum("__w").alias("__weight"),
+            )
+            .where(F.col("__weight") >= 2)
+        )
+        if max_bucket_size is not None:
+            groups = groups.where(F.col("__weight") <= max_bucket_size)
+        return groups
     groups = (
         banded.groupBy("band", "band_sig")
         .agg(F.collect_list(F.col(id_col)).alias("__ids"))
