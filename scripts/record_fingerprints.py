@@ -1,0 +1,106 @@
+"""Snapshot green-time source fingerprints for the verification rotation.
+
+RUN FIRST THING EACH ROUND, BEFORE ANY EDIT: when round N's
+CORRECTNESS_rN.json lands, HEAD is exactly the code the round-N driver
+verified, so the current fingerprint of each round-N-green query IS its
+green-time fingerprint.  This script records those into
+QUERY_FINGERPRINTS.json (leaving earlier-green queries' records
+untouched); ``ordered_queries()`` then promotes any green query whose
+current fingerprint has drifted from its record into the
+rewritten-since-green verification tier.
+
+Default: update records for queries green in the LATEST round only.
+
+--bootstrap: also record current fingerprints for every cumulatively
+green query that has no record yet, attributing them to their
+last-green round — valid only when the current source is known
+unchanged since that green.  --stale NAME (repeatable) marks known
+rewritten-since-green queries with a null fingerprint instead, forcing
+them into the rewritten tier until they go green again.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from yet_another_map_reduce_spark.fingerprints import (  # noqa: E402
+    FINGERPRINTS_FILE,
+    load_recorded,
+    query_fingerprint,
+)
+from yet_another_map_reduce_spark.queries import ORACLES, QUERIES  # noqa: E402
+
+
+def _is_green(row: dict) -> bool:
+    if row.get("hash_match") is True:
+        return True
+    return row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+
+
+def correctness_history(root: str) -> tuple[dict[str, int], dict[str, int], int]:
+    last_green: dict[str, int] = {}
+    last_seen: dict[str, int] = {}
+    rounds = sorted(
+        n
+        for n in os.listdir(root)
+        if n.startswith("CORRECTNESS_r") and n.endswith(".json")
+    )
+    latest = len(rounds)
+    for rnd, name in enumerate(rounds, start=1):
+        with open(os.path.join(root, name)) as fh:
+            rows = json.load(fh)
+        for q, row in rows.items():
+            last_seen[q] = rnd
+            if isinstance(row, dict) and _is_green(row):
+                last_green[q] = rnd
+    return last_green, last_seen, latest
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bootstrap", action="store_true")
+    ap.add_argument("--stale", action="append", default=[])
+    args = ap.parse_args()
+
+    last_green, last_seen, latest = correctness_history(ROOT)
+    recorded = load_recorded(ROOT)
+    updated = []
+
+    for q in QUERIES:
+        green = q in last_green and last_green[q] == last_seen[q]
+        if not green:
+            continue
+        if q in args.stale:
+            recorded[q] = {"fingerprint": None, "round": last_green[q]}
+            updated.append(f"{q} (marked stale)")
+        elif last_green[q] == latest:
+            recorded[q] = {
+                "fingerprint": query_fingerprint(q, QUERIES, ORACLES),
+                "round": latest,
+            }
+            updated.append(q)
+        elif args.bootstrap and q not in recorded:
+            recorded[q] = {
+                "fingerprint": query_fingerprint(q, QUERIES, ORACLES),
+                "round": last_green[q],
+            }
+            updated.append(f"{q} (bootstrap r{last_green[q]})")
+
+    with open(os.path.join(ROOT, FINGERPRINTS_FILE), "w") as fh:
+        json.dump(
+            {q: recorded[q] for q in sorted(recorded)}, fh, indent=1, sort_keys=True
+        )
+        fh.write("\n")
+    print(f"recorded {len(updated)} fingerprints (latest round = r{latest}):")
+    for u in updated:
+        print(f"  {u}")
+
+
+if __name__ == "__main__":
+    main()

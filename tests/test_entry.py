@@ -30,11 +30,14 @@ def test_all_queries_run_at_smoke_sf(spark, sf_dir):
 
 
 def test_ordered_queries_policy(tmp_path):
-    """Visit order is a pure function of the correctness history:
-    failed rows front-load, never-verified follow, green rows rotate
-    oldest-round-first.  The registry itself stays source-ordered."""
+    """Visit order is a pure function of the correctness history plus
+    the recorded green-time fingerprints: failed rows front-load, then
+    rewritten-since-green, then never-verified, then green rows
+    rotating oldest-round-first.  The registry itself stays
+    source-ordered."""
     import json
 
+    from yet_another_map_reduce_spark.fingerprints import query_fingerprint
     from yet_another_map_reduce_spark.queries import QUERIES, ordered_queries
 
     names = list(QUERIES)
@@ -42,20 +45,61 @@ def test_ordered_queries_policy(tmp_path):
     red = {"hash_match": False, "err": "boom", "spark_rows": None}
     rows_only = {"hash_match": None, "err": "no_oracle", "spark_rows": 5}
     (tmp_path / "CORRECTNESS_r01.json").write_text(
-        json.dumps({names[0]: green, names[1]: red, names[2]: rows_only})
+        json.dumps(
+            {
+                names[0]: green,
+                names[1]: red,
+                names[2]: rows_only,
+                names[5]: green,  # fingerprint will NOT match -> rewritten
+                names[6]: green,  # no fingerprint record -> rewritten
+            }
+        )
     )
     (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({names[3]: green}))
+    fp = {
+        q: {"fingerprint": query_fingerprint(q), "round": r}
+        for q, r in ((names[0], 1), (names[2], 1), (names[3], 2))
+    }
+    fp[names[5]] = {"fingerprint": "not-the-current-source", "round": 1}
+    (tmp_path / "QUERY_FINGERPRINTS.json").write_text(json.dumps(fp))
 
     ordered = list(ordered_queries(root=str(tmp_path)))
     assert set(ordered) == set(names)
     assert ordered[0] == names[1]                     # failed first
+    # rewritten-since-green (drifted or unrecorded fingerprint) precede
+    # never-verified and all plain-green rows
+    for rw in (names[5], names[6]):
+        assert ordered.index(rw) < ordered.index(names[4])
+        assert ordered.index(rw) < ordered.index(names[0])
     # green rotation: round-1 green rows come before round-2 ones
     assert ordered.index(names[0]) < ordered.index(names[3])
     assert ordered.index(names[2]) < ordered.index(names[3])
-    # never-verified precede all green rows
+    # never-verified precede all plain-green rows
     assert ordered.index(names[4]) < ordered.index(names[0])
     # and the registry itself was not mutated by the call
     assert list(QUERIES) == names
+
+
+def test_fingerprint_tracks_transitive_source_and_oracle():
+    """The fingerprint must change when the query fn, a package-local
+    helper it calls (even via module attribute), or the oracle SQL
+    changes — and must be stable across calls otherwise."""
+    from yet_another_map_reduce_spark.fingerprints import (
+        _transitive_sources,
+        query_fingerprint,
+    )
+    from yet_another_map_reduce_spark.queries import ORACLES, QUERIES
+
+    name = "dedup_minhash_pairs"
+    assert query_fingerprint(name) == query_fingerprint(name)  # stable
+    # transitive closure reaches through the `dedup.` module attribute
+    # into the operator implementation
+    srcs = "\n".join(_transitive_sources(QUERIES[name]))
+    assert "def minhash_lsh_pairs" in srcs or "def _lsh_buckets" in srcs
+    # oracle SQL participates
+    patched = dict(ORACLES)
+    patched[name] = (patched.get(name) or "") + " -- changed"
+    assert query_fingerprint(name, QUERIES, patched) != query_fingerprint(name)
 
 
 def test_doc_counts_match_registry():

@@ -171,6 +171,32 @@ def test_cosine_topk_self_excluded_and_ordered(spark):
     assert rows[0]["cos"] > rows[1]["cos"]
 
 
+def test_cosine_topk_null_vectors_rank_last(spark):
+    """NULL query/corpus vectors take the zero-norm convention (NULL
+    cosine, rank last) instead of raising inside the Arrow scan."""
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [0.9, 0.1])],
+        "vec_id long, embedding array<double>",
+    )
+    q = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, None)], "vec_id long, embedding array<double>"
+    )
+    out = similarity.cosine_topk(corpus, q, "vec_id", "embedding", k=3)
+    rows = {(r["query_id"], r["rank"]): r for r in out.collect()}
+    # real query: real neighbors first, NULL-vec corpus row last w/ NULL cos
+    assert rows[(10, 1)]["neighbor_id"] == 1
+    assert rows[(10, 3)]["neighbor_id"] == 2 and rows[(10, 3)]["cos"] is None
+    # NULL query: every cosine NULL, ties broken by neighbor id
+    assert [rows[(11, r)]["neighbor_id"] for r in (1, 2, 3)] == [1, 2, 3]
+    assert all(rows[(11, r)]["cos"] is None for r in (1, 2, 3))
+    # all-NULL query side still executes (no matmul path)
+    q_all_null = spark.createDataFrame(
+        [(12, None)], "vec_id long, embedding array<double>"
+    )
+    out2 = similarity.cosine_topk(corpus, q_all_null, "vec_id", "embedding", k=2)
+    assert [r["neighbor_id"] for r in sorted(out2.collect(), key=lambda r: r["rank"])] == [1, 2]
+
+
 def test_lsh_bucket_is_stable(spark):
     df = spark.createDataFrame([(1, [float(i) for i in range(64)])], "id long, v array<float>")
     b1 = similarity.lsh_bucket(df, "v", num_planes=8, dim=64).collect()[0]["bucket"]

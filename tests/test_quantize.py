@@ -1,0 +1,64 @@
+"""round_half_up: the one rounding rule shared by all three engines.
+
+The numpy operator paths quantize with :func:`round_half_up`; the
+oracle replays with DuckDB ``round()`` and the expression paths with
+Spark ``F.round``.  These tests pin three-engine agreement exactly on
+the half-boundary dyadics where ``np.round`` (banker's) diverges —
+the round-7 ADVICE failure mode."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from yet_another_map_reduce_spark.operators.quantize import round_half_up
+
+# (value, digits): doubles exactly on a decimal half-boundary, where
+# half-even and half-up disagree
+HALF_BOUNDARY = [
+    (0.0078125, 6),   # 2^-7 -> ...2.5e-6; banker's gives 0.007812
+    (-0.0078125, 6),
+    (0.0625, 3),      # 62.5 -> banker's 0.062, half-up 0.063
+    (-0.0625, 3),
+    (2.5, 0),
+    (-2.5, 0),
+    (0.5, 0),
+    (0.328125, 5),    # 21/64 -> 32812.5
+]
+
+
+@pytest.mark.parametrize("x,d", HALF_BOUNDARY)
+def test_half_up_diverges_from_bankers_and_matches_duckdb(x, d):
+    got = float(round_half_up(x, d))
+    # sanity: these cases genuinely exercise the tie rule
+    assert got != float(np.round(x, d)) or abs(x) in (0.5,), (x, d)
+    (duck,) = duckdb.sql(
+        f"SELECT round(CAST({x!r} AS DOUBLE), {d})"
+    ).fetchone()
+    assert got == duck, (x, d, got, duck)
+
+
+def test_half_up_matches_spark_f_round(spark):
+    rows = [(x, d) for x, d in HALF_BOUNDARY]
+    for x, d in rows:
+        (got,) = spark.range(1).select(
+            F.round(F.lit(x), d).alias("r")
+        ).first()
+        assert float(round_half_up(x, d)) == got, (x, d, got)
+
+
+def test_half_up_off_boundary_matches_np_round():
+    rng = np.linspace(-1.0, 1.0, 4001)  # typical cosine range
+    a = round_half_up(rng, 6)
+    b = np.round(rng, 6)
+    # off-boundary values agree with np.round (half-boundary hits in a
+    # linspace of irrational-step floats are measure-zero)
+    assert np.allclose(a, b, atol=1e-12)
+
+
+def test_half_up_propagates_nan_inf():
+    out = round_half_up(np.array([np.nan, np.inf, -np.inf, 0.0]), 6)
+    assert np.isnan(out[0]) and out[1] == np.inf and out[2] == -np.inf
+    assert out[3] == 0.0

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from yet_another_map_reduce_spark.caching import tracked_cache
+from yet_another_map_reduce_spark.operators.quantize import round_half_up
 from yet_another_map_reduce_spark.functions import (
     md5_hash64,
     normalize_text,
@@ -183,7 +184,6 @@ def _lsh_buckets(
     shingle_k: int,
     max_bucket_size: int | None,
     signatures: DataFrame | None,
-    weights: DataFrame | None = None,
 ) -> DataFrame:
     """Shared LSH bucketing for :func:`minhash_lsh_pairs` /
     :func:`minhash_lsh_edges`: one shuffle (groupBy on the bucket key)
@@ -191,15 +191,7 @@ def _lsh_buckets(
     collect ids per (band, band_sig) bucket, drop singleton and
     oversized buckets BEFORE any pair exists.  Per-group memory is
     bounded by max_bucket_size, and the n² of a degenerate bucket never
-    materializes anywhere in the plan.
-
-    ``weights`` ((id_col, __w) rows) makes both the cap and the
-    singleton filter count MULTIPLICITY instead of rows — used by the
-    exact-collapsed jaccard path, where each id is a representative of
-    ``__w`` verbatim-identical documents: a bucket whose summed weight
-    exceeds the cap is exactly the bucket whose uncollapsed doc count
-    would have, and a single-rep bucket of weight ≥ 2 must be kept
-    (its group yields within-group pairs)."""
+    materializes anywhere in the plan."""
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     rows = num_hashes // bands
@@ -219,19 +211,6 @@ def _lsh_buckets(
             )
         ).alias("band", "band_sig"),
     )
-    if weights is not None:
-        banded = banded.join(weights, id_col)
-        groups = (
-            banded.groupBy("band", "band_sig")
-            .agg(
-                F.collect_list(F.col(id_col)).alias("__ids"),
-                F.sum("__w").alias("__weight"),
-            )
-            .where(F.col("__weight") >= 2)
-        )
-        if max_bucket_size is not None:
-            groups = groups.where(F.col("__weight") <= max_bucket_size)
-        return groups
     groups = (
         banded.groupBy("band", "band_sig")
         .agg(F.collect_list(F.col(id_col)).alias("__ids"))
@@ -679,7 +658,7 @@ def embedding_near_dup_pairs_gram(
             # both axes are lo-based, so global j > i is just ja > ia
             cand = ja > ia
             ia, ja = ia[cand], ja[cand]
-            rc = np.round(cos[ia, ja], 6)
+            rc = round_half_up(cos[ia, ja], 6)
             keep = rc >= threshold
             out_a.append(ids[ia[keep] + lo])
             out_b.append(ids[ja[keep] + lo])
@@ -1047,7 +1026,7 @@ def semantic_dedup(
         blk = 2048  # row-block the cosine matrix: O(blk x m) peak, never O(m^2)
         for s in range(1, m, blk):
             e = min(s + blk, m)
-            cb = np.round(
+            cb = round_half_up(
                 (V[s:e] @ V[:e].T) / np.outer(n[s:e], n[:e]), 6
             )
             lower = np.arange(s, e)[:, None] > np.arange(e)[None, :]

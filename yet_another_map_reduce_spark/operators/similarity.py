@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from yet_another_map_reduce_spark.functions import cosine_similarity, md5_hash64
+from yet_another_map_reduce_spark.operators.quantize import round_half_up
 
 
 def cosine_topk(
@@ -50,10 +51,17 @@ def cosine_topk(
     winner within its own batch.
 
     Semantics unchanged from the oracle contract: cosine quantized to
-    6 digits BEFORE ranking (what licenses BLAS accumulation order —
-    last-ulp drift is invisible after rounding), ties to the lower
-    neighbor id, zero-norm vectors rank last (NULL cosine, the
-    try_divide convention), self-matches excluded.
+    6 digits BEFORE ranking (half-up, what licenses BLAS accumulation
+    order — last-ulp drift is invisible after rounding), ties to the
+    lower neighbor id, zero-norm and NULL vectors rank last (NULL
+    cosine, the try_divide convention), self-matches excluded.
+
+    EAGER at construction: the query side is ``collect()``-ed (and the
+    schema introspected) when this function is CALLED, not when the
+    returned DataFrame first executes — composing the plan runs Spark
+    jobs, unlike a fully-lazy crossJoin form.  That is the price of
+    shipping the query matrix in the task closure; callers building
+    plans speculatively should defer the call instead.
     """
     import numpy as np
     import pandas as pd
@@ -71,9 +79,19 @@ def cosine_topk(
             "cos double, rank int",
         )
     qids = np.array([r["query_id"] for r in qrows])
-    Q = np.stack([np.asarray(r["__qv"], dtype=np.float64) for r in qrows])
-    qn = np.sqrt(np.einsum("ij,ij->i", Q, Q))
-    qn[qn == 0.0] = np.nan
+    # NULL query vectors join the zero-norm convention (all-NULL
+    # cosines, rank last) instead of blowing up np.stack on a None
+    q_valid = [i for i, r in enumerate(qrows) if r["__qv"] is not None]
+    if q_valid:
+        qdim = len(qrows[q_valid[0]]["__qv"])
+        Q = np.zeros((len(qrows), qdim))
+        for i in q_valid:
+            Q[i] = np.asarray(qrows[i]["__qv"], dtype=np.float64)
+        qn = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+        qn[qn == 0.0] = np.nan
+        qn[[i for i in range(len(qrows)) if i not in set(q_valid)]] = np.nan
+    else:  # every query vector NULL: no matmul possible, all-NaN scores
+        Q, qn = None, None
 
     cv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), cv.alias("__cv"))
@@ -83,13 +101,30 @@ def cosine_topk(
             if not len(pdf):
                 continue
             ids = pdf["neighbor_id"].to_numpy()
+            # NULL corpus vectors → NaN cosine row (rank-last), same
+            # convention as zero-norm; zeros placeholder keeps the
+            # matmul shape without a ragged np.stack failure
+            vecs = list(pdf["__cv"])
+            v_null = np.array([x is None for x in vecs])
+            dim = Q.shape[1] if Q is not None else next(
+                (len(x) for x in vecs if x is not None), 1
+            )
             V = np.stack(
-                [np.asarray(x, dtype=np.float64) for x in pdf["__cv"]]
+                [
+                    np.zeros(dim)
+                    if x is None
+                    else np.asarray(x, dtype=np.float64)
+                    for x in vecs
+                ]
             )
             vn = np.sqrt(np.einsum("ij,ij->i", V, V))
             vn[vn == 0.0] = np.nan
-            with np.errstate(invalid="ignore"):
-                S = np.round((V @ Q.T) / np.outer(vn, qn), 6)
+            vn[v_null] = np.nan
+            if Q is None:
+                S = np.full((len(ids), len(qids)), np.nan)
+            else:
+                with np.errstate(invalid="ignore"):
+                    S = round_half_up((V @ Q.T) / np.outer(vn, qn), 6)
             out_q, out_n, out_c = [], [], []
             # |Q| is small by contract: per-query candidate selection
             # loops over queries, vectorized over the batch
@@ -282,7 +317,7 @@ def _nearest_centroids(
             vn = np.sqrt(np.einsum("ij,ij->i", V, V))
             vn[vn == 0.0] = np.nan
             with np.errstate(invalid="ignore"):
-                S = np.round((V @ C.T) / np.outer(vn, cn), 9)
+                S = round_half_up((V @ C.T) / np.outer(vn, cn), 9)
             S = np.where(np.isnan(S), -np.inf, S)  # NULLS LAST
             if nprobe == 1:
                 best = S.argmax(axis=1)  # first max = lower cid
@@ -478,7 +513,7 @@ def train_ivf_centroids(
                 V = np.stack(
                     [np.asarray(x, dtype=np.float64) for x in pdf["__v"]]
                 )
-                S = np.round(V @ U.T, round_digits)
+                S = round_half_up(V @ U.T, round_digits)
                 yield pd.DataFrame(
                     {
                         "__cid": S.argmax(axis=1).astype(np.int64),

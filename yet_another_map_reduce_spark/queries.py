@@ -6609,16 +6609,22 @@ def ordered_queries(root: str | None = None) -> dict[str, Callable[[SparkSession
 
     1. previously-FAILED queries first (a red row with no later green
        one) — a fix is worthless until it is re-checked;
-    2. never-verified queries next, cheapest first by frozen baseline.
+    2. REWRITTEN-since-green queries: green on record, but the query's
+       current source fingerprint (transitive, incl. operator helpers
+       and the oracle SQL — see fingerprints.py) differs from the
+       fingerprint recorded when the driver last saw it green, or no
+       fingerprint was ever recorded.  A plan rewrite invalidates the
+       green; ranking these behind merely-stale rows let ~10 r6/r7
+       rewrites dodge the driver's oracle for rounds (r7 verdict #1);
+    3. never-verified queries next, cheapest first by frozen baseline.
        A query whose only green rows were rows-only (``err ==
        "no_oracle"``) but which NOW has an ``ORACLES`` entry counts as
        never-verified too: its oracle has never been exercised by the
        driver, so for hash purposes it is fresh — without this rule an
        oracle added after a rows-only pass would park behind dozens of
        stale-but-hash-green rows and not get hash-checked for rounds;
-    3. green queries last, ordered oldest-verified-round-first, so
-       stale rows from early rounds get re-validated against code that
-       has moved since (re-verification rotation).
+    4. green-and-unchanged queries last, oldest-verified-round-first,
+       so stale rows from early rounds still rotate through.
     """
     import json
     import os
@@ -6673,14 +6679,22 @@ def ordered_queries(root: str | None = None) -> dict[str, Callable[[SparkSession
         (q for q in QUERIES if q not in last_seen or _never_hash_verified(q)),
         key=lambda q: (float(cost.get(q, 999.0)), q),
     )
+    green_all = [
+        q
+        for q in QUERIES
+        if q in last_green
+        and last_green[q] == last_seen[q]
+        and not _never_hash_verified(q)
+    ]
+    from yet_another_map_reduce_spark.fingerprints import rewritten_since_green
+
+    rewritten_set = rewritten_since_green(root, green_all, QUERIES, ORACLES)
+    rewritten = sorted(
+        (q for q in green_all if q in rewritten_set),
+        key=lambda q: (float(cost.get(q, 999.0)), q),
+    )
     green = sorted(
-        (
-            q
-            for q in QUERIES
-            if q in last_green
-            and last_green[q] == last_seen[q]
-            and not _never_hash_verified(q)
-        ),
+        (q for q in green_all if q not in rewritten_set),
         key=lambda q: (last_green[q], q),
     )
-    return {q: QUERIES[q] for q in failed + fresh + green}
+    return {q: QUERIES[q] for q in failed + rewritten + fresh + green}
