@@ -500,6 +500,35 @@ def test_embedding_near_dup_lsh_subset_of_exact(spark, sf_dir):
     assert any(r["cos"] >= 0.999999 for r in got.collect())
 
 
+def test_embedding_gram_size_guard_flips_to_lsh_subblocks(spark, sf_dir):
+    """An over-threshold block sub-splits in-task by the same sign-LSH
+    signature the LSH variant uses: guard output == LSH-variant output
+    on the oversized block, == exact output on blocks under the cap,
+    and the default cap leaves verification-scale data untouched."""
+    from yet_another_map_reduce_spark.operators import dedup
+    from yet_another_map_reduce_spark.sources.readers import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    kw = dict(id_col="vec_id", vec_col="embedding", block_col="label",
+              threshold=0.3)
+    exact = {(r["id_a"], r["id_b"], r["cos"])
+             for r in dedup.embedding_near_dup_pairs_gram(
+                 emb, max_block_rows=None, **kw).collect()}
+    # default cap (32768) never triggers at test scale: bit-identical
+    assert {(r["id_a"], r["id_b"], r["cos"])
+            for r in dedup.embedding_near_dup_pairs_gram(
+                emb, **kw).collect()} == exact
+    # cap of 1 row makes EVERY block oversized -> the whole result must
+    # equal the LSH variant at the same plane count
+    lsh = {(r["id_a"], r["id_b"], r["cos"])
+           for r in dedup.embedding_near_dup_pairs_lsh(
+               emb, num_planes=3, **kw).collect()}
+    guarded = {(r["id_a"], r["id_b"], r["cos"])
+               for r in dedup.embedding_near_dup_pairs_gram(
+                   emb, max_block_rows=1, guard_planes=3, **kw).collect()}
+    assert guarded == lsh and 0 < len(guarded) < len(exact)
+
+
 def test_connected_components_broadcast_variant_equivalent(spark):
     from yet_another_map_reduce_spark.operators import dedup
 

