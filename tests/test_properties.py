@@ -307,3 +307,56 @@ def test_yamr_version_history_matches_model(spark, tmp_path_factory, ops):
     for v, want in zip(versions, history):
         got = sorted(x["value"] for x in r().option("version", v).load().collect())
         assert got == want, f"version {v}"
+
+
+# ---------------------------------------------------------------------------
+# BPE trainer + encoder: the incremental implementations must be
+# indistinguishable from the naive reference semantics at any input
+# ---------------------------------------------------------------------------
+
+word_table_strategy = st.lists(
+    st.tuples(
+        st.text(alphabet="abcd", min_size=1, max_size=8),
+        st.integers(min_value=1, max_value=50),
+    ),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(table=word_table_strategy, n=st.integers(min_value=0, max_value=40))
+def test_bpe_incremental_trainer_equals_naive(table, n):
+    """The heap/delta trainer replays the naive full-recount argmax
+    exactly — same merges, same order, same early stop — on arbitrary
+    word tables (tiny alphabet maximizes pair-count ties, the risky
+    path for the (count DESC, pair ASC) heap ordering)."""
+    from yet_another_map_reduce_spark.operators import text
+
+    assert text.bpe_train_merges(table, n) == text._bpe_train_merges_naive(table, n)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    words=st.lists(st.text(alphabet="abcdersting", min_size=1, max_size=14),
+                   min_size=1, max_size=20),
+    data=st.data(),
+)
+def test_bpe_min_rank_encoder_equals_rank_order_apply(words, data):
+    """The Arrow tier's min-rank merge loop == applying every trained
+    merge once in rank order (the chained-replace/oracle semantics),
+    for words SEEN and UNSEEN in training — the property that licenses
+    swapping tiers by merge-table size."""
+    from yet_another_map_reduce_spark.operators import text
+
+    table = text.synthetic_word_counts(300, seed=7)
+    n = data.draw(st.integers(min_value=1, max_value=200))
+    merges = text.bpe_train_merges(table, n)
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    for w in words + [table[0][0], table[-1][0]]:
+        ref = list(w)
+        for m in merges:
+            ref = text._bpe_apply_merge(ref, m)
+        got = text._bpe_encode_word(w, ranks, {})
+        assert got == ref, (w, n)

@@ -922,16 +922,13 @@ def _bpe_apply_merge(symbols: list[str], pair: tuple[str, str]) -> list[str]:
     return out
 
 
-def bpe_train_merges(
+def _bpe_train_merges_naive(
     word_counts: list[tuple[str, int]], num_merges: int
 ) -> list[tuple[str, str]]:
-    """Learn ``num_merges`` BPE merges from a (word, count) table.
-
-    Deterministic: each round merges the adjacent symbol pair with the
-    highest count weighted by word frequency; ties break to the
-    lexicographically smallest (a, b) — the same (count DESC, a ASC,
-    b ASC) argmax the SQL oracle replays.  Stops early when no pair is
-    left (every word fully merged)."""
+    """Reference trainer: full pair recount every round — O(merges x
+    corpus symbols), fine for demo tables and as the property-test
+    oracle for the incremental trainer, hopeless at a realistic 8k-32k
+    merge vocabulary (hours of driver time)."""
     segs: list[tuple[list[str], int]] = [
         (list(w), n) for w, n in word_counts
     ]
@@ -947,6 +944,75 @@ def bpe_train_merges(
         best = min(p for p, c in counts.items() if c == mx)
         merges.append(best)
         segs = [(_bpe_apply_merge(s, best), n) for s, n in segs]
+    return merges
+
+
+def bpe_train_merges(
+    word_counts: list[tuple[str, int]], num_merges: int
+) -> list[tuple[str, str]]:
+    """Learn ``num_merges`` BPE merges from a (word, count) table.
+
+    Deterministic: each round merges the adjacent symbol pair with the
+    highest count weighted by word frequency; ties break to the
+    lexicographically smallest (a, b) — the same (count DESC, a ASC,
+    b ASC) argmax the SQL oracle replays.  Stops early when no pair is
+    left (every word fully merged).
+
+    Incremental (the HuggingFace-tokenizers shape, required for
+    realistic 8k-50k merge vocabularies): pair counts live in a dict
+    maintained by per-word deltas — a merge touches only the words
+    that contain its pair, subtracting their old adjacent pairs and
+    adding the new ones — and each round's argmax comes from a
+    lazy-invalidation max-heap keyed ``(-count, a, b)`` (exactly the
+    naive argmax's (count DESC, pair ASC) order; stale heap entries
+    are popped and dropped when their recorded count no longer
+    matches).  Property-tested identical to
+    :func:`_bpe_train_merges_naive`; cost is driven by words AFFECTED
+    per merge (Zipf tail: few), not corpus size x merges."""
+    import heapq
+
+    segs: list[list[str]] = [list(w) for w, _ in word_counts]
+    freq: list[int] = [n for _, n in word_counts]
+    counts: dict[tuple[str, str], int] = {}
+    where: dict[tuple[str, str], set[int]] = {}
+    heap: list[tuple[int, str, str]] = []
+
+    def bump(p: tuple[str, str], delta: int, i: int | None = None) -> None:
+        c = counts.get(p, 0) + delta
+        if c:
+            counts[p] = c
+            heapq.heappush(heap, (-c, p[0], p[1]))
+        else:
+            counts.pop(p, None)
+        if i is not None:
+            where.setdefault(p, set()).add(i)
+
+    for i, syms in enumerate(segs):
+        for p in zip(syms, syms[1:]):
+            bump(p, freq[i], i)
+
+    merges: list[tuple[str, str]] = []
+    while len(merges) < num_merges:
+        best = None
+        while heap:
+            negc, a, b = heap[0]
+            if counts.get((a, b)) == -negc:
+                best = (a, b)
+                break
+            heapq.heappop(heap)  # stale entry
+        if best is None:
+            break  # no pair left anywhere
+        merges.append(best)
+        for i in sorted(where.pop(best, ())):
+            syms = segs[i]
+            if best not in zip(syms, syms[1:]):
+                continue  # stale membership from an earlier merge
+            n = freq[i]
+            for p in zip(syms, syms[1:]):
+                bump(p, -n)
+            segs[i] = _bpe_apply_merge(syms, best)
+            for p in zip(segs[i], segs[i][1:]):
+                bump(p, n, i)
     return merges
 
 
@@ -976,6 +1042,45 @@ def bpe_learn(
     )
     wc = [(r["w"], int(r["cnt"])) for r in vocab.collect()]
     return bpe_train_merges(wc, num_merges)
+
+
+#: syllable inventory for synthetic vocabulary: common English-ish
+#: onsets/rimes so trained merges have real structure (shared prefixes/
+#: suffixes across words), unlike uniform random letters
+_BPE_SYLLABLES = (
+    "th er on an re he in ed nd ha at en es of or nt ea ti to it st io "
+    "le is ou ar as de rt ve ss ing ion ter com pro sta tion ment able "
+    "con per cal ous ive ity ated ized"
+).split()
+
+
+def synthetic_word_counts(
+    n_words: int, seed: int = 0, max_count: int = 10_000
+) -> list[tuple[str, int]]:
+    """Deterministic synthetic (word, count) table for training a
+    realistic-size BPE vocabulary — the test corpus's 31 distinct words
+    cannot support 8k+ merges, so scale work trains on this instead.
+
+    Word i is 2-5 md5-chosen syllables from :data:`_BPE_SYLLABLES`
+    (duplicated words are suffixed with a deterministic disambiguating
+    letter run, keeping exactly ``n_words`` distinct rows), with a
+    Zipf-ish count ``max_count // (i + 1) + 1``.  Pure function of
+    ``(n_words, seed, max_count)`` — any engine can regenerate it.
+    """
+    import hashlib
+
+    out: list[tuple[str, int]] = []
+    seen: set[str] = set()
+    syl = _BPE_SYLLABLES
+    for i in range(n_words):
+        h = hashlib.md5(f"{seed}:{i}".encode()).digest()
+        parts = [syl[h[j] % len(syl)] for j in range(2 + h[5] % 4)]
+        w = "".join(parts)
+        while w in seen:
+            w += "abcdefghijklmnopqrstuvwxyz"[h[6] % 26]
+        seen.add(w)
+        out.append((w, max_count // (i + 1) + 1))
+    return out
 
 
 #: ceiling for the chained-replace codegen apply path: one literal
