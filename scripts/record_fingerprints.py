@@ -14,7 +14,10 @@ Default: update records for queries green in the LATEST round only.
 --bootstrap: also record current fingerprints for every cumulatively
 green query that has no record yet, attributing them to their
 last-green round — valid only when the current source is known
-unchanged since that green.  --stale NAME (repeatable) marks known
+unchanged since that green.  --rehash: re-record ALL cumulatively
+green queries at their last-green round — for after a change to the
+fingerprint ALGORITHM itself, valid only when no query source has
+changed since its green.  --stale NAME (repeatable) marks known
 rewritten-since-green queries with a null fingerprint instead, forcing
 them into the rewritten tier until they go green again.
 """
@@ -31,44 +34,21 @@ sys.path.insert(0, ROOT)
 
 from yet_another_map_reduce_spark.fingerprints import (  # noqa: E402
     FINGERPRINTS_FILE,
+    correctness_history,
     load_recorded,
     query_fingerprint,
 )
 from yet_another_map_reduce_spark.queries import ORACLES, QUERIES  # noqa: E402
 
 
-def _is_green(row: dict) -> bool:
-    if row.get("hash_match") is True:
-        return True
-    return row.get("err") == "no_oracle" and row.get("spark_rows") is not None
-
-
-def correctness_history(root: str) -> tuple[dict[str, int], dict[str, int], int]:
-    last_green: dict[str, int] = {}
-    last_seen: dict[str, int] = {}
-    rounds = sorted(
-        n
-        for n in os.listdir(root)
-        if n.startswith("CORRECTNESS_r") and n.endswith(".json")
-    )
-    latest = len(rounds)
-    for rnd, name in enumerate(rounds, start=1):
-        with open(os.path.join(root, name)) as fh:
-            rows = json.load(fh)
-        for q, row in rows.items():
-            last_seen[q] = rnd
-            if isinstance(row, dict) and _is_green(row):
-                last_green[q] = rnd
-    return last_green, last_seen, latest
-
-
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--bootstrap", action="store_true")
+    ap.add_argument("--rehash", action="store_true")
     ap.add_argument("--stale", action="append", default=[])
     args = ap.parse_args()
 
-    last_green, last_seen, latest = correctness_history(ROOT)
+    last_green, last_seen, _rows_only, latest = correctness_history(ROOT)
     recorded = load_recorded(ROOT)
     updated = []
 
@@ -85,12 +65,12 @@ def main() -> None:
                 "round": latest,
             }
             updated.append(q)
-        elif args.bootstrap and q not in recorded:
+        elif args.rehash or (args.bootstrap and q not in recorded):
             recorded[q] = {
                 "fingerprint": query_fingerprint(q, QUERIES, ORACLES),
                 "round": last_green[q],
             }
-            updated.append(f"{q} (bootstrap r{last_green[q]})")
+            updated.append(f"{q} (r{last_green[q]})")
 
     with open(os.path.join(ROOT, FINGERPRINTS_FILE), "w") as fh:
         json.dump(

@@ -102,6 +102,57 @@ def test_fingerprint_tracks_transitive_source_and_oracle():
     assert query_fingerprint(name, QUERIES, patched) != query_fingerprint(name)
 
 
+def test_fingerprint_tracks_module_constants():
+    """A rewrite to a module-level DATA constant that drives behavior
+    (e.g. a tier-switch threshold or a syllable table) must flip the
+    fingerprint of every query that transitively reads it — the
+    silent-rewrite class the r8 ADVICE flagged as uncovered."""
+    from yet_another_map_reduce_spark import fingerprints as fp
+    from yet_another_map_reduce_spark.operators import text
+    from yet_another_map_reduce_spark.queries import ORACLES, QUERIES
+
+    name = "text_bpe_tokenize_xl"
+    before = fp.query_fingerprint(name, QUERIES, ORACLES)
+    orig = text.BPE_CODEGEN_MAX_MERGES
+    text.BPE_CODEGEN_MAX_MERGES = orig + 1
+    try:
+        assert fp.query_fingerprint(name, QUERIES, ORACLES) != before
+    finally:
+        text.BPE_CODEGEN_MAX_MERGES = orig
+    assert fp.query_fingerprint(name, QUERIES, ORACLES) == before
+
+    # data-table constants appear in the transitive closure by value
+    srcs = fp._transitive_sources(text.synthetic_word_counts)
+    assert any("_BPE_SYLLABLES=" in s for s in srcs)
+    syl = text._BPE_SYLLABLES
+    text._BPE_SYLLABLES = tuple(syl) + ("zzq",)
+    try:
+        assert fp._transitive_sources(text.synthetic_word_counts) != srcs
+    finally:
+        text._BPE_SYLLABLES = syl
+
+
+def test_correctness_history_numeric_round_order(tmp_path):
+    """CORRECTNESS_r9.json must sort BEFORE CORRECTNESS_r10.json
+    (numeric suffix, not lexicographic position), rounds keep their
+    own numbers across gaps, and non-dict rows are skipped."""
+    import json
+
+    from yet_another_map_reduce_spark.fingerprints import correctness_history
+
+    green = {"hash_match": True, "err": None, "spark_rows": 1}
+    red = {"hash_match": False, "err": "boom", "spark_rows": None}
+    # lexicographic order would visit r10 before r9 and mark q red
+    (tmp_path / "CORRECTNESS_r9.json").write_text(json.dumps({"q": green}))
+    (tmp_path / "CORRECTNESS_r10.json").write_text(
+        json.dumps({"q": red, "bad": ["not", "a", "dict"]})
+    )
+    last_green, last_seen, _rows_only, latest = correctness_history(str(tmp_path))
+    assert latest == 10
+    assert last_seen["q"] == 10 and last_green["q"] == 9  # red in r10
+    assert "bad" not in last_seen  # non-dict row skipped
+
+
 def test_doc_counts_match_registry():
     """README/COVERAGE registry counts are generated, never typed
     (scripts/update_doc_counts.py); this closes the loop so a registry

@@ -20,32 +20,106 @@ of merely-stale greens.
 
 Over-approximation is deliberate: a whitespace edit to a shared
 helper flips every caller's fingerprint and triggers re-verification
-of them all.  That errs toward checking, never toward missing a
-rewrite.
+of them all.  The scheme hashes transitive function source, the
+source of referenced package classes, stable renderings of referenced
+plain-data constants (module-level tunables like tier-switch
+thresholds and data tables), and the oracle SQL.  Residual blind
+spot, by design: a rewrite reachable only through a non-plain object
+(an instance with identity ``repr``, state read from disk) does not
+flip the fingerprint — hash coverage errs toward checking for code
+and plain data, but is not a total-behavior hash.
 """
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import inspect
 import json
 import os
+import re
 import types
 
 _PKG = "yet_another_map_reduce_spark"
 
 FINGERPRINTS_FILE = "QUERY_FINGERPRINTS.json"
 
+_PLAIN = (str, bytes, int, float, complex, bool, type(None))
+
+
+def _stable_repr(obj: object, depth: int = 0) -> str | None:
+    """Deterministic rendering of plain-data values (the module-level
+    constants that drive query behavior: thresholds, syllable tables,
+    schema dicts).  Returns None for anything whose ``repr`` is not
+    content-stable (instances with identity reprs, ndarrays, ...) —
+    those are deliberately excluded from the hash."""
+    if depth > 6:
+        return "<deep>"
+    if isinstance(obj, _PLAIN):
+        return repr(obj)
+    if isinstance(obj, (tuple, list)):
+        parts = [_stable_repr(x, depth + 1) for x in obj]
+        if any(p is None for p in parts):
+            return None
+        return f"{type(obj).__name__}[{','.join(parts)}]"  # type: ignore[arg-type]
+    if isinstance(obj, (set, frozenset)):
+        parts = [_stable_repr(x, depth + 1) for x in obj]
+        if any(p is None for p in parts):
+            return None
+        return f"{type(obj).__name__}[{','.join(sorted(parts))}]"  # type: ignore[arg-type]
+    if isinstance(obj, dict):
+        parts = []
+        for k, v in obj.items():
+            kr = _stable_repr(k, depth + 1)
+            vr = _stable_repr(v, depth + 1)
+            if kr is None or vr is None:
+                return None
+            parts.append(f"{kr}:{vr}")
+        return "dict{" + ",".join(parts) + "}"
+    if isinstance(obj, re.Pattern):
+        return f"re({obj.pattern!r},{obj.flags})"
+    return None
+
 
 def _transitive_sources(fn: types.FunctionType) -> list[str]:
-    """Source of ``fn`` plus every package-local function it
-    (transitively) references, deterministically ordered by qualified
-    name.  References are found via code-object ``co_names`` (globals
-    and module-attribute calls like ``dedup.minhash_lsh_pairs``),
+    """Source of ``fn`` plus every package-local function AND class it
+    (transitively) references, plus stable renderings of referenced
+    plain-data constants.  References are found via code-object
+    ``co_names`` (globals and module-attribute reads like
+    ``dedup.minhash_lsh_pairs`` or ``text.BPE_CODEGEN_MAX_MERGES``),
     nested code objects (inner functions / lambdas), and closure
-    cells."""
+    cells.  Deterministically ordered by qualified name."""
     sources: dict[str, str] = {}
     stack: list[types.FunctionType] = [fn]
+
+    def _visit(name: str, obj: object, owner: str) -> None:
+        """Classify one referenced object: package functions recurse,
+        package classes contribute their full class source (method
+        bodies included textually), ``functools.partial`` recurses into
+        its func and hashes plain args, plain data hashes by value."""
+        if isinstance(obj, types.FunctionType):
+            if (obj.__module__ or "").startswith(_PKG):
+                stack.append(obj)
+            return
+        if isinstance(obj, type):
+            if (getattr(obj, "__module__", "") or "").startswith(_PKG):
+                key = f"{obj.__module__}.{obj.__qualname__}"
+                if key not in sources:
+                    try:
+                        sources[key] = inspect.getsource(obj)
+                    except (OSError, TypeError):
+                        sources[key] = f"<nosource:{key}>"
+            return
+        if isinstance(obj, functools.partial):
+            _visit(name, obj.func, owner)
+            tok = _stable_repr((obj.args, obj.keywords))
+            if tok is not None:
+                sources[f"<partial>{owner}.{name}"] = tok
+            return
+        tok = _stable_repr(obj)
+        if tok is not None:
+            sources[f"<const>{owner}.{name}"] = f"{name}={tok}"
+
     while stack:
         f = stack.pop()
         key = f"{f.__module__}.{f.__qualname__}"
@@ -64,29 +138,27 @@ def _transitive_sources(fn: types.FunctionType) -> list[str]:
             codes.extend(
                 k for k in c.co_consts if isinstance(k, types.CodeType)
             )
-        referenced: list[object] = [g.get(n) for n in sorted(names)]
-        for cell in getattr(f, "__closure__", None) or ():
+        owner = f.__module__ or "<unknown>"
+        for n in sorted(names):
+            obj = g.get(n)
+            if obj is None:
+                continue
+            if isinstance(obj, types.ModuleType):
+                if (obj.__name__ or "").startswith(_PKG):
+                    # attribute-style reference: visit every attribute
+                    # of the module whose name also appears in co_names
+                    for an in sorted(names):
+                        a = getattr(obj, an, None)
+                        if a is not None:
+                            _visit(an, a, obj.__name__)
+                continue
+            _visit(n, obj, owner)
+        for i, cell in enumerate(getattr(f, "__closure__", None) or ()):
             try:
-                referenced.append(cell.cell_contents)
+                _visit(f"<cell{i}>", cell.cell_contents, key)
             except ValueError:
                 pass  # empty cell
-        for obj in referenced:
-            if isinstance(obj, types.FunctionType) and (
-                obj.__module__ or ""
-            ).startswith(_PKG):
-                stack.append(obj)
-            elif isinstance(obj, types.ModuleType) and (
-                obj.__name__ or ""
-            ).startswith(_PKG):
-                # attribute-style call: include every function of the
-                # module whose name also appears in co_names
-                for an in sorted(names):
-                    a = getattr(obj, an, None)
-                    if isinstance(a, types.FunctionType) and (
-                        a.__module__ or ""
-                    ).startswith(_PKG):
-                        stack.append(a)
-    return [sources[k] for k in sorted(sources)]
+    return [f"{k}\x01{sources[k]}" for k in sorted(sources)]
 
 
 def query_fingerprint(
@@ -110,6 +182,54 @@ def query_fingerprint(
     if sql is not None:
         h.update(sql.encode("utf-8", "replace"))
     return h.hexdigest()
+
+
+_ROUND_RE = re.compile(r"^CORRECTNESS_r(\d+)\.json$")
+
+
+def correctness_history(
+    root: str,
+) -> tuple[dict[str, int], dict[str, int], dict[str, bool], int]:
+    """Parse every CORRECTNESS_r*.json under ``root`` in NUMERIC round
+    order (``r9`` sorts before ``r10``; lexicographic ordering would
+    silently mis-attribute last-green rounds) and return
+    ``(last_green, last_seen, green_was_rows_only, latest_round)``
+    keyed by query name.  Round numbers are the files' own numeric
+    suffixes, not enumeration positions, so a missing round leaves a
+    gap instead of renumbering history.  Non-dict rows are skipped."""
+
+    def _is_green(row: dict) -> bool:
+        if row.get("hash_match") is True:
+            return True
+        # rows-only check: no oracle by contract, ran without error
+        return row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+
+    last_green: dict[str, int] = {}
+    last_seen: dict[str, int] = {}
+    green_was_rows_only: dict[str, bool] = {}
+    rounds: list[tuple[int, str]] = []
+    for n in os.listdir(root):
+        m = _ROUND_RE.match(n)
+        if m:
+            rounds.append((int(m.group(1)), n))
+    rounds.sort()
+    latest = rounds[-1][0] if rounds else 0
+    for rnd, name in rounds:
+        try:
+            with open(os.path.join(root, name)) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for q, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            last_seen[q] = rnd
+            if _is_green(row):
+                last_green[q] = rnd
+                green_was_rows_only[q] = row.get("hash_match") is not True
+    return last_green, last_seen, green_was_rows_only, latest
 
 
 def load_recorded(root: str) -> dict[str, dict]:

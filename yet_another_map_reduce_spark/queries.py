@@ -6640,30 +6640,9 @@ def ordered_queries(root: str | None = None) -> dict[str, Callable[[SparkSession
     if root is None:
         root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-    def _is_green(row: dict) -> bool:
-        if row.get("hash_match") is True:
-            return True
-        # rows-only check: no oracle by contract, ran without error
-        return row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+    from yet_another_map_reduce_spark.fingerprints import correctness_history
 
-    last_green: dict[str, int] = {}
-    last_seen: dict[str, int] = {}
-    green_was_rows_only: dict[str, bool] = {}
-    rounds = sorted(
-        n for n in os.listdir(root)
-        if n.startswith("CORRECTNESS_r") and n.endswith(".json")
-    )
-    for rnd, name in enumerate(rounds, start=1):
-        try:
-            with open(os.path.join(root, name)) as fh:
-                rows = json.load(fh)
-        except (OSError, ValueError):
-            continue
-        for q, row in rows.items():
-            last_seen[q] = rnd
-            if isinstance(row, dict) and _is_green(row):
-                last_green[q] = rnd
-                green_was_rows_only[q] = row.get("hash_match") is not True
+    last_green, last_seen, green_was_rows_only, _latest = correctness_history(root)
     try:
         with open(os.path.join(root, "BASELINE_QUERIES.json")) as fh:
             cost = json.load(fh)["queries"]
