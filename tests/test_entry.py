@@ -121,6 +121,18 @@ def test_fingerprint_tracks_module_constants():
         text.BPE_CODEGEN_MAX_MERGES = orig
     assert fp.query_fingerprint(name, QUERIES, ORACLES) == before
 
+    # runtime caches are session state, not behavior: populating one
+    # must NOT drift the fingerprint of queries that read it
+    from yet_another_map_reduce_spark import queries as qmod
+
+    bpe_q = "text_bpe_tokenize"
+    clean = fp.query_fingerprint(bpe_q, QUERIES, ORACLES)
+    qmod._BPE_MERGES_CACHE[("sentinel",)] = [("a", "b")]
+    try:
+        assert fp.query_fingerprint(bpe_q, QUERIES, ORACLES) == clean
+    finally:
+        qmod._BPE_MERGES_CACHE.pop(("sentinel",))
+
     # data-table constants appear in the transitive closure by value
     srcs = fp._transitive_sources(text.synthetic_word_counts)
     assert any("_BPE_SYLLABLES=" in s for s in srcs)

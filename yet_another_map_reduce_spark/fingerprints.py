@@ -46,6 +46,13 @@ FINGERPRINTS_FILE = "QUERY_FINGERPRINTS.json"
 
 _PLAIN = (str, bytes, int, float, complex, bool, type(None))
 
+#: module-level names that are RUNTIME-MUTATED caches, not behavior
+#: constants: hashing their contents would make a query's fingerprint
+#: depend on what already ran in the session (empty at import, populated
+#: after first use).  Repo convention: name every runtime cache with one
+#: of these suffixes and it is excluded from fingerprints automatically.
+_CACHE_NAME_RE = re.compile(r".*(_CACHE|_MEMO|_TRACKED)$")
+
 
 def _stable_repr(obj: object, depth: int = 0) -> str | None:
     """Deterministic rendering of plain-data values (the module-level
@@ -96,7 +103,11 @@ def _transitive_sources(fn: types.FunctionType) -> list[str]:
         """Classify one referenced object: package functions recurse,
         package classes contribute their full class source (method
         bodies included textually), ``functools.partial`` recurses into
-        its func and hashes plain args, plain data hashes by value."""
+        its func and hashes plain args, plain data hashes by value.
+        Runtime caches (``*_CACHE`` / ``*_MEMO`` / ``*_TRACKED``) are
+        session state, not behavior, and are excluded."""
+        if _CACHE_NAME_RE.match(name):
+            return
         if isinstance(obj, types.FunctionType):
             if (obj.__module__ or "").startswith(_PKG):
                 stack.append(obj)
