@@ -1237,6 +1237,36 @@ def test_bpe_arrow_tier_matches_codegen_on_trained_table(spark):
         assert r["cg"] == r["ar"], (r["doc_id"], r["cg"], r["ar"])
 
 
+def test_bpe_8k_arrow_matches_driver_python_encode(spark, sf_dir):
+    """The Arrow encoder with the REALISTIC 8,192-merge table (the
+    exact table text_bpe_tokenize_8k ships in its task closure) must
+    reproduce the driver-side reference encode word-for-word on real
+    corpus documents — the distributed-path check that complements the
+    pure-python tier-equivalence property test at this table size."""
+    import re as _re
+
+    from yet_another_map_reduce_spark.operators import text
+    from yet_another_map_reduce_spark.queries import _bpe_realistic_merges
+    from yet_another_map_reduce_spark.sources.readers import read_table
+
+    merges = _bpe_realistic_merges()
+    d = read_table(spark, sf_dir, "documents").limit(40)
+    got = {
+        r["doc_id"]: r["toks"]
+        for r in d.select(
+            "doc_id", text.bpe_tokens_dispatch("text", merges).alias("toks")
+        ).collect()
+    }
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    pat = _re.compile(text.BPE_WORD_RE)
+    memo: dict = {}
+    for r in d.select("doc_id", "text").collect():
+        want = []
+        for w in pat.findall((r["text"] or "").lower()):
+            want.extend(text._bpe_encode_word(w, ranks, memo))
+        assert got[r["doc_id"]] == want, r["doc_id"]
+
+
 def test_bpe_dispatch_gates_on_merge_count(spark):
     import pytest
 

@@ -1146,6 +1146,51 @@ def q_text_bpe_tokenize_xl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_realistic_merges(num_merges: int = 8192, n_words: int = 20000) -> list:
+    """Train-once memo for the realistic-vocabulary merge table: 8,192
+    merges learned driver-side from the deterministic 20k-word synthetic
+    vocabulary (``text.synthetic_word_counts`` — the test corpus's ~31
+    distinct words cannot support 8k merges).  ~6 s driver time on first
+    use, then cached for the session; pure function of its arguments, so
+    any engine regenerates the identical table."""
+    key = ("synthetic", n_words, num_merges)
+    if key not in _BPE_MERGES_CACHE:
+        _BPE_MERGES_CACHE[key] = text.bpe_train_merges(
+            text.synthetic_word_counts(n_words), num_merges
+        )
+    return _BPE_MERGES_CACHE[key]
+
+
+def q_text_bpe_tokenize_8k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE at a REALISTIC vocabulary: 8,192 trained merge ranks (256×
+    the xl sibling) through the Arrow min-rank encoder, corpus-wide.
+    The merge table rides the task closure as a rank dict (~8k entries,
+    ~200 KB — model-parameter scale, same shipping pattern as the IVF
+    centroids); encode cost tracks DISTINCT words per batch via the
+    per-task memo, not merge count (measured near-flat 48→16k merges,
+    BASELINE.md §"BPE at realistic vocabulary").  Same top-100 token
+    frequency output shape as text_bpe_tokenize / _xl.
+
+    Rows-only check by contract: an 8,192-round training + merge replay
+    is not practically SQL-expressible (the xl sibling hash-verifies the
+    IDENTICAL Arrow code path against a 48-round DuckDB replay);
+    encoder correctness at this table size is pinned by
+    tests/test_properties.py::test_bpe_8k_* (min-rank == rank-order
+    apply on sampled vocabulary + OOV words; Arrow == driver-side
+    python encode on the corpus)."""
+    d = read_table(spark, sf_dir, "documents")
+    merges = _bpe_realistic_merges()
+    toks = d.select(
+        F.explode(text.bpe_tokens_dispatch(F.col("text"), merges)).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tok_count"))
+        .orderBy(F.col("tok_count").desc(), F.col("token").asc())
+        .limit(100)
+    )
+
+
 def q_text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token accounting with the LEARNED tokenizer: word
     count vs BPE token count (`text.bpe_token_count`, the drop-in
@@ -6473,6 +6518,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_chunking": q_text_chunking,
     "text_bpe_tokenize": q_text_bpe_tokenize,
     "text_bpe_tokenize_xl": q_text_bpe_tokenize_xl,
+    "text_bpe_tokenize_8k": q_text_bpe_tokenize_8k,
     "text_bpe_token_stats": q_text_bpe_token_stats,
     "pack_sequences_bpe": q_pack_sequences_bpe,
     "text_decontaminate": q_text_decontaminate,
