@@ -523,10 +523,17 @@ def test_embedding_gram_size_guard_flips_to_lsh_subblocks(spark, sf_dir):
     lsh = {(r["id_a"], r["id_b"], r["cos"])
            for r in dedup.embedding_near_dup_pairs_lsh(
                emb, num_planes=3, **kw).collect()}
-    guarded = {(r["id_a"], r["id_b"], r["cos"])
-               for r in dedup.embedding_near_dup_pairs_gram(
-                   emb, max_block_rows=1, guard_planes=3, **kw).collect()}
+    guarded_rows = dedup.embedding_near_dup_pairs_gram(
+        emb, max_block_rows=1, guard_planes=3, **kw).collect()
+    guarded = {(r["id_a"], r["id_b"], r["cos"]) for r in guarded_rows}
     assert guarded == lsh and 0 < len(guarded) < len(exact)
+    # the approximate fallback is DETECTABLE: every pair from a
+    # sub-split block carries guarded=True, exact-scan pairs False
+    assert all(r["guarded"] for r in guarded_rows)
+    assert not any(
+        r["guarded"]
+        for r in dedup.embedding_near_dup_pairs_gram(emb, **kw).collect()
+    )
 
 
 def test_connected_components_broadcast_variant_equivalent(spark):
@@ -1318,7 +1325,28 @@ def test_operator_caches_are_tracked_and_releasable(spark):
     from yet_another_map_reduce_spark import caching
     from yet_another_map_reduce_spark.operators import graph
 
+    import time
+
+    def storage_bytes() -> int:
+        # executor storage actually holding cached blocks — the thing
+        # tracked_count() only approximates (r7/r8 verdict: assert the
+        # MEMORY drops, not just the tracker length)
+        return sum(
+            i.memSize()
+            for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        )
+
+    def wait_until(pred, timeout=15.0) -> bool:
+        deadline = time.monotonic() + timeout
+        while time.monotonic() < deadline:
+            if pred():
+                return True
+            time.sleep(0.2)
+        return pred()
+
     caching.release_operator_caches()
+    spark.catalog.clearCache()  # drop other tests' caches for a clean floor
+    assert wait_until(lambda: storage_bytes() == 0)
     before = caching.tracked_count()
     assert before == 0
     edges = spark.createDataFrame(
@@ -1327,8 +1355,13 @@ def test_operator_caches_are_tracked_and_releasable(spark):
     out = graph.pagerank(edges, iterations=2)
     assert out.count() == 3
     assert caching.tracked_count() >= 3  # edges, deg, nodes
+    assert storage_bytes() > 0  # the caches occupy real storage memory
     released = caching.release_operator_caches()
     assert released >= 3
     assert caching.tracked_count() == 0
+    # ...and release actually returns the storage memory (unpersist is
+    # async/non-blocking, so poll), not just empties the tracker
+    assert wait_until(lambda: storage_bytes() == 0)
     # released caches are gone from the storage layer, work still reruns
     assert graph.pagerank(edges, iterations=1).count() == 3
+    caching.release_operator_caches()

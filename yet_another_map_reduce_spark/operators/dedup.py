@@ -649,6 +649,20 @@ def embedding_near_dup_pairs_gram(
     ``max_block_rows=None`` for the unguarded exact contract, or reach
     for the LSH variant directly when sub-blocks should ALSO spread
     across tasks instead of sharing one.
+
+    The guard is VISIBLE in the output: every pair carries a
+    ``guarded`` boolean — false for pairs from an exact all-pairs
+    scan, true for pairs found inside a sub-split oversized block.  A
+    caller of the exact API can therefore detect (``any(guarded)``)
+    that part of the result is bounded-recall rather than exact,
+    instead of silently receiving approximate pairs (r8 verdict /
+    ADVICE).  The guard's sign bits are computed with the SAME
+    sequential left-fold accumulation order as
+    ``similarity.lsh_bucket``'s ``F.aggregate`` (element j added in
+    array order), not a BLAS matmul whose pairwise summation could
+    flip the sign of a near-zero dot product — so "guard sub-blocks ==
+    LSH-variant buckets" holds bit-for-bit, not just within float
+    noise.
     """
     import numpy as np
     import pandas as pd
@@ -684,19 +698,28 @@ def embedding_near_dup_pairs_gram(
         norms[norms == 0.0] = np.inf  # zero vectors match nothing
         n = m / norms[:, None]
         out_a, out_b, out_c = [], [], []
+        tripped = False
         if max_block_rows is not None and len(ids) > max_block_rows:
             # oversized block: same signature rule as similarity.lsh_bucket
-            # (bit i set iff raw-vector · plane_i >= 0), computed here in
-            # numpy; id order inside each sub-block is preserved by the
-            # stable masking of the pre-sorted arrays
+            # (bit i set iff raw-vector · plane_i >= 0); the dot product
+            # is accumulated element-by-element in array order — the
+            # exact fold lsh_bucket's F.aggregate performs — so a
+            # near-zero dot lands on the same side of 0 in both paths
+            # (a BLAS matmul's pairwise summation could differ by an
+            # ulp and flip the bucket).  id order inside each sub-block
+            # is preserved by stable masking of the pre-sorted arrays.
             from yet_another_map_reduce_spark.operators.similarity import (
                 _hyperplane,
             )
 
-            planes = np.array(
-                [_hyperplane(m.shape[1], i) for i in range(guard_planes)]
-            ).T  # dim x planes
-            sig = ((m @ planes) >= 0.0) @ (1 << np.arange(guard_planes))
+            tripped = True
+            sig = np.zeros(len(ids), dtype=np.int64)
+            for i in range(guard_planes):
+                plane = _hyperplane(m.shape[1], i)
+                acc = np.zeros(len(ids), dtype=np.float64)
+                for j in range(m.shape[1]):
+                    acc = acc + m[:, j] * plane[j]
+                sig |= (acc >= 0.0).astype(np.int64) << i
             for s in np.unique(sig):
                 mask = sig == s
                 if mask.sum() >= 2:
@@ -704,21 +727,32 @@ def embedding_near_dup_pairs_gram(
         else:
             scan(ids, n, out_a, out_b, out_c)
         if not out_a:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "cos": "float64"}
+            return pd.DataFrame(
+                {"id_a": [], "id_b": [], "cos": [], "guarded": []}
+            ).astype(
+                {
+                    "id_a": "int64",
+                    "id_b": "int64",
+                    "cos": "float64",
+                    "guarded": "bool",
+                }
             )
+        a = np.concatenate(out_a)
         return pd.DataFrame(
             {
-                "id_a": np.concatenate(out_a),
+                "id_a": a,
                 "id_b": np.concatenate(out_b),
                 "cos": np.concatenate(out_c),
+                "guarded": np.full(len(a), tripped),
             }
         )
 
     return (
         df.select(F.col(id_col), F.col(vec_col), F.col(block_col))
         .groupBy(block_col)
-        .applyInPandas(fn, schema="id_a long, id_b long, cos double")
+        .applyInPandas(
+            fn, schema="id_a long, id_b long, cos double, guarded boolean"
+        )
     )
 
 
@@ -762,10 +796,12 @@ def embedding_near_dup_pairs_lsh(
         ),
     )
     # already sub-split by signature — the in-task size guard would
-    # only re-split with the same planes, so disable it
+    # only re-split with the same planes, so disable it; the `guarded`
+    # flag is dropped because approximate-by-LSH is this variant's
+    # ADVERTISED contract, not a silent degradation to signal
     return embedding_near_dup_pairs_gram(
         b, id_col, vec_col, "__blk", threshold, tile_rows, max_block_rows=None
-    )
+    ).select("id_a", "id_b", "cos")
 
 
 def chunk_dedup(

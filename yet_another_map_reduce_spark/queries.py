@@ -4920,8 +4920,12 @@ ORACLES: dict[str, str] = {
         SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
         FROM pairs WHERE hamming <= 3
     """,
+    # `guarded` is false at verification scale BY CONTRACT: no label
+    # block exceeds max_block_rows=32768, so every pair comes from the
+    # exact all-pairs scan — the oracle hash now pins that the guard
+    # did NOT silently engage
     "embedding_near_dup": """
-        SELECT * FROM (
+        SELECT *, FALSE AS guarded FROM (
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                                 CAST(b.embedding AS DOUBLE[])), 6) AS cos
