@@ -58,6 +58,42 @@ def test_half_up_off_boundary_matches_np_round():
     assert np.allclose(a, b, atol=1e-12)
 
 
+def test_half_up_ulp_below_half_rounds_down_like_duckdb():
+    """r8 ADVICE regression: with the old ``floor(y + 0.5)`` scheme, a
+    scaled value one ulp BELOW a half boundary was rounded up (the
+    addition lands exactly on 1.0), diverging from DuckDB/C round.
+    The exact-fraction tie test must round it down."""
+    cases = [
+        (np.nextafter(0.5, 0.0), 0, 0.0),     # 0.49999999999999994
+        (-np.nextafter(0.5, 0.0), 0, -0.0),
+        (np.nextafter(2.5, 0.0), 0, 2.0),
+        (np.nextafter(0.0000005, 0.0), 6, 0.0),
+    ]
+    for x, d, want in cases:
+        got = float(round_half_up(x, d))
+        assert got == want, (x, d, got)
+        (duck,) = duckdb.sql(
+            f"SELECT round(CAST({x!r} AS DOUBLE), {d})"
+        ).fetchone()
+        assert got == duck, (x, d, got, duck)
+
+
+def test_spark_shortest_repr_half_divergence_is_the_documented_class(spark):
+    """0.285's double is strictly below the 2-digit half boundary, but
+    its SHORTEST DECIMAL REPR is "0.285", so Spark's BigDecimal-based
+    F.round rounds UP while numpy and DuckDB — both rounding the scaled
+    double — round DOWN.  This pins the module docstring's residual
+    divergence class as real (and pins that we side with the DuckDB
+    oracle on it): if a Spark upgrade changes this, the docstring and
+    this test should be revisited together."""
+    x = 0.285
+    ours = float(round_half_up(x, 2))
+    (duck,) = duckdb.sql("SELECT round(CAST(0.285 AS DOUBLE), 2)").fetchone()
+    (spark_r,) = spark.range(1).select(F.round(F.lit(x), 2).alias("r")).first()
+    assert ours == duck == 0.28
+    assert spark_r == 0.29
+
+
 def test_half_up_propagates_nan_inf():
     out = round_half_up(np.array([np.nan, np.inf, -np.inf, 0.0]), 6)
     assert np.isnan(out[0]) and out[1] == np.inf and out[2] == -np.inf
