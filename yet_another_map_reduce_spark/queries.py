@@ -1651,6 +1651,11 @@ def q_dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact within-block near-dup pairs (BLAS gram tier).  The output's
+    ``guarded`` column is hash-pinned FALSE here: no label block exceeds
+    the quadratic-burn cap at verification scale, so every pair is from
+    the exact all-pairs scan — if the guard ever silently engaged, the
+    oracle hash would catch it."""
     emb = read_table(spark, sf_dir, "embeddings")
     # the synthetic embeddings are near-orthogonal random vectors (max
     # same-label cosine ≈ 0.47) — 0.35 exercises the operator with a
