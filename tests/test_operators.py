@@ -1345,8 +1345,12 @@ def test_operator_caches_are_tracked_and_releasable(spark):
         return pred()
 
     caching.release_operator_caches()
-    spark.catalog.clearCache()  # drop other tests' caches for a clean floor
-    assert wait_until(lambda: storage_bytes() == 0)
+    spark.catalog.clearCache()
+    # delta-based floor: other tests may leave raw RDD persists that
+    # catalog.clearCache() does not touch — what must hold is that THIS
+    # operator's caches appear in storage and release returns them
+    time.sleep(0.5)
+    floor = storage_bytes()
     before = caching.tracked_count()
     assert before == 0
     edges = spark.createDataFrame(
@@ -1355,13 +1359,13 @@ def test_operator_caches_are_tracked_and_releasable(spark):
     out = graph.pagerank(edges, iterations=2)
     assert out.count() == 3
     assert caching.tracked_count() >= 3  # edges, deg, nodes
-    assert storage_bytes() > 0  # the caches occupy real storage memory
+    assert storage_bytes() > floor  # the caches occupy real storage memory
     released = caching.release_operator_caches()
     assert released >= 3
     assert caching.tracked_count() == 0
     # ...and release actually returns the storage memory (unpersist is
     # async/non-blocking, so poll), not just empties the tracker
-    assert wait_until(lambda: storage_bytes() == 0)
+    assert wait_until(lambda: storage_bytes() <= floor)
     # released caches are gone from the storage layer, work still reruns
     assert graph.pagerank(edges, iterations=1).count() == 3
     caching.release_operator_caches()
