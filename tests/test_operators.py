@@ -931,6 +931,73 @@ def test_duplicated_spans_merges_touching_coverage_and_intra_doc(spark):
     assert [(r["span_start"], r["span_end"], r["span_tokens"]) for r in spans] == [(0, 11, 12)]
 
 
+def _py_winnow(text: str, k: int = 4, w: int = 5) -> set[tuple[int, int]]:
+    """Driver-side reference winnowing (basic algorithm, Schleimer et
+    al. 2003 Fig. 5): rightmost minimal gram hash per window; one
+    partial window for docs shorter than w grams."""
+    import hashlib
+    import re
+
+    toks = re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+    grams = (
+        [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        if len(toks) >= k
+        else []
+    )
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:10], 16) for g in grams]
+    if not hs:
+        return set()
+    out = set()
+    for p in range(max(len(hs) - w, 0) + 1):
+        win = hs[p : p + w]
+        m = min(win)
+        rp = p + max(i for i, h in enumerate(win) if h == m)
+        out.add((hs[rp], rp))
+    return out
+
+
+def test_winnow_matches_reference_implementation(spark):
+    # includes: long doc, doc shorter than w grams (one partial
+    # window), doc shorter than k tokens (no grams -> no rows), and an
+    # all-equal-hash run (rightmost-tie per window).
+    from yet_another_map_reduce_spark.operators import text as T
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog again and again today"),
+        (2, "tiny doc here now more"),  # 5 tokens -> 2 grams < w
+        (3, "too short"),  # < k tokens -> no grams
+        (4, "a a a a a a a a a a"),  # equal hashes, tie-break path
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got: dict[int, set[tuple[int, int]]] = {}
+    for r in T.winnow_fingerprints(df, "text", "doc_id", k=4, w=5).collect():
+        got.setdefault(r["doc_id"], set()).add((r["fp_hash"], r["fp_pos"]))
+    for doc_id, body in docs:
+        assert got.get(doc_id, set()) == _py_winnow(body), doc_id
+
+
+def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
+    # the paper's guarantee: a shared token run of length >= w + k - 1
+    # (here 8) forces at least one common fingerprint HASH, regardless
+    # of surrounding context; disjoint-vocabulary docs share none.
+    from yet_another_map_reduce_spark.operators import text as T
+
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    df = spark.createDataFrame(
+        [
+            (1, "ctx1 ctx2 ctx3 " + shared + " tail1 tail2"),
+            (2, shared + " other words entirely different here"),
+            (3, "fully disjoint vocabulary with no overlap whatsoever at all"),
+        ],
+        "doc_id long, text string",
+    )
+    by: dict[int, set[int]] = {}
+    for r in T.winnow_fingerprints(df, "text", "doc_id", k=4, w=5).collect():
+        by.setdefault(r["doc_id"], set()).add(r["fp_hash"])
+    assert by[1] & by[2], "shared 8-token run must share a fingerprint"
+    assert not (by[1] & by[3]) and not (by[2] & by[3])
+
+
 def test_bigram_lm_score_hand_computed_and_bucketed(spark):
     # corpus: ab=4, ba=2, bc=1, zz=2; c(a)=4, c(b)=3, c(z)=2; V=4
     from yet_another_map_reduce_spark.operators import text

@@ -255,6 +255,25 @@ def test_duplicated_spans_shuffles_hashes_not_shingle_text(spark, sf_dir):
     assert keys and set(keys) <= {"__h", "doc_id"}, keys
 
 
+def test_winnow_single_exchange_carries_no_text(spark, sf_dir):
+    """Winnowing's scale contract: the lead-window, the min-over-frame
+    window, the per-doc count window, the fingerprint distinct AND the
+    per-doc rollup all reuse ONE doc-id exchange (every later key set
+    contains the partition key), and no exchange carries gram text."""
+    from yet_another_map_reduce_spark.operators import text as T
+
+    d = read_table(spark, sf_dir, "documents")
+    df = T.winnow_fingerprints(d, "text", "doc_id")
+    plan = plans.formatted_plan(df)
+    import re
+
+    ex = re.findall(r"^\(\d+\) Exchange\n.*\nArguments: (.*)$", plan, flags=re.MULTILINE)
+    assert len(ex) == 1, plan
+    assert "concat_ws" not in ex[0] and "__tok" not in ex[0], ex[0]
+    keys = re.findall(r"hashpartitioning\((\w+)", plan)
+    assert set(keys) == {"doc_id"}, keys
+
+
 def test_lateral_join_decorrelates_to_window_group_limit(spark, sf_dir):
     """The correlated LATERAL ORDER BY/LIMIT must decorrelate into a
     ranked window join with the WindowGroupLimit top-k pushdown — NOT a

@@ -123,6 +123,90 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(normalize_text(col))
 
 
+#: winnowing packs (hash, position) into one bigint so a single window
+#: ``min`` selects the min-hash / rightmost-tie fingerprint per window:
+#: combo = hash40 * 2^20 + (2^20-1-pos).  40-bit hash + 20-bit position
+#: stays under 2^60, and positions up to ~1M token-grams per document —
+#: beyond that, chunk first (chunk_documents) like every other per-doc
+#: window op here.
+_WINNOW_POS_MOD = 1 << 20
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 4,
+    w: int = 5,
+) -> DataFrame:
+    """Rolling-hash document fingerprints via winnowing (Schleimer,
+    Wilkerson & Aiken 2003, the MOSS algorithm): hash every token
+    k-gram, slide a window of ``w`` consecutive hashes, and keep the
+    minimum hash of each window, rightmost position on ties (the
+    paper's basic winnowing, Fig. 5).  Guarantee: any two documents sharing a token
+    run of at least ``w + k - 1`` tokens share at least one
+    fingerprint, while only ~2/(w+1) of all gram hashes are kept — the
+    standard sublinear sketch for plagiarism/overlap detection.
+
+    Relational shape (one exchange at any corpus size): positional
+    k-gram hashes via posexplode + lead (same single-tokenizer-
+    evaluation idiom as ``dedup.exploded_shingles``; the banned
+    ``explode(transform(...))`` form re-evaluates the tokenizer per
+    element), then ONE window shuffle partitioned by document carries
+    the per-window min, the gram count, the fingerprint distinct AND
+    the final per-doc aggregation — the distinct/groupBy keys all
+    contain the document id, so HashPartitioning(id) satisfies their
+    clustering and Catalyst inserts no further exchange.  Only
+    fixed-width (id, bigint) rows ever shuffle, never text.
+
+    Tie-break without a struct ``min`` (kept ANSI-expressible for the
+    DuckDB oracle): 40-bit md5 hash and the position pack into one
+    bigint, ``h * 2^20 + (2^20-1-pos)``, whose integer ``min`` is
+    exactly (min hash, max pos); bit ops unpack it losslessly — no
+    doubles anywhere, so no float-divergence risk between engines.
+    Documents shorter than ``w`` grams winnow their single partial
+    window (pos 0), matching the paper's treatment of short inputs.
+
+    Returns one row per fingerprint:
+    ``(id, fp_hash, fp_pos)`` — the selected gram hash and the token
+    position it starts at.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("__pos", "__tok")
+    )
+    wdoc = Window.partitionBy(id_col).orderBy("__pos")
+    parts = [F.col("__tok")] + [F.lead("__tok", j).over(wdoc) for j in range(1, k)]
+    grams = tok.select(
+        F.col(id_col),
+        F.col("__pos"),
+        F.conv(F.substring(F.md5(F.concat_ws(" ", *parts)), 1, 10), 16, 10)
+        .cast("bigint")
+        .alias("__h"),
+        parts[-1].isNotNull().alias("__ok"),
+    ).where(F.col("__ok"))
+    pos_mod = F.lit(_WINNOW_POS_MOD)
+    combo = F.col("__h") * pos_mod + (pos_mod - 1 - F.col("__pos"))
+    sel = grams.select(
+        F.col(id_col),
+        F.col("__pos"),
+        F.min(combo).over(wdoc.rowsBetween(0, w - 1)).alias("__mc"),
+        F.count(F.lit(1)).over(Window.partitionBy(id_col)).alias("__n"),
+    )
+    return (
+        sel.where(F.col("__pos") <= F.greatest(F.col("__n") - w, F.lit(0)))
+        .select(
+            F.col(id_col),
+            F.shiftright("__mc", 20).alias("fp_hash"),
+            (pos_mod - 1 - F.col("__mc").bitwiseAND(_WINNOW_POS_MOD - 1)).alias(
+                "fp_pos"
+            ),
+        )
+        .distinct()
+    )
+
+
 #: PII patterns kept RE2-compatible (no lookarounds/backrefs) so SQL
 #: oracles and other engines can apply the identical regexes.
 _PII_PATTERNS: tuple[tuple[str, str], ...] = (

@@ -1376,6 +1376,27 @@ def q_text_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.hash_embed(d, "text", "doc_id", dim=16)
 
 
+def q_text_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash winnowing fingerprints (Schleimer et al. 2003 /
+    MOSS) per document — min-hash-of-window sketch with the rightmost-
+    tie rule, ~2/(w+1) of gram hashes kept at random-hash density, any shared run of
+    ``w + k - 1`` tokens guaranteed to share a fingerprint.  Summarized
+    per doc with integer-only digests (count / min / max / bit_xor of
+    the kept hashes) so the oracle compare is float-free."""
+    d = read_table(spark, sf_dir, "documents")
+    fps = text.winnow_fingerprints(d, "text", "doc_id", k=4, w=5)
+    return (
+        fps.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_fp"),
+            F.min("fp_hash").alias("fp_min"),
+            F.max("fp_hash").alias("fp_max"),
+            F.expr("bit_xor(fp_hash)").alias("fp_xor"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth (quantile) bucketing via ntile: 10 buckets of
     near-equal row count over order totals, with per-bucket bounds and
@@ -4564,6 +4585,34 @@ ORACLES: dict[str, str] = {
                round(n / sqrt(sum(n * n) OVER (PARTITION BY doc_id)), 6) AS w
         FROM cnt
     """,
+    "text_fingerprint_winnow": f"""
+        WITH toks AS (
+            SELECT doc_id, string_split({_TEXT_NORM}, ' ') AS t FROM documents),
+        g0 AS (
+            SELECT doc_id,
+                   list_transform(generate_series(1, len(t) - 3),
+                                  i -> ('0x' || substr(md5(array_to_string(t[i:i+3], ' ')), 1, 10))::BIGINT)
+                       AS hs
+            FROM toks),
+        g AS (
+            SELECT doc_id, generate_subscripts(hs, 1) - 1 AS pos, unnest(hs) AS h
+            FROM g0),
+        sel AS (
+            SELECT doc_id, pos,
+                   min(h * 1048576 + (1048575 - pos))
+                       OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS mc,
+                   count(*) OVER (PARTITION BY doc_id) AS n
+            FROM g),
+        fpp AS (
+            SELECT DISTINCT doc_id, mc >> 20 AS fp_hash,
+                   1048575 - (mc & 1048575) AS fp_pos
+            FROM sel WHERE pos <= greatest(n - 5, 0))
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+               min(fp_hash) AS fp_min, max(fp_hash) AS fp_max,
+               bit_xor(fp_hash) AS fp_xor
+        FROM fpp GROUP BY doc_id ORDER BY doc_id
+    """,
     "histogram_equidepth": """
         WITH b AS (
             SELECT o_orderkey, o_totalprice,
@@ -6536,6 +6585,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_oov": q_vocab_oov,
     "pmi_cooccurrence": q_pmi_cooccurrence,
     "pipeline_curation_v2": q_pipeline_curation_v2,
+    "text_fingerprint_winnow": q_text_fingerprint_winnow,
     "text_hash_embed": q_text_hash_embed,
     "text_bm25_search": q_text_bm25_search,
     "histogram_equidepth": q_histogram_equidepth,
