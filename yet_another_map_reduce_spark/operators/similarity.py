@@ -651,45 +651,115 @@ def quantized_topk(
     composable with :func:`lsh_topk` / :func:`ivf_topk` bucketing for
     candidate pruning.
 
-    Same scale shape as :func:`cosine_topk`: the (small, by contract)
-    query side is quantized and broadcast; the corpus is quantized
-    on the fly inside whole-stage codegen and read exactly once, never
-    shuffled.  The integer dot/norms make the score fully deterministic,
-    so the whole pipeline — including ranking ties broken on neighbor
-    id — is reproducible in an ANSI-SQL oracle.
+    Same scale shape AND the same Arrow-matmul execution as
+    :func:`cosine_topk` (the prior per-row codegen HOF fold was
+    corpus-linear in interpreted float ops — 48× at the 100× replica;
+    the matmul tier is one BLAS call per Arrow batch): the (small, by
+    contract) query side is quantized and shipped in the task closure;
+    each corpus batch is quantized in numpy — bit-identical to the
+    expression form, ``floor(v * (127/max|v|) + 0.5)`` elementwise in
+    float64 — and only per-batch top-k candidates leave the scan.
+    Every dot/norm is EXACT: quantized components are integers ≤ 127,
+    so a 64-dim dot is ≤ 64·127² ≪ 2^53 and float64 BLAS cannot drift
+    whatever the accumulation order — the oracle replays the pipeline
+    bit-for-bit with no rounding licence needed before the final
+    6-digit quantization (``round_half_up``, the DuckDB-matching rule).
+
+    Contract notes shared with :func:`cosine_topk`: EAGER at
+    construction (the query side is collect()-ed when this function is
+    called — composing plans speculatively triggers execution);
+    zero-norm / NULL vectors score NULL and rank last; self-matches
+    excluded; ties break to the lower neighbor id.
     """
-    q = quantize_embeddings(queries, id_col, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col("qvec").alias("__qq")
-    )
-    c = quantize_embeddings(corpus, id_col, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("__qc")
-    )
-    idot = F.aggregate(
-        F.zip_with(F.col("__qc"), F.col("__qq"), lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
-    )
+    import numpy as np
+    import pandas as pd
 
-    def _inorm(col: str) -> Column:
-        return F.sqrt(
-            F.aggregate(
-                F.col(col), F.lit(0).cast("bigint"), lambda acc, v: acc + v * v
-            ).cast("double")
-        )
+    from .quantize import round_half_up
 
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "qcos",
-            F.round(F.try_divide(idot, _inorm("__qc") * _inorm("__qq")), 6),
+    def _q8(vec) -> "np.ndarray | None":
+        # floor(v*scale + 0.5), scale = 127/max|v| — the same float64
+        # elementwise ops the quantize_embeddings expression runs, so
+        # the two forms agree bit-for-bit on every component
+        if vec is None:
+            return None
+        v = np.asarray(vec, dtype=np.float64)
+        ma = float(np.max(np.abs(v))) if v.size else 0.0
+        scale = 127.0 / ma if ma > 0 else 0.0
+        return np.floor(v * scale + 0.5)
+
+    qrows = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__qv"),
+    ).collect()
+    id_t = corpus.schema[id_col].dataType.simpleString()
+    if not qrows:
+        return corpus.sparkSession.createDataFrame(
+            [], f"query_id {id_t}, neighbor_id {id_t}, qcos double, qrank bigint"
         )
+    qids = np.array([r["query_id"] for r in qrows])
+    qqs = [_q8(r["__qv"]) for r in qrows]
+    q_valid = [i for i, qq in enumerate(qqs) if qq is not None]
+    if q_valid:
+        dim = qqs[q_valid[0]].size
+        Q = np.zeros((len(qrows), dim))
+        for i in q_valid:
+            Q[i] = qqs[i]
+        qn = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+        qn[qn == 0.0] = np.nan
+        qn[[i for i in range(len(qrows)) if i not in set(q_valid)]] = np.nan
+    else:
+        Q, qn = None, None
+
+    cv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), cv.alias("__cv"))
+
+    def _scan(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["neighbor_id"].to_numpy()
+            vecs = [_q8(x) for x in pdf["__cv"]]
+            v_null = np.array([x is None for x in vecs])
+            dim_ = Q.shape[1] if Q is not None else next(
+                (x.size for x in vecs if x is not None), 1
+            )
+            V = np.stack([np.zeros(dim_) if x is None else x for x in vecs])
+            vn = np.sqrt(np.einsum("ij,ij->i", V, V))
+            vn[vn == 0.0] = np.nan
+            vn[v_null] = np.nan
+            if Q is None:
+                S = np.full((len(ids), len(qids)), np.nan)
+            else:
+                with np.errstate(invalid="ignore"):
+                    S = round_half_up((V @ Q.T) / np.outer(vn, qn), 6)
+            out_q, out_n, out_c = [], [], []
+            key = np.where(np.isnan(S), np.inf, -S)
+            for j in range(len(qids)):
+                keep = ids != qids[j]
+                order = np.lexsort((ids[keep], key[keep, j]))[:k]
+                sel = np.flatnonzero(keep)[order]
+                out_q.extend([qids[j]] * len(sel))
+                out_n.extend(ids[sel])
+                out_c.extend(S[sel, j])
+            yield pd.DataFrame(
+                {
+                    "query_id": out_q,
+                    "neighbor_id": out_n,
+                    "qcos": pd.Series(
+                        [None if np.isnan(x) else float(x) for x in out_c],
+                        dtype=object,
+                    ),
+                }
+            )
+
+    cand = c.mapInPandas(
+        _scan, f"query_id {id_t}, neighbor_id {id_t}, qcos double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("qcos").desc_nulls_last(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("qrank", F.row_number().over(w).cast("bigint"))
+        cand.withColumn("qrank", F.row_number().over(w).cast("bigint"))
         .where(F.col("qrank") <= k)
         .select("query_id", "neighbor_id", "qcos", "qrank")
     )
