@@ -931,6 +931,25 @@ def test_duplicated_spans_merges_touching_coverage_and_intra_doc(spark):
     assert [(r["span_start"], r["span_end"], r["span_tokens"]) for r in spans] == [(0, 11, 12)]
 
 
+def test_keep_best_dedup_highest_score_null_loses_tie_lowest_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "Same  DOC text", 0.5),   # dup class A (normalizes equal)
+            (2, "same doc text", 0.9),    # winner: highest score
+            (3, "same doc  TEXT", None),  # NULL score ranks last
+            (4, "other body", 0.7),       # dup class B: tie on score...
+            (5, "OTHER body", 0.7),       # ...lowest id (4) wins
+            (6, "unique one", None),      # singleton, NULL score kept
+        ],
+        "doc_id long, text string, q double",
+    )
+    got = {
+        r["doc_id"]: r["q"]
+        for r in dedup.keep_best_dedup(df, "text", "doc_id", "q").collect()
+    }
+    assert got == {2: 0.9, 4: 0.7, 6: None}
+
+
 def _py_winnow(text: str, k: int = 4, w: int = 5) -> set[tuple[int, int]]:
     """Driver-side reference winnowing (basic algorithm, Schleimer et
     al. 2003 Fig. 5): rightmost minimal gram hash per window; one

@@ -255,6 +255,35 @@ def test_duplicated_spans_shuffles_hashes_not_shingle_text(spark, sf_dir):
     assert keys and set(keys) <= {"__h", "doc_id"}, keys
 
 
+def test_keep_best_partial_aggregates_and_narrow_payload_excludes_text(spark, sf_dir):
+    """keep_best's scale contract (100× sweep finding): winner
+    selection is a partial-capable aggregate — a map-side HashAggregate
+    below the fingerprint exchange — and with a narrow payload the
+    exchange carries no document text."""
+    from yet_another_map_reduce_spark.operators import dedup
+
+    d = read_table(spark, sf_dir, "documents")
+    df = dedup.keep_best_dedup(
+        d.withColumn("q", F.length("text").cast("double")),
+        "text",
+        "doc_id",
+        "q",
+        payload_cols=["doc_id", "q"],
+    )
+    plan = plans.formatted_plan(df)
+    import re
+
+    assert "partial_min_by" in plan and "Window" not in plan, plan
+    ex = re.findall(r"^\(\d+\) Exchange\n.*\nArguments: (.*)$", plan, flags=re.MULTILINE)
+    assert len(ex) == 1, plan
+    # the exchange input is the partial-aggregate output (fingerprint +
+    # candidate struct), never document text
+    ex_inputs = re.findall(
+        r"^\(\d+\) Exchange\nInput \[\d+\]: \[(.*)\]$", plan, flags=re.MULTILINE
+    )
+    assert ex_inputs and "text#" not in ex_inputs[0], ex_inputs
+
+
 def test_winnow_single_exchange_carries_no_text(spark, sf_dir):
     """Winnowing's scale contract: the lead-window, the min-over-frame
     window, the per-doc count window, the fingerprint distinct AND the

@@ -903,7 +903,11 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     class is a singleton — the policy still must pick deterministically)."""
     d = read_table(spark, sf_dir, "documents")
     scored = d.withColumn("q", text.quality_score("text"))
-    return dedup.keep_best_dedup(scored, "text", "doc_id", "q").select("doc_id", "q")
+    # narrow payload: the fingerprint exchange carries (doc_id, q)
+    # candidates only — document text never shuffles
+    return dedup.keep_best_dedup(
+        scored, "text", "doc_id", "q", payload_cols=["doc_id", "q"]
+    )
 
 
 def q_fuzzy_match_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
