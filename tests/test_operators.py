@@ -931,6 +931,58 @@ def test_duplicated_spans_merges_touching_coverage_and_intra_doc(spark):
     assert [(r["span_start"], r["span_end"], r["span_tokens"]) for r in spans] == [(0, 11, 12)]
 
 
+def test_grouped_ranked_tiers_agree_and_match_percent_rank(spark):
+    # the distributed tier (forced via threshold=0) must produce the
+    # SAME ranks/group totals as the window tier, and percent_rank
+    # derived from them must equal Spark's own percent_rank()
+    from pyspark.sql import Window
+
+    from yet_another_map_reduce_spark.operators import sorts
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "lang", F.length("text").cast("double").alias("q")
+    )
+    order = [F.col("q").asc(), F.col("doc_id").asc()]
+    big = sorts.grouped_ranked_adaptive(
+        df, ["lang"], order, "r", group_total_col="gn", single_task_threshold=0
+    )
+    small = sorts.grouped_ranked_adaptive(
+        df, ["lang"], order, "r", group_total_col="gn", single_task_threshold=10**9
+    )
+    rows_b = {r["doc_id"]: (r["r"], r["gn"]) for r in big.collect()}
+    rows_s = {r["doc_id"]: (r["r"], r["gn"]) for r in small.collect()}
+    assert rows_b == rows_s and rows_b
+    w = Window.partitionBy("lang").orderBy(*order)
+    ref = {
+        r["doc_id"]: r["pr"]
+        for r in df.withColumn("pr", F.percent_rank().over(w)).collect()
+    }
+    for doc_id, (r, gn) in rows_b.items():
+        expect = 0.0 if gn == 1 else (r - 1) / (gn - 1)
+        assert ref[doc_id] == expect, doc_id
+
+
+def test_reservoir_per_group_tiers_keep_identical_rows(spark):
+    from yet_another_map_reduce_spark.operators import sampling
+
+    df = spark.read.parquet("/root/testdata/sf0.001/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    ).repartition(7)  # several input partitions so local top-k is real
+    a = sampling.reservoir_per_group(
+        df, ["c_mktsegment"], "c_custkey", 5, single_task_threshold=0
+    )
+    b = sampling.reservoir_per_group(
+        df, ["c_mktsegment"], "c_custkey", 5, single_task_threshold=10**9
+    )
+    rows_a = {(r["c_mktsegment"], r["c_custkey"]) for r in a.collect()}
+    rows_b = {(r["c_mktsegment"], r["c_custkey"]) for r in b.collect()}
+    assert rows_a == rows_b
+    from collections import Counter
+
+    per = Counter(seg for seg, _ in rows_a)
+    assert per and all(v == 5 for v in per.values())
+
+
 def test_keep_best_dedup_highest_score_null_loses_tie_lowest_id(spark):
     df = spark.createDataFrame(
         [

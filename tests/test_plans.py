@@ -255,7 +255,58 @@ def test_duplicated_spans_shuffles_hashes_not_shingle_text(spark, sf_dir):
     assert keys and set(keys) <= {"__h", "doc_id"}, keys
 
 
-def test_keep_best_partial_aggregates_and_narrow_payload_excludes_text(spark, sf_dir):
+def test_grouped_ranked_big_tier_reuses_range_exchange_no_group_window(spark, sf_dir):
+    """grouped_ranked's scale contract: the corpus crosses ONE range
+    exchange (the groups-sized summary branch hits ReusedExchange) and
+    no window is partitioned on the low-cardinality group key — the
+    only windows are the #partitions-sized offset scans."""
+    from yet_another_map_reduce_spark.operators import sorts
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.length("text").cast("double").alias("q")
+    )
+    df = sorts.grouped_ranked(
+        d, ["lang"], [F.col("q").asc(), F.col("doc_id").asc()], "r"
+    )
+    import re
+
+    static = plans.formatted_plan(df)
+    assert len(re.findall(r"rangepartitioning\(", static)) >= 1, static
+    # no window partitioned by the group key: windowspecdefinition over
+    # lang would mean a data-sized partition per language
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", static):
+        assert "lang" not in spec, spec
+    # stage reuse is decided at materialization: the summary branch must
+    # fold the ranked branch's range exchange, not recompute the corpus
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final and "ReusedExchange" in final
+
+
+def test_reservoir_big_tier_no_corpus_exchange(spark, sf_dir):
+    """reservoir_per_group's big tier: the corpus itself never crosses
+    an exchange — the only hash exchanges carry the partitions×groups
+    summary or the ≤P×G×k candidates, both after the local-rank
+    filter."""
+    from yet_another_map_reduce_spark.operators import sampling
+
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    df = sampling.reservoir_per_group(
+        c, ["c_mktsegment"], "c_custkey", 5, single_task_threshold=0
+    )
+    plan = plans.formatted_plan(df)
+    import re
+
+    assert "BroadcastExchange" in plan, plan
+    # exactly two hash exchanges: the summary aggregation (P×G partial
+    # rows, keyed on pid+group) and the candidate window (≤P×G×k rows,
+    # keyed on the group) — never one keyed on the group over raw rows
+    keys = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert len(keys) == 2, plan
+    assert any("__pid" in k for k in keys), keys  # summary agg exchange
+    # the group-keyed exchange feeds the window AFTER the local-rank
+    # filter: the filter's Condition appears below it in the tree
+    assert "Filter" in plan and "__m0" in plan, plan
     """keep_best's scale contract (100× sweep finding): winner
     selection is a partial-capable aggregate — a map-side HashAggregate
     below the fingerprint exchange — and with a narrow payload the

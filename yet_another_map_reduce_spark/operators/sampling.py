@@ -11,10 +11,11 @@ are independent of partitioning, task order, and executor count, unlike
 dependent.
 
 Scale notes: ``hash_split`` is a pure narrow filter (pushes down, no
-shuffle); ``reservoir_per_group`` is one shuffle on the group key and
-never materializes more than the window sort — at 100 TB prefer a
-two-level variant (pre-filter by hash threshold, then rank) if k is
-tiny relative to group size.
+shuffle); ``reservoir_per_group`` is size-gated — a group-key window
+below the threshold, and above it a per-input-partition local top-k
+(no corpus exchange at all: only a partitions×groups summary and the
+surviving P×G×k candidates move), since a window keyed on a handful of
+group values makes every window partition data-sized at 100 TB.
 """
 
 from __future__ import annotations
@@ -73,15 +74,55 @@ def reservoir_per_group(
     id_col: str,
     k: int,
     seed: int = 0,
+    single_task_threshold: int = 2_000_000,
+    n: int | None = None,
 ) -> DataFrame:
     """Uniform k-row sample per group without replacement: rank rows by a
     deterministic hash of their id and keep the k smallest.  Equivalent in
-    distribution to a per-group reservoir, but stable across runs."""
-    w = Window.partitionBy(*keys).orderBy(md5_hash64(id_col, seed), F.col(id_col))
+    distribution to a per-group reservoir, but stable across runs.
+
+    Size-gated like :func:`sorts.global_ranked_adaptive` (same ``n``
+    contract): below the threshold, one window on the group key.  Above
+    it that window is a scale bug for low-cardinality groups (every
+    partition is data-sized), so the big tier takes per-INPUT-partition
+    local top-k first — ``sortWithinPartitions`` (narrow, no exchange)
+    + the monotonically_increasing_id local-rank construction from
+    ``global_ranked``, with a (#partitions × #groups)-sized min-id
+    summary broadcast back — leaving ≤ P×G×k candidate rows for the
+    exact per-group window.  The full corpus never crosses an exchange
+    at all: only the tiny summary and the surviving candidates move.
+    Both tiers keep exactly the same rows (k smallest by (hash, id)
+    per group; every global winner is a winner within its own input
+    partition)."""
+    h = md5_hash64(id_col, seed)
+    if n is None:
+        n = df.count()
+    if n <= single_task_threshold:
+        w = Window.partitionBy(*keys).orderBy(h, F.col(id_col))
+        return (
+            df.withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") <= k)
+            .drop("__r")
+        )
+    local = (
+        df.withColumn("__h", h)
+        .sortWithinPartitions(*keys, F.col("__h"), F.col(id_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__mid", F.monotonically_increasing_id())
+    )
+    mins = local.groupBy("__pid", *keys).agg(F.min("__mid").alias("__m0"))
+    cand = (
+        local.join(F.broadcast(mins), ["__pid", *keys])
+        # rows of one (partition, group) are contiguous in the local
+        # sort and mids increment by one per row, so this IS the
+        # 0-based local rank (the global_ranked mid contract)
+        .where(F.col("__mid") - F.col("__m0") < k)
+    )
+    w = Window.partitionBy(*keys).orderBy(F.col("__h"), F.col(id_col))
     return (
-        df.withColumn("__r", F.row_number().over(w))
+        cand.withColumn("__r", F.row_number().over(w))
         .where(F.col("__r") <= k)
-        .drop("__r")
+        .drop("__r", "__h", "__pid", "__mid", "__m0")
     )
 
 

@@ -168,3 +168,85 @@ def global_ranked_adaptive(
             out = out.withColumn(total_col, F.lit(int(n)).cast("bigint"))
         return out
     return global_ranked(df, order_cols, rank_col, total_col)
+
+
+def grouped_ranked(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column],
+    rank_col: str = "rank",
+    group_total_col: str | None = None,
+) -> DataFrame:
+    """Exact per-group rank for LOW-CARDINALITY groups over huge data —
+    the shape where ``Window.partitionBy(group)`` is a scale bug: with a
+    handful of group values (languages, splits, shards) every window
+    partition is data-sized, so one task sorts the whole group no
+    matter how wide the cluster is.
+
+    Construction: :func:`global_ranked` over ``group_cols ++
+    order_cols`` (groups are contiguous in the total order), then a
+    groups-sized summary — ``min(global rank), count`` per group, a
+    hash aggregate with map-side partials — broadcast back:
+    ``rank_in_group = global_rank - first_rank_of_group + 1``.  The
+    range exchange is planned once and reused by the summary branch
+    (ReusedExchange, same contract global_ranked itself relies on for
+    its offsets aggregation), so the corpus still moves through ONE
+    skew-free exchange; everything added on top is O(#groups).
+
+    ``group_total_col``: also attach each group's row count (for
+    percent_rank = (rank-1)/(n_group-1), per-group ntile, quotas).
+    The order must be total within each group (include a unique
+    tiebreaker) — the global_ranked contract.
+    """
+    from pyspark.sql import functions as F
+
+    gorder = [F.col(c).asc() for c in group_cols] + list(order_cols)
+    g = global_ranked(df, gorder, "__grank")
+    aggs = [F.min("__grank").alias("__g0")]
+    if group_total_col is not None:
+        aggs.append(F.count(F.lit(1)).cast("bigint").alias(group_total_col))
+    per = g.groupBy(*group_cols).agg(*aggs)
+    out = (
+        g.join(F.broadcast(per), list(group_cols))
+        .withColumn(
+            rank_col,
+            (F.col("__grank") - F.col("__g0") + 1).cast("bigint"),
+        )
+        .drop("__grank", "__g0")
+    )
+    return out
+
+
+def grouped_ranked_adaptive(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column],
+    rank_col: str = "rank",
+    group_total_col: str | None = None,
+    single_task_threshold: int = 2_000_000,
+    n: int | None = None,
+) -> DataFrame:
+    """Size-gated :func:`grouped_ranked`: below ``single_task_threshold``
+    TOTAL rows the plain per-group window wins on fixed overhead (and at
+    that size even a single hot group fits one task); above it, the
+    distributed construction.  Same count contract as
+    :func:`global_ranked_adaptive` — pass ``n`` when lineage is
+    expensive.  Both tiers produce identical ranks and group totals.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if n is None:
+        n = df.count()
+    if n <= single_task_threshold:
+        w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+        out = df.withColumn(rank_col, F.row_number().over(w).cast("bigint"))
+        if group_total_col is not None:
+            out = out.withColumn(
+                group_total_col,
+                F.count(F.lit(1))
+                .over(Window.partitionBy(*group_cols))
+                .cast("bigint"),
+            )
+        return out
+    return grouped_ranked(df, group_cols, order_cols, rank_col, group_total_col)

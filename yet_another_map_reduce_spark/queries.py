@@ -3349,7 +3349,9 @@ def q_corpus_rebalance_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_sample_reservoir_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stable uniform 5-row sample per market segment
-    (operators/sampling.reservoir_per_group): hash-rank, keep smallest."""
+    (operators/sampling.reservoir_per_group): hash-rank, keep smallest;
+    size-gated so big corpora take the local-top-k tier (no corpus
+    exchange) instead of a 5-partition group window."""
     c = read_table(spark, sf_dir, "customer")
     from yet_another_map_reduce_spark.operators import sampling
 
@@ -3593,15 +3595,31 @@ def q_feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus curation: keep documents above the 75th quality percentile
-    WITHIN their language (percent_rank window) — per-group relative
-    cutoffs, not a global threshold."""
+    WITHIN their language — per-group relative cutoffs, not a global
+    threshold.  A plain ``Window.partitionBy(lang)`` percent_rank is a
+    scale bug with a handful of languages (every window partition is
+    data-sized — one task per language at 100 TB), so the rank comes
+    from ``sorts.grouped_ranked_adaptive``: the single range-partition
+    exchange of ``global_ranked`` plus a broadcast groups-sized summary,
+    identical ranks, skew-free.  percent_rank ≡ (rank-1)/(n_group-1),
+    the SQL-standard definition, computed on exact ranks."""
     d = read_table(spark, sf_dir, "documents")
     scored = d.select(
         "doc_id", "lang", text.quality_score("text").alias("q")
     )
-    w = Window.partitionBy("lang").orderBy(F.col("q").asc(), F.col("doc_id").asc())
+    ranked = sorts.grouped_ranked_adaptive(
+        scored,
+        ["lang"],
+        [F.col("q").asc(), F.col("doc_id").asc()],
+        "__r",
+        group_total_col="__gn",
+    )
+    pr = F.when(
+        F.col("__gn") > 1,
+        (F.col("__r") - 1).cast("double") / (F.col("__gn") - 1),
+    ).otherwise(F.lit(0.0))
     return (
-        scored.withColumn("pr", F.round(F.percent_rank().over(w), 6))
+        ranked.withColumn("pr", F.round(pr, 6))
         .where(F.col("pr") >= 0.75)
         .select("doc_id", "lang", "q", "pr")
     )
