@@ -381,10 +381,13 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE frame window: peers counted by value distance, not rows —
-    tie-independent by construction."""
+    tie-independent by construction.  Partitioned by (custkey, status):
+    a bounded key — a status alone has 3 values, so its partitions are
+    data-sized at scale (the skew class grouped_ranked exists for; a
+    demo query shouldn't model it)."""
     o = read_table(spark, sf_dir, "orders")
     w = (
-        Window.partitionBy("o_orderstatus")
+        Window.partitionBy("o_custkey", "o_orderstatus")
         .orderBy(F.col("o_totalprice").asc())
         .rangeBetween(-1000, 0)  # int offsets only in the PySpark API
     )
@@ -606,9 +609,12 @@ def q_tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_window_rank_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile / percent_rank / cume_dist over a deterministic total order."""
+    """ntile / percent_rank / cume_dist over a deterministic total
+    order, partitioned by (custkey, status) — bounded partitions at any
+    scale (a 3-value status key alone would put a third of the table in
+    one window task)."""
     o = read_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderstatus").orderBy(
+    w = Window.partitionBy("o_custkey", "o_orderstatus").orderBy(
         F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
     )
     return o.select(
@@ -4230,7 +4236,8 @@ ORACLES: dict[str, str] = {
                CAST(count(*) OVER w AS BIGINT) AS n_within_1k,
                round(sum(o_totalprice) OVER w, 2) AS sum_within_1k
         FROM orders
-        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC
+        WINDOW w AS (PARTITION BY o_custkey, o_orderstatus
+                     ORDER BY o_totalprice ASC
                      RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW)
     """,
     "window_rank": """
@@ -5689,7 +5696,7 @@ ORACLES: dict[str, str] = {
                round(percent_rank() OVER w, 6) AS pct_rank,
                round(cume_dist() OVER w, 6) AS cume
         FROM orders
-        WINDOW w AS (PARTITION BY o_orderstatus
+        WINDOW w AS (PARTITION BY o_custkey, o_orderstatus
                      ORDER BY o_totalprice ASC, o_orderkey ASC)
     """,
     "window_first_last": """
