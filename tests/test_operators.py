@@ -1427,6 +1427,27 @@ def test_bpe_dispatch_gates_on_merge_count(spark):
     ).first()["t"] == ["a", "b", "c"]
 
 
+def test_bpe_dispatch_corpus_arm_routes_to_arrow(spark):
+    # a big corpus (n_docs hint) must route to the Arrow tier even at a
+    # demo-scale merge table — detectable in the plan (ArrowEvalPython /
+    # no chain of literal replaces) — and produce identical tokens
+    from yet_another_map_reduce_spark.operators import text
+
+    df = spark.createDataFrame(
+        [(1, "low lower lowest low low")], "doc_id long, text string"
+    )
+    merges = [("l", "o"), ("lo", "w")]
+    small = df.select(text.bpe_tokens_dispatch("text", merges, n_docs=10).alias("t"))
+    big = df.select(
+        text.bpe_tokens_dispatch(
+            "text", merges, n_docs=text.BPE_CODEGEN_MAX_DOCS + 1
+        ).alias("t")
+    )
+    assert "replace" in small._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in big._jdf.queryExecution().executedPlan().toString()
+    assert small.first()["t"] == big.first()["t"]
+
+
 def test_semantic_dedup_drops_higher_id_near_dups_within_cluster(spark):
     from yet_another_map_reduce_spark.operators import dedup, similarity
 

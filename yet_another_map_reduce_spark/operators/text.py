@@ -1272,20 +1272,42 @@ def bpe_tokens_arrow(merges: list[tuple[str, str]]):
     return _tok
 
 
+#: corpus-size arm of the dispatch: past this many documents the Arrow
+#: encoder wins even at tiny merge tables — its per-task word
+#: memoization makes encode cost track DISTINCT words while the codegen
+#: chain re-derives every token occurrence (100× sweep: 16 merges,
+#: codegen 71.5 s vs Arrow ~12 s on the 100× replica).  Below it the
+#: codegen tier's zero-Python, zero-serialization path wins on fixed
+#: overhead.
+BPE_CODEGEN_MAX_DOCS = 100_000
+
+
 def bpe_tokens_dispatch(
-    col: Column | str, merges: list[tuple[str, str]]
+    col: Column | str,
+    merges: list[tuple[str, str]],
+    n_docs: int | None = None,
 ) -> Column:
-    """Size-gated dispatch: chained-replace codegen for demo-scale merge
-    tables (oracle-replayable, zero Python), the Arrow encoder beyond
-    ``BPE_CODEGEN_MAX_MERGES`` (where the codegen tree is structurally
-    unbuildable)."""
-    if len(merges) <= BPE_CODEGEN_MAX_MERGES:
+    """Two-axis tier dispatch: chained-replace codegen only when BOTH
+    the merge table is demo-scale (past ``BPE_CODEGEN_MAX_MERGES`` the
+    expression tree is structurally unbuildable) AND the corpus is
+    small (``n_docs``, when the caller knows it — a parquet-metadata
+    count; past ``BPE_CODEGEN_MAX_DOCS`` the word-memoized Arrow
+    encoder wins regardless of merge count).  Both tiers produce
+    identical tokens (equivalence property-tested), so the gate is
+    plan-only."""
+    if len(merges) <= BPE_CODEGEN_MAX_MERGES and (
+        n_docs is None or n_docs <= BPE_CODEGEN_MAX_DOCS
+    ):
         return bpe_tokens(col, merges)
     c = F.col(col) if isinstance(col, str) else col
     return bpe_tokens_arrow(merges)(c)
 
 
-def bpe_token_count(col: Column | str, merges: list[tuple[str, str]]) -> Column:
+def bpe_token_count(
+    col: Column | str,
+    merges: list[tuple[str, str]],
+    n_docs: int | None = None,
+) -> Column:
     """Learned-tokenizer token count — the drop-in upgrade for
     ``bpe_ish_token_count`` wherever trained merges are available."""
-    return F.size(bpe_tokens_dispatch(col, merges))
+    return F.size(bpe_tokens_dispatch(col, merges, n_docs))

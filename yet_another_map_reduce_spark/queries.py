@@ -1112,6 +1112,26 @@ def _bpe_merges(
     return _BPE_MERGES_CACHE[key]
 
 
+_DOC_COUNT_CACHE: dict[tuple, int] = {}
+
+
+def _doc_count(docs: DataFrame, sf_dir: str) -> int:
+    """Corpus row count for the BPE tier dispatch's corpus-size arm —
+    a parquet-metadata count (column-pruned scan, no data read),
+    memoized per (dir, file fingerprint) like _bpe_merges."""
+    import os
+
+    try:
+        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+        fp = f"{st.st_mtime_ns:x}_{st.st_size:x}"
+    except OSError:
+        fp = "nofp"
+    key = (sf_dir, fp)
+    if key not in _DOC_COUNT_CACHE:
+        _DOC_COUNT_CACHE[key] = docs.count()
+    return _DOC_COUNT_CACHE[key]
+
+
 def q_text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL learned BPE tokenizer (not the `bpe_ish` heuristic): 16
     merge ranks trained on the corpus's own word-frequency table
@@ -1121,10 +1141,23 @@ def q_text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     token frequencies.  Hash-verified end to end — the oracle replays
     the ENTIRE training loop as 16 chained materialized CTEs (pair
     extraction → argmax → merge application per round) and then the
-    tokenization, so training AND application are both checked."""
+    tokenization, so training AND application are both checked.
+
+    Tier note (100× sweep): the codegen chain re-derives every token
+    OCCURRENCE while the Arrow encoder memoizes per distinct word, so
+    past ``BPE_CODEGEN_MAX_DOCS`` the dispatch routes to Arrow even at
+    16 merges (identical tokens, equivalence-pinned; 71.5 s → ~12 s on
+    the 100× replica).  At verification scale this stays the
+    pure-codegen path the oracle replays."""
     d = read_table(spark, sf_dir, "documents")
     merges = _bpe_merges(d, sf_dir)
-    toks = d.select(F.explode(text.bpe_tokens(F.col("text"), merges)).alias("token"))
+    toks = d.select(
+        F.explode(
+            text.bpe_tokens_dispatch(
+                F.col("text"), merges, n_docs=_doc_count(d, sf_dir)
+            )
+        ).alias("token")
+    )
     return (
         toks.groupBy("token")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tok_count"))
@@ -1215,7 +1248,9 @@ def q_text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.size(words).cast("bigint").alias("n_words"),
-        text.bpe_token_count("text", merges).cast("bigint").alias("n_bpe_tokens"),
+        text.bpe_token_count("text", merges, n_docs=_doc_count(d, sf_dir))
+        .cast("bigint")
+        .alias("n_bpe_tokens"),
     ).orderBy("doc_id")
 
 
@@ -2458,7 +2493,9 @@ def q_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = _bpe_merges(d, sf_dir)
     dd = d.select(
         "doc_id",
-        text.bpe_token_count("text", merges).cast("bigint").alias("n_tok"),
+        text.bpe_token_count("text", merges, n_docs=_doc_count(d, sf_dir))
+        .cast("bigint")
+        .alias("n_tok"),
     )
     return text.pack_sequences_deterministic(
         dd, "doc_id", "n_tok", budget=128, num_parts=8, seed=11
