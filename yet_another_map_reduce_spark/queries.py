@@ -933,8 +933,17 @@ def q_fuzzy_match_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     its clean partner is the unique distance-1 candidate in the block.
     Like all blocked ER, pairs differing inside the block key are
     unrecallable by design; real corpora run multiple blocking passes
-    (phonetic, sorted-neighborhood) to cover them."""
+    (phonetic, sorted-neighborhood) to cover them.
+
+    The match side is the registry's DISTINCT names (min-key
+    representative, a partial-agg groupBy): identical registry rows are
+    one entity, so k copies of a name cost one candidate, not k.  The
+    100× sweep caught the un-deduped form at 370× — the replica's 100
+    verbatim name copies made candidates AND output grow ∝ copies²;
+    with the entity dedup both stay linear in the dirty side.  On a
+    duplicate-free registry the dedup is a no-op (same output)."""
     s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    entities = s.groupBy("s_name").agg(F.min("s_suppkey").alias("s_suppkey"))
     dirty = s.select(
         F.col("s_suppkey").alias("d_id"),
         F.when(
@@ -950,7 +959,7 @@ def q_fuzzy_match_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("d_name"),
     )
     block = lambda c: F.substring(c, 13, 6)  # noqa: E731
-    cand = dirty.join(s, block(F.col("d_name")) == block(F.col("s_name")))
+    cand = dirty.join(entities, block(F.col("d_name")) == block(F.col("s_name")))
     return (
         cand.withColumn("dist", F.levenshtein("d_name", "s_name"))
         .where(F.col("dist") <= 1)
@@ -4872,10 +4881,14 @@ ORACLES: dict[str, str] = {
                         WHEN s_suppkey % 3 = 1 THEN s_name || 'Q'
                         ELSE s_name END AS d_name
             FROM supplier
+        ),
+        entities AS (
+            SELECT s_name, min(s_suppkey) AS s_suppkey
+            FROM supplier GROUP BY s_name
         )
         SELECT d_id, s_suppkey AS matched_id, d_name, s_name,
                CAST(levenshtein(d_name, s_name) AS BIGINT) AS dist
-        FROM dirty JOIN supplier
+        FROM dirty JOIN entities
           ON substr(d_name, 13, 6) = substr(s_name, 13, 6)
         WHERE levenshtein(d_name, s_name) <= 1
         ORDER BY d_id, matched_id
