@@ -297,21 +297,59 @@ def ngram_jaccard_pairs(
     exploded shingles) and reused by both stages — signature hashing and
     exact set verification — instead of re-tokenizing the whole corpus
     per stage.
+
+    Verification is per CONTENT-CLASS pair, not per id pair: exact
+    duplicates (same normalized-text fingerprint) have identical
+    shingle sets, so the set intersection/union runs once per distinct
+    (class_a, class_b) against one representative's set each, and the
+    result joins back onto the id-level candidates.  Bit-identical
+    output (identical sets ⇒ identical Jaccard; a same-class pair
+    scores exactly 1.0), but on a duplicate-heavy corpus the expensive
+    array ops collapse from O(candidate id pairs) — quadratic in
+    duplicate mass; the 100× replica timed the per-id form out at
+    150 s — to O(distinct class pairs), and the id-pair relation only
+    ever shuffles fixed-width (id, class) rows, never shingle arrays.
+    The pair ENUMERATION itself stays quadratic in duplicate mass by
+    contract (the pairs are the product); cluster consumers should use
+    ``minhash_lsh_edges`` instead.
     """
     shingled = exploded_shingles(df, text_col, id_col, shingle_k).localCheckpoint()
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, shingles=shingled)
     cands = minhash_lsh_pairs(
         df, text_col, id_col, num_hashes, bands, shingle_k, max_bucket_size, signatures=sig
     )
-    sets_ = shingled.groupBy(id_col).agg(F.collect_set("shingle").alias("__set"))
-    j = (
-        cands.join(sets_.select(F.col(id_col).alias("id_a"), F.col("__set").alias("set_a")), "id_a")
-        .join(sets_.select(F.col(id_col).alias("id_b"), F.col("__set").alias("set_b")), "id_b")
+    cls = df.select(F.col(id_col), F.md5(normalize_text(text_col)).alias("__cls"))
+    cands2 = cands.join(
+        cls.select(F.col(id_col).alias("id_a"), F.col("__cls").alias("__ca")), "id_a"
+    ).join(
+        cls.select(F.col(id_col).alias("id_b"), F.col("__cls").alias("__cb")), "id_b"
+    )
+    reps = cls.groupBy("__cls").agg(F.min(id_col).alias(id_col))
+    rsets = (
+        shingled.join(reps, id_col)
+        .groupBy("__cls")
+        .agg(F.collect_set("shingle").alias("__set"))
+    )
+    cpairs = cands2.select("__ca", "__cb").distinct()
+    verified = (
+        cpairs.join(
+            rsets.select(F.col("__cls").alias("__ca"), F.col("__set").alias("set_a")),
+            "__ca",
+        )
+        .join(
+            rsets.select(F.col("__cls").alias("__cb"), F.col("__set").alias("set_b")),
+            "__cb",
+        )
         .withColumn("inter", F.size(F.array_intersect("set_a", "set_b")))
         .withColumn("uni", F.size(F.array_union("set_a", "set_b")))
         .withColumn("jaccard", F.round(F.col("inter") / F.col("uni"), 6))
+        .select("__ca", "__cb", "jaccard")
     )
-    return j.where(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+    return (
+        cands2.join(verified, ["__ca", "__cb"])
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
