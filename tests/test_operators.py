@@ -127,6 +127,56 @@ def test_jaccard_values(spark):
     assert len(rows) == 1 and rows[0]["jaccard"] == 1.0
 
 
+def test_ngram_jaccard_class_verification_matches_per_id(spark):
+    """The class-level verification (one Jaccard per distinct
+    content-class pair, mapped back to id pairs — the r9 rewrite that
+    fixed the 100× timeout) must be bit-identical to verifying every id
+    pair: same pair set, same rounded score per pair.  Duplicate-heavy
+    corpus: two exact-dup classes that are near-dups OF EACH OTHER,
+    plus a far-away class and a singleton."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    texts = {
+        "A": "the quick brown fox jumps over the lazy dog today",
+        "B": "the quick brown fox jumps over the lazy cat today",
+        "C": "completely unrelated words about maritime navigation charts",
+    }
+    rows = (
+        [(i, texts["A"]) for i in range(0, 4)]
+        + [(i, texts["B"]) for i in range(10, 13)]
+        + [(i, texts["C"]) for i in range(20, 22)]
+        + [(30, "one lonely singleton document")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            df, "text", "doc_id", threshold=0.3, num_hashes=12, bands=4
+        ).collect()
+    }
+    # reference: same LSH candidates, verified PER ID PAIR from the
+    # operator's own shingle relation (HALF_UP round like F.round)
+    cands = dedup.minhash_lsh_pairs(
+        df, "text", "doc_id", num_hashes=12, bands=4
+    ).collect()
+    sets_: dict = {}
+    for r in dedup.exploded_shingles(df, "text", "doc_id").collect():
+        sets_.setdefault(r["doc_id"], set()).add(r["shingle"])
+    want = {}
+    for r in cands:
+        a, b = sets_[r["id_a"]], sets_[r["id_b"]]
+        j = Decimal(len(a & b)) / Decimal(len(a | b))
+        j = float(j.quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+        if j >= 0.3:
+            want[(r["id_a"], r["id_b"])] = j
+    assert got == want
+    # every within-class pair scores exactly 1.0, and every A-B
+    # cross-class pair carries one uniform (class-level) score
+    assert all(got[(i, j)] == 1.0 for i in range(0, 4) for j in range(i + 1, 4))
+    ab = {v for (i, j), v in got.items() if i < 4 and j >= 10}
+    assert len(ab) == 1 and 0.3 <= ab.pop() < 1.0
+
+
 def test_simhash_is_deterministic_and_collides_for_dups(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")],
