@@ -1578,3 +1578,48 @@ def test_operator_caches_are_tracked_and_releasable(spark):
     # released caches are gone from the storage layer, work still reruns
     assert graph.pagerank(edges, iterations=1).count() == 3
     caching.release_operator_caches()
+
+
+def test_perceptron_converges_and_reports_trajectory(spark):
+    from yet_another_map_reduce_spark.operators import classify
+
+    # symmetric, separable through the origin: y = sign(f1)
+    rows = [(1, 5), (1, 6), (-1, -5), (-1, -6)]
+    df = spark.createDataFrame(rows, "y long, f1 long")
+    out = classify.perceptron_train(df, "y", ["f1"], iterations=3).collect()
+    assert [r["iteration"] for r in out] == [1, 2, 3]
+    # iteration 1: zero weights misclassify everything (margin 0 is a
+    # miss), so the update is sum(y*x) over ALL rows: w0 = sum(y) = 0,
+    # w1 = 5 + 6 + 5 + 6 = 22 — which separates the data strictly
+    assert out[0]["n_mis"] == 4 and out[0]["w0"] == 0 and out[0]["w1"] == 22
+    # every later pass is clean and leaves the weights untouched
+    for r in out[1:]:
+        assert r["n_mis"] == 0 and (r["w0"], r["w1"]) == (0, 22)
+
+
+def test_perceptron_weights_are_partitioning_invariant(spark):
+    from yet_another_map_reduce_spark.operators import classify
+
+    rows = [
+        (1 if i % 3 else -1, i % 7, (i * i) % 11, i % 5) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "y long, a long, b long, c long")
+    cols = ["a", "b", "c"]
+    one = classify.perceptron_train(df.coalesce(1), "y", cols, 3).collect()
+    many = classify.perceptron_train(df.repartition(13), "y", cols, 3).collect()
+    # integer sums are accumulation-order independent: bit-equal models
+    assert [tuple(r) for r in one] == [tuple(r) for r in many]
+
+
+def test_perceptron_score_is_map_only(spark):
+    from yet_another_map_reduce_spark.operators import classify
+
+    df = spark.createDataFrame(
+        [(10, 1, 5), (20, 1, 1)], "id long, bias long, f1 long"
+    )
+    scored = classify.perceptron_score(df, [0, 12], ["f1"], "id")
+    got = {r["id"]: (r["margin"], r["predicted"]) for r in scored.collect()}
+    assert got == {10: (60, 1), 20: (12, 1)}
+    # model ships as literals: no Exchange anywhere in the plan
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from yet_another_map_reduce_spark.functions import md5_hash64, normalize_text
 from yet_another_map_reduce_spark.operators import (
     aggregates,
+    classify,
     dedup,
     joins,
     setops,
@@ -3677,6 +3678,64 @@ def q_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CLASSIFIER_STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+def _classifier_features(d: DataFrame) -> DataFrame:
+    """Labeled integer features for the quality-classifier demos:
+    y = ±1 on the language label, four exact-count features (token
+    count, normalized length, stopword hits — the English signal —
+    and punctuation chars).  Integer-exact on both engines, so the
+    training loop is hash-verifiable."""
+    toks = F.split(normalize_text("text"), " ")
+    return d.select(
+        F.col("doc_id"),
+        F.when(F.col("lang") == "en", 1).otherwise(-1).alias("y"),
+        F.size(toks).alias("f_tokens"),
+        F.length(normalize_text("text")).alias("f_chars"),
+        F.size(
+            F.filter(toks, lambda t: t.isin(*_CLASSIFIER_STOPWORDS))
+        ).alias("f_stop"),
+        F.length(F.regexp_replace(F.col("text"), r"[A-Za-z0-9\s]", "")).alias(
+            "f_punct"
+        ),
+    )
+
+
+_CLASSIFIER_FEATURE_COLS = ["f_tokens", "f_chars", "f_stop", "f_punct"]
+
+
+def q_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a quality/language classifier ON the corpus, distributed:
+    batch perceptron (`classify.perceptron_train`) over exact integer
+    text features, labeled by the `lang` column (en vs rest).  Each
+    iteration is one corpus aggregate with map-side partials; the
+    model (6 longs) lives driver-side; integer arithmetic makes the
+    full training trajectory bit-reproducible, so the oracle replays
+    all three iterations as nested CTEs and hash-matches weights."""
+    d = read_table(spark, sf_dir, "documents")
+    return classify.perceptron_train(
+        _classifier_features(d), "y", _CLASSIFIER_FEATURE_COLS, iterations=3
+    )
+
+
+def q_quality_classifier_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train (3 batch-perceptron iterations, as above), then score the
+    whole corpus with the final weights — the apply half is map-only
+    with the model as plan literals, the same ship-the-model shape as
+    k-means assignment.  Returns (doc_id, margin, predicted)."""
+    d = read_table(spark, sf_dir, "documents")
+    feats = _classifier_features(d)
+    model = classify.perceptron_train(
+        feats, "y", _CLASSIFIER_FEATURE_COLS, iterations=3
+    ).collect()
+    last = max(model, key=lambda r: r["iteration"])
+    weights = [last[f"w{k}"] for k in range(len(_CLASSIFIER_FEATURE_COLS) + 1)]
+    return classify.perceptron_score(
+        feats, weights, _CLASSIFIER_FEATURE_COLS, "doc_id"
+    )
+
+
 # ===========================================================================
 # oracle SQL (DuckDB)
 # ===========================================================================
@@ -3802,6 +3861,71 @@ _QUALITY_SQL = (
     f" + (CASE WHEN {_MWL} >= 3 AND {_MWL} <= 8 THEN 1.0 ELSE 0.3 END) * 0.3, 6)"
 )
 
+_CLASSIFIER_FEATS_SQL = f"""
+        SELECT doc_id,
+               CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT)
+                    ELSE CAST(-1 AS BIGINT) END AS y,
+               CAST(1 AS BIGINT) AS x0,
+               CAST({_N_TOK} AS BIGINT) AS x1,
+               CAST(length({_TEXT_NORM}) AS BIGINT) AS x2,
+               CAST(len(list_filter(string_split({_TEXT_NORM}, ' '),
+                        t -> t IN {_STOPLIST})) AS BIGINT) AS x3,
+               CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                    AS BIGINT) AS x4
+        FROM documents
+"""
+
+
+def _perceptron_ctes(iters: int = 3, nw: int = 5) -> str:
+    """Nested-CTE replay of classify.perceptron_train over the
+    classifier demo features: integer arithmetic end-to-end, so every
+    iteration's weights hash-match the distributed trainer exactly."""
+    ctes = [
+        f"feats AS ({_CLASSIFIER_FEATS_SQL})",
+        "w0 AS (SELECT "
+        + ", ".join(f"CAST(0 AS BIGINT) AS w{k}" for k in range(nw))
+        + ")",
+    ]
+    for it in range(1, iters + 1):
+        prev = f"w{it - 1}"
+        margin = " + ".join(f"{prev}.w{k} * f.x{k}" for k in range(nw))
+        gsums = ", ".join(
+            f"CAST(SUM(CASE WHEN f.y * ({margin}) <= 0"
+            f" THEN f.y * f.x{k} ELSE 0 END) AS BIGINT) AS g{k}"
+            for k in range(nw)
+        )
+        ctes.append(
+            f"g{it} AS (SELECT CAST(SUM(CASE WHEN f.y * ({margin}) <= 0"
+            f" THEN 1 ELSE 0 END) AS BIGINT) AS n_mis, {gsums}"
+            f" FROM feats f, {prev})"
+        )
+        wcols = ", ".join(
+            f"{prev}.w{k} + g{it}.g{k} AS w{k}" for k in range(nw)
+        )
+        ctes.append(f"w{it} AS (SELECT {wcols} FROM {prev}, g{it})")
+    return "WITH " + ",\n".join(ctes)
+
+
+def _perceptron_train_sql(iters: int = 3, nw: int = 5) -> str:
+    selects = "\nUNION ALL\n".join(
+        f"SELECT CAST({it} AS BIGINT) AS iteration, g{it}.n_mis, "
+        + ", ".join(f"w{it}.w{k}" for k in range(nw))
+        + f" FROM g{it}, w{it}"
+        for it in range(1, iters + 1)
+    )
+    return f"{_perceptron_ctes(iters, nw)}\n{selects}\nORDER BY iteration"
+
+
+def _perceptron_apply_sql(iters: int = 3, nw: int = 5) -> str:
+    margin = " + ".join(f"w.w{k} * f.x{k}" for k in range(nw))
+    return f"""{_perceptron_ctes(iters, nw)}
+        SELECT f.doc_id,
+               CAST({margin} AS BIGINT) AS margin,
+               CASE WHEN ({margin}) > 0 THEN 1 ELSE -1 END AS predicted
+        FROM feats f, w{iters} w
+        ORDER BY f.doc_id
+    """
+
 _LANG_SCORES = {
     "en": "('the','and','of','to','is')",
     "es": "('el','la','de','que','y')",
@@ -3842,6 +3966,8 @@ ORACLES: dict[str, str] = {
             FROM (SELECT doc_id, lang, {{quality}} AS q FROM documents))
         WHERE pr >= 0.75
     """.format(quality=_QUALITY_SQL),
+    "quality_classifier_train": _perceptron_train_sql(),
+    "quality_classifier_apply": _perceptron_apply_sql(),
     "window_time_range": """
         SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
                round(sum(value) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
@@ -6784,6 +6910,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "df_wordcount": q_df_wordcount,
     "udf_cogrouped": q_udf_cogrouped,
     "quality_percentile_filter": q_quality_percentile_filter,
+    "quality_classifier_train": q_quality_classifier_train,
+    "quality_classifier_apply": q_quality_classifier_apply,
     "feature_scaling": q_feature_scaling,
     "graph_pagerank": q_graph_pagerank,
     "graph_pagerank_cached": q_graph_pagerank_cached,
