@@ -557,3 +557,94 @@ def test_adaptive_rank_gates_on_input_size(spark, sf_dir):
     a = sorted(map(tuple, small.collect()))
     b = sorted(map(tuple, big.collect()))
     assert a == b
+
+
+def test_ivfpq_append_equals_single_build(spark, sf_dir, tmp_path):
+    """Incremental maintenance must not change values: build on half
+    the corpus, append the other half with the index's frozen model —
+    search results are bit-identical to an index built once over the
+    union (and to in-memory ivfpq_topk with the same model), because
+    assignment and encoding are per-row deterministic."""
+    import os
+
+    from yet_another_map_reduce_spark.operators import similarity
+    from yet_another_map_reduce_spark.queries import _pq_books
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    books = _pq_books(emb, sf_dir)
+    cent = similarity.ivf_centroids(emb, "vec_id", "embedding", nlist=8)
+    q = emb.where(F.col("vec_id") < 3)
+    half = 250
+
+    inc_dir = os.path.join(str(tmp_path), "idx_incremental")
+    similarity.build_ivfpq_index(
+        emb.where(F.col("vec_id") < half), "vec_id", "embedding",
+        inc_dir, centroids=cent, books=books,
+    )
+    # model-free append: the frozen model comes from the index itself
+    vdir = similarity.append_to_ivfpq_index(
+        spark, inc_dir, emb.where(F.col("vec_id") >= half),
+        "vec_id", "embedding",
+    )
+    full_dir = os.path.join(str(tmp_path), "idx_full")
+    similarity.build_ivfpq_index(
+        emb, "vec_id", "embedding", full_dir, centroids=cent, books=books
+    )
+
+    def results(d):
+        out = similarity.search_ivfpq_index(
+            spark, d, q, "vec_id", "embedding", k=5, nprobe=2
+        )
+        return sorted(map(tuple, out.collect()), key=lambda t: (t[0], t[3]))
+
+    appended, single = results(inc_dir), results(full_dir)
+    assert appended == single and len(appended) > 0
+    mem = similarity.ivfpq_topk(
+        emb, q, "vec_id", "embedding", k=5, nprobe=2,
+        centroids=cent, books=books,
+    )
+    assert appended == sorted(
+        map(tuple, mem.collect()), key=lambda t: (t[0], t[3])
+    )
+    # the appended version is addressable directly (manifest time
+    # travel), and the pre-append version is still intact + searchable
+    assert results(vdir) == appended
+    with open(os.path.join(inc_dir, "CURRENT"), encoding="utf-8") as fh:
+        assert fh.read().strip() == os.path.basename(vdir)
+
+
+def test_ivfpq_append_scan_prunes_both_segments(spark, sf_dir, tmp_path):
+    """Each manifest segment is its own hive-partitioned parquet root:
+    the search plan must show PartitionFilters pruning on BOTH the
+    base segment and the appended one, and read codes only."""
+    import os
+
+    from yet_another_map_reduce_spark import plans
+    from yet_another_map_reduce_spark.operators import similarity
+    from yet_another_map_reduce_spark.queries import _pq_books
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    books = _pq_books(emb, sf_dir)
+    cent = similarity.ivf_centroids(emb, "vec_id", "embedding", nlist=8)
+    index_dir = os.path.join(str(tmp_path), "idx_prune")
+    similarity.build_ivfpq_index(
+        emb.where(F.col("vec_id") < 250), "vec_id", "embedding",
+        index_dir, centroids=cent, books=books,
+    )
+    similarity.append_to_ivfpq_index(
+        spark, index_dir, emb.where(F.col("vec_id") >= 250),
+        "vec_id", "embedding",
+    )
+    out = similarity.search_ivfpq_index(
+        spark, index_dir, emb.where(F.col("vec_id") < 3),
+        "vec_id", "embedding", k=5, nprobe=2,
+    )
+    plan = plans.formatted_plan(out)
+    assert plan.count("PartitionFilters: [") >= 2
+    for chunk in plan.split("PartitionFilters")[1:]:
+        assert "centroid_id" in chunk[:160]
+    for chunk in plan.split("ReadSchema:")[1:]:
+        line = chunk.splitlines()[0]
+        if "pq_codes" in line:
+            assert "embedding" not in line
+    assert out.count() > 0

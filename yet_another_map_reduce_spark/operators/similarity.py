@@ -1133,6 +1133,121 @@ def build_ivfpq_index(
     return build_dir
 
 
+def append_to_ivfpq_index(
+    spark,
+    index_dir: str,
+    batch: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> str:
+    """Incremental index maintenance — the other half of the FAISS
+    lifecycle: new corpus vectors arrive (a nightly ingest), and the
+    index must absorb them WITHOUT retraining the model or rewriting
+    the existing encoded data.
+
+    The batch is assigned + PQ-encoded with the live index's FROZEN
+    model (map-only, exactly the build path's math — deterministic, so
+    an index built-then-appended is bit-identical to one built once
+    over the union corpus with the same model; pinned by test).  The
+    encoded batch lands in a fresh ``seg_<token>`` directory, also
+    hive-partitioned by ``centroid_id``; then a new version directory
+    commits a ``_segments.json`` manifest listing the parent version's
+    segments plus the new one, plus a copy of ``_model.json``, and the
+    ``CURRENT`` pointer swaps atomically LAST.
+
+    Crash-consistency inherits the build's two-phase story: a crash
+    before the pointer swap leaves the live version untouched (the
+    orphan segment is invisible garbage); readers resolving ``CURRENT``
+    see the old or the new version, never a half-append.  Concurrent
+    appends from the same parent race at the pointer (last swap wins,
+    the loser's segment is orphaned) — serialize appends per index, as
+    any single-writer ingest does.  Older versions remain directly
+    searchable (pass their dir) — manifest-level time travel.
+
+    At 100 TB this is the operation that keeps nightly ANN refresh
+    affordable: cost is ONE pass over the new batch (typically <<1% of
+    the corpus); the alternative full rebuild re-encodes everything.
+    Compaction (folding many small segments into one) reuses
+    build_ivfpq_index over the manifest's union.
+    """
+    import json
+    import os
+    import uuid
+
+    centroids, books = load_ivfpq_model(spark, index_dir)
+    if centroids is None or books is None:
+        raise ValueError(
+            "append requires a committed index with a _model.json sidecar"
+        )
+    live = _resolve_index_dir(index_dir)
+    parent_segments = _segment_names(live, index_dir)
+
+    assigned = _nearest_centroids(batch, id_col, vec_col, centroids, 1).select(
+        F.col("__rid").alias("neighbor_id"), "centroid_id"
+    )
+    enc = pq_encode(batch, id_col, vec_col, books).withColumnRenamed(
+        id_col, "neighbor_id"
+    )
+    seg_name = f"seg_{uuid.uuid4().hex[:12]}"
+    (
+        assigned.join(enc, "neighbor_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(os.path.join(index_dir, seg_name))
+    )
+
+    version = f"v_{uuid.uuid4().hex[:12]}"
+    vdir = os.path.join(index_dir, version)
+    os.makedirs(vdir, exist_ok=True)
+    with open(os.path.join(live, "_model.json"), encoding="utf-8") as fh:
+        model = fh.read()
+    with open(os.path.join(vdir, "_model.json"), "w", encoding="utf-8") as fh:
+        fh.write(model)
+    with open(
+        os.path.join(vdir, "_segments.json"), "w", encoding="utf-8"
+    ) as fh:
+        json.dump({"segments": parent_segments + [seg_name]}, fh)
+    tmp = os.path.join(
+        index_dir, f"CURRENT.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+    )
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(version)
+    os.replace(tmp, os.path.join(index_dir, "CURRENT"))
+    return vdir
+
+
+def _segment_names(version_dir: str, index_dir: str) -> list[str]:
+    """Segment directory names (relative to ``index_dir``) making up a
+    version: its ``_segments.json`` manifest, or — for a version
+    written directly by build_ivfpq_index — the version dir itself."""
+    import json
+    import os
+
+    try:
+        with open(
+            os.path.join(version_dir, "_segments.json"), encoding="utf-8"
+        ) as fh:
+            return list(json.load(fh)["segments"])
+    except FileNotFoundError:
+        return [os.path.relpath(version_dir, index_dir)]
+
+
+def _index_data_paths(index_dir: str) -> list[str]:
+    """Parquet roots holding a version's encoded vectors.  Manifest
+    segment names resolve against the INDEX ROOT — the version dir's
+    parent — which is ``index_dir`` itself when resolution went through
+    ``CURRENT``, and the passed dir's parent when a versioned dir is
+    addressed directly (manifest time travel)."""
+    import os
+
+    live = _resolve_index_dir(index_dir)
+    names = _segment_names(live, index_dir)
+    if names == [os.path.relpath(live, index_dir)]:
+        return [live]  # build-version layout: the dir is the data
+    root = os.path.dirname(os.path.abspath(live))
+    return [os.path.join(root, s) for s in names]
+
+
 def load_ivfpq_model(spark, index_dir: str):
     """Load the persisted model halves of a committed IVF-PQ index:
     ``(centroids DataFrame, books)`` reconstructed from the versioned
@@ -1215,9 +1330,17 @@ def search_ivfpq_index(
         int(r["centroid_id"])
         for r in probes.select("centroid_id").distinct().collect()
     )
-    idx = spark.read.parquet(_resolve_index_dir(index_dir)).where(
-        F.col("centroid_id").isin(cells)
-    )
+    # one pruned scan per manifest segment (each segment is its own
+    # hive-partitioned parquet root, so PartitionFilters prune per
+    # branch; a single multi-root read would confuse partition
+    # discovery's common-base-path inference), unioned lazily
+    from functools import reduce
+
+    segs = [
+        spark.read.parquet(p).where(F.col("centroid_id").isin(cells))
+        for p in _index_data_paths(index_dir)
+    ]
+    idx = reduce(DataFrame.unionByName, segs)
     scored = (
         idx.join(
             F.broadcast(probes.withColumn("__lut", _adc_lut(books))),

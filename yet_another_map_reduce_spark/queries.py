@@ -1946,6 +1946,59 @@ def q_ann_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance: build the persisted IVF-PQ index
+    on HALF the corpus (even vec_ids), then absorb the other half via
+    `similarity.append_to_ivfpq_index` — the new batch is encoded with
+    the index's FROZEN model (one pass over the batch only, no
+    retraining, no rewrite of existing segments) and committed as a
+    manifest version referencing old + new segments.  Because
+    assignment/encoding are per-row deterministic, the appended index
+    answers bit-identically to one built over the union corpus — so
+    the same replay oracle that verifies ann_ivfpq_topk hash-verifies
+    the whole append lifecycle.  This is the nightly-ingest story at
+    100 TB: refresh cost is proportional to the new batch, not the
+    corpus."""
+    import os
+    import tempfile
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    try:
+        st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+        fp = f"{st.st_mtime_ns:x}_{st.st_size:x}"
+    except OSError:
+        fp = "nofp"
+    key = sf_dir.strip("/").replace("/", "_")
+    index_dir = os.path.join(
+        tempfile.gettempdir(), f"ivfpq_append_{key}_{fp}"
+    )
+    even = emb.where(F.col("vec_id") % 2 == 0)
+    odd = emb.where(F.col("vec_id") % 2 == 1)
+    if similarity.load_ivfpq_model(spark, index_dir)[0] is None:
+        similarity.build_ivfpq_index(
+            even,
+            "vec_id",
+            "embedding",
+            index_dir,
+            centroids=similarity.ivf_centroids(emb, "vec_id", "embedding", nlist=16),
+            books=_pq_books(emb, sf_dir),
+        )
+    # resume-safe: a crash between build and append leaves a live
+    # half-corpus version (no manifest) — detect and finish the append
+    live = similarity._resolve_index_dir(index_dir)
+    if not os.path.exists(os.path.join(live, "_segments.json")):
+        similarity.append_to_ivfpq_index(spark, index_dir, odd, "vec_id", "embedding")
+    return similarity.search_ivfpq_index(
+        spark,
+        index_dir,
+        queries=emb.where(F.col("vec_id") < 5),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=10,
+        nprobe=4,
+    )
+
+
 def q_ann_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximation-quality report: recall@10 of the int8-quantized
     tier against exact cosine, per query vector — the eval every ANN
@@ -6364,6 +6417,11 @@ ORACLES["ann_ivfpq_topk"] = f"""
 # persistence adds is pinned by test_plans, not the hash.
 ORACLES["ann_ivfpq_persisted"] = ORACLES["ann_ivfpq_topk"]
 
+# Append-maintained index: frozen-model assignment/encoding is per-row
+# deterministic, so build(evens)+append(odds) equals build(union) with
+# the same model — the union replay verifies the append lifecycle.
+ORACLES["ann_ivfpq_append"] = ORACLES["ann_ivfpq_topk"]
+
 
 def _kmeans_train_cte(nlist: int | str, iterations: int) -> str:
     """Chained-CTE replay of ``similarity.train_ivf_centroids``: seed
@@ -6839,6 +6897,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_pq_topk": q_ann_pq_topk,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "ann_ivfpq_persisted": q_ann_ivfpq_persisted,
+    "ann_ivfpq_append": q_ann_ivfpq_append,
     "ann_quantized_recall": q_ann_quantized_recall,
     "ann_pq_recall": q_ann_pq_recall,
     "events_funnel_users": q_events_funnel_users,
