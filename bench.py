@@ -76,6 +76,14 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     only = [q for q in sys.argv[1:] if not q.startswith("-")]
     spark = build_session(app_name="yamr-bench")
+    load = os.getloadavg()[0]
+    if load > 4.0:
+        print(
+            f"BENCH WARN: loadavg {load:.1f} - co-tenant process running; "
+            "gate readings from this run are upper bounds, re-measure idle "
+            "before freezing or diagnosing drift",
+            file=sys.stderr,
+        )
 
     # global warmup: absorb JVM/JIT + parquet-reader cold start so the
     # FIRST registry entry's timed runs aren't inflated by shared-infra

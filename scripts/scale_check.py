@@ -55,10 +55,28 @@ def median_time(q, spark, sf_dir, runs=3) -> float:
     return statistics.median(ts)
 
 
+def warn_if_loaded(threshold: float = 4.0) -> None:
+    """Co-tenant guard: a loaded box inflates readings 3-30x (every
+    round has had one contaminated row - r6 text_chunking 43x, r7's
+    wholesale drift, r9 curation_v2/fuzzy_match).  Warn loudly so the
+    reading is treated as an upper bound, not frozen or 'fixed'."""
+    import os
+
+    load = os.getloadavg()[0]
+    if load > threshold:
+        print(
+            f"WARNING: loadavg {load:.1f} > {threshold} - another process"
+            " is sharing this box; treat these timings as upper bounds"
+            " and re-measure idle before freezing/diagnosing.",
+            flush=True,
+        )
+
+
 def main() -> None:
     replica = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1_replica"
     names = sys.argv[2:] or DEFAULT
     spark = build_session(app_name="scale-check")
+    warn_if_loaded()
     print(f"{'query':34s} {'sf0.1':>8s} {'10x':>8s} {'ratio':>6s}", flush=True)
     for q in names:
         a = median_time(q, spark, SF01)

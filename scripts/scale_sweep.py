@@ -58,11 +58,29 @@ def timed(spark, name, sf_dir, budget_s) -> float | None:
     return out.get("t")
 
 
+def warn_if_loaded(threshold: float = 4.0) -> None:
+    """Co-tenant guard: a loaded box inflates readings 3-30x (every
+    round has had one contaminated row - r6 text_chunking 43x, r7's
+    wholesale drift, r9 curation_v2/fuzzy_match).  Warn loudly so the
+    reading is treated as an upper bound, not frozen or 'fixed'."""
+    import os
+
+    load = os.getloadavg()[0]
+    if load > threshold:
+        print(
+            f"WARNING: loadavg {load:.1f} > {threshold} - another process"
+            " is sharing this box; treat these timings as upper bounds"
+            " and re-measure idle before freezing/diagnosing.",
+            flush=True,
+        )
+
+
 def main() -> None:
     replica = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf10_replica"
     budget_s = float(sys.argv[2]) if len(sys.argv) > 2 else 120.0
     names = sys.argv[3:] or sorted(QUERIES)
     spark = build_session()
+    warn_if_loaded()
     rows = []
     for i, name in enumerate(names):
         t1 = timed(spark, name, SF01, budget_s)
