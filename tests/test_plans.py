@@ -648,3 +648,52 @@ def test_ivfpq_append_scan_prunes_both_segments(spark, sf_dir, tmp_path):
         if "pq_codes" in line:
             assert "embedding" not in line
     assert out.count() > 0
+
+
+def test_ivfpq_append_crash_leaves_live_version_intact(spark, sf_dir, tmp_path):
+    """Two-phase append: a crash after the segment write but before the
+    version commit (simulated: segment dir present, no manifest, no
+    pointer swap) must leave searches on the live version unchanged —
+    the orphan segment is invisible garbage."""
+    import os
+
+    from yet_another_map_reduce_spark.operators import similarity
+    from yet_another_map_reduce_spark.queries import _pq_books
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    books = _pq_books(emb, sf_dir)
+    cent = similarity.ivf_centroids(emb, "vec_id", "embedding", nlist=8)
+    index_dir = os.path.join(str(tmp_path), "idx_crash")
+    base = emb.where(F.col("vec_id") < 250)
+    similarity.build_ivfpq_index(
+        base, "vec_id", "embedding", index_dir, centroids=cent, books=books
+    )
+    q = emb.where(F.col("vec_id") < 3)
+
+    def results():
+        out = similarity.search_ivfpq_index(
+            spark, index_dir, q, "vec_id", "embedding", k=5, nprobe=2
+        )
+        return sorted(map(tuple, out.collect()), key=lambda t: (t[0], t[3]))
+
+    before = results()
+    # simulate the crash: the segment lands, nothing references it
+    crashed = emb.where(F.col("vec_id") >= 250)
+    assigned = similarity._nearest_centroids(
+        crashed, "vec_id", "embedding", cent, 1
+    ).select(F.col("__rid").alias("neighbor_id"), "centroid_id")
+    enc = similarity.pq_encode(
+        crashed, "vec_id", "embedding", books
+    ).withColumnRenamed("vec_id", "neighbor_id")
+    (
+        assigned.join(enc, "neighbor_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(os.path.join(index_dir, "seg_orphaned_by_crash"))
+    )
+    assert results() == before
+    # a retried append commits normally and now includes both halves
+    similarity.append_to_ivfpq_index(
+        spark, index_dir, crashed, "vec_id", "embedding"
+    )
+    assert len(results()) >= len(before)
