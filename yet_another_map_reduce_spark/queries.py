@@ -3453,6 +3453,32 @@ def q_corpus_rebalance_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "copy_id").orderBy("doc_id", "copy_id")
 
 
+def q_corpus_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture rebalancing — the multilingual
+    training rule (mT5/XLM-R): target share q_l ∝ n_l^α with α=0.7,
+    sampling rate r_l = q_l / s_l against the actual share s_l, so
+    rare languages upsample and dominant ones downsample while the
+    expected corpus size is preserved exactly (Σ r_l·n_l = N).  The
+    rates come out of one tiny aggregate (languages × 2 numbers),
+    broadcast onto the corpus through the same hash-deterministic
+    replication as every mixture query — no RNG state, exact oracle."""
+    d = read_table(spark, sf_dir, "documents")
+    from yet_another_map_reduce_spark.operators import sampling
+
+    alpha = 0.7
+    totals = d.groupBy("lang").agg(F.count("*").alias("n"))
+    pw = totals.select("lang", "n", F.pow(F.col("n"), F.lit(alpha)).alias("pn"))
+    tot = pw.agg(F.sum("n").alias("nn"), F.sum("pn").alias("z"))
+    weights = pw.join(F.broadcast(tot)).select(
+        "lang",
+        F.round(
+            (F.col("pn") / F.col("z")) / (F.col("n") / F.col("nn")), 6
+        ).alias("weight"),
+    )
+    out = sampling.mixture_sample_by_weights(d, "lang", "doc_id", weights, seed=7)
+    return out.select("doc_id", "lang", "copy_id").orderBy("doc_id", "copy_id")
+
+
 def q_sample_reservoir_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stable uniform 5-row sample per market segment
     (operators/sampling.reservoir_per_group): hash-rank, keep smallest;
@@ -4101,6 +4127,33 @@ ORACLES: dict[str, str] = {
         base AS (
             SELECT doc_id, d.lang, weight,
                    {_sql_hash64("CAST(doc_id AS VARCHAR)", seed=11)} % 1000
+                       AS bucket
+            FROM documents d JOIN w USING (lang)
+        ),
+        c AS (
+            SELECT doc_id, lang,
+                   CAST(floor(weight) AS BIGINT)
+                   + (CASE WHEN bucket < round((weight - floor(weight)) * 1000, 0)
+                           THEN 1 ELSE 0 END) AS copies
+            FROM base
+        )
+        SELECT doc_id, lang, CAST(unnest(generate_series(1, copies)) AS BIGINT)
+                   AS copy_id
+        FROM c WHERE copies > 0
+        ORDER BY doc_id, copy_id
+    """,
+    "corpus_mixture_temperature": f"""
+        WITH totals AS (
+            SELECT lang, count(*) AS n FROM documents GROUP BY lang
+        ),
+        pw AS (SELECT lang, n, pow(n, 0.7) AS pn FROM totals),
+        tot AS (SELECT sum(n) AS nn, sum(pn) AS z FROM pw),
+        w AS (SELECT lang,
+                     round((pn / z) / (n * 1.0 / nn), 6) AS weight
+              FROM pw, tot),
+        base AS (
+            SELECT doc_id, d.lang, weight,
+                   {_sql_hash64("CAST(doc_id AS VARCHAR)", seed=7)} % 1000
                        AS bucket
             FROM documents d JOIN w USING (lang)
         ),
@@ -6963,6 +7016,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_shuffle": q_corpus_shuffle,
     "corpus_mixture_sample": q_corpus_mixture_sample,
     "corpus_rebalance_langs": q_corpus_rebalance_langs,
+    "corpus_mixture_temperature": q_corpus_mixture_temperature,
     "join_revenue_by_nation": q_join_revenue_by_nation,
     "tfidf_top_terms": q_tfidf_top_terms,
     "rdd_wordcount": q_rdd_wordcount,
