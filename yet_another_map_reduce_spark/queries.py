@@ -3453,6 +3453,69 @@ def q_corpus_rebalance_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "copy_id").orderBy("doc_id", "copy_id")
 
 
+def q_split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test splitting, demonstrated as a
+    diagnostic: split the corpus two ways — keyed by doc_id (naive)
+    and keyed by the content fingerprint — and count duplicate
+    CONTENT CLASSES that straddle splits under each strategy.  An
+    id-keyed split assigns copies of the same text independently, so
+    duplicates leak train→test (the classic eval-contamination bug);
+    a fingerprint-keyed split cannot leak by construction (all copies
+    share the hash, hence the split).  The corpus has no exact dups at
+    verification scale, so the query plants copies of the first 50
+    docs under new ids — same seeded-demo pattern as text_redact_pii.
+
+    Scale shape: the corpus reduces immediately to a narrow
+    (doc_id, cls) relation; both counts are hash aggs with map-side
+    partials over fixed-width keys — no text ever shuffles."""
+    d = read_table(spark, sf_dir, "documents")
+    dup = d.where(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    base = (
+        d.select("doc_id", "text")
+        .unionByName(dup)
+        .select("doc_id", F.md5(normalize_text("text")).alias("cls"))
+    )
+
+    def bucketize(key):
+        b = F.pmod(md5_hash64(key, seed=5), F.lit(1000))
+        return (
+            F.when(b < 800, "train").when(b < 900, "val").otherwise("test")
+        )
+
+    tagged = base.withColumn(
+        "split", bucketize(F.col("doc_id").cast("string"))
+    ).withColumn("strategy", F.lit("by_id")).unionByName(
+        base.withColumn("split", bucketize(F.col("cls"))).withColumn(
+            "strategy", F.lit("by_fingerprint")
+        )
+    )
+    per_split = tagged.groupBy("strategy", "split").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct("cls").cast("bigint").alias("n_classes"),
+    )
+    leaked = (
+        tagged.select("strategy", "cls", "split")
+        .distinct()
+        .groupBy("strategy", "cls")
+        .agg(F.count("*").alias("ns"))
+        .groupBy("strategy")
+        .agg(
+            F.sum(F.when(F.col("ns") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_leaked_classes")
+        )
+    )
+    return (
+        per_split.join(F.broadcast(leaked), "strategy")
+        .select(
+            "strategy", "split", "n_docs", "n_classes", "n_leaked_classes"
+        )
+        .orderBy("strategy", "split")
+    )
+
+
 def q_corpus_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based mixture rebalancing — the multilingual
     training rule (mT5/XLM-R): target share q_l ∝ n_l^α with α=0.7,
@@ -4141,6 +4204,45 @@ ORACLES: dict[str, str] = {
                    AS copy_id
         FROM c WHERE copies > 0
         ORDER BY doc_id, copy_id
+    """,
+    "split_leakage_report": f"""
+        WITH base AS (
+            SELECT doc_id, md5({_TEXT_NORM}) AS cls FROM documents
+            UNION ALL
+            SELECT doc_id + 100000 AS doc_id, md5({_TEXT_NORM}) AS cls
+            FROM documents WHERE doc_id < 50
+        ),
+        tagged AS (
+            SELECT 'by_id' AS strategy, doc_id, cls,
+                   CASE WHEN h < 800 THEN 'train'
+                        WHEN h < 900 THEN 'val' ELSE 'test' END AS split
+            FROM (SELECT doc_id, cls,
+                         {_sql_hash64("CAST(doc_id AS VARCHAR)", seed=5)} % 1000 AS h
+                  FROM base)
+            UNION ALL
+            SELECT 'by_fingerprint' AS strategy, doc_id, cls,
+                   CASE WHEN h < 800 THEN 'train'
+                        WHEN h < 900 THEN 'val' ELSE 'test' END AS split
+            FROM (SELECT doc_id, cls,
+                         {_sql_hash64("cls", seed=5)} % 1000 AS h
+                  FROM base)
+        ),
+        per_split AS (
+            SELECT strategy, split, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT cls) AS BIGINT) AS n_classes
+            FROM tagged GROUP BY strategy, split
+        ),
+        leaked AS (
+            SELECT strategy,
+                   CAST(SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_leaked_classes
+            FROM (SELECT strategy, cls, count(DISTINCT split) AS ns
+                  FROM tagged GROUP BY strategy, cls)
+            GROUP BY strategy
+        )
+        SELECT p.strategy, p.split, p.n_docs, p.n_classes, l.n_leaked_classes
+        FROM per_split p JOIN leaked l USING (strategy)
+        ORDER BY strategy, split
     """,
     "corpus_mixture_temperature": f"""
         WITH totals AS (
@@ -7017,6 +7119,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_mixture_sample": q_corpus_mixture_sample,
     "corpus_rebalance_langs": q_corpus_rebalance_langs,
     "corpus_mixture_temperature": q_corpus_mixture_temperature,
+    "split_leakage_report": q_split_leakage_report,
     "join_revenue_by_nation": q_join_revenue_by_nation,
     "tfidf_top_terms": q_tfidf_top_terms,
     "rdd_wordcount": q_rdd_wordcount,
