@@ -1623,3 +1623,36 @@ def test_perceptron_score_is_map_only(spark):
     # model ships as literals: no Exchange anywhere in the plan
     plan = scored._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_perceptron_matches_pure_python_reference(spark):
+    """Randomized equivalence: the distributed batch trainer's full
+    trajectory equals a pure-Python reference loop on the same rows —
+    integer arithmetic means exact equality, no tolerance."""
+    import random
+
+    from yet_another_map_reduce_spark.operators import classify
+
+    rng = random.Random(42)
+    for _trial in range(3):
+        rows = [
+            (rng.choice([1, -1]), rng.randint(-9, 9), rng.randint(-9, 9))
+            for _ in range(60)
+        ]
+        w = [0, 0, 0]
+        expect = []
+        for it in range(1, 4):
+            mis = [
+                (y, (1, a, b))
+                for (y, a, b) in rows
+                if y * (w[0] + w[1] * a + w[2] * b) <= 0
+            ]
+            g = [sum(y * x[k] for y, x in mis) for k in range(3)]
+            w = [w[k] + g[k] for k in range(3)]
+            expect.append((it, len(mis), *w))
+        df = spark.createDataFrame(rows, "y long, a long, b long")
+        got = [
+            tuple(r)
+            for r in classify.perceptron_train(df, "y", ["a", "b"], 3).collect()
+        ]
+        assert got == expect
