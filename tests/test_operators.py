@@ -1656,3 +1656,27 @@ def test_perceptron_matches_pure_python_reference(spark):
             for r in classify.perceptron_train(df, "y", ["a", "b"], 3).collect()
         ]
         assert got == expect
+
+
+def test_temperature_mixture_preserves_expected_corpus_size(spark):
+    """The α-rule's defining identity: Σ r_l·n_l = N (expected corpus
+    size preserved exactly), and rates order inversely to group size
+    (rare groups upsample, dominant groups downsample)."""
+    rows = (
+        [(i, "en") for i in range(600)]
+        + [(i + 1000, "fr") for i in range(300)]
+        + [(i + 2000, "zh") for i in range(100)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    from pyspark.sql import functions as F
+
+    alpha = 0.7
+    totals = df.groupBy("lang").agg(F.count("*").alias("n"))
+    pw = totals.select("lang", "n", F.pow("n", F.lit(alpha)).alias("pn"))
+    tot = pw.agg(F.sum("n").alias("nn"), F.sum("pn").alias("z"))
+    w = {
+        r["lang"]: ((r["pn"] / r["z"]) / (r["n"] / r["nn"]), r["n"])
+        for r in pw.join(F.broadcast(tot)).collect()
+    }
+    assert abs(sum(rate * n for rate, n in w.values()) - 1000) < 1e-9
+    assert w["zh"][0] > w["fr"][0] > 1.0 > w["en"][0]
