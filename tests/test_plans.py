@@ -697,3 +697,60 @@ def test_ivfpq_append_crash_leaves_live_version_intact(spark, sf_dir, tmp_path):
         spark, index_dir, crashed, "vec_id", "embedding"
     )
     assert len(results()) >= len(before)
+
+
+def test_ivfpq_append_occ_rejects_racing_writer(spark, sf_dir, tmp_path):
+    """OCC commit: if another writer advances CURRENT between an
+    append's parent resolution and its commit, the append must raise
+    IndexConflictError instead of silently orphaning the racer's batch
+    — and a plain retry succeeds against the new parent."""
+    import os
+
+    import pytest
+
+    from yet_another_map_reduce_spark.operators import similarity
+    from yet_another_map_reduce_spark.queries import _pq_books
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    books = _pq_books(emb, sf_dir)
+    cent = similarity.ivf_centroids(emb, "vec_id", "embedding", nlist=8)
+    index_dir = os.path.join(str(tmp_path), "idx_occ")
+    similarity.build_ivfpq_index(
+        emb.where(F.col("vec_id") < 200), "vec_id", "embedding",
+        index_dir, centroids=cent, books=books,
+    )
+    batch_a = emb.where((F.col("vec_id") >= 200) & (F.col("vec_id") < 350))
+    batch_b = emb.where(F.col("vec_id") >= 350)
+
+    # simulate the race: writer A captures its parent (resolutions 1-2:
+    # model load + live dir), then writer B commits BEFORE A's OCC
+    # check (resolution 3) reads CURRENT — A must now fail
+    orig_resolve = similarity._resolve_index_dir
+    state = {"n": 0, "racing": False}
+
+    def racing_resolve(d):
+        state["n"] += 1
+        if state["n"] == 3 and not state["racing"]:
+            state["racing"] = True
+            similarity.append_to_ivfpq_index(
+                spark, index_dir, batch_b, "vec_id", "embedding"
+            )
+        return orig_resolve(d)
+
+    similarity._resolve_index_dir = racing_resolve
+    try:
+        with pytest.raises(similarity.IndexConflictError):
+            similarity.append_to_ivfpq_index(
+                spark, index_dir, batch_a, "vec_id", "embedding"
+            )
+    finally:
+        similarity._resolve_index_dir = orig_resolve
+    # retry re-encodes against the new live version and lands cleanly
+    similarity.append_to_ivfpq_index(
+        spark, index_dir, batch_a, "vec_id", "embedding"
+    )
+    out = similarity.search_ivfpq_index(
+        spark, index_dir, emb.where(F.col("vec_id") < 3),
+        "vec_id", "embedding", k=5, nprobe=2,
+    )
+    assert out.count() > 0

@@ -1133,6 +1133,13 @@ def build_ivfpq_index(
     return build_dir
 
 
+class IndexConflictError(RuntimeError):
+    """Another writer advanced the index's CURRENT pointer between this
+    append's parent resolution and its commit — retry re-encodes the
+    batch against the new parent (same contract as
+    yamr_format.ManifestConflictError)."""
+
+
 def append_to_ivfpq_index(
     spark,
     index_dir: str,
@@ -1159,10 +1166,16 @@ def append_to_ivfpq_index(
     before the pointer swap leaves the live version untouched (the
     orphan segment is invisible garbage); readers resolving ``CURRENT``
     see the old or the new version, never a half-append.  Concurrent
-    appends from the same parent race at the pointer (last swap wins,
-    the loser's segment is orphaned) — serialize appends per index, as
-    any single-writer ingest does.  Older versions remain directly
-    searchable (pass their dir) — manifest-level time travel.
+    appends are OCC-guarded like yamr manifest commits
+    (sources/yamr_format.py): the commit re-reads ``CURRENT`` and
+    raises :class:`IndexConflictError` if another writer advanced it
+    since this append resolved its parent — losing a racing batch
+    silently (last-swap-wins) would be data loss, the one thing an
+    ingest must never do.  The check-then-swap window is not a true
+    CAS (documented residual race on a shared-nothing filesystem);
+    retry on conflict re-encodes against the new parent.  Older
+    versions remain directly searchable (pass their dir) —
+    manifest-level time travel.
 
     At 100 TB this is the operation that keeps nightly ANN refresh
     affordable: cost is ONE pass over the new batch (typically <<1% of
@@ -1207,6 +1220,14 @@ def append_to_ivfpq_index(
         os.path.join(vdir, "_segments.json"), "w", encoding="utf-8"
     ) as fh:
         json.dump({"segments": parent_segments + [seg_name]}, fh)
+    # OCC commit: the parent this append encoded against must still be
+    # live — silently last-swap-winning over a racing append would drop
+    # its batch from the lineage (its segment would be orphaned)
+    if _resolve_index_dir(index_dir) != live:
+        raise IndexConflictError(
+            f"index advanced past {os.path.basename(live)} during append; "
+            "retry to re-encode against the new live version"
+        )
     tmp = os.path.join(
         index_dir, f"CURRENT.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
     )
