@@ -754,3 +754,49 @@ def test_ivfpq_append_occ_rejects_racing_writer(spark, sf_dir, tmp_path):
         "vec_id", "embedding", k=5, nprobe=2,
     )
     assert out.count() > 0
+
+
+def test_ivfpq_compact_preserves_results_and_folds_segments(spark, sf_dir, tmp_path):
+    """Compaction is pure data movement: search results bit-identical
+    before/after, segment count folds to 1, model untouched, and the
+    pre-compaction version stays addressable (time travel)."""
+    import json
+    import os
+
+    from yet_another_map_reduce_spark.operators import similarity
+    from yet_another_map_reduce_spark.queries import _pq_books
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    books = _pq_books(emb, sf_dir)
+    cent = similarity.ivf_centroids(emb, "vec_id", "embedding", nlist=8)
+    index_dir = os.path.join(str(tmp_path), "idx_compact")
+    similarity.build_ivfpq_index(
+        emb.where(F.col("vec_id") < 200), "vec_id", "embedding",
+        index_dir, centroids=cent, books=books,
+    )
+    similarity.append_to_ivfpq_index(
+        spark, index_dir,
+        emb.where((F.col("vec_id") >= 200) & (F.col("vec_id") < 350)),
+        "vec_id", "embedding",
+    )
+    appended_v = similarity.append_to_ivfpq_index(
+        spark, index_dir, emb.where(F.col("vec_id") >= 350),
+        "vec_id", "embedding",
+    )
+    q = emb.where(F.col("vec_id") < 3)
+
+    def results(d):
+        out = similarity.search_ivfpq_index(
+            spark, d, q, "vec_id", "embedding", k=5, nprobe=2
+        )
+        return sorted(map(tuple, out.collect()), key=lambda t: (t[0], t[3]))
+
+    before = results(index_dir)
+    assert len(similarity._index_data_paths(index_dir)) == 3
+    compacted_v = similarity.compact_ivfpq_index(spark, index_dir)
+    assert results(index_dir) == before
+    assert len(similarity._index_data_paths(index_dir)) == 1
+    with open(os.path.join(compacted_v, "_segments.json")) as fh:
+        assert len(json.load(fh)["segments"]) == 1
+    # the 3-segment pre-compaction version is still directly searchable
+    assert results(appended_v) == before

@@ -1237,6 +1237,62 @@ def append_to_ivfpq_index(
     return vdir
 
 
+def compact_ivfpq_index(spark, index_dir: str) -> str:
+    """Fold a many-segment index back into one segment — the other
+    bookend of the append lifecycle: nightly appends accumulate small
+    segments (more files to list, one pruned scan branch each);
+    compaction rewrites the UNION of the live version's segments as a
+    single hive-partitioned segment under the same frozen model, and
+    commits it with the same OCC-guarded pointer swap.  Pure data
+    movement: no retraining, no re-encoding (codes are copied), so
+    search results are bit-identical before/after (pinned by test).
+
+    At 100 TB this is the periodic maintenance job (weekly compact
+    after daily appends); old versions' segments become collectable
+    garbage once no reader pins them — the vacuum story mirrors
+    yamr_format's."""
+    import json
+    import os
+    import uuid
+
+    live = _resolve_index_dir(index_dir)
+    parts = _index_data_paths(index_dir)
+    from functools import reduce
+
+    union = reduce(
+        DataFrame.unionByName, [spark.read.parquet(p) for p in parts]
+    )
+    seg_name = f"seg_{uuid.uuid4().hex[:12]}"
+    (
+        union.write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(os.path.join(index_dir, seg_name))
+    )
+    version = f"v_{uuid.uuid4().hex[:12]}"
+    vdir = os.path.join(index_dir, version)
+    os.makedirs(vdir, exist_ok=True)
+    with open(os.path.join(live, "_model.json"), encoding="utf-8") as fh:
+        model = fh.read()
+    with open(os.path.join(vdir, "_model.json"), "w", encoding="utf-8") as fh:
+        fh.write(model)
+    with open(
+        os.path.join(vdir, "_segments.json"), "w", encoding="utf-8"
+    ) as fh:
+        json.dump({"segments": [seg_name]}, fh)
+    if _resolve_index_dir(index_dir) != live:
+        raise IndexConflictError(
+            f"index advanced past {os.path.basename(live)} during "
+            "compaction; retry against the new live version"
+        )
+    tmp = os.path.join(
+        index_dir, f"CURRENT.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+    )
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(version)
+    os.replace(tmp, os.path.join(index_dir, "CURRENT"))
+    return vdir
+
+
 def _segment_names(version_dir: str, index_dir: str) -> list[str]:
     """Segment directory names (relative to ``index_dir``) making up a
     version: its ``_segments.json`` manifest, or — for a version
