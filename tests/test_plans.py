@@ -800,3 +800,48 @@ def test_ivfpq_compact_preserves_results_and_folds_segments(spark, sf_dir, tmp_p
         assert len(json.load(fh)["segments"]) == 1
     # the 3-segment pre-compaction version is still directly searchable
     assert results(appended_v) == before
+
+
+def test_ivfpq_vacuum_collects_orphans_keeps_reachable(spark, sf_dir, tmp_path):
+    """Vacuum removes orphan segments and expired versions but never
+    anything reachable from the live or retained versions, and never
+    young files (in-flight writer protection)."""
+    import os
+
+    from yet_another_map_reduce_spark.operators import similarity
+    from yet_another_map_reduce_spark.queries import _pq_books
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    books = _pq_books(emb, sf_dir)
+    cent = similarity.ivf_centroids(emb, "vec_id", "embedding", nlist=8)
+    index_dir = os.path.join(str(tmp_path), "idx_vac")
+    similarity.build_ivfpq_index(
+        emb.where(F.col("vec_id") < 200), "vec_id", "embedding",
+        index_dir, centroids=cent, books=books,
+    )
+    similarity.append_to_ivfpq_index(
+        spark, index_dir, emb.where(F.col("vec_id") >= 200),
+        "vec_id", "embedding",
+    )
+    os.makedirs(os.path.join(index_dir, "seg_orphan"), exist_ok=True)
+    q = emb.where(F.col("vec_id") < 3)
+
+    def results():
+        out = similarity.search_ivfpq_index(
+            spark, index_dir, q, "vec_id", "embedding", k=5, nprobe=2
+        )
+        return sorted(map(tuple, out.collect()), key=lambda t: (t[0], t[3]))
+
+    before = results()
+    # young orphan survives (retention window)
+    r = similarity.vacuum_ivfpq_index(index_dir, retention_seconds=3600)
+    assert r["removed"] == [] and os.path.isdir(os.path.join(index_dir, "seg_orphan"))
+    # with retention waived, the orphan goes; everything reachable stays
+    r = similarity.vacuum_ivfpq_index(index_dir, retention_seconds=0)
+    assert "seg_orphan" in r["removed"]
+    assert not os.path.isdir(os.path.join(index_dir, "seg_orphan"))
+    assert results() == before
+    # keep_versions=0 with zero retention: only the live lineage survives,
+    # and search still works (the base version IS a live segment here)
+    similarity.vacuum_ivfpq_index(index_dir, keep_versions=0, retention_seconds=0)
+    assert results() == before

@@ -1293,6 +1293,65 @@ def compact_ivfpq_index(spark, index_dir: str) -> str:
     return vdir
 
 
+def vacuum_ivfpq_index(
+    index_dir: str,
+    keep_versions: int = 2,
+    retention_seconds: float = 3600.0,
+) -> dict:
+    """Retire old index versions and delete segments no longer
+    reachable from any retained version — the Delta-VACUUM analog for
+    the segmented index (same contract as ``yamr_format.vacuum``).
+
+    Keeps the LIVE version plus the ``keep_versions`` newest other
+    version dirs; every segment referenced by ANY retained version
+    survives, everything else (orphan ``seg_*`` from crashed or
+    OCC-lost appends, pre-compaction segments past retention) is
+    deleted.  The live version is always retained, so current readers
+    never break — only time travel beyond the window is given up.
+
+    ``retention_seconds`` additionally protects anything whose mtime is
+    within the window: an in-flight append lands its segment BEFORE the
+    pointer swap publishes it, so a fresh not-yet-referenced segment is
+    indistinguishable from garbage by reachability alone — age is the
+    tiebreaker.  Pass ``0`` only when no concurrent writer can exist.
+    """
+    import os
+    import shutil
+    import time
+
+    live = os.path.abspath(_resolve_index_dir(index_dir))
+    entries = sorted(os.listdir(index_dir))
+    versions = [
+        e
+        for e in entries
+        if e.startswith("v_") and os.path.isdir(os.path.join(index_dir, e))
+    ]
+    others = sorted(
+        (e for e in versions if os.path.abspath(os.path.join(index_dir, e)) != live),
+        key=lambda e: os.path.getmtime(os.path.join(index_dir, e)),
+        reverse=True,
+    )
+    retained = [os.path.basename(live)] + others[:keep_versions]
+    reachable: set[str] = set(retained)
+    for v in retained:
+        vdir = os.path.join(index_dir, v)
+        for s in _segment_names(vdir, index_dir):
+            reachable.add(s.split(os.sep)[0])
+    now = time.time()
+    removed: list[str] = []
+    for e in entries:
+        if not (e.startswith("v_") or e.startswith("seg_")):
+            continue  # CURRENT, tmp files, foreign content: untouched
+        if e in reachable:
+            continue
+        p = os.path.join(index_dir, e)
+        if now - os.path.getmtime(p) < retention_seconds:
+            continue  # possibly an in-flight writer's segment
+        shutil.rmtree(p, ignore_errors=True)
+        removed.append(e)
+    return {"retained": sorted(reachable), "removed": removed}
+
+
 def _segment_names(version_dir: str, index_dir: str) -> list[str]:
     """Segment directory names (relative to ``index_dir``) making up a
     version: its ``_segments.json`` manifest, or — for a version
