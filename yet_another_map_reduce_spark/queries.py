@@ -3516,6 +3516,43 @@ def q_split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_autocurate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-in-the-loop curation, end to end: train the quality/
+    language classifier ON the corpus (3 batch-perceptron iterations),
+    score every document with the learned weights, and report per-lang
+    keep/drop counts with the mean margin of kept docs — the composed
+    shape of learned filtering (fastText-style quality gates), where
+    the filter itself is fitted on the data it curates.  Everything
+    stays one narrow feature relation: train aggregates it per
+    iteration, scoring is map-only with the model as literals, the
+    report is one hash agg."""
+    d = read_table(spark, sf_dir, "documents")
+    feats = _classifier_features(d)
+    model = classify.perceptron_train(
+        feats, "y", _CLASSIFIER_FEATURE_COLS, iterations=3
+    ).collect()
+    last = max(model, key=lambda r: r["iteration"])
+    weights = [last[f"w{k}"] for k in range(len(_CLASSIFIER_FEATURE_COLS) + 1)]
+    scored = classify.perceptron_score(
+        feats, weights, _CLASSIFIER_FEATURE_COLS, "doc_id"
+    ).join(d.select("doc_id", "lang"), "doc_id")
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.sum(F.when(F.col("predicted") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("predicted") == -1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dropped"),
+            F.round(
+                F.avg(F.when(F.col("predicted") == 1, F.col("margin"))), 4
+            ).alias("kept_mean_margin"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_corpus_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based mixture rebalancing — the multilingual
     training rule (mT5/XLM-R): target share q_l ∝ n_l^α with α=0.7,
@@ -4110,6 +4147,27 @@ ORACLES: dict[str, str] = {
     """.format(quality=_QUALITY_SQL),
     "quality_classifier_train": _perceptron_train_sql(),
     "quality_classifier_apply": _perceptron_apply_sql(),
+    "pipeline_autocurate": f"""{_perceptron_ctes()},
+        scored AS (
+            SELECT f.doc_id,
+                   CAST({" + ".join(f"w.w{k} * f.x{k}" for k in range(5))}
+                        AS BIGINT) AS margin
+            FROM feats f, w3 w
+        ),
+        langed AS (
+            SELECT s.doc_id, s.margin, d.lang,
+                   CASE WHEN s.margin > 0 THEN 1 ELSE -1 END AS predicted
+            FROM scored s JOIN documents d USING (doc_id)
+        )
+        SELECT lang,
+               CAST(SUM(CASE WHEN predicted = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+               CAST(SUM(CASE WHEN predicted = -1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dropped,
+               round(AVG(CASE WHEN predicted = 1 THEN margin END), 4)
+                   AS kept_mean_margin
+        FROM langed GROUP BY lang ORDER BY lang
+    """,
     "window_time_range": """
         SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
                round(sum(value) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
@@ -7128,6 +7186,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_percentile_filter": q_quality_percentile_filter,
     "quality_classifier_train": q_quality_classifier_train,
     "quality_classifier_apply": q_quality_classifier_apply,
+    "pipeline_autocurate": q_pipeline_autocurate,
     "feature_scaling": q_feature_scaling,
     "graph_pagerank": q_graph_pagerank,
     "graph_pagerank_cached": q_graph_pagerank_cached,
