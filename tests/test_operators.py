@@ -1680,3 +1680,54 @@ def test_temperature_mixture_preserves_expected_corpus_size(spark):
     }
     assert abs(sum(rate * n for rate, n in w.values()) - 1000) < 1e-9
     assert w["zh"][0] > w["fr"][0] > 1.0 > w["en"][0]
+
+
+def test_text_operators_survive_pathological_corpus(spark):
+    """Robustness sweep: NULL text, empty string, whitespace-only,
+    single-token, and unicode docs must flow through the text/dedup/
+    classifier surface without exceptions and with sane outputs —
+    a real ingest sees all of these on day one."""
+    from yet_another_map_reduce_spark.operators import classify, dedup, text
+    from yet_another_map_reduce_spark.functions import normalize_text
+
+    rows = [
+        (1, None, "en"),
+        (2, "", "en"),
+        (3, "   \t  ", "fr"),
+        (4, "word", "en"),
+        (5, "naïve café über große 東京 データ", "de"),
+        (6, "the quick brown fox jumps over the lazy dog", "en"),
+        (7, "the quick brown fox jumps over the lazy dog", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    # exact dedup: the two real duplicates collapse — and so do the
+    # empty + whitespace-only docs (both normalize to ""), which is the
+    # CORRECT curation semantics: content-free docs are one class
+    kept = dedup.exact_dedup(df, "text", "doc_id")
+    classes = {r["doc_id"]: r["dup_count"] for r in kept.collect()}
+    assert classes[6] == 2 and 7 not in classes  # true dups collapse
+    assert classes[2] == 2 and 3 not in classes  # ""-normalized class
+
+    # shingles: docs shorter than k produce no rows, not errors
+    sh = dedup.exploded_shingles(df, "text", "doc_id", k=3)
+    assert sh.where(F.col("doc_id").isin(2, 3, 4)).count() == 0
+
+    # minhash pairs: only the true duplicate pair surfaces
+    pairs = dedup.minhash_lsh_pairs(df, "text", "doc_id", num_hashes=12, bands=4)
+    assert [(r["id_a"], r["id_b"]) for r in pairs.collect()] == [(6, 7)]
+
+    # text stats: one row per doc, no exception on NULL/empty
+    stats = text.text_stats(df, "text", "doc_id")
+    assert stats.count() == len(rows)
+
+    # classifier: NULL features must not poison training (NULL margin
+    # rows are conservatively counted via Spark/SQL NULL semantics,
+    # never raised); weights stay integers
+    feats = df.select(
+        F.when(F.col("lang") == "en", 1).otherwise(-1).alias("y"),
+        F.size(F.split(normalize_text("text"), " ")).alias("f1"),
+        F.length("text").alias("f2"),
+    )
+    out = classify.perceptron_train(feats, "y", ["f1", "f2"], 2).collect()
+    assert len(out) == 2 and all(isinstance(r["w1"], int) for r in out)
