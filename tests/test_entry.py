@@ -182,3 +182,26 @@ def test_doc_counts_match_registry():
             assert int(m.group(1)) == n, f"{rel}: stale count {m.group(0)}"
         for m in re.finditer(r"\bALL (\d+)\b", text):
             assert int(m.group(1)) == n, f"{rel}: stale count {m.group(0)}"
+
+
+def test_registry_invariants_frozen_and_oracle_mapped():
+    """Every registered query must have (a) a frozen baseline row —
+    an unfrozen query silently escapes the perf gate — and (b) an
+    oracle mapped to a real query; rows-only queries (no oracle) must
+    be the documented exceptions only."""
+    import json
+    import pathlib
+
+    from yet_another_map_reduce_spark.queries import ORACLES, QUERIES
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    frozen = json.loads((root / "BASELINE_QUERIES.json").read_text())["queries"]
+    unfrozen = sorted(q for q in QUERIES if q not in frozen)
+    assert unfrozen == [], f"registered but not frozen: {unfrozen}"
+    orphans = sorted(o for o in ORACLES if o not in QUERIES)
+    assert orphans == [], f"oracle without a query: {orphans}"
+    rows_only = sorted(q for q in QUERIES if q not in ORACLES)
+    assert rows_only == ["text_bpe_tokenize_8k"], (
+        "rows-only set changed - document the new exception or add an "
+        f"oracle: {rows_only}"
+    )
