@@ -1592,6 +1592,48 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup OPERATING CURVE: verified Jaccard pairs counted
+    cumulatively at each candidate threshold (0.5 … 0.9) — the
+    diagnostic every curation run does before committing to a θ, since
+    too low merges distinct documents and too high leaves near-dups.
+    One pass: the LSH-candidate + class-verified Jaccard relation is
+    computed once (threshold 0 keeps every verified candidate), each
+    pair lands in its exact threshold bucket (a CASE chain using the
+    same ``>=`` comparisons a per-threshold filter would — identical
+    keep-sets), and the cumulative curve folds from the 5-bucket
+    summary.  The pair mass — quadratic in duplicate mass by the pairs
+    contract — streams through ONE partial-aggregated pass; a grid
+    cross-join would multiply it 5× before any aggregation."""
+    d = read_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        d, "text", "doc_id", threshold=0.0, num_hashes=12, bands=4, shingle_k=3
+    )
+    j = F.col("jaccard")
+    bucket = (
+        F.when(j >= 0.9, 0.9)
+        .when(j >= 0.8, 0.8)
+        .when(j >= 0.7, 0.7)
+        .when(j >= 0.6, 0.6)
+        .when(j >= 0.5, 0.5)
+    )
+    per_bucket = (
+        pairs.select(bucket.alias("bucket"))
+        .where(F.col("bucket").isNotNull())
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    grid = spark.createDataFrame(
+        [(t / 100.0,) for t in range(50, 91, 10)], "threshold double"
+    )
+    return (
+        grid.join(F.broadcast(per_bucket), F.col("bucket") >= F.col("threshold"))
+        .groupBy("threshold")
+        .agg(F.sum("n").cast("bigint").alias("n_pairs"))
+        .orderBy("threshold")
+    )
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs → connected components: the clustering step
     that turns pairwise near-dup evidence into whole duplicate clusters
@@ -5423,6 +5465,30 @@ ORACLES: dict[str, str] = {
         WHERE round(len(list_intersect(sa.st, sb.st)) * 1.0
                     / len(list_distinct(list_concat(sa.st, sb.st))), 6) >= 0.5
     """,
+    "dedup_threshold_sweep": _banded_cte()
+    + """
+        , pairs AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+        ),
+        sets AS (SELECT doc_id, list_distinct(s) AS st FROM sh),
+        verified AS (
+            SELECT id_a, id_b,
+                   round(len(list_intersect(sa.st, sb.st)) * 1.0
+                         / len(list_distinct(list_concat(sa.st, sb.st))), 6)
+                       AS jaccard
+            FROM pairs
+            JOIN sets sa ON sa.doc_id = id_a
+            JOIN sets sb ON sb.doc_id = id_b
+        ),
+        grid AS (SELECT t / 100.0 AS threshold
+                 FROM generate_series(50, 90, 10) AS g(t))
+        SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs
+        FROM verified, grid
+        WHERE jaccard >= threshold
+        GROUP BY threshold ORDER BY threshold
+    """,
     "dedup_simhash": _simhash_sql(32),
     "dedup_simhash_banded": f"""
         WITH fps AS ({_simhash_sql(32)}),
@@ -7097,6 +7163,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_audio": q_multimodal_audio,
     "multimodal_video_frames": q_multimodal_video_frames,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_threshold_sweep": q_dedup_threshold_sweep,
     "sql_cte": q_sql_cte,
     "dedup_components": q_dedup_components,
     "agg_hll_sketch": q_agg_hll_sketch,
