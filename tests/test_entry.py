@@ -201,7 +201,8 @@ def test_registry_invariants_frozen_and_oracle_mapped():
     orphans = sorted(o for o in ORACLES if o not in QUERIES)
     assert orphans == [], f"oracle without a query: {orphans}"
     rows_only = sorted(q for q in QUERIES if q not in ORACLES)
-    assert rows_only == ["text_bpe_tokenize_8k"], (
-        "rows-only set changed - document the new exception or add an "
-        f"oracle: {rows_only}"
+    assert rows_only == [], (
+        "every registered query has an oracle since r10 (text_bpe_"
+        "tokenize_8k got the encode-half recursive-CTE oracle) - "
+        f"document any new rows-only exception here: {rows_only}"
     )

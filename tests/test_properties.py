@@ -392,3 +392,32 @@ def test_bpe_8k_encoder_equals_rank_order_apply():
         for m in merges:
             ref = text._bpe_apply_merge(ref, m)
         assert text._bpe_encode_word(w, ranks, memo) == ref, w
+
+
+def test_bpe_8k_frozen_table_matches_training():
+    """Provenance pin for data/bpe_merges_8k.json: retraining from the
+    deterministic synthetic vocabulary reproduces the committed table
+    byte-for-byte (merge pairs AND rank order).  This is what licenses
+    shipping the frozen table to BOTH the Spark query and its DuckDB
+    oracle as literal VALUES — if the file were edited or the trainer
+    drifted, query and oracle would agree with each other but this test
+    would fail (~7 s driver-side train, no Spark session)."""
+    import json
+    import os
+
+    from yet_another_map_reduce_spark.operators import text
+    from yet_another_map_reduce_spark.queries import _BPE_8K_FROZEN
+
+    with open(_BPE_8K_FROZEN) as fh:
+        frozen = json.load(fh)
+    assert (frozen["n_words"], frozen["seed"], frozen["max_count"]) == (
+        20000, 0, 10000,
+    )
+    retrained = text.bpe_train_merges(
+        text.synthetic_word_counts(
+            frozen["n_words"], seed=frozen["seed"], max_count=frozen["max_count"]
+        ),
+        frozen["num_merges"],
+    )
+    assert [list(p) for p in retrained] == frozen["merges"]
+    assert os.path.getsize(_BPE_8K_FROZEN) < 1 << 20  # stays model-parameter scale

@@ -212,8 +212,12 @@ def correctness_history(
     def _is_green(row: dict) -> bool:
         if row.get("hash_match") is True:
             return True
-        # rows-only check: no oracle by contract, ran without error
-        return row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+        # oracle-less rows-only contract: green ONLY if the driver
+        # actually compared row counts.  A row recorded as
+        # {err: no_oracle, rows_match: null} means NO check of any kind
+        # ran — counting it green would self-certify (r9 verdict:
+        # text_bpe_tokenize_8k rode this exact divergence).
+        return row.get("err") == "no_oracle" and row.get("rows_match") is True
 
     last_green: dict[str, int] = {}
     last_seen: dict[str, int] = {}
