@@ -722,29 +722,32 @@ def test_ivfpq_append_occ_rejects_racing_writer(spark, sf_dir, tmp_path):
     batch_a = emb.where((F.col("vec_id") >= 200) & (F.col("vec_id") < 350))
     batch_b = emb.where(F.col("vec_id") >= 350)
 
-    # simulate the race: writer A captures its parent (resolutions 1-2:
-    # model load + live dir), then writer B commits BEFORE A's OCC
-    # check (resolution 3) reads CURRENT — A must now fail
-    orig_resolve = similarity._resolve_index_dir
-    state = {"n": 0, "racing": False}
+    # simulate the race: writer A captures its parent and encodes its
+    # batch, then writer B's append commits in full BEFORE A enters the
+    # locked commit critical section — A's in-lock re-read must now see
+    # the advanced pointer and fail (with the pre-r10 bare
+    # check-then-swap, landing B inside the window instead would let
+    # BOTH writers swap CURRENT and orphan a batch)
+    orig_commit = similarity._locked_occ_commit
+    state = {"raced": False}
 
-    def racing_resolve(d):
-        state["n"] += 1
-        if state["n"] == 3 and not state["racing"]:
-            state["racing"] = True
+    def racing_commit(d, live, version, action):
+        if not state["raced"]:
+            state["raced"] = True
             similarity.append_to_ivfpq_index(
                 spark, index_dir, batch_b, "vec_id", "embedding"
             )
-        return orig_resolve(d)
+        return orig_commit(d, live, version, action)
 
-    similarity._resolve_index_dir = racing_resolve
+    similarity._locked_occ_commit = racing_commit
     try:
         with pytest.raises(similarity.IndexConflictError):
             similarity.append_to_ivfpq_index(
                 spark, index_dir, batch_a, "vec_id", "embedding"
             )
     finally:
-        similarity._resolve_index_dir = orig_resolve
+        similarity._locked_occ_commit = orig_commit
+    assert not os.path.exists(os.path.join(index_dir, "_commit.lock"))
     # retry re-encodes against the new live version and lands cleanly
     similarity.append_to_ivfpq_index(
         spark, index_dir, batch_a, "vec_id", "embedding"
@@ -754,6 +757,76 @@ def test_ivfpq_append_occ_rejects_racing_writer(spark, sf_dir, tmp_path):
         "vec_id", "embedding", k=5, nprobe=2,
     )
     assert out.count() > 0
+
+
+def test_locked_occ_commit_unit(tmp_path):
+    """The commit lock's own contract, no Spark needed: (a) commit
+    swaps CURRENT and removes the lock; (b) a stale parent raises
+    IndexConflictError and leaves CURRENT untouched; (c) an abandoned
+    lock older than the staleness bound is broken rather than waited
+    on; (d) a FRESH foreign lock is NOT broken (bounded wait, loud
+    failure)."""
+    import os
+    import time
+
+    import pytest
+
+    from yet_another_map_reduce_spark.operators import similarity
+
+    d = str(tmp_path / "idx")
+    os.makedirs(os.path.join(d, "v_a"))
+    os.makedirs(os.path.join(d, "v_b"))
+    with open(os.path.join(d, "CURRENT"), "w") as fh:
+        fh.write("v_a")
+    live = similarity._resolve_index_dir(d)
+
+    # (a) clean commit
+    similarity._locked_occ_commit(d, live, "v_b", "test")
+    assert similarity._resolve_index_dir(d).endswith("v_b")
+    assert not os.path.exists(os.path.join(d, "_commit.lock"))
+
+    # (b) stale parent: expected_live still v_a, but CURRENT moved on
+    with pytest.raises(similarity.IndexConflictError):
+        similarity._locked_occ_commit(d, live, "v_a", "test")
+    assert similarity._resolve_index_dir(d).endswith("v_b")
+    assert not os.path.exists(os.path.join(d, "_commit.lock"))
+
+    # (c) abandoned lock (mtime past the staleness bound) is broken
+    lock = os.path.join(d, "_commit.lock")
+    with open(lock, "w"):
+        pass
+    old = time.time() - similarity._COMMIT_LOCK_STALE_S - 5
+    os.utime(lock, (old, old))
+    similarity._locked_occ_commit(
+        d, similarity._resolve_index_dir(d), "v_a", "test"
+    )
+    assert similarity._resolve_index_dir(d).endswith("v_a")
+
+    # (d) fresh lock is respected: bounded wait then a loud error.
+    # Patch time.monotonic so the first call (deadline derivation) sees
+    # t0 and every later call sees t0+60 — past the 30 s bound without
+    # actually sleeping.
+    with open(lock, "w"):
+        pass
+    t0 = time.monotonic()
+    state = {"ticked": False}
+
+    def ticking_clock():
+        v = t0 + (60.0 if state["ticked"] else 0.0)
+        state["ticked"] = True
+        return v
+
+    time_monotonic = time.monotonic
+    time.monotonic = ticking_clock
+    try:
+        with pytest.raises(similarity.IndexConflictError, match="lock"):
+            similarity._locked_occ_commit(
+                d, similarity._resolve_index_dir(d), "v_b", "test"
+            )
+    finally:
+        time.monotonic = time_monotonic
+        os.unlink(lock)
+    assert similarity._resolve_index_dir(d).endswith("v_a")
 
 
 def test_ivfpq_compact_preserves_results_and_folds_segments(spark, sf_dir, tmp_path):

@@ -1140,6 +1140,80 @@ class IndexConflictError(RuntimeError):
     yamr_format.ManifestConflictError)."""
 
 
+#: a lock file older than this is presumed abandoned by a crashed
+#: committer (the critical section is a re-read + pointer swap,
+#: milliseconds) and is broken by waiters
+_COMMIT_LOCK_STALE_S = 60.0
+
+
+def _locked_occ_commit(
+    index_dir: str, expected_live: str, version: str, action: str
+) -> None:
+    """Serialize the OCC check-and-swap of ``CURRENT`` under an
+    exclusive lock file, making it a true compare-and-swap on any
+    filesystem with atomic ``O_CREAT|O_EXCL`` (local, NFSv3+, most
+    object-store FUSE layers).
+
+    The bare check-then-swap it replaces had a window: two appends
+    could both pass the re-read and both ``os.replace`` CURRENT, and
+    the loser's segment would be silently orphaned — exactly the data
+    loss the OCC guard exists to prevent.  Under the lock, the re-read
+    and the swap are one critical section, so a racing writer
+    deterministically gets :class:`IndexConflictError` instead.
+
+    Liveness: a committer that crashes inside the critical section
+    leaves the lock behind; waiters break locks older than
+    ``_COMMIT_LOCK_STALE_S`` (the section is milliseconds — a fresh
+    lock is never broken) and give up loudly after a bounded wait.
+    Lock breaking itself races benignly: a second ``unlink`` fails
+    ENOENT and is swallowed; exactly one retrier wins the next
+    ``O_EXCL``.
+    """
+    import os
+    import time
+    import uuid
+
+    lock = os.path.join(index_dir, "_commit.lock")
+    deadline = time.monotonic() + 30.0
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            try:
+                if time.time() - os.path.getmtime(lock) > _COMMIT_LOCK_STALE_S:
+                    os.unlink(lock)
+                    continue
+            except OSError:
+                continue  # lock vanished between stat and unlink: retry
+            if time.monotonic() > deadline:
+                raise IndexConflictError(
+                    f"commit lock {lock} held for >30 s; a concurrent "
+                    "committer is stuck or the lock is abandoned but "
+                    "fresh — retry, or remove the lock if no writer is "
+                    "alive"
+                )
+            time.sleep(0.05)
+    try:
+        if _resolve_index_dir(index_dir) != expected_live:
+            raise IndexConflictError(
+                f"index advanced past {os.path.basename(expected_live)} "
+                f"during {action}; retry against the new live version"
+            )
+        tmp = os.path.join(
+            index_dir, f"CURRENT.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+        )
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(version)
+        os.replace(tmp, os.path.join(index_dir, "CURRENT"))
+    finally:
+        os.close(fd)
+        try:
+            os.unlink(lock)
+        except OSError:
+            pass
+
+
 def append_to_ivfpq_index(
     spark,
     index_dir: str,
@@ -1171,11 +1245,13 @@ def append_to_ivfpq_index(
     raises :class:`IndexConflictError` if another writer advanced it
     since this append resolved its parent — losing a racing batch
     silently (last-swap-wins) would be data loss, the one thing an
-    ingest must never do.  The check-then-swap window is not a true
-    CAS (documented residual race on a shared-nothing filesystem);
-    retry on conflict re-encodes against the new parent.  Older
-    versions remain directly searchable (pass their dir) —
-    manifest-level time travel.
+    ingest must never do.  The re-read and the pointer swap run as one
+    critical section under an exclusive ``O_CREAT|O_EXCL`` lock file
+    (:func:`_locked_occ_commit`), making the commit a true
+    compare-and-swap: of two racing appends exactly one commits and
+    the other deterministically gets the conflict error.  Retry on
+    conflict re-encodes against the new parent.  Older versions remain
+    directly searchable (pass their dir) — manifest-level time travel.
 
     At 100 TB this is the operation that keeps nightly ANN refresh
     affordable: cost is ONE pass over the new batch (typically <<1% of
@@ -1222,18 +1298,10 @@ def append_to_ivfpq_index(
         json.dump({"segments": parent_segments + [seg_name]}, fh)
     # OCC commit: the parent this append encoded against must still be
     # live — silently last-swap-winning over a racing append would drop
-    # its batch from the lineage (its segment would be orphaned)
-    if _resolve_index_dir(index_dir) != live:
-        raise IndexConflictError(
-            f"index advanced past {os.path.basename(live)} during append; "
-            "retry to re-encode against the new live version"
-        )
-    tmp = os.path.join(
-        index_dir, f"CURRENT.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
-    )
-    with open(tmp, "w", encoding="utf-8") as fh:
-        fh.write(version)
-    os.replace(tmp, os.path.join(index_dir, "CURRENT"))
+    # its batch from the lineage (its segment would be orphaned).  The
+    # re-read + swap run under an exclusive lock (_locked_occ_commit)
+    # so two racing appends can't both pass the check.
+    _locked_occ_commit(index_dir, live, version, "append")
     return vdir
 
 
@@ -1279,17 +1347,7 @@ def compact_ivfpq_index(spark, index_dir: str) -> str:
         os.path.join(vdir, "_segments.json"), "w", encoding="utf-8"
     ) as fh:
         json.dump({"segments": [seg_name]}, fh)
-    if _resolve_index_dir(index_dir) != live:
-        raise IndexConflictError(
-            f"index advanced past {os.path.basename(live)} during "
-            "compaction; retry against the new live version"
-        )
-    tmp = os.path.join(
-        index_dir, f"CURRENT.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
-    )
-    with open(tmp, "w", encoding="utf-8") as fh:
-        fh.write(version)
-    os.replace(tmp, os.path.join(index_dir, "CURRENT"))
+    _locked_occ_commit(index_dir, live, version, "compaction")
     return vdir
 
 
