@@ -66,6 +66,14 @@ def main() -> None:
             }
             updated.append(q)
         elif args.rehash or (args.bootstrap and q not in recorded):
+            if args.rehash and q in recorded and recorded[q].get("fingerprint") is None:
+                # an explicit --stale marker survives an algorithm
+                # rehash: re-recording would stamp possibly-rewritten
+                # source as verified at its old round (pass --stale
+                # again alongside --rehash to keep it stale, which this
+                # branch does implicitly by skipping)
+                updated.append(f"{q} (stale marker kept)")
+                continue
             recorded[q] = {
                 "fingerprint": query_fingerprint(q, QUERIES, ORACLES),
                 "round": last_green[q],

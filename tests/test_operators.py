@@ -1052,6 +1052,30 @@ def test_keep_best_dedup_highest_score_null_loses_tie_lowest_id(spark):
     assert got == {2: 0.9, 4: 0.7, 6: None}
 
 
+def test_keep_best_dedup_nan_score_loses_like_null(spark):
+    """NaN is mapped explicitly in the ordering key: an undefined score
+    loses to ANY real score (unlike Spark's score-desc window ordering,
+    where NaN sorts greatest and would WIN — the documented deliberate
+    divergence).  All-NaN/NULL groups fall to the lowest-id tiebreak."""
+    nan = float("nan")
+    df = spark.createDataFrame(
+        [
+            (1, "dup body", nan),       # NaN loses to a real score
+            (2, "DUP body", 0.1),       # winner despite the low score
+            (3, "both bad", nan),       # all-undefined class:
+            (4, "both  BAD", None),     # lowest id (3) wins the tie
+            (5, "nan single", nan),     # singleton NaN kept
+        ],
+        "doc_id long, text string, q double",
+    )
+    rows = {
+        r["doc_id"]: r["q"]
+        for r in dedup.keep_best_dedup(df, "text", "doc_id", "q").collect()
+    }
+    assert set(rows) == {2, 3, 5}
+    assert rows[2] == 0.1
+
+
 def _py_winnow(text: str, k: int = 4, w: int = 5) -> set[tuple[int, int]]:
     """Driver-side reference winnowing (basic algorithm, Schleimer et
     al. 2003 Fig. 5): rightmost minimal gram hash per window; one
@@ -1117,6 +1141,28 @@ def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
         by.setdefault(r["doc_id"], set()).add(r["fp_hash"])
     assert by[1] & by[2], "shared 8-token run must share a fingerprint"
     assert not (by[1] & by[3]) and not (by[2] & by[3])
+
+
+def test_winnow_oversized_document_fails_loudly(spark, monkeypatch):
+    """A document past the packing's 20-bit position budget must raise
+    (F.assert_true guard), not silently corrupt the packed-min ordering
+    with negative position keys.  The budget is shrunk via monkeypatch
+    so the test doesn't build a 1M-token string; in-budget docs under
+    the same shrunken constant still winnow fine."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from yet_another_map_reduce_spark.operators import text as T
+
+    monkeypatch.setattr(T, "_WINNOW_POS_MOD", 8)
+    toks = " ".join(f"t{i}" for i in range(20))  # 17 grams at k=4 > 8
+    df = spark.createDataFrame([(1, toks)], "doc_id long, text string")
+    with pytest.raises(SparkRuntimeException, match="token-grams"):
+        T.winnow_fingerprints(df, "text", "doc_id", k=4, w=5).collect()
+    ok = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3 t4 t5 t6")], "doc_id long, text string"
+    )
+    assert T.winnow_fingerprints(ok, "text", "doc_id", k=4, w=5).count() > 0
 
 
 def test_bigram_lm_score_hand_computed_and_bucketed(spark):

@@ -98,3 +98,54 @@ def test_half_up_propagates_nan_inf():
     out = round_half_up(np.array([np.nan, np.inf, -np.inf, 0.0]), 6)
     assert np.isnan(out[0]) and out[1] == np.inf and out[2] == -np.inf
     assert out[3] == 0.0
+
+
+def test_temperature_pow_weights_off_rounding_boundary(spark):
+    """corpus_mixture_temperature puts pow(n, 0.7) inside a
+    hash-verified path; pow is not required to be correctly rounded,
+    and on THIS platform Java Math.pow and DuckDB's libm already
+    differ by ~2 ulp (pow(82, 0.7): ...812 vs ...816) — the query
+    hashes green only because no weight sits near a round(·, 6)
+    boundary.  Pin that margin against the LIVE corpus language
+    counts, engine by engine: (a) the engines' pows agree within a
+    few ulps, (b) both engines' weights round to the SAME 6-digit
+    value, (c) every weight's distance from the nearest 0.5e-6
+    rounding boundary is > 1e6 ulp-equivalents, so a few-ulp libm
+    change cannot flip the rounded value silently — it would have to
+    show up here first."""
+    import math
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        duck_rows = duckdb.sql(
+            "SELECT n, pow(n, 0.7) FROM (SELECT count(*) AS n FROM "
+            f"read_parquet('{sf}/documents.parquet') GROUP BY lang)"
+        ).fetchall()
+        assert duck_rows
+        counts = [int(n) for n, _ in duck_rows]
+        spark_pows = {
+            int(r["n"]): r["p"]
+            for r in spark.createDataFrame([(n,) for n in counts], "n long")
+            .select("n", F.pow(F.col("n"), F.lit(0.7)).alias("p"))
+            .collect()
+        }
+        nn = sum(counts)
+        z_duck = sum(p for _, p in duck_rows)
+        z_spark = sum(spark_pows[n] for n in counts)
+        for n, duck_pow in duck_rows:
+            n = int(n)
+            ulp = math.ulp(duck_pow)
+            assert abs(duck_pow - spark_pows[n]) <= 4 * ulp, (
+                n, duck_pow, spark_pows[n],
+            )
+            w_duck = (duck_pow / z_duck) / (n / nn)
+            w_spark = (spark_pows[n] / z_spark) / (n / nn)
+            assert float(round_half_up(w_duck, 6)) == float(
+                round_half_up(w_spark, 6)
+            ), (n, w_duck, w_spark)
+            for w in (w_duck, w_spark):
+                frac = (w * 1e6) % 1.0
+                dist = abs(frac - 0.5)  # distance from the half boundary
+                # 1 ulp of w*1e6 is ~2^-52 * w * 1e6; demand 1e6× margin
+                assert dist > 1e6 * (2.0**-52) * max(w * 1e6, 1.0), (
+                    n, w, dist,
+                )

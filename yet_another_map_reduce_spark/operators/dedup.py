@@ -77,8 +77,8 @@ def keep_best_dedup(
     payload_cols: list[str] | None = None,
 ) -> DataFrame:
     """Policy dedup: among exact duplicates (same normalized text), keep
-    the row with the highest (non-NULL-first) ``score_col`` — NULL
-    scores lose to any real score — ties → lowest id.
+    the row with the highest ``score_col`` — NULL and NaN scores both
+    lose to any real score — ties → lowest id.
 
     The usual refinement of exact_dedup once a quality signal exists:
     dedup decisions should keep the *best* copy, not an arbitrary one.
@@ -96,11 +96,19 @@ def keep_best_dedup(
     """
     cols = list(payload_cols) if payload_cols is not None else list(df.columns)
     pay = F.struct(*[F.col(c) for c in cols])
-    # min of (-score, id): highest score, then lowest id; NULL scores
-    # map to +inf so they rank LAST, matching the desc-NULLS-LAST
-    # ordering of the window form this replaces
+    # min of (-score, id): highest score, then lowest id.  NULL and NaN
+    # scores BOTH map to +inf so they rank LAST — "no real score loses
+    # to any real score" as one total policy (ties among them fall to
+    # the id tiebreak).  NULL matches the desc-NULLS-LAST ordering of
+    # the window form this replaced; NaN is a DELIBERATE divergence
+    # from it (Spark sorts NaN greatest, so score-desc put NaN FIRST —
+    # an undefined score winning a quality-keep is the wrong policy,
+    # and unmapped -NaN would stay NaN and sort last here anyway, but
+    # silently; the explicit mapping makes the choice visible and the
+    # ordering key total).
     neg_score = F.when(
-        F.col(score_col).isNull(), F.lit(float("inf"))
+        F.col(score_col).isNull() | F.isnan(F.col(score_col).cast("double")),
+        F.lit(float("inf")),
     ).otherwise(-F.col(score_col).cast("double"))
     order = F.struct(neg_score.alias("__ns"), F.col(id_col).alias("__id"))
     return (

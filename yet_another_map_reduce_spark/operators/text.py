@@ -187,7 +187,20 @@ def winnow_fingerprints(
         parts[-1].isNotNull().alias("__ok"),
     ).where(F.col("__ok"))
     pos_mod = F.lit(_WINNOW_POS_MOD)
-    combo = F.col("__h") * pos_mod + (pos_mod - 1 - F.col("__pos"))
+    # runtime guard for the packing's 20-bit position budget: past it,
+    # (2^20-1-pos) goes negative and silently breaks the packed-min
+    # ordering — oversized documents must fail loudly and be chunked
+    # first (chunk_documents), not produce wrong fingerprints
+    guard = F.assert_true(
+        F.col("__pos") < pos_mod,
+        F.lit(
+            "winnow_fingerprints: document exceeds 2^20 token-grams; "
+            "chunk it first (chunk_documents)"
+        ),
+    )
+    combo = F.when(
+        guard.isNull(), F.col("__h") * pos_mod + (pos_mod - 1 - F.col("__pos"))
+    )
     sel = grams.select(
         F.col(id_col),
         F.col("__pos"),

@@ -3627,7 +3627,21 @@ def q_corpus_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     expected corpus size is preserved exactly (Σ r_l·n_l = N).  The
     rates come out of one tiny aggregate (languages × 2 numbers),
     broadcast onto the corpus through the same hash-deterministic
-    replication as every mixture query — no RNG state, exact oracle."""
+    replication as every mixture query — no RNG state, exact oracle.
+
+    Residual cross-engine divergence class (same family as the F.round
+    shortest-repr note in quantize.py): ``pow(n, 0.7)`` is Java
+    Math.pow on the Spark side and the platform libm on DuckDB's, and
+    IEEE 754 does not require pow to be correctly rounded — and the
+    divergence is REAL on this platform (pow(82, 0.7) differs by ~2
+    ulp between the engines), which would flip ``round(weight, 6)``
+    (and downstream copy counts) if a weight sat exactly on a rounding
+    boundary.  The corpus's actual weights sit far from every
+    boundary, and
+    tests/test_quantize.py::test_temperature_pow_weights_off_rounding_boundary
+    pins that margin against the live data + both engines, so a
+    platform libm change surfaces as a test failure, not a silent
+    hash mismatch."""
     d = read_table(spark, sf_dir, "documents")
     from yet_another_map_reduce_spark.operators import sampling
 
