@@ -1657,6 +1657,31 @@ def test_perceptron_weights_are_partitioning_invariant(spark):
     assert [tuple(r) for r in one] == [tuple(r) for r in many]
 
 
+def test_perceptron_averaged_extends_plain_trajectory(spark):
+    """The averaged trainer is the plain trainer plus bookkeeping: its
+    (iteration, n_mis, w*) columns must equal perceptron_train's
+    bit-for-bit, and each s* column must be the running sum of the w*
+    column — integer-exact, any partitioning."""
+    from yet_another_map_reduce_spark.operators import classify
+
+    rows = [
+        (1 if i % 3 else -1, i % 7, (i * i) % 11, i % 5) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "y long, a long, b long, c long")
+    cols = ["a", "b", "c"]
+    plain = classify.perceptron_train(df.repartition(9), "y", cols, 4).collect()
+    avg = classify.perceptron_train_averaged(
+        df.repartition(13), "y", cols, 4
+    ).collect()
+    running = [0] * 4
+    for p, a in zip(plain, avg):
+        assert (a["iteration"], a["n_mis"]) == (p["iteration"], p["n_mis"])
+        for k in range(4):
+            assert a[f"w{k}"] == p[f"w{k}"]
+            running[k] += p[f"w{k}"]
+            assert a[f"s{k}"] == running[k]
+
+
 def test_perceptron_score_is_map_only(spark):
     from yet_another_map_reduce_spark.operators import classify
 

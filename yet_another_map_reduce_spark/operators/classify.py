@@ -27,9 +27,11 @@ text-parsing work isn't re-run per iteration; the checkpoint holds
 `1 + len(feature_cols)` longs per document.  Weight magnitudes grow
 with corpus mass (w ~ sum of feature values), so margins fit int64
 for ~3-5 iterations at 10^9+ docs with raw count features; production
-runs at larger iteration counts scale features down or switch to the
-averaged perceptron — the demo keeps unit-rate integer updates for
-exact verifiability.
+runs at larger iteration counts scale features down and score with
+the AVERAGED model (:func:`perceptron_train_averaged` — integer-exact
+cumulative weight sums, same per-iteration cost and the same
+nested-CTE oracle pattern), which damps the late-iteration
+oscillation the raw final weights suffer on non-separable corpora.
 """
 
 from __future__ import annotations
@@ -104,6 +106,79 @@ def perceptron_train(
     return df.sparkSession.createDataFrame(trajectory, schema)
 
 
+def perceptron_train_averaged(
+    df: DataFrame,
+    label_col: str,
+    feature_cols: list[str],
+    iterations: int = 5,
+    materialize: bool = True,
+) -> DataFrame:
+    """Averaged batch perceptron (Freund & Schapire 1999): train
+    exactly like :func:`perceptron_train`, but ALSO accumulate the
+    running sum of the post-update weight vectors; scoring with that
+    sum is sign-equivalent to scoring with the average ``sum/T`` and
+    stays INTEGER-exact (no division anywhere), so the full trajectory
+    — per-iteration weights AND cumulative sums — replays as nested
+    CTEs in any SQL engine.
+
+    This is the documented production arm for realistic iteration
+    counts (module docstring): the raw perceptron's final ``w`` is
+    whatever the last update left — late iterations ping-pong on a
+    non-separable corpus and the model's variance grows with the
+    iteration count — while the average damps those oscillations
+    (each intermediate model votes once).  The per-iteration cost and
+    shuffle shape are IDENTICAL to the plain trainer: one corpus-wide
+    aggregate with map-side partials; the driver additionally holds
+    one more feature-count-sized integer vector.
+
+    Returns one row per iteration: ``n_mis`` before the update,
+    weights ``w{k}`` after it, and cumulative sums ``s{k}`` =
+    Σ_{t<=it} w{k}(t) — score production traffic with the LAST row's
+    ``s`` vector.
+    """
+    n = len(feature_cols)
+    feats = df.select(
+        F.col(label_col).cast("long").alias("y"),
+        F.lit(1).cast("long").alias("x0"),
+        *[
+            F.col(c).cast("long").alias(f"x{i + 1}")
+            for i, c in enumerate(feature_cols)
+        ],
+    )
+    if materialize:
+        feats = feats.localCheckpoint(eager=False)
+
+    w = [0] * (n + 1)
+    s = [0] * (n + 1)
+    trajectory: list[tuple] = []
+    for it in range(1, iterations + 1):
+        margin = sum(
+            (F.lit(w[k]) * F.col(f"x{k}") for k in range(1, n + 1)),
+            F.lit(w[0]) * F.col("x0"),
+        )
+        mis = (F.col("y") * margin) <= 0
+        row = feats.agg(
+            F.sum(F.when(mis, 1).otherwise(0)).alias("n_mis"),
+            *[
+                F.sum(F.when(mis, F.col("y") * F.col(f"x{k}")).otherwise(0)).alias(
+                    f"g{k}"
+                )
+                for k in range(n + 1)
+            ],
+        ).collect()[0]
+        w = [w[k] + (row[f"g{k}"] or 0) for k in range(n + 1)]
+        s = [s[k] + w[k] for k in range(n + 1)]
+        trajectory.append((it, row["n_mis"] or 0, *w, *s))
+
+    schema = (
+        "iteration long, n_mis long, "
+        + ", ".join(f"w{k} long" for k in range(n + 1))
+        + ", "
+        + ", ".join(f"s{k} long" for k in range(n + 1))
+    )
+    return df.sparkSession.createDataFrame(trajectory, schema)
+
+
 def perceptron_score(
     df: DataFrame,
     weights: list[int],
@@ -122,3 +197,32 @@ def perceptron_score(
         margin.alias("margin"),
         F.when(margin > 0, 1).otherwise(-1).alias("predicted"),
     )
+
+
+def quality_gate(
+    df: DataFrame,
+    weights: list[int],
+    feature_cols: list[str],
+    threshold: int = 0,
+) -> DataFrame:
+    """The production shape of a trained quality filter in an ingestion
+    pipeline: append ``margin``/``predicted`` from frozen weights (bias
+    first) and keep rows with ``margin > threshold``.
+
+    Stateless select + filter with the model as plan literals, so the
+    SAME call works on a batch DataFrame and on a ``readStream``
+    (micro-batch scoring needs no state store, no watermark, no
+    shuffle — each arriving row is gated independently; pinned by
+    tests/test_streaming.py::test_streaming_quality_gate_matches_batch).
+    Unlike :func:`perceptron_score` it keeps the full payload, since a
+    gate's consumers want the documents, not just the verdicts."""
+    margin = sum(
+        (F.lit(w) * F.col(c).cast("long") for w, c in zip(weights[1:], feature_cols)),
+        F.lit(weights[0]),
+    )
+    return df.withColumns(
+        {
+            "margin": margin,
+            "predicted": F.when(margin > 0, 1).otherwise(-1),
+        }
+    ).where(F.col("margin") > F.lit(int(threshold)))

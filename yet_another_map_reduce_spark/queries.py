@@ -3978,6 +3978,21 @@ def q_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_classifier_train_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Averaged perceptron at a realistic iteration count (5): the
+    production arm of classifier training
+    (`classify.perceptron_train_averaged`) — identical per-iteration
+    aggregate to the plain trainer, plus an integer-exact running sum
+    of the weight vectors; production scores with the last row's `s`
+    vector (sign-equivalent to the true average, no division, so the
+    ENTIRE trajectory including the averages replays as nested CTEs
+    and hash-matches)."""
+    d = read_table(spark, sf_dir, "documents")
+    return classify.perceptron_train_averaged(
+        _classifier_features(d), "y", _CLASSIFIER_FEATURE_COLS, iterations=5
+    )
+
+
 def q_quality_classifier_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train (3 batch-perceptron iterations, as above), then score the
     whole corpus with the final weights — the apply half is map-only
@@ -4175,6 +4190,33 @@ def _perceptron_train_sql(iters: int = 3, nw: int = 5) -> str:
     return f"{_perceptron_ctes(iters, nw)}\n{selects}\nORDER BY iteration"
 
 
+def _perceptron_train_avg_sql(iters: int = 5, nw: int = 5) -> str:
+    """The averaged-perceptron trajectory replay: the plain trainer's
+    nested CTEs plus cumulative weight sums s{it} = s{it-1} + w{it} —
+    integer arithmetic throughout, so the averages hash-match the
+    distributed trainer exactly (perceptron_train_averaged)."""
+    ctes = [_perceptron_ctes(iters, nw)]
+    ctes.append(
+        ", s0 AS (SELECT "
+        + ", ".join(f"CAST(0 AS BIGINT) AS s{k}" for k in range(nw))
+        + ")"
+    )
+    for it in range(1, iters + 1):
+        scols = ", ".join(
+            f"s{it - 1}.s{k} + w{it}.w{k} AS s{k}" for k in range(nw)
+        )
+        ctes.append(f", s{it} AS (SELECT {scols} FROM s{it - 1}, w{it})")
+    selects = "\nUNION ALL\n".join(
+        f"SELECT CAST({it} AS BIGINT) AS iteration, g{it}.n_mis, "
+        + ", ".join(f"w{it}.w{k}" for k in range(nw))
+        + ", "
+        + ", ".join(f"s{it}.s{k}" for k in range(nw))
+        + f" FROM g{it}, w{it}, s{it}"
+        for it in range(1, iters + 1)
+    )
+    return "".join(ctes) + f"\n{selects}\nORDER BY iteration"
+
+
 def _perceptron_apply_sql(iters: int = 3, nw: int = 5) -> str:
     margin = " + ".join(f"w.w{k} * f.x{k}" for k in range(nw))
     return f"""{_perceptron_ctes(iters, nw)}
@@ -4226,6 +4268,7 @@ ORACLES: dict[str, str] = {
         WHERE pr >= 0.75
     """.format(quality=_QUALITY_SQL),
     "quality_classifier_train": _perceptron_train_sql(),
+    "quality_classifier_train_avg": _perceptron_train_avg_sql(),
     "quality_classifier_apply": _perceptron_apply_sql(),
     "pipeline_autocurate": f"""{_perceptron_ctes()},
         scored AS (
@@ -7334,6 +7377,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "udf_cogrouped": q_udf_cogrouped,
     "quality_percentile_filter": q_quality_percentile_filter,
     "quality_classifier_train": q_quality_classifier_train,
+    "quality_classifier_train_avg": q_quality_classifier_train_avg,
     "quality_classifier_apply": q_quality_classifier_apply,
     "pipeline_autocurate": q_pipeline_autocurate,
     "feature_scaling": q_feature_scaling,
