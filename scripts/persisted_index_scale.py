@@ -1,4 +1,5 @@
-"""Cold-session persisted-index search at scale (r8 verdict item 5).
+"""Cold-session persisted-index search at scale (r8 verdict item 5;
+r9 verdict item 6 adds corpus-aware nlist).
 
 The plan test pins that ``search_ivfpq_index`` with the ``_model.json``
 sidecar runs zero corpus scans and zero training; this script MEASURES
@@ -6,6 +7,12 @@ it at the 100× replica: build the index once (the train-once half,
 priced separately), then search from a genuinely cold session — a
 separate ``--search-only`` process (fresh JVM, empty caches) — timing
 the first search and the warm median.
+
+Round 10: the build uses ``build_ivfpq_index_auto`` (nlist =
+ceil(sqrt(n/8)), the sizing the registered query now ships), so the
+report includes nlist and the PROBED FRACTION nprobe/nlist — the
+fraction must SHRINK as the corpus grows (25% at sf0.1 → ~2.5% at
+100×), which is what keeps per-query index I/O sqrt-bounded.
 
 Expected shape: search cost ~constant in corpus size (probe reads
 ``nprobe/nlist`` of the index files, bytes per vector), which is the
@@ -30,33 +37,37 @@ sys.path.insert(0, ".")
 SF01 = "/root/testdata/sf0.1"
 
 
-def index_dir_for(sf_dir: str) -> str:
+def index_dir_for(sf_dir: str, nlist: int) -> str:
     import tempfile
 
     st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
     fp = f"{st.st_mtime_ns:x}_{st.st_size:x}"
     key = sf_dir.strip("/").replace("/", "_")
-    return os.path.join(tempfile.gettempdir(), f"ivfpq_index_{key}_{fp}")
+    return os.path.join(
+        tempfile.gettempdir(), f"ivfpq_index_{key}_{fp}_nl{nlist}"
+    )
 
 
 def build(spark, sf_dir: str) -> str:
     from pyspark.sql import functions as F  # noqa: F401
 
     from yet_another_map_reduce_spark.operators import similarity
+    from yet_another_map_reduce_spark.operators.dedup import sized_nlist
     from yet_another_map_reduce_spark.queries import _pq_books
     from yet_another_map_reduce_spark.sources.readers import read_table
 
     emb = read_table(spark, sf_dir, "embeddings")
-    idx = index_dir_for(sf_dir)
+    n = emb.count()
+    nlist = sized_nlist(n)
+    idx = index_dir_for(sf_dir, nlist)
+    print(
+        f"sizing {sf_dir}: n={n} nlist={nlist} "
+        f"probed_fraction={4 / nlist:.4f} (nprobe=4)"
+    )
     if similarity.load_ivfpq_model(spark, idx)[0] is None:
         t0 = time.perf_counter()
-        similarity.build_ivfpq_index(
-            emb,
-            "vec_id",
-            "embedding",
-            idx,
-            centroids=similarity.ivf_centroids(emb, "vec_id", "embedding", nlist=16),
-            books=_pq_books(emb, sf_dir),
+        similarity.build_ivfpq_index_auto(
+            emb, "vec_id", "embedding", idx, books=_pq_books(emb, sf_dir), n=n
         )
         print(f"build  {sf_dir}: {time.perf_counter() - t0:7.2f}s -> {idx}")
     else:

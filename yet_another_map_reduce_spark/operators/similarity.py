@@ -1133,6 +1133,43 @@ def build_ivfpq_index(
     return build_dir
 
 
+def build_ivfpq_index_auto(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    index_dir: str,
+    books: list[list[list[float]]],
+    target_cluster_size: int = 8,
+    n: int | None = None,
+) -> tuple[str, int]:
+    """Corpus-aware persisted-index build: derive ``nlist`` from the
+    corpus size (``dedup.sized_nlist`` — ``ceil(sqrt(n/tcs))``, the
+    FAISS ``nlist ~ sqrt(n)`` practice) instead of freezing a demo
+    constant into the index.
+
+    This is what keeps the PROBED FRACTION shrinking as the corpus
+    grows: with fixed ``nprobe``, a fixed ``nlist=16`` probes 25% of
+    the index forever, while sized cells make the fraction
+    ``nprobe / sqrt(n/tcs)`` — at a 100× corpus the same ``nprobe=4``
+    touches ~2.5% of cells (and of index bytes, via the centroid_id
+    hive partitioning).  Each cell still holds ~``sqrt(n*tcs)`` codes,
+    so per-probe scan cost grows as sqrt(n), not n.
+
+    ``n`` short-circuits the count when the caller already knows it
+    (e.g. a parquet-metadata count).  Returns ``(committed_dir,
+    nlist)`` so callers can log the sizing the index was built with —
+    it is also recoverable from the model sidecar's centroid count.
+    """
+    from yet_another_map_reduce_spark.operators.dedup import sized_nlist
+
+    nlist = sized_nlist(n if n is not None else corpus.count(), target_cluster_size)
+    cent = ivf_centroids(corpus, id_col, vec_col, nlist)
+    return (
+        build_ivfpq_index(corpus, id_col, vec_col, index_dir, cent, books),
+        nlist,
+    )
+
+
 class IndexConflictError(RuntimeError):
     """Another writer advanced the index's CURRENT pointer between this
     append's parent resolution and its commit — retry re-encodes the

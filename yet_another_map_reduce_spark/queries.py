@@ -1126,21 +1126,26 @@ def _bpe_merges(
 _DOC_COUNT_CACHE: dict[tuple, int] = {}
 
 
-def _doc_count(docs: DataFrame, sf_dir: str) -> int:
-    """Corpus row count for the BPE tier dispatch's corpus-size arm —
-    a parquet-metadata count (column-pruned scan, no data read),
-    memoized per (dir, file fingerprint) like _bpe_merges."""
+def _table_count(df: DataFrame, sf_dir: str, table: str) -> int:
+    """Corpus row count for size-gated tier dispatch (BPE tiers, index
+    nlist sizing) — a parquet-metadata count (column-pruned scan, no
+    data read), memoized per (dir, table, file fingerprint) like
+    _bpe_merges."""
     import os
 
     try:
-        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+        st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
         fp = f"{st.st_mtime_ns:x}_{st.st_size:x}"
     except OSError:
         fp = "nofp"
-    key = (sf_dir, fp)
+    key = (sf_dir, table, fp)
     if key not in _DOC_COUNT_CACHE:
-        _DOC_COUNT_CACHE[key] = docs.count()
+        _DOC_COUNT_CACHE[key] = df.count()
     return _DOC_COUNT_CACHE[key]
+
+
+def _doc_count(docs: DataFrame, sf_dir: str) -> int:
+    return _table_count(docs, sf_dir, "documents")
 
 
 def q_text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1972,7 +1977,16 @@ def q_ann_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     the index's committed ``_model.json`` sidecar, so once the index
     exists (here: across driver sessions via the fingerprinted temp
     dir) searching does zero training/corpus scans — the plan touches
-    only the query frame and the probed index partitions."""
+    only the query frame and the probed index partitions.
+
+    nlist is corpus-aware (`similarity.build_ivfpq_index_auto` →
+    `dedup.sized_nlist`, the FAISS nlist~sqrt(n) practice), NOT a
+    frozen demo constant: at fixed nprobe=4 the probed fraction is
+    4/sqrt(n/8) — 50% of cells at the sf0.01 verification corpus
+    (nlist=8), ~2.5% at the 100× replica (nlist=159) — so index I/O
+    per query grows as sqrt(n), not n.  The oracle replays the SAME
+    sizing from its own count() (subquery LIMIT on the centroid-seed
+    CTE, the dedup_semantic pattern)."""
     import os
     import tempfile
 
@@ -1987,19 +2001,24 @@ def q_ann_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp = f"{st.st_mtime_ns:x}_{st.st_size:x}"
     except OSError:
         fp = "nofp"
+    from yet_another_map_reduce_spark.operators.dedup import sized_nlist
+
+    nlist = sized_nlist(_table_count(emb, sf_dir, "embeddings"))
     key = sf_dir.strip("/").replace("/", "_")
+    # nlist in the cache key: an index persisted under the old fixed-16
+    # sizing (or a different corpus count) must not be silently reused
     index_dir = os.path.join(
-        tempfile.gettempdir(), f"ivfpq_index_{key}_{fp}"
+        tempfile.gettempdir(), f"ivfpq_index_{key}_{fp}_nl{nlist}"
     )
     # build iff missing — or committed by a pre-sidecar layout (no model)
     if similarity.load_ivfpq_model(spark, index_dir)[0] is None:
-        similarity.build_ivfpq_index(
+        similarity.build_ivfpq_index_auto(
             emb,
             "vec_id",
             "embedding",
             index_dir,
-            centroids=similarity.ivf_centroids(emb, "vec_id", "embedding", nlist=16),
             books=_pq_books(emb, sf_dir),
+            n=_table_count(emb, sf_dir, "embeddings"),
         )
     return similarity.search_ivfpq_index(
         spark,
@@ -6775,7 +6794,23 @@ ORACLES["ann_ivfpq_topk"] = f"""
 # the same nprobe — persistence changes where bytes live, not values —
 # so the in-memory replay verifies it too; the file-level pruning that
 # persistence adds is pinned by test_plans, not the hash.
-ORACLES["ann_ivfpq_persisted"] = ORACLES["ann_ivfpq_topk"]
+# persisted index: same replay, but nlist is corpus-aware
+# (sized_nlist = ceil(sqrt(n/8)), replayed from the oracle's own
+# count() via a subquery LIMIT on the centroid-seed CTE — the
+# dedup_semantic pattern), matching build_ivfpq_index_auto
+ORACLES["ann_ivfpq_persisted"] = ORACLES["ann_ivfpq_topk"].replace(
+    "WITH ",
+    "WITH nlsz AS (\n"
+    "        SELECT CAST(greatest(1, ceil(sqrt(count(*) / 8.0))) AS BIGINT)"
+    " AS nl\n"
+    "        FROM embeddings\n"
+    "    ),\n    ",
+    1,
+).replace(
+    "FROM embeddings ORDER BY vec_id ASC LIMIT 16",
+    "FROM embeddings ORDER BY vec_id ASC LIMIT (SELECT nl FROM nlsz)",
+    1,
+)
 
 # Append-maintained index: frozen-model assignment/encoding is per-row
 # deterministic, so build(evens)+append(odds) equals build(union) with
