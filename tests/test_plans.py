@@ -829,6 +829,54 @@ def test_locked_occ_commit_unit(tmp_path):
     assert similarity._resolve_index_dir(d).endswith("v_a")
 
 
+def test_ivfpq_rerank_recovers_exact_neighbors(spark, sf_dir):
+    """The re-rank stage's reason to exist: against ground-truth exact
+    cosine top-10, the re-ranked top-10 must recall at least as many
+    true neighbors as the raw ADC top-10 (quantization error can only
+    be CORRECTED by exact scoring, never worsened — any true neighbor
+    inside the ADC shortlist is recovered), and every re-ranked hit
+    must come from the ADC shortlist.  Also pins the broadcast shape:
+    the candidate vector fetch must not shuffle the corpus."""
+    from yet_another_map_reduce_spark.operators import similarity
+    from yet_another_map_reduce_spark.queries import _pq_books
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    books = _pq_books(emb, sf_dir)
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(
+            emb, queries, "vec_id", "embedding", k=10
+        ).collect()
+    }
+    adc = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivfpq_topk(
+            emb, queries, "vec_id", "embedding", k=10, books=books
+        ).collect()
+    }
+    sl = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivfpq_topk(
+            emb, queries, "vec_id", "embedding", k=30, books=books
+        ).collect()
+    }
+    rr_df = similarity.ivfpq_rerank_topk(
+        emb, queries, "vec_id", "embedding", k=10, shortlist=30, books=books
+    )
+    rr = {(r["query_id"], r["neighbor_id"]) for r in rr_df.collect()}
+
+    assert rr <= sl, "re-ranked hits must come from the ADC shortlist"
+    assert len(rr & exact) >= len(adc & exact), (
+        "exact re-ranking must not lose recall vs raw ADC order"
+    )
+    # every true neighbor that survived into the shortlist is recovered
+    assert (exact & sl) <= rr
+    plan = rr_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
 def test_ivfpq_compact_preserves_results_and_folds_segments(spark, sf_dir, tmp_path):
     """Compaction is pure data movement: search results bit-identical
     before/after, segment count folds to 1, model untouched, and the

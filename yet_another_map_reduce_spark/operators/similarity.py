@@ -1062,6 +1062,82 @@ def ivfpq_topk(
     )
 
 
+def ivfpq_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    shortlist: int = 30,
+    nlist: int = 16,
+    nprobe: int = 4,
+    m: int = 4,
+    nclusters: int = 8,
+    iterations: int = 2,
+    centroids: DataFrame | None = None,
+    books: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """ADC shortlist + EXACT re-rank — the standard production recipe
+    for recovering accuracy lost to PQ quantization (FAISS's
+    ``IndexRefineFlat`` / the "re-ranking" stage in every large-scale
+    retrieval system): the IVF-PQ index cheaply ranks cell-mates by
+    approximate ADC distance, the top ``shortlist`` per query are then
+    scored with TRUE cosine against their full vectors, and the final
+    top ``k`` come from the exact scores.
+
+    Scale shape: the expensive exactness is confined to ``|Q| ×
+    shortlist`` rows.  The shortlist (fixed-width id pairs) is
+    BROADCAST back onto the corpus, so fetching the candidates' full
+    vectors is one map-side pruned corpus scan — no corpus shuffle, no
+    |Q|×|C| anything; the re-rank window runs over the tiny candidate
+    relation.  Cost = ADC search + one corpus scan + k·|Q| arithmetic,
+    while recall@k approaches exact search as ``shortlist/k`` grows
+    (quantization error only hurts if a true top-k neighbor falls
+    outside the ADC top-``shortlist``).
+
+    Exact-scoring semantics match ``cosine_topk``'s oracle contract:
+    cosine in double, rounded to 6 digits BEFORE ranking, ties to the
+    lower neighbor id, NULL cosines (zero-norm vectors) last.
+    Returns (query_id, neighbor_id, cos, rerank).
+    """
+    from yet_another_map_reduce_spark.functions import cosine_similarity
+
+    sl = ivfpq_topk(
+        corpus,
+        queries,
+        id_col,
+        vec_col,
+        k=shortlist,
+        nlist=nlist,
+        nprobe=nprobe,
+        m=m,
+        nclusters=nclusters,
+        iterations=iterations,
+        centroids=centroids,
+        books=books,
+    ).select("query_id", "neighbor_id")
+    nvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv")
+    )
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    cand = nvec.join(F.broadcast(sl), "neighbor_id").join(
+        F.broadcast(qvec), "query_id"
+    )
+    scored = cand.withColumn(
+        "cos", F.round(cosine_similarity(F.col("__qv"), F.col("__nv")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc_nulls_last(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rerank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rerank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rerank")
+    )
+
+
 def build_ivfpq_index(
     corpus: DataFrame,
     id_col: str,

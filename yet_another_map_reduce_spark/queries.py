@@ -1962,6 +1962,27 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC shortlist (top-30 by IVF-PQ lookup distance) + exact cosine
+    re-rank to top-10 (`similarity.ivfpq_rerank_topk`) — the accuracy-
+    recovery stage every production retrieval system runs after PQ.
+    The shortlist broadcasts back onto the corpus for one map-side
+    pruned vector fetch; exact math is confined to |Q|×30 rows.  The
+    oracle replays ADC shortlist AND the exact re-rank."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_rerank_topk(
+        corpus=emb,
+        queries=emb.where(F.col("vec_id") < 5),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=10,
+        shortlist=30,
+        nlist=16,
+        nprobe=4,
+        books=_pq_books(emb, sf_dir),
+    )
+
+
 def q_ann_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The persisted IVF-PQ index lifecycle end to end: encode the
     corpus once (cell assignment + PQ codes) into parquet partitioned
@@ -6794,6 +6815,35 @@ ORACLES["ann_ivfpq_topk"] = f"""
 # the same nprobe — persistence changes where bytes live, not values —
 # so the in-memory replay verifies it too; the file-level pruning that
 # persistence adds is pinned by test_plans, not the hash.
+# ADC shortlist + exact re-rank: reuse the full IVF-PQ replay up to the
+# ADC ranking CTE, widen the cut to the 30-candidate shortlist, then
+# score the shortlist with true 6-rounded cosine and re-rank (ties to
+# the lower neighbor id, NULL cosines last — the cosine_topk contract)
+ORACLES["ann_ivfpq_rerank"] = ORACLES["ann_ivfpq_topk"].replace(
+    """SELECT query_id, neighbor_id, adist, CAST(rn AS BIGINT) AS qrank
+    FROM r WHERE rn <= 10""",
+    """, sl AS (SELECT query_id, neighbor_id FROM r WHERE rn <= 30),
+    ex AS (
+        SELECT s.query_id, s.neighbor_id,
+               round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                            CAST(nv.embedding AS DOUBLE[])),
+                     6) AS cos
+        FROM sl s
+        JOIN embeddings q ON q.vec_id = s.query_id
+        JOIN embeddings nv ON nv.vec_id = s.neighbor_id
+    ),
+    rr AS (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cos DESC NULLS LAST, neighbor_id ASC) AS rn
+        FROM ex
+    )
+    SELECT query_id, neighbor_id, cos, CAST(rn AS BIGINT) AS rerank
+    FROM rr WHERE rn <= 10""",
+    1,
+)
+
 # persisted index: same replay, but nlist is corpus-aware
 # (sized_nlist = ceil(sqrt(n/8)), replayed from the oracle's own
 # count() via a subquery LIMIT on the centroid-seed CTE — the
@@ -7336,6 +7386,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_quantized_topk": q_ann_quantized_topk,
     "ann_pq_topk": q_ann_pq_topk,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
+    "ann_ivfpq_rerank": q_ann_ivfpq_rerank,
     "ann_ivfpq_persisted": q_ann_ivfpq_persisted,
     "ann_ivfpq_append": q_ann_ivfpq_append,
     "ann_quantized_recall": q_ann_quantized_recall,
