@@ -2167,6 +2167,44 @@ def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the shortlist+re-rank pipeline against exact
+    cosine — the number that justifies the re-rank stage: with a 30-
+    candidate shortlist, recall approaches exact search (quantization
+    error only costs recall when a true neighbor misses the ADC
+    top-30 entirely), measurably above the raw ADC tier's recall that
+    ann_pq_recall reports.  Same verified-eval shape as the other
+    recall twins."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(emb, q, "vec_id", "embedding", k=10).select(
+        "query_id", "neighbor_id"
+    )
+    rr = similarity.ivfpq_rerank_topk(
+        emb,
+        q,
+        "vec_id",
+        "embedding",
+        k=10,
+        shortlist=30,
+        books=_pq_books(emb, sf_dir),
+    ).select("query_id", "neighbor_id", F.lit(1).alias("__hit"))
+    return (
+        exact.join(rr, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_overlap")
+        )
+        .select(
+            "query_id",
+            "n_overlap",
+            F.round(F.col("n_overlap") / 10, 6).alias("recall_at_10"),
+        )
+    )
+
+
 def q_embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic clustering of the embedding corpus (similarity.
     kmeans_assign: distributed Lloyd's training + broadcast-centroid
@@ -6844,6 +6882,18 @@ ORACLES["ann_ivfpq_rerank"] = ORACLES["ann_ivfpq_topk"].replace(
     1,
 )
 
+# recall of the re-ranked pipeline vs exact — the same verified-eval
+# join as the other recall twins, over the rerank oracle
+ORACLES["ann_rerank_recall"] = f"""
+    SELECT e.query_id,
+           CAST(count(q.neighbor_id) AS BIGINT) AS n_overlap,
+           round(CAST(count(q.neighbor_id) AS DOUBLE) / 10, 6) AS recall_at_10
+    FROM ({ORACLES["ann_cosine_topk"]}) e
+    LEFT JOIN ({ORACLES["ann_ivfpq_rerank"]}) q
+      ON e.query_id = q.query_id AND e.neighbor_id = q.neighbor_id
+    GROUP BY e.query_id
+"""
+
 # persisted index: same replay, but nlist is corpus-aware
 # (sized_nlist = ceil(sqrt(n/8)), replayed from the oracle's own
 # count() via a subquery LIMIT on the centroid-seed CTE — the
@@ -7387,6 +7437,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_pq_topk": q_ann_pq_topk,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "ann_ivfpq_rerank": q_ann_ivfpq_rerank,
+    "ann_rerank_recall": q_ann_rerank_recall,
     "ann_ivfpq_persisted": q_ann_ivfpq_persisted,
     "ann_ivfpq_append": q_ann_ivfpq_append,
     "ann_quantized_recall": q_ann_quantized_recall,
