@@ -35,7 +35,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL twins; queries absent here (LSH probing,
-    Arrow-batch kernels, HLL/t-digest sketches) are algorithm-specific
-    and get the driver's rows-only check."""
+    """DuckDB-runnable ANSI SQL twins.  Since round 10 EVERY registered
+    query has one (the last rows-only row, text_bpe_tokenize_8k, got an
+    encode-half recursive-CTE oracle over its frozen merge table); a
+    future query absent here would fall back to the driver's rows-only
+    check and be flagged by test_registry_invariants."""
     return dict(ORACLES)
