@@ -829,6 +829,35 @@ def test_locked_occ_commit_unit(tmp_path):
     assert similarity._resolve_index_dir(d).endswith("v_a")
 
 
+def test_build_ivfpq_index_auto_persists_sized_model(spark, sf_dir, tmp_path):
+    """The auto-sized build's contract: nlist comes from sized_nlist of
+    the corpus count (caller-supplied n short-circuits the count), the
+    returned nlist matches, and the committed _model.json carries
+    exactly that many centroids — so a cold session recovers the sizing
+    from the sidecar alone."""
+    import os
+
+    from yet_another_map_reduce_spark.operators import similarity
+    from yet_another_map_reduce_spark.operators.dedup import sized_nlist
+    from yet_another_map_reduce_spark.queries import _pq_books
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    idx = os.path.join(str(tmp_path), "idx_auto")
+    vdir, nlist = similarity.build_ivfpq_index_auto(
+        emb, "vec_id", "embedding", idx, books=_pq_books(emb, sf_dir), n=n
+    )
+    assert nlist == sized_nlist(n)
+    cent, books = similarity.load_ivfpq_model(spark, idx)
+    assert cent is not None and cent.count() == nlist
+    out = similarity.search_ivfpq_index(
+        spark, idx,
+        queries=emb.where(F.col("vec_id") < 3),
+        id_col="vec_id", vec_col="embedding", k=5, nprobe=2,
+    )
+    assert out.count() > 0
+
+
 def test_ivfpq_rerank_recovers_exact_neighbors(spark, sf_dir):
     """The re-rank stage's reason to exist: against ground-truth exact
     cosine top-10, the re-ranked top-10 must recall at least as many

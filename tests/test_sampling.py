@@ -162,3 +162,28 @@ def test_heavy_hitters_exact_matches_full_group_by(spark):
     # and the guarantee is partitioning-independent
     got2 = aggregates.heavy_hitters_exact(df.repartition(13), "v", k=k).collect()
     assert {r["item"]: r["count"] for r in got2} == exact
+
+
+def test_balanced_sample_caps_and_covers_every_cluster(spark, sf_dir):
+    """The diversity-sampling contract: every k-means cluster
+    contributes min(20, its size) vectors — so tail clusters keep full
+    representation while head clusters are capped — and the selection
+    is the deterministic hash-ranked reservoir (stable across
+    partitionings)."""
+    from yet_another_map_reduce_spark.operators import similarity
+    from yet_another_map_reduce_spark.queries import QUERIES
+    from yet_another_map_reduce_spark.sources.readers import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    sizes = {
+        r["cluster_id"]: r["n"]
+        for r in similarity.kmeans_assign(
+            emb, "vec_id", "embedding", nlist=8, iterations=2
+        ).groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    got: dict[int, int] = {}
+    for r in QUERIES["embedding_balanced_sample"](spark, sf_dir).collect():
+        got[r["cluster_id"]] = got.get(r["cluster_id"], 0) + 1
+    assert set(got) == set(sizes), "every non-empty cluster must contribute"
+    for cid, n in sizes.items():
+        assert got[cid] == min(20, n), (cid, n, got[cid])

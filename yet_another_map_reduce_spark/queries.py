@@ -2230,6 +2230,30 @@ def q_embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity subsampling — the embedding-space
+    curation move behind "cluster then sample uniformly per cluster"
+    data recipes: k-means-bucket the corpus (deterministic Lloyd's,
+    the hash-verified trainer), then keep a deterministic hash-ranked
+    20 vectors per cluster, so the subsample covers embedding space
+    instead of mirroring cluster mass (head topics stop dominating,
+    tail topics are guaranteed representation).  Pure composition of
+    two verified operators (kmeans_assign × reservoir_per_group): one
+    codegen assignment pass, one bounded-cardinality window — the
+    corpus never shuffles, only the per-cluster candidates.  The
+    oracle replays training, assignment, AND the hash-ranked pick."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    from yet_another_map_reduce_spark.operators import sampling
+
+    assigned = similarity.kmeans_assign(
+        emb, "vec_id", "embedding", nlist=8, iterations=2
+    ).select("vec_id", "cluster_id")
+    return sampling.reservoir_per_group(
+        assigned, ["cluster_id"], "vec_id", 20,
+        n=_table_count(emb, sf_dir, "embeddings"),
+    ).orderBy("cluster_id", "vec_id")
+
+
 def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF search over k-means-TRAINED centroids (similarity.
     train_ivf_centroids — distributed Lloyd's, map-only assignment +
@@ -7018,6 +7042,28 @@ ORACLES["embedding_kmeans_clusters"] = f"""
     GROUP BY b.cid ORDER BY cluster_id
 """
 
+# cluster-balanced diversity subsample: the kmeans replay's `best`
+# assignment + the reservoir oracle's md5-rank idiom, 20 per cluster
+ORACLES["embedding_balanced_sample"] = ORACLES["embedding_kmeans_clusters"].replace(
+    """SELECT CAST(b.cid AS BIGINT) AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           round(avg(round(b.d / (CASE WHEN v.nv = 0 THEN NULL ELSE v.nv END),
+                           6)), 6) AS avg_cos
+    FROM best b JOIN vnorm v USING (vec_id)
+    GROUP BY b.cid ORDER BY cluster_id""",
+    """, samp AS (
+        SELECT vec_id, cid, row_number() OVER (
+            PARTITION BY cid
+            ORDER BY ('0x' || substr(md5('0:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+                     vec_id) AS rn
+        FROM best
+    )
+    SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id
+    FROM samp WHERE rn <= 20
+    ORDER BY cluster_id, vec_id""",
+    1,
+)
+
 # replays ivf_topk over the TRAINED centroids (2 Lloyd's iterations):
 # nearest-cell assignment and the 2-cell probe both use the 9-rounded
 # cosine + lower-centroid-id tiebreak of similarity._nearest_centroids
@@ -7449,6 +7495,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_mixture_report": q_corpus_mixture_report,
     "skew_report": q_skew_report,
     "embedding_kmeans_clusters": q_embedding_kmeans_clusters,
+    "embedding_balanced_sample": q_embedding_balanced_sample,
     "ann_ivf_trained": q_ann_ivf_trained,
     "multimodal_features": q_multimodal_features,
     "agg_percentiles_approx": q_agg_percentiles_approx,
