@@ -829,6 +829,77 @@ def test_locked_occ_commit_unit(tmp_path):
     assert similarity._resolve_index_dir(d).endswith("v_a")
 
 
+def _occ_worker(args):
+    """Module-level so multiprocessing can pickle it: perform `m`
+    OCC commits with retry-on-conflict, logging parent->child edges."""
+    import os
+    import uuid
+
+    d, m, log_path = args
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from yet_another_map_reduce_spark.operators import similarity
+
+    done = 0
+    with open(log_path, "w") as log:
+        while done < m:
+            live = similarity._resolve_index_dir(d)
+            version = f"v_{uuid.uuid4().hex[:12]}"
+            os.makedirs(os.path.join(d, version), exist_ok=True)
+            try:
+                similarity._locked_occ_commit(d, live, version, "stress")
+            except similarity.IndexConflictError:
+                continue  # racer won; re-resolve and retry
+            log.write(f"{os.path.basename(live)} {version}\n")
+            done += 1
+    return done
+
+
+def test_locked_occ_commit_serializes_across_processes(tmp_path):
+    """REAL concurrency evidence for the true-CAS claim: 4 separate
+    processes each drive 12 OCC commits (read parent -> commit child,
+    retry on conflict) against one index dir.  If the lock serialized
+    them, the union of logged parent->child edges forms one single
+    CHAIN: every commit's parent is exactly the previous commit's
+    child, no parent is consumed twice (a double-consumed parent is
+    precisely the lost-update race the pre-r10 check-then-swap
+    allowed)."""
+    import multiprocessing as mp
+    import os
+
+    from yet_another_map_reduce_spark.operators import similarity
+
+    d = str(tmp_path / "occ_stress")
+    os.makedirs(os.path.join(d, "v_root"))
+    with open(os.path.join(d, "CURRENT"), "w") as fh:
+        fh.write("v_root")
+
+    nproc, m = 4, 12
+    logs = [str(tmp_path / f"log_{i}.txt") for i in range(nproc)]
+    with mp.get_context("spawn").Pool(nproc) as pool:
+        counts = pool.map(_occ_worker, [(d, m, p) for p in logs])
+    assert counts == [m] * nproc
+
+    edges: dict[str, str] = {}
+    for p in logs:
+        with open(p) as fh:
+            for line in fh:
+                parent, child = line.split()
+                # no parent consumed twice == no lost update
+                assert parent not in edges, f"double-consumed parent {parent}"
+                edges[parent] = child
+    assert len(edges) == nproc * m
+    # edges form one chain from v_root to the live version
+    cur, hops = "v_root", 0
+    while cur in edges:
+        cur = edges[cur]
+        hops += 1
+    assert hops == nproc * m
+    assert similarity._resolve_index_dir(d).endswith(cur)
+    assert not os.path.exists(os.path.join(d, "_commit.lock"))
+
+
 def test_build_ivfpq_index_auto_persists_sized_model(spark, sf_dir, tmp_path):
     """The auto-sized build's contract: nlist comes from sized_nlist of
     the corpus count (caller-supplied n short-circuits the count), the
