@@ -67,43 +67,17 @@ def perceptron_train(
     documented contract as ``similarity.cosine_topk`` and
     ``kmeans_train`` — the result is derived from collected
     model-sized aggregates, not a lazy plan over the input).
+
+    Implementation: delegates to :func:`perceptron_train_averaged`
+    (identical per-iteration aggregate; the running-sum bookkeeping it
+    adds is driver-side integer adds on a feature-count-sized vector,
+    i.e. free) and drops the ``s*`` columns — so a fix to the training
+    loop can never apply to one trainer and silently miss the other.
     """
     n = len(feature_cols)
-    feats = df.select(
-        F.col(label_col).cast("long").alias("y"),
-        F.lit(1).cast("long").alias("x0"),
-        *[
-            F.col(c).cast("long").alias(f"x{i + 1}")
-            for i, c in enumerate(feature_cols)
-        ],
-    )
-    if materialize:
-        feats = feats.localCheckpoint(eager=False)
-
-    w = [0] * (n + 1)
-    trajectory: list[tuple] = []
-    for it in range(1, iterations + 1):
-        margin = sum(
-            (F.lit(w[k]) * F.col(f"x{k}") for k in range(1, n + 1)),
-            F.lit(w[0]) * F.col("x0"),
-        )
-        mis = (F.col("y") * margin) <= 0
-        row = feats.agg(
-            F.sum(F.when(mis, 1).otherwise(0)).alias("n_mis"),
-            *[
-                F.sum(F.when(mis, F.col("y") * F.col(f"x{k}")).otherwise(0)).alias(
-                    f"g{k}"
-                )
-                for k in range(n + 1)
-            ],
-        ).collect()[0]
-        w = [w[k] + (row[f"g{k}"] or 0) for k in range(n + 1)]
-        trajectory.append((it, row["n_mis"] or 0, *w))
-
-    schema = "iteration long, n_mis long, " + ", ".join(
-        f"w{k} long" for k in range(n + 1)
-    )
-    return df.sparkSession.createDataFrame(trajectory, schema)
+    return perceptron_train_averaged(
+        df, label_col, feature_cols, iterations, materialize
+    ).select("iteration", "n_mis", *[f"w{k}" for k in range(n + 1)])
 
 
 def perceptron_train_averaged(

@@ -1278,9 +1278,20 @@ def _locked_occ_commit(
     leaves the lock behind; waiters break locks older than
     ``_COMMIT_LOCK_STALE_S`` (the section is milliseconds — a fresh
     lock is never broken) and give up loudly after a bounded wait.
-    Lock breaking itself races benignly: a second ``unlink`` fails
-    ENOENT and is swallowed; exactly one retrier wins the next
-    ``O_EXCL``.
+    Breaking is an atomic RENAME to a unique name followed by an
+    unlink of the renamed file: of N concurrent breakers exactly one
+    rename succeeds (renaming a missing source raises), so a slow
+    loser can never delete a lock that a winner has already broken
+    and a new committer has re-acquired — the stat-then-unlink
+    variant this replaces had exactly that window, which would have
+    let two committers into the critical section at once.
+
+    Staleness compares the waiter's ``time.time()`` against the lock
+    file's mtime, so it assumes writer/waiter clocks (and, on network
+    filesystems, the server stamping mtimes) agree to well within
+    ``_COMMIT_LOCK_STALE_S``; with >60 s skew a waiter could break a
+    LIVE lock.  Keep the bound generous relative to clock sync
+    quality, never shrink it near NTP drift scales.
     """
     import os
     import time
@@ -1294,11 +1305,30 @@ def _locked_occ_commit(
             break
         except FileExistsError:
             try:
-                if time.time() - os.path.getmtime(lock) > _COMMIT_LOCK_STALE_S:
-                    os.unlink(lock)
-                    continue
+                stale = (
+                    time.time() - os.path.getmtime(lock)
+                    > _COMMIT_LOCK_STALE_S
+                )
+            except FileNotFoundError:
+                continue  # holder released between open and stat: retry
             except OSError:
-                continue  # lock vanished between stat and unlink: retry
+                # Unreadable for some other persistent reason (e.g. a
+                # permissions change on index_dir): can't judge
+                # staleness, so treat as fresh and fall through to the
+                # bounded wait instead of busy-spinning forever.
+                stale = False
+            if stale:
+                doomed = f"{lock}.stale.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+                try:
+                    os.rename(lock, doomed)
+                except OSError:
+                    pass  # another breaker won (or holder released): retry
+                else:
+                    try:
+                        os.unlink(doomed)
+                    except OSError:
+                        pass
+                continue
             if time.monotonic() > deadline:
                 raise IndexConflictError(
                     f"commit lock {lock} held for >30 s; a concurrent "

@@ -54,6 +54,26 @@ from yet_another_map_reduce_spark.streaming.windows import (
 # shared SQL fragments (DuckDB side)
 # ---------------------------------------------------------------------------
 
+
+def _must_replace(sql: str, old: str, new: str, count: int = 1) -> str:
+    """``str.replace`` for DERIVED oracles that fails loudly.
+
+    Several oracles are built by splicing a fragment into another
+    oracle's text; a silent no-op (the base SQL was reformatted and the
+    exact substring no longer matches) would leave the derived oracle
+    with the BASE query's semantics, surfacing only as a confusing
+    driver hash mismatch rounds later.  Raising at import time turns
+    that into an immediate, attributable error.
+    """
+    if old not in sql:
+        raise AssertionError(
+            f"derived-oracle splice target not found; the base oracle "
+            f"was reformatted — update the splice. Missing fragment: "
+            f"{old[:120]!r}"
+        )
+    return sql.replace(old, new, count)
+
+
 #: normalized text — must mirror functions.normalize_text exactly
 _NORM = r"trim(regexp_replace(lower({c}), '\s+', ' ', 'g'))"
 
@@ -5568,7 +5588,7 @@ ORACLES: dict[str, str] = {
         FROM banded a JOIN banded b
           ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
     """,
-    "dedup_components": _banded_cte().replace("WITH ", "WITH RECURSIVE ", 1)
+    "dedup_components": _must_replace(_banded_cte(), "WITH ", "WITH RECURSIVE ", 1)
     + """
         , pairs AS (
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -5588,7 +5608,7 @@ ORACLES: dict[str, str] = {
         SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS component
         FROM reach GROUP BY id ORDER BY doc_id
     """,
-    "dedup_components_star": _banded_cte().replace("WITH ", "WITH RECURSIVE ", 1)
+    "dedup_components_star": _must_replace(_banded_cte(), "WITH ", "WITH RECURSIVE ", 1)
     + """
         , pairs AS (
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -6881,7 +6901,8 @@ ORACLES["ann_ivfpq_topk"] = f"""
 # ADC ranking CTE, widen the cut to the 30-candidate shortlist, then
 # score the shortlist with true 6-rounded cosine and re-rank (ties to
 # the lower neighbor id, NULL cosines last — the cosine_topk contract)
-ORACLES["ann_ivfpq_rerank"] = ORACLES["ann_ivfpq_topk"].replace(
+ORACLES["ann_ivfpq_rerank"] = _must_replace(
+    ORACLES["ann_ivfpq_topk"],
     """SELECT query_id, neighbor_id, adist, CAST(rn AS BIGINT) AS qrank
     FROM r WHERE rn <= 10""",
     """, sl AS (SELECT query_id, neighbor_id FROM r WHERE rn <= 30),
@@ -6922,7 +6943,8 @@ ORACLES["ann_rerank_recall"] = f"""
 # (sized_nlist = ceil(sqrt(n/8)), replayed from the oracle's own
 # count() via a subquery LIMIT on the centroid-seed CTE — the
 # dedup_semantic pattern), matching build_ivfpq_index_auto
-ORACLES["ann_ivfpq_persisted"] = ORACLES["ann_ivfpq_topk"].replace(
+ORACLES["ann_ivfpq_persisted"] = _must_replace(_must_replace(
+    ORACLES["ann_ivfpq_topk"],
     "WITH ",
     "WITH nlsz AS (\n"
     "        SELECT CAST(greatest(1, ceil(sqrt(count(*) / 8.0))) AS BIGINT)"
@@ -6930,7 +6952,7 @@ ORACLES["ann_ivfpq_persisted"] = ORACLES["ann_ivfpq_topk"].replace(
     "        FROM embeddings\n"
     "    ),\n    ",
     1,
-).replace(
+),
     "FROM embeddings ORDER BY vec_id ASC LIMIT 16",
     "FROM embeddings ORDER BY vec_id ASC LIMIT (SELECT nl FROM nlsz)",
     1,
@@ -7044,7 +7066,8 @@ ORACLES["embedding_kmeans_clusters"] = f"""
 
 # cluster-balanced diversity subsample: the kmeans replay's `best`
 # assignment + the reservoir oracle's md5-rank idiom, 20 per cluster
-ORACLES["embedding_balanced_sample"] = ORACLES["embedding_kmeans_clusters"].replace(
+ORACLES["embedding_balanced_sample"] = _must_replace(
+    ORACLES["embedding_kmeans_clusters"],
     """SELECT CAST(b.cid AS BIGINT) AS cluster_id,
            CAST(count(*) AS BIGINT) AS n_vectors,
            round(avg(round(b.d / (CASE WHEN v.nv = 0 THEN NULL ELSE v.nv END),
