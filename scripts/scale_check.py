@@ -28,7 +28,7 @@ SF01 = "/root/testdata/sf0.1"
 
 DEFAULT = [
     "ann_pq_topk",
-    "ann_pq_recall",
+    "ann_recall_report",
     "ann_ivfpq_topk",
     "ann_ivfpq_persisted",
     "pipeline_corpus_hygiene",
