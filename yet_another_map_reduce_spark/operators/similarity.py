@@ -1633,12 +1633,27 @@ def search_ivfpq_index(
     books: list[list[list[float]]] | None = None,
     k: int = 10,
     nprobe: int = 4,
+    probe_fraction: float | None = None,
 ) -> DataFrame:
     """Search a persisted IVF-PQ index: probe ``nprobe`` cells per
     query, rank the cell-mates by ADC lookup distance.  Identical
     results to :func:`ivfpq_topk` with the same model (pinned by test)
     — but the corpus is never rescanned and the probe reads ONLY the
     probed cells' files.
+
+    ``probe_fraction`` sizes the probe RELATIVE to the index instead
+    of absolutely: ``nprobe = max(4, ceil(probe_fraction * nlist))``,
+    with ``nlist`` read from the index's own centroid count.  A fixed
+    ``nprobe=4`` silently probes an ever-smaller fraction as the index
+    grows (``nlist ∝ sqrt(n)`` under the auto-sizing policy) — fine on
+    well-separated geometry (measured recall-flat 0.900 from 2.5% to
+    25% probed on the benchmark corpus, BASELINE.md r10), but on
+    anisotropic / overlapping clusters recall slopes with the probed
+    fraction (measured: BASELINE.md r11 sloped-recall table), so
+    production search should pin the FRACTION, not the count.  The
+    floor of 4 keeps tiny indexes exhaustive-ish; ``probe_fraction >=
+    1.0`` probes every cell (exhaustive, equals the unpersisted
+    search).  When set, ``nprobe`` is ignored.
 
     ``centroids``/``books`` default to the index's own persisted model
     (:func:`load_ivfpq_model`): the cold-session search path touches
@@ -1660,6 +1675,14 @@ def search_ivfpq_index(
                 "index has no persisted _model.json sidecar; pass "
                 "centroids and books explicitly"
             )
+    if probe_fraction is not None:
+        if not 0.0 < probe_fraction:
+            raise ValueError(f"probe_fraction must be > 0, got {probe_fraction}")
+        import math
+
+        # centroids is the KB-scale model frame; counting it is free
+        nlist = centroids.count()
+        nprobe = min(nlist, max(4, math.ceil(probe_fraction * nlist)))
     probes = _nearest_centroids_expr(queries, id_col, vec_col, centroids, nprobe).select(
         F.col("__rid").alias("query_id"), F.col("__v").alias("__qv"), "centroid_id"
     )
