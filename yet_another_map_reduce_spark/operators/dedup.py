@@ -1034,6 +1034,7 @@ def incremental_dedup(
     seen_df: DataFrame,
     text_col: str,
     id_col: str,
+    seen_fp_col: str | None = None,
 ) -> DataFrame:
     """Dedup an incoming batch against an already-ingested corpus — the
     incremental-crawl shape: drop new documents whose normalized-text
@@ -1051,16 +1052,36 @@ def incremental_dedup(
     table); the LEFT ANTI join and the in-batch groupBy co-partition on
     that same key, and the seen side deduplicates map-side via partial
     aggregation.  Nothing is ever corpus x corpus.
+
+    ``seen_fp_col`` names a column of ``seen_df`` that ALREADY holds
+    md5 fingerprints (the compact production relation the scale note
+    above describes — e.g. the one :func:`batch_fingerprints` emits and
+    the streaming ingest pipeline accumulates); when None, ``seen_df``
+    carries raw text under ``text_col`` and is fingerprinted here.
     """
     fp = F.md5(normalize_text(text_col))
     new_fp = new_df.select(F.col(id_col), fp.alias("__fp"))
-    seen_fp = seen_df.select(fp.alias("__fp")).distinct()
+    seen_fp = (
+        seen_df.select(F.col(seen_fp_col).alias("__fp"))
+        if seen_fp_col is not None
+        else seen_df.select(fp.alias("__fp"))
+    ).distinct()
     return (
         new_fp.join(seen_fp, "__fp", "left_anti")
         .groupBy("__fp")
         .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
         .drop("__fp")
     )
+
+
+def batch_fingerprints(df: DataFrame, text_col: str) -> DataFrame:
+    """The compact fingerprint relation for a batch of documents —
+    what a production ingest accumulates as its "seen" table (one
+    fixed-width md5 per distinct normalized text) instead of ever
+    re-reading corpus text: pass it back to :func:`incremental_dedup`
+    via ``seen_fp_col="fp"``.  Map-side-partial distinct on the
+    fingerprint, nothing else."""
+    return df.select(F.md5(normalize_text(text_col)).alias("fp")).distinct()
 
 
 def sized_nlist(n: int, target_cluster_size: int = 8) -> int:

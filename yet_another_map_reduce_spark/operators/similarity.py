@@ -1363,6 +1363,7 @@ def append_to_ivfpq_index(
     batch: DataFrame,
     id_col: str,
     vec_col: str,
+    token: str | None = None,
 ) -> str:
     """Incremental index maintenance — the other half of the FAISS
     lifecycle: new corpus vectors arrive (a nightly ingest), and the
@@ -1401,6 +1402,18 @@ def append_to_ivfpq_index(
     the corpus); the alternative full rebuild re-encodes everything.
     Compaction (folding many small segments into one) reuses
     build_ivfpq_index over the manifest's union.
+
+    ``token`` makes the append IDEMPOTENT for at-least-once callers
+    (a ``foreachBatch`` micro-batch replayed after a crash): the
+    segment and version names derive from the token instead of a
+    random uuid, and if the LIVE manifest already lists
+    ``seg_<token>`` the call returns the live version unchanged — the
+    Delta-style txn-version pattern, turning replay into exactly-once
+    index maintenance.  The token must uniquely identify the batch
+    CONTENT (use the checkpointed stream's batch_id); reusing a token
+    for different data silently skips the append.  A replay that
+    previously crashed between segment write and pointer swap simply
+    rewrites the same segment dir (mode=overwrite) and commits.
     """
     import json
     import os
@@ -1413,6 +1426,8 @@ def append_to_ivfpq_index(
         )
     live = _resolve_index_dir(index_dir)
     parent_segments = _segment_names(live, index_dir)
+    if token is not None and f"seg_{token}" in parent_segments:
+        return live  # this batch already committed: replay is a no-op
 
     assigned = _nearest_centroids(batch, id_col, vec_col, centroids, 1).select(
         F.col("__rid").alias("neighbor_id"), "centroid_id"
@@ -1420,7 +1435,7 @@ def append_to_ivfpq_index(
     enc = pq_encode(batch, id_col, vec_col, books).withColumnRenamed(
         id_col, "neighbor_id"
     )
-    seg_name = f"seg_{uuid.uuid4().hex[:12]}"
+    seg_name = f"seg_{token}" if token is not None else f"seg_{uuid.uuid4().hex[:12]}"
     (
         assigned.join(enc, "neighbor_id")
         .write.mode("overwrite")
@@ -1428,7 +1443,7 @@ def append_to_ivfpq_index(
         .parquet(os.path.join(index_dir, seg_name))
     )
 
-    version = f"v_{uuid.uuid4().hex[:12]}"
+    version = f"v_{token}" if token is not None else f"v_{uuid.uuid4().hex[:12]}"
     vdir = os.path.join(index_dir, version)
     os.makedirs(vdir, exist_ok=True)
     with open(os.path.join(live, "_model.json"), encoding="utf-8") as fh:

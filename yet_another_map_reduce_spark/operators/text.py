@@ -915,6 +915,38 @@ def hash_embed(
     )
 
 
+def hash_embed_dense(
+    df: DataFrame, text_col: str, id_col: str, dim: int = 16
+) -> DataFrame:
+    """:func:`hash_embed` densified to ``(id, embedding array<double>)``
+    — the shape the similarity stack's index builders and searchers
+    consume, so hashed text vectors flow straight into
+    ``build_ivfpq_index`` / ``append_to_ivfpq_index`` (the streaming
+    ingest pipeline's bridge from documents to the ANN index).
+
+    The sparse rows collapse per document into a map, then a fixed
+    ``dim``-wide array fills the holes with 0.0 — at most ``dim`` rows
+    per document enter the collect_list, so the per-group state is
+    model-sized, never corpus-sized.  Documents with NO tokens (empty
+    normalized text) produce no sparse rows and are absent from the
+    output, matching hash_embed."""
+    sparse = hash_embed(df, text_col, id_col, dim)
+    m = F.map_from_arrays(F.collect_list("dim"), F.collect_list("w"))
+    return (
+        sparse.groupBy(id_col)
+        .agg(m.alias("__m"))
+        .select(
+            F.col(id_col),
+            F.array(
+                *[
+                    F.coalesce(F.col("__m")[F.lit(i)], F.lit(0.0))
+                    for i in range(dim)
+                ]
+            ).alias("embedding"),
+        )
+    )
+
+
 def bm25_search(
     df: DataFrame,
     text_col: str,

@@ -19,12 +19,17 @@ from yet_another_map_reduce_spark.streaming.stateful import (
     streaming_dedup,
     streaming_dedup_fuzzy,
 )
+from yet_another_map_reduce_spark.streaming.ingest import (
+    ingest_batch,
+    streaming_ingest_pipeline,
+)
 from yet_another_map_reduce_spark.streaming.sources import file_stream, rate_stream
 from yet_another_map_reduce_spark.streaming.joins import foreach_batch_upsert, stream_static_enrich
 
 __all__ = [
     "file_stream",
     "foreach_batch_upsert",
+    "ingest_batch",
     "rate_stream",
     "session_windowed",
     "sliding_windowed",
@@ -32,6 +37,7 @@ __all__ = [
     "stream_stream_interval_join",
     "streaming_dedup",
     "streaming_dedup_fuzzy",
+    "streaming_ingest_pipeline",
     "tumbling_windowed",
     "with_watermark",
 ]

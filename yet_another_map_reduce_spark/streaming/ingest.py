@@ -1,0 +1,166 @@
+"""End-to-end streaming ingest: the production composition the
+LLM-data-pipeline operators exist for (reference has no streaming at
+all — its ingest is one-shot file upload, ``/root/reference/Client/
+client.py:74``; this is the capability the north star implies on top).
+
+Per micro-batch (``foreachBatch``), in this order:
+
+1. **Incremental dedup** — drop documents whose normalized-text
+   fingerprint is already in the accumulated "seen" relation
+   (:func:`~yet_another_map_reduce_spark.operators.dedup.incremental_dedup`
+   with ``seen_fp_col``: the seen table holds compact md5 fingerprints,
+   never corpus text).
+2. **Quality gate** — score the survivors with FROZEN averaged-
+   perceptron weights shipped as plan literals
+   (:func:`~yet_another_map_reduce_spark.operators.classify.quality_gate`
+   — stateless, map-only, no state store).
+3. **Embed + index append** — hash-embed the gated documents
+   (:func:`~yet_another_map_reduce_spark.operators.text.hash_embed_dense`)
+   and append them to the persisted IVF-PQ index under the OCC commit
+   lock, with the micro-batch id as the idempotency token
+   (:func:`~yet_another_map_reduce_spark.operators.similarity
+   .append_to_ivfpq_index` ``token=``).
+4. **Record fingerprints** — append the batch's distinct fingerprints
+   (survivors AND rejected: a re-crawl of a gated-out document must not
+   be re-scored) to the seen relation, written to a batch-id-derived
+   subdirectory so replays overwrite instead of duplicating.
+
+Crash-consistency, end to end: steps run in the order above, every
+step is either idempotent (1, 2 are pure; 3 is token-deduplicated; 4
+overwrites a deterministic path) and ``foreachBatch`` replays the whole
+batch after a failure, so a crash at ANY point — including between the
+index segment write and the ``CURRENT`` pointer swap — converges to
+exactly-once ingest on restart, and a reader NEVER sees a half-commit
+(the pointer swap is the last, atomic, lock-guarded step; pinned by
+``tests/test_streaming.py::test_ingest_pipeline_crash_mid_batch_never_serves_half_commit``).
+
+Scale shape (100 TB): each micro-batch touches batch-sized data plus
+one fingerprint anti-join against the seen relation (fixed-width keys,
+co-partitioned) and one model-sized broadcast (weights are literals,
+centroids/codebooks KB-scale); the corpus and the index are never
+rescanned.  The seen relation accumulates one hive directory per batch
+— compact it periodically like any streaming sink (the index side's
+compaction is :func:`compact_ivfpq_index`).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, functions as F
+
+from yet_another_map_reduce_spark.operators import classify, dedup, similarity, text
+
+
+def ingest_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    index_dir: str,
+    seen_dir: str,
+    weights: list[int],
+    feature_cols: list[str],
+    featurize: Callable[[DataFrame], DataFrame],
+    threshold: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    embed_dim: int = 16,
+) -> None:
+    """One micro-batch of the ingest pipeline — the ``foreachBatch``
+    body, callable directly on a batch DataFrame too (batch/stream
+    parity: the golden test replays the same corpus through both paths
+    and compares the final index).  See the module docstring for the
+    stage order and the crash-consistency argument."""
+    spark = batch_df.sparkSession
+
+    # 1. incremental dedup against the accumulated fingerprint relation
+    if _seen_exists(seen_dir):
+        seen = spark.read.parquet(seen_dir)
+        fresh_ids = dedup.incremental_dedup(
+            batch_df, seen, text_col, id_col, seen_fp_col="fp"
+        ).select(id_col)
+    else:
+        # bootstrap: first batch dedups only within itself
+        fresh_ids = dedup.incremental_dedup(
+            batch_df, batch_df.limit(0), text_col, id_col
+        ).select(id_col)
+    fresh = batch_df.join(fresh_ids, id_col)
+
+    # 2. stateless quality gate with the frozen model
+    gated = classify.quality_gate(
+        featurize(fresh), weights, feature_cols, threshold=threshold
+    )
+
+    # 3. embed + exactly-once index append (batch_id is the txn token)
+    vecs = text.hash_embed_dense(
+        gated.select(id_col, text_col), text_col, id_col, dim=embed_dim
+    )
+    if vecs.limit(1).count() > 0:
+        similarity.append_to_ivfpq_index(
+            spark, index_dir, vecs, id_col, "embedding", token=f"b{batch_id:012d}"
+        )
+
+    # 4. record the WHOLE batch's fingerprints (idempotent: the path is
+    # batch-id-derived and overwritten on replay)
+    dedup.batch_fingerprints(batch_df, text_col).write.mode("overwrite").parquet(
+        os.path.join(seen_dir, f"batch={batch_id}")
+    )
+
+
+def _seen_exists(seen_dir: str) -> bool:
+    """True once at least one batch directory has committed (parquet's
+    _SUCCESS-less hive layout: any ``batch=*`` subdir with files)."""
+    if not os.path.isdir(seen_dir):
+        return False
+    for d in os.listdir(seen_dir):
+        p = os.path.join(seen_dir, d)
+        if d.startswith("batch=") and os.path.isdir(p) and os.listdir(p):
+            return True
+    return False
+
+
+def streaming_ingest_pipeline(
+    docs_stream: DataFrame,
+    *,
+    index_dir: str,
+    seen_dir: str,
+    checkpoint_dir: str,
+    weights: list[int],
+    feature_cols: list[str],
+    featurize: Callable[[DataFrame], DataFrame],
+    threshold: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    embed_dim: int = 16,
+):
+    """Wire :func:`ingest_batch` onto a ``readStream`` of documents and
+    start it (``availableNow`` processes the backlog then stops —
+    callers wanting a long-lived ingest pass their own trigger by
+    editing here; the checkpoint makes either mode resumable).
+
+    Requires an EXISTING committed index at ``index_dir`` (the
+    bootstrap build is a batch job: ``build_ivfpq_index_auto`` over the
+    initial corpus) — appends need the frozen model sidecar."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_batch(
+            batch_df,
+            batch_id,
+            index_dir=index_dir,
+            seen_dir=seen_dir,
+            weights=weights,
+            feature_cols=feature_cols,
+            featurize=featurize,
+            threshold=threshold,
+            id_col=id_col,
+            text_col=text_col,
+            embed_dim=embed_dim,
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
