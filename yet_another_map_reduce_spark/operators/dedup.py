@@ -1046,12 +1046,22 @@ def incremental_dedup(
     with exact_dedup, then run every subsequent crawl increment through
     incremental_dedup against the growing seen set.
 
-    Scale shape: both sides reduce to fixed-width md5 fingerprints
-    before any shuffle (the seen corpus is never re-read as text —
-    production keeps the fingerprint relation as its own compact
-    table); the LEFT ANTI join and the in-batch groupBy co-partition on
-    that same key, and the seen side deduplicates map-side via partial
-    aggregation.  Nothing is ever corpus x corpus.
+    Scale shape — the SEEN relation is the corpus-sized side and must
+    never shuffle per batch: a naive ``new LEFT ANTI seen`` can't
+    broadcast (Spark only builds the RIGHT side of an anti join, and
+    the right side here is the corpus), so past demo scale it degrades
+    to a sort-merge join that reshuffles the ENTIRE seen relation on
+    every micro-batch.  Instead the join is inverted into the
+    broadcast-batch shape: the batch's distinct fingerprints (bounded
+    by micro-batch size — KBs to MBs) broadcast onto a ONE-PASS
+    map-only semi-scan of seen, yielding ``hits`` (also batch-bounded),
+    and the batch anti-joins against broadcast ``hits``.  Per batch:
+    one map-only columnar scan of the fingerprint relation, two
+    batch-sized broadcasts, zero corpus shuffle, no corpus-side
+    distinct (pinned by
+    tests/test_plans.py::test_incremental_dedup_never_shuffles_seen).
+    Production keeps the seen relation as its own compact fp table —
+    the corpus is never re-read as text.
 
     ``seen_fp_col`` names a column of ``seen_df`` that ALREADY holds
     md5 fingerprints (the compact production relation the scale note
@@ -1065,9 +1075,11 @@ def incremental_dedup(
         seen_df.select(F.col(seen_fp_col).alias("__fp"))
         if seen_fp_col is not None
         else seen_df.select(fp.alias("__fp"))
-    ).distinct()
+    )
+    batch_keys = new_fp.select("__fp").distinct()
+    hits = seen_fp.join(F.broadcast(batch_keys), "__fp", "left_semi").distinct()
     return (
-        new_fp.join(seen_fp, "__fp", "left_anti")
+        new_fp.join(F.broadcast(hits), "__fp", "left_anti")
         .groupBy("__fp")
         .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
         .drop("__fp")

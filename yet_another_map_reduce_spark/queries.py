@@ -7335,6 +7335,58 @@ ORACLES["pack_sequences_bpe"] = f"""
 """
 
 
+def q_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-values over (o_custkey, o_totalprice) — the clustering
+    key behind :func:`sources.zorder.write_zordered` (the Delta
+    ``OPTIMIZE ZORDER BY`` recipe), hash-verified end to end: bucket
+    bounds come from an aggregate broadcast INSIDE the plan (no
+    driver collect), and the bucket + bit-interleave arithmetic is ONE
+    generated SQL expression (``zorder_sql``) evaluated by Spark here
+    and replayed verbatim by the DuckDB oracle.  Map-only over the
+    fact table: one narrow min/max aggregate broadcast plus codegen'd
+    integer math per row — the 100 TB cost of choosing a layout is one
+    extra column, the range shuffle that USES it is the writer's."""
+    from yet_another_map_reduce_spark.sources.zorder import zorder_sql
+
+    o = read_table(spark, sf_dir, "orders")
+    g = o.agg(
+        F.min("o_custkey").cast("double").alias("mn_c"),
+        F.max("o_custkey").cast("double").alias("mx_c"),
+        F.min("o_totalprice").cast("double").alias("mn_p"),
+        F.max("o_totalprice").cast("double").alias("mx_p"),
+    )
+    z = zorder_sql(
+        ["o_custkey", "o_totalprice"],
+        {"o_custkey": ("mn_c", "mx_c"), "o_totalprice": ("mn_p", "mx_p")},
+    )
+    return o.crossJoin(F.broadcast(g)).select(
+        "o_orderkey", F.expr(z).cast("bigint").alias("zval")
+    )
+
+
+def _zorder_oracle() -> str:
+    from yet_another_map_reduce_spark.sources.zorder import zorder_sql
+
+    z = zorder_sql(
+        ["o_custkey", "o_totalprice"],
+        {"o_custkey": ("mn_c", "mx_c"), "o_totalprice": ("mn_p", "mx_p")},
+    )
+    return f"""
+    WITH g AS (
+        SELECT CAST(min(o_custkey) AS DOUBLE) AS mn_c,
+               CAST(max(o_custkey) AS DOUBLE) AS mx_c,
+               CAST(min(o_totalprice) AS DOUBLE) AS mn_p,
+               CAST(max(o_totalprice) AS DOUBLE) AS mx_p
+        FROM orders
+    )
+    SELECT o_orderkey, CAST({z} AS BIGINT) AS zval
+    FROM orders CROSS JOIN g
+"""
+
+
+ORACLES["zorder_values"] = _zorder_oracle()
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -7532,6 +7584,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "feature_scaling": q_feature_scaling,
     "graph_pagerank": q_graph_pagerank,
     "graph_pagerank_cached": q_graph_pagerank_cached,
+    "zorder_values": q_zorder_values,
 }
 
 
