@@ -894,3 +894,51 @@ def test_ingest_pipeline_crash_mid_batch_never_serves_half_commit(
         spark, docs, batches, kw["weights"], kw["feature_cols"], kw["threshold"]
     )
     assert {i for i in ids if i >= 200} == expected
+
+
+def test_compact_seen_folds_batches_and_preserves_dedup(spark, tmp_path):
+    """Seen-relation maintenance: compaction folds the per-batch
+    fingerprint directories into one distinct generation, removes the
+    old directories, and is INVISIBLE to incremental_dedup — same
+    surviving set before and after.  A second compaction (including a
+    prior compacted generation) keeps working."""
+    from yet_another_map_reduce_spark.operators import dedup
+    from yet_another_map_reduce_spark.streaming import compact_seen
+
+    seen_dir = os.path.join(str(tmp_path), "seen")
+    rows = [(i, f"text number {i % 7}") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for b in range(3):  # overlapping fps across batches
+        dedup.batch_fingerprints(
+            docs.where(F.col("doc_id") % 3 == b), "text"
+        ).write.mode("overwrite").parquet(os.path.join(seen_dir, f"batch={b}"))
+
+    batch = spark.createDataFrame(
+        [(100, "text number 1"), (101, "brand new text")],
+        "doc_id long, text string",
+    )
+
+    def survivors():
+        return {
+            r["doc_id"]
+            for r in dedup.incremental_dedup(
+                batch, spark.read.parquet(seen_dir), "text", "doc_id",
+                seen_fp_col="fp",
+            ).collect()
+        }
+
+    before = survivors()
+    assert before == {101}  # the repeat is dropped, the fresh doc kept
+    n = compact_seen(spark, seen_dir)
+    assert n == 7  # 7 distinct texts
+    dirs = sorted(d for d in os.listdir(seen_dir) if d.startswith("batch="))
+    assert dirs == ["batch=-2"]
+    assert survivors() == before
+    # second generation: a new batch lands, compact again
+    dedup.batch_fingerprints(batch, "text").write.mode("overwrite").parquet(
+        os.path.join(seen_dir, "batch=5")
+    )
+    n2 = compact_seen(spark, seen_dir)
+    assert n2 == 8  # +1 new fp ("text number 1" already present)
+    dirs = sorted(d for d in os.listdir(seen_dir) if d.startswith("batch="))
+    assert dirs == ["batch=-3"]

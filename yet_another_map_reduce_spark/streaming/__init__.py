@@ -20,6 +20,7 @@ from yet_another_map_reduce_spark.streaming.stateful import (
     streaming_dedup_fuzzy,
 )
 from yet_another_map_reduce_spark.streaming.ingest import (
+    compact_seen,
     ingest_batch,
     streaming_ingest_pipeline,
 )
@@ -28,6 +29,7 @@ from yet_another_map_reduce_spark.streaming.joins import foreach_batch_upsert, s
 
 __all__ = [
     "file_stream",
+    "compact_seen",
     "foreach_batch_upsert",
     "ingest_batch",
     "rate_stream",

@@ -120,6 +120,44 @@ def _seen_exists(seen_dir: str) -> bool:
     return False
 
 
+def compact_seen(spark, seen_dir: str) -> int:
+    """Fold the ingest's accumulated per-batch fingerprint directories
+    into ONE distinct relation — the seen-side analog of
+    ``compact_ivfpq_index`` (module docstring: the seen relation grows
+    one hive directory per micro-batch; nightly appends make it a
+    many-small-files scan).  Returns the compacted fingerprint count.
+
+    Crash-safe by the dedup semantics themselves: the compacted
+    directory commits BEFORE the old batch directories are removed, and
+    duplicate fingerprints across directories are harmless to
+    ``incremental_dedup`` (the semi join's hits are distinct'd), so a
+    crash between write and cleanup only costs bytes, never
+    correctness.  Run it while the ingest stream is STOPPED — a batch
+    directory mid-write during the listing would be read partially but
+    deleted fully, losing fingerprints."""
+    import shutil
+
+    old = [
+        d
+        for d in os.listdir(seen_dir)
+        if d.startswith("batch=") and os.path.isdir(os.path.join(seen_dir, d))
+    ]
+    fps = spark.read.parquet(*[os.path.join(seen_dir, d) for d in old]).select(
+        "fp"
+    ).distinct()
+    # the compacted generation gets a fresh batch id BELOW every real
+    # one, so replayed stream batches can never collide with it
+    gen = min(int(d.split("=", 1)[1]) for d in old) - 1
+    target = os.path.join(seen_dir, f"batch={min(gen, -2)}")
+    fps.write.mode("overwrite").parquet(target)
+    n = spark.read.parquet(target).count()
+    for d in old:
+        p = os.path.join(seen_dir, d)
+        if p != target:
+            shutil.rmtree(p)
+    return n
+
+
 def streaming_ingest_pipeline(
     docs_stream: DataFrame,
     *,
