@@ -22,24 +22,14 @@ from yet_another_map_reduce_spark.operators import classify, dedup, similarity, 
 from yet_another_map_reduce_spark.queries import (  # noqa: E402
     _CLASSIFIER_FEATURE_COLS,
     _classifier_features,
-    _CLASSIFIER_STOPWORDS,
+    with_classifier_features,
 )
 from yet_another_map_reduce_spark.session import build_session  # noqa: E402
 from yet_another_map_reduce_spark.sources.readers import read_table  # noqa: E402
 from yet_another_map_reduce_spark.streaming import file_stream, streaming_ingest_pipeline  # noqa: E402
-from yet_another_map_reduce_spark.functions import normalize_text  # noqa: E402
 
 
-def featurize(d):
-    toks = F.split(normalize_text("text"), " ")
-    return d.withColumns(
-        {
-            "f_tokens": F.size(toks),
-            "f_chars": F.length(normalize_text("text")),
-            "f_stop": F.size(F.filter(toks, lambda t: t.isin(*_CLASSIFIER_STOPWORDS))),
-            "f_punct": F.length(F.regexp_replace(F.col("text"), r"[A-Za-z0-9\s]", "")),
-        }
-    )
+featurize = with_classifier_features
 
 
 def main() -> None:

@@ -23,26 +23,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import numpy as np  # noqa: E402
-
 from pyspark.sql import functions as F  # noqa: E402
+
+from yet_another_map_reduce_spark.fixtures import planted_anisotropic  # noqa: E402
 
 from yet_another_map_reduce_spark.operators import similarity  # noqa: E402
 from yet_another_map_reduce_spark.session import build_session  # noqa: E402
-
-
-def planted_anisotropic(spark, n_clusters: int, per: int, dim: int):
-    rng = np.random.default_rng(7)
-    centers = rng.normal(0.0, 0.4, (n_clusters, dim))
-    scales = rng.uniform(0.05, 1.0, (n_clusters, dim))
-    rows = []
-    vid = 0
-    for c in range(n_clusters):
-        pts = centers[c] + rng.normal(0.0, 1.0, (per, dim)) * scales[c]
-        for p in pts:
-            rows.append((vid, [round(float(x), 6) for x in p]))
-            vid += 1
-    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 
 
 def recall_at(out_df, exact: dict[int, set[int]]) -> float:
@@ -78,12 +64,12 @@ def main() -> None:
     # m=4/k=8 books collapse this overlapping geometry into so few
     # distinct codes that even EXHAUSTIVE probing reads recall ~0.09 —
     # measured before settling on these sizes.
-    cent = similarity.ivf_centroids(df, "vec_id", "embedding", nlist=n_clusters)
-    books = similarity.train_pq_codebooks(
-        df, "vec_id", "embedding", m=8, k=32, iterations=3
-    )
     index_dir = f"/tmp/probe_fraction_idx_{n_clusters}_{per}_{dim}"
     if not os.path.exists(os.path.join(index_dir, "CURRENT")):
+        cent = similarity.ivf_centroids(df, "vec_id", "embedding", nlist=n_clusters)
+        books = similarity.train_pq_codebooks(
+            df, "vec_id", "embedding", m=8, k=32, iterations=3
+        )
         similarity.build_ivfpq_index(
             df, "vec_id", "embedding", index_dir, centroids=cent, books=books
         )

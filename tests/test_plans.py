@@ -1085,22 +1085,12 @@ def test_probe_fraction_slopes_recall_on_overlapping_clusters(spark, tmp_path):
     nprobe=4 search); (c) probe_fraction > 1 clamps to nlist."""
     import os
 
-    import numpy as np
-
     from yet_another_map_reduce_spark.operators import similarity
 
-    rng = np.random.default_rng(7)
+    from yet_another_map_reduce_spark.fixtures import planted_anisotropic
+
     n_clusters, per, dim = 24, 100, 16
-    centers = rng.normal(0.0, 0.4, (n_clusters, dim))
-    scales = rng.uniform(0.05, 1.0, (n_clusters, dim))
-    rows = []
-    vid = 0
-    for c in range(n_clusters):
-        pts = centers[c] + rng.normal(0.0, 1.0, (per, dim)) * scales[c]
-        for p in pts:
-            rows.append((vid, [round(float(x), 6) for x in p]))
-            vid += 1
-    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    df = planted_anisotropic(spark, n_clusters, per, dim)
     q = df.where(F.col("vec_id") % 300 == 0)  # 8 queries
 
     cent = similarity.ivf_centroids(df, "vec_id", "embedding", nlist=n_clusters)
@@ -1246,3 +1236,22 @@ def test_incremental_dedup_never_shuffles_seen(spark, sf_dir, tmp_path):
     # remainder (the streamed/seen branch) for shuffles
     streamed = between.split("BroadcastExchange")[-1]
     assert "Exchange hashpartitioning" not in streamed
+
+
+def test_zorder_sql_clamps_out_of_range_values(spark):
+    """With caller-supplied bounds (the documented skip-the-scan path:
+    yesterday's min/max on a growing table), out-of-range values must
+    saturate at the edge buckets on BOTH sides — a negative bucket's
+    sign bits would scatter the row to a garbage z-value."""
+    from yet_another_map_reduce_spark.sources.zorder import zorder_sql
+
+    df = spark.createDataFrame(
+        [(-50,), (100,), (150,), (200,), (999,)], "v long"
+    )
+    z = F.expr(zorder_sql(["v"], {"v": ("100", "200")}, bits=8))
+    got = {r["v"]: r["z"] for r in df.select("v", z.alias("z")).collect()}
+    assert got[-50] == 0          # below min -> bucket 0, not negative
+    assert got[100] == 0
+    assert got[999] == 255        # above max saturates at the top bucket
+    assert got[200] == 255
+    assert 0 < got[150] < 255

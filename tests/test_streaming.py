@@ -645,22 +645,9 @@ def _ingest_fixture(spark, sf_dir, tmp_path):
     last = max(model, key=lambda r: r["iteration"])
     weights = [last[f"s{k}"] for k in range(len(_CLASSIFIER_FEATURE_COLS) + 1)]
 
-    def featurize(d):
-        toks = F.split(normalize_text("text"), " ")
-        from yet_another_map_reduce_spark.queries import _CLASSIFIER_STOPWORDS
+    from yet_another_map_reduce_spark.queries import with_classifier_features
 
-        return d.withColumns(
-            {
-                "f_tokens": F.size(toks),
-                "f_chars": F.length(normalize_text("text")),
-                "f_stop": F.size(
-                    F.filter(toks, lambda t: t.isin(*_CLASSIFIER_STOPWORDS))
-                ),
-                "f_punct": F.length(
-                    F.regexp_replace(F.col("text"), r"[A-Za-z0-9\s]", "")
-                ),
-            }
-        )
+    featurize = with_classifier_features
 
     # data-driven threshold: median margin over the increment, so the
     # gate both keeps and drops rows wherever the corpus lands

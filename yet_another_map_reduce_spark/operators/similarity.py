@@ -1278,13 +1278,19 @@ def _locked_occ_commit(
     leaves the lock behind; waiters break locks older than
     ``_COMMIT_LOCK_STALE_S`` (the section is milliseconds — a fresh
     lock is never broken) and give up loudly after a bounded wait.
-    Breaking is an atomic RENAME to a unique name followed by an
-    unlink of the renamed file: of N concurrent breakers exactly one
-    rename succeeds (renaming a missing source raises), so a slow
-    loser can never delete a lock that a winner has already broken
-    and a new committer has re-acquired — the stat-then-unlink
-    variant this replaces had exactly that window, which would have
-    let two committers into the critical section at once.
+    Breaking is an atomic RENAME to a unique name, a freshness
+    re-check on the RENAMED file, then unlink: of N concurrent
+    breakers exactly one rename succeeds (renaming a missing source
+    raises), and a breaker that discovers it renamed away a FRESH
+    lock (a racing breaker unlinked the stale one and a new committer
+    re-acquired between this breaker's stat and its rename) restores
+    it with a no-clobber ``os.link`` and backs off — the
+    stat-then-unlink variant this replaces let that slow loser delete
+    the new committer's live lock outright.  Residual window: if the
+    path is re-taken by yet another acquirer during the µs-scale
+    steal-then-restore interval, the restore is skipped and the
+    stolen victim runs unlocked; closing that completely needs a
+    fencing-capable store (etcd/ZooKeeper-class), not a lock file.
 
     Staleness compares the waiter's ``time.time()`` against the lock
     file's mtime, so it assumes writer/waiter clocks (and, on network
@@ -1321,13 +1327,43 @@ def _locked_occ_commit(
                 doomed = f"{lock}.stale.{os.getpid()}.{uuid.uuid4().hex[:8]}"
                 try:
                     os.rename(lock, doomed)
+                except FileNotFoundError:
+                    continue  # another breaker won (or holder released)
                 except OSError:
-                    pass  # another breaker won (or holder released): retry
-                else:
+                    # can't break (e.g. dir perms): bounded wait below
+                    if time.monotonic() > deadline:
+                        raise IndexConflictError(
+                            f"commit lock {lock} unbreakable and held "
+                            ">30 s; remove it manually if no writer is "
+                            "alive"
+                        )
+                    time.sleep(0.05)
+                    continue
+                # Verify the rename grabbed the SAME stale instance we
+                # judged: if the renamed file is FRESH, a racing breaker
+                # unlinked the stale lock and a new committer re-created
+                # it between our stat and our rename — restore it
+                # no-clobber (link fails if the path was re-taken) and
+                # back off.  This narrows the judge-then-break gap to
+                # the microseconds between stat and rename AND requires
+                # that exact interleaving to matter; the complete fix is
+                # a fencing-capable store, out of scope for a lock file.
+                try:
+                    victim_fresh = (
+                        time.time() - os.path.getmtime(doomed)
+                        <= _COMMIT_LOCK_STALE_S
+                    )
+                except OSError:
+                    victim_fresh = False
+                if victim_fresh:
                     try:
-                        os.unlink(doomed)
+                        os.link(doomed, lock)
                     except OSError:
-                        pass
+                        pass  # path re-taken meanwhile: can't restore
+                try:
+                    os.unlink(doomed)
+                except OSError:
+                    pass
                 continue
             if time.monotonic() > deadline:
                 raise IndexConflictError(

@@ -4015,24 +4015,39 @@ def q_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CLASSIFIER_STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
 
+def with_classifier_features(d: DataFrame) -> DataFrame:
+    """Append the four exact-count quality features to ``d`` KEEPING
+    the payload — the form a gate consumer needs (classify.quality_gate
+    keeps its input's columns, and the ingest pipeline still needs the
+    text downstream for embedding).  This is THE single definition of
+    the feature expressions: the trainer's projection, the throughput
+    script, and the ingest tests all derive from it, so a change to the
+    stopword list or the punctuation regex can never train on one
+    feature set and score on another."""
+    toks = F.split(normalize_text("text"), " ")
+    return d.withColumns(
+        {
+            "f_tokens": F.size(toks),
+            "f_chars": F.length(normalize_text("text")),
+            "f_stop": F.size(
+                F.filter(toks, lambda t: t.isin(*_CLASSIFIER_STOPWORDS))
+            ),
+            "f_punct": F.length(
+                F.regexp_replace(F.col("text"), r"[A-Za-z0-9\s]", "")
+            ),
+        }
+    )
+
+
 def _classifier_features(d: DataFrame) -> DataFrame:
     """Labeled integer features for the quality-classifier demos:
-    y = ±1 on the language label, four exact-count features (token
-    count, normalized length, stopword hits — the English signal —
-    and punctuation chars).  Integer-exact on both engines, so the
-    training loop is hash-verifiable."""
-    toks = F.split(normalize_text("text"), " ")
-    return d.select(
+    y = ±1 on the language label plus :func:`with_classifier_features`'
+    four exact-count features (integer-exact on both engines, so the
+    training loop is hash-verifiable)."""
+    return with_classifier_features(d).select(
         F.col("doc_id"),
         F.when(F.col("lang") == "en", 1).otherwise(-1).alias("y"),
-        F.size(toks).alias("f_tokens"),
-        F.length(normalize_text("text")).alias("f_chars"),
-        F.size(
-            F.filter(toks, lambda t: t.isin(*_CLASSIFIER_STOPWORDS))
-        ).alias("f_stop"),
-        F.length(F.regexp_replace(F.col("text"), r"[A-Za-z0-9\s]", "")).alias(
-            "f_punct"
-        ),
+        *_CLASSIFIER_FEATURE_COLS,
     )
 
 

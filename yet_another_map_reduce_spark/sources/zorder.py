@@ -63,9 +63,15 @@ def zorder_sql(cols: list[str], bounds: dict[str, tuple[str, str]], bits: int = 
         frac = (
             f"(CAST({col} AS DOUBLE) - CAST({mn} AS DOUBLE)) / {span}"
         )
+        # clamp BOTH sides: with caller-supplied bounds (yesterday's
+        # min/max on a growing table) out-of-range values must saturate
+        # at the edge buckets — a negative bucket's sign bits would
+        # scatter the row to a garbage z-value and blow up that file's
+        # min/max span on every clustered column
         bucket = (
             f"(CASE WHEN {col} IS NULL OR {span} <= CAST(0 AS DOUBLE) THEN 0 "
-            f"ELSE least({2 ** bits - 1}, CAST(floor({frac} * {2 ** bits}) AS BIGINT)) "
+            f"ELSE greatest(0, least({2 ** bits - 1}, "
+            f"CAST(floor({frac} * {2 ** bits}) AS BIGINT))) "
             f"END)"
         )
         for i in range(bits):

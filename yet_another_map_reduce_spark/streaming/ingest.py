@@ -92,20 +92,29 @@ def ingest_batch(
         featurize(fresh), weights, feature_cols, threshold=threshold
     )
 
-    # 3. embed + exactly-once index append (batch_id is the txn token)
+    # 3. embed + exactly-once index append (batch_id is the txn token).
+    # vecs is PERSISTED across the emptiness check and the append's two
+    # consumers (cell assignment + PQ encoding): without the cache the
+    # whole dedup->gate->embed lineage — including the map-only scan of
+    # the corpus-sized seen relation — would re-evaluate three times
+    # per micro-batch instead of once.
     vecs = text.hash_embed_dense(
         gated.select(id_col, text_col), text_col, id_col, dim=embed_dim
-    )
-    if vecs.limit(1).count() > 0:
-        similarity.append_to_ivfpq_index(
-            spark, index_dir, vecs, id_col, "embedding", token=f"b{batch_id:012d}"
-        )
+    ).persist()
+    try:
+        if vecs.count() > 0:
+            similarity.append_to_ivfpq_index(
+                spark, index_dir, vecs, id_col, "embedding",
+                token=f"b{batch_id:012d}",
+            )
 
-    # 4. record the WHOLE batch's fingerprints (idempotent: the path is
-    # batch-id-derived and overwritten on replay)
-    dedup.batch_fingerprints(batch_df, text_col).write.mode("overwrite").parquet(
-        os.path.join(seen_dir, f"batch={batch_id}")
-    )
+        # 4. record the WHOLE batch's fingerprints (idempotent: the
+        # path is batch-id-derived and overwritten on replay)
+        dedup.batch_fingerprints(batch_df, text_col).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(seen_dir, f"batch={batch_id}"))
+    finally:
+        vecs.unpersist()
 
 
 def _seen_exists(seen_dir: str) -> bool:
@@ -142,6 +151,8 @@ def compact_seen(spark, seen_dir: str) -> int:
         for d in os.listdir(seen_dir)
         if d.startswith("batch=") and os.path.isdir(os.path.join(seen_dir, d))
     ]
+    if not old:
+        return 0  # fresh or fully-compacted-and-emptied dir: nothing to fold
     fps = spark.read.parquet(*[os.path.join(seen_dir, d) for d in old]).select(
         "fp"
     ).distinct()
