@@ -929,3 +929,55 @@ def test_compact_seen_folds_batches_and_preserves_dedup(spark, tmp_path):
     assert n2 == 8  # +1 new fp ("text number 1" already present)
     dirs = sorted(d for d in os.listdir(seen_dir) if d.startswith("batch="))
     assert dirs == ["batch=-3"]
+
+
+def test_maintain_ingest_compacts_both_sides_and_preserves_search(
+    spark, sf_dir, tmp_path
+):
+    """The stopped-stream maintenance job: after two appends and three
+    fingerprint batches, maintain_ingest folds the seen relation to one
+    generation and the index to one segment, vacuums the superseded
+    versions, and search results over the index are EXACTLY what they
+    were before maintenance."""
+    from yet_another_map_reduce_spark.operators import dedup, similarity, text
+    from yet_another_map_reduce_spark.streaming import maintain_ingest
+
+    docs = read_table(spark, sf_dir, "documents")
+    index_dir = os.path.join(str(tmp_path), "m_idx")
+    seen_dir = os.path.join(str(tmp_path), "m_seen")
+    vecs = text.hash_embed_dense(docs.select("doc_id", "text"), "text", "doc_id")
+    similarity.build_ivfpq_index_auto(
+        vecs.where(F.col("doc_id") < 300), "doc_id", "embedding", index_dir,
+        books=similarity.train_pq_codebooks(vecs, "doc_id", "embedding"),
+    )
+    similarity.append_to_ivfpq_index(
+        spark, index_dir,
+        vecs.where((F.col("doc_id") >= 300) & (F.col("doc_id") < 400)),
+        "doc_id", "embedding", token="m0",
+    )
+    similarity.append_to_ivfpq_index(
+        spark, index_dir, vecs.where(F.col("doc_id") >= 400),
+        "doc_id", "embedding", token="m1",
+    )
+    for b in range(3):
+        dedup.batch_fingerprints(
+            docs.where(F.col("doc_id") % 3 == b), "text"
+        ).write.parquet(os.path.join(seen_dir, f"batch={b}"))
+
+    q = vecs.where(F.col("doc_id") < 3)
+
+    def results():
+        out = similarity.search_ivfpq_index(
+            spark, index_dir, q, "doc_id", "embedding", k=5, nprobe=4
+        )
+        return sorted(map(tuple, out.collect()))
+
+    before = results()
+    stats = maintain_ingest(
+        spark, index_dir, seen_dir, keep_versions=0, retention_seconds=0
+    )
+    assert stats["seen_fps"] > 0
+    assert [d for d in os.listdir(seen_dir) if d.startswith("batch=")] == ["batch=-2"]
+    live = similarity._resolve_index_dir(index_dir)
+    assert len(similarity._segment_names(live, index_dir)) == 1
+    assert results() == before

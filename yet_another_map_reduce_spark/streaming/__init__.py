@@ -22,6 +22,7 @@ from yet_another_map_reduce_spark.streaming.stateful import (
 from yet_another_map_reduce_spark.streaming.ingest import (
     compact_seen,
     ingest_batch,
+    maintain_ingest,
     streaming_ingest_pipeline,
 )
 from yet_another_map_reduce_spark.streaming.sources import file_stream, rate_stream
@@ -32,6 +33,7 @@ __all__ = [
     "compact_seen",
     "foreach_batch_upsert",
     "ingest_batch",
+    "maintain_ingest",
     "rate_stream",
     "session_windowed",
     "sliding_windowed",

@@ -182,11 +182,15 @@ def streaming_ingest_pipeline(
     id_col: str = "doc_id",
     text_col: str = "text",
     embed_dim: int = 16,
+    trigger: dict | None = None,
 ):
     """Wire :func:`ingest_batch` onto a ``readStream`` of documents and
-    start it (``availableNow`` processes the backlog then stops —
-    callers wanting a long-lived ingest pass their own trigger by
-    editing here; the checkpoint makes either mode resumable).
+    start it.  ``trigger`` passes through to
+    ``DataStreamWriter.trigger`` — default ``{"availableNow": True}``
+    processes the backlog then stops (the nightly-catchup shape);
+    ``{"processingTime": "30 seconds"}`` runs a long-lived ingest.  The
+    checkpoint makes either mode resumable and their batch ids (and so
+    the append txn tokens) consistent across mode switches.
 
     Requires an EXISTING committed index at ``index_dir`` (the
     bootstrap build is a batch job: ``build_ivfpq_index_auto`` over the
@@ -210,6 +214,34 @@ def streaming_ingest_pipeline(
     return (
         docs_stream.writeStream.foreachBatch(_sink)
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
+        .trigger(**(trigger if trigger is not None else {"availableNow": True}))
         .start()
     )
+
+
+def maintain_ingest(
+    spark,
+    index_dir: str,
+    seen_dir: str,
+    keep_versions: int = 2,
+    retention_seconds: float = 3600.0,
+) -> dict:
+    """The periodic maintenance job for a running ingest deployment,
+    run while the stream is STOPPED (both halves document why): fold
+    the per-batch fingerprint directories into one generation
+    (:func:`compact_seen`), fold the index's accumulated append
+    segments into one (:func:`compact_ivfpq_index` — search results
+    bit-identical by that function's contract), then vacuum index
+    versions/segments past the retention window
+    (:func:`vacuum_ivfpq_index`).
+
+    Returns a summary dict: ``seen_fps`` (compacted fingerprint
+    count), ``index_version`` (the compacted live version dir), and
+    the vacuum stats."""
+    seen_fps = compact_seen(spark, seen_dir)
+    version = similarity.compact_ivfpq_index(spark, index_dir)
+    vac = similarity.vacuum_ivfpq_index(
+        index_dir, keep_versions=keep_versions,
+        retention_seconds=retention_seconds,
+    )
+    return {"seen_fps": seen_fps, "index_version": version, "vacuum": vac}
