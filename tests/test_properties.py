@@ -421,3 +421,48 @@ def test_bpe_8k_frozen_table_matches_training():
     )
     assert [list(p) for p in retrained] == frozen["merges"]
     assert os.path.getsize(_BPE_8K_FROZEN) < 1 << 20  # stays model-parameter scale
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.integers(min_value=-(10**6), max_value=10**6), min_size=1, max_size=40
+    ),
+    lo=st.integers(min_value=-1000, max_value=1000),
+    width=st.integers(min_value=1, max_value=2000),
+)
+def test_zorder_sql_matches_python_morton(spark, vals, lo, width):
+    """The generated z-value SQL (evaluated by Spark; the same string
+    the DuckDB oracle replays) equals a pure-Python Morton reference —
+    bucketing from arbitrary bounds, two-sided clamping, and bit
+    interleave over 2 columns — for arbitrary values INCLUDING ones
+    outside the bounds."""
+    from yet_another_map_reduce_spark.sources.zorder import zorder_sql
+
+    hi = lo + width
+    rows = [(v, (v * 7 + 3) % (2 * 10**6) - 10**6) for v in vals]
+
+    def bucket(v: float) -> int:
+        frac = (float(v) - lo) / (float(hi) - lo)
+        import math
+
+        return max(0, min(255, int(math.floor(frac * 256))))
+
+    def morton(a: int, b: int) -> int:
+        z = 0
+        for i in range(8):
+            z |= ((bucket(a) >> i) & 1) << (2 * i)
+            z |= ((bucket(b) >> i) & 1) << (2 * i + 1)
+        return z
+
+    df = spark.createDataFrame(rows, "a long, b long")
+    z = F.expr(
+        zorder_sql(["a", "b"], {"a": (str(lo), str(hi)), "b": (str(lo), str(hi))})
+    )
+    got = {(r["a"], r["b"]): r["z"] for r in df.select("a", "b", z.alias("z")).collect()}
+    for a, b in rows:
+        assert got[(a, b)] == morton(a, b), (a, b, lo, hi)
