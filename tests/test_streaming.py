@@ -981,3 +981,39 @@ def test_maintain_ingest_compacts_both_sides_and_preserves_search(
     live = similarity._resolve_index_dir(index_dir)
     assert len(similarity._segment_names(live, index_dir)) == 1
     assert results() == before
+
+
+def test_maintain_ingest_is_noop_when_already_compacted(spark, sf_dir, tmp_path):
+    """Maintenance on an already-compacted deployment must not rewrite
+    anything: a missing seen dir returns 0, a single-generation seen
+    relation is left untouched (no downward-marching generation ids),
+    and a single-segment index keeps its live version instead of being
+    rewritten into a new one."""
+    from yet_another_map_reduce_spark.operators import dedup, similarity, text
+    from yet_another_map_reduce_spark.streaming import compact_seen, maintain_ingest
+
+    docs = read_table(spark, sf_dir, "documents")
+    index_dir = os.path.join(str(tmp_path), "n_idx")
+    seen_dir = os.path.join(str(tmp_path), "n_seen")
+    vecs = text.hash_embed_dense(docs.select("doc_id", "text"), "text", "doc_id")
+    similarity.build_ivfpq_index_auto(
+        vecs, "doc_id", "embedding", index_dir,
+        books=similarity.train_pq_codebooks(vecs, "doc_id", "embedding"),
+    )
+    # missing seen dir: compact side is a 0 no-op, index untouched
+    live_before = similarity._resolve_index_dir(index_dir)
+    stats = maintain_ingest(spark, index_dir, seen_dir, retention_seconds=3600)
+    assert stats["seen_fps"] == 0
+    assert stats["index_version"] == live_before
+    assert similarity._resolve_index_dir(index_dir) == live_before
+
+    # single-generation seen: no rewrite, same dir stays
+    dedup.batch_fingerprints(docs, "text").write.parquet(
+        os.path.join(seen_dir, "batch=-2")
+    )
+    n = compact_seen(spark, seen_dir)
+    assert n > 0
+    assert [d for d in os.listdir(seen_dir) if d.startswith("batch=")] == ["batch=-2"]
+    stats2 = maintain_ingest(spark, index_dir, seen_dir, retention_seconds=3600)
+    assert stats2["seen_fps"] == n
+    assert stats2["index_version"] == live_before

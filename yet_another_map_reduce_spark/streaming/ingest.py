@@ -146,6 +146,8 @@ def compact_seen(spark, seen_dir: str) -> int:
     deleted fully, losing fingerprints."""
     import shutil
 
+    if not os.path.isdir(seen_dir):
+        return 0  # maintenance fired before the first batch ever landed
     old = [
         d
         for d in os.listdir(seen_dir)
@@ -153,6 +155,10 @@ def compact_seen(spark, seen_dir: str) -> int:
     ]
     if not old:
         return 0  # fresh or fully-compacted-and-emptied dir: nothing to fold
+    if len(old) == 1:
+        # already one generation: folding would rewrite the full relation
+        # (and march the generation id downward) for nothing
+        return spark.read.parquet(os.path.join(seen_dir, old[0])).count()
     fps = spark.read.parquet(*[os.path.join(seen_dir, d) for d in old]).select(
         "fp"
     ).distinct()
@@ -214,7 +220,7 @@ def streaming_ingest_pipeline(
     return (
         docs_stream.writeStream.foreachBatch(_sink)
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(**(trigger if trigger is not None else {"availableNow": True}))
+        .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
 
@@ -239,7 +245,12 @@ def maintain_ingest(
     count), ``index_version`` (the compacted live version dir), and
     the vacuum stats."""
     seen_fps = compact_seen(spark, seen_dir)
-    version = similarity.compact_ivfpq_index(spark, index_dir)
+    live = similarity._resolve_index_dir(index_dir)
+    if len(similarity._segment_names(live, index_dir)) > 1:
+        version = similarity.compact_ivfpq_index(spark, index_dir)
+    else:
+        version = live  # already one segment: a compaction would rewrite
+        # the full corpus-scale index into a new version for nothing
     vac = similarity.vacuum_ivfpq_index(
         index_dir, keep_versions=keep_versions,
         retention_seconds=retention_seconds,
