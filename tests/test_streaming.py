@@ -785,9 +785,12 @@ def test_streaming_ingest_pipeline_golden(spark, sf_dir, tmp_path):
     stream = file_stream(
         spark, f"{replay}/b*", schema, fmt="parquet", max_files_per_trigger=1
     )
+    # trigger={} (falsy, not None) must fall back to availableNow —
+    # pins the config-driven-caller guard at no extra test cost
     q = streaming_ingest_pipeline(
         stream,
         checkpoint_dir=os.path.join(str(tmp_path), "ingest_ckpt"),
+        trigger={},
         **kw,
     )
     q.awaitTermination(300)
