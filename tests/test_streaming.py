@@ -1020,3 +1020,70 @@ def test_maintain_ingest_is_noop_when_already_compacted(spark, sf_dir, tmp_path)
     stats2 = maintain_ingest(spark, index_dir, seen_dir, retention_seconds=3600)
     assert stats2["seen_fps"] == n
     assert stats2["index_version"] == live_before
+
+
+def test_ingest_crash_after_append_before_fp_write_converges(
+    spark, sf_dir, tmp_path
+):
+    """The OTHER crash window: batch 1's index append COMMITS, then the
+    crash hits before the fingerprint write.  On restart foreachBatch
+    replays batch 1: dedup re-selects the same survivors (seen lacks
+    the batch), and the append must be a TOKEN NO-OP (its segment is
+    already in the live manifest — the exactly-once branch that the
+    before-commit crash test never reaches), then the fingerprint write
+    completes.  Final state must equal the no-crash run with every
+    document ingested exactly once."""
+    import pytest
+
+    from yet_another_map_reduce_spark.operators import dedup, similarity
+    from yet_another_map_reduce_spark.streaming import streaming_ingest_pipeline
+
+    docs, batches, replay, kw = _ingest_fixture(spark, sf_dir, tmp_path)
+    index_dir = kw["index_dir"]
+    schema = spark.read.parquet(os.path.join(replay, "b0")).schema
+    ckpt = os.path.join(str(tmp_path), "ingest_ckpt")
+
+    orig = dedup.batch_fingerprints
+    state = {"writes": 0}
+
+    def dying_fp(df, text_col):
+        state["writes"] += 1
+        if state["writes"] == 2:
+            raise RuntimeError("injected crash after append commit")
+        return orig(df, text_col)
+
+    dedup.batch_fingerprints = dying_fp
+    try:
+        stream = file_stream(
+            spark, f"{replay}/b*", schema, fmt="parquet", max_files_per_trigger=1
+        )
+        q = streaming_ingest_pipeline(stream, checkpoint_dir=ckpt, **kw)
+        with pytest.raises(Exception, match="injected crash"):
+            q.awaitTermination(300)
+    finally:
+        dedup.batch_fingerprints = orig
+
+    # batch 1's append COMMITTED (its segment is live) but its
+    # fingerprints were not recorded — the asymmetric half-state
+    live = similarity._resolve_index_dir(index_dir)
+    assert "seg_b000000000001" in similarity._segment_names(live, index_dir)
+    assert not os.path.exists(os.path.join(kw["seen_dir"], "batch=1"))
+
+    # restart: batch 1 replays; its append must hit the token-skip
+    # branch (no new segment, no duplicate vectors), then fp write lands
+    stream = file_stream(
+        spark, f"{replay}/b*", schema, fmt="parquet", max_files_per_trigger=1
+    )
+    q = streaming_ingest_pipeline(stream, checkpoint_dir=ckpt, **kw)
+    q.awaitTermination(300)
+
+    live = similarity._resolve_index_dir(index_dir)
+    segs = similarity._segment_names(live, index_dir)
+    assert len([s for s in segs if s == "seg_b000000000001"]) == 1
+    assert os.path.exists(os.path.join(kw["seen_dir"], "batch=1"))
+    ids = _live_index_ids(spark, index_dir)
+    assert len(ids) == len(set(ids)), "token no-op failed: double ingest"
+    expected = _expected_ingested_ids(
+        spark, docs, batches, kw["weights"], kw["feature_cols"], kw["threshold"]
+    )
+    assert {i for i in ids if i >= 200} == expected
