@@ -1096,18 +1096,19 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental-load dedup: an incoming batch keeps only documents
-    whose fingerprint is unseen in the existing corpus (anti join on
-    the fixed-width fingerprint, never on document bodies) — the
-    composition every nightly ingest runs."""
+    """Incremental-load dedup: an incoming batch keeps only the first
+    occurrence of each fingerprint unseen in the existing corpus — THE
+    operator the streaming ingest pipeline runs per micro-batch
+    (dedup.incremental_dedup), so the oracle hash-verifies the real
+    code path: the r11 inverted join where the batch keys broadcast
+    into a semi-scan of the corpus-sized side and the corpus never
+    shuffles (plan-pinned by test_incremental_dedup_never_shuffles_seen;
+    previously this query inlined its own anti join and left the
+    operator itself oracle-unverified)."""
     d = read_table(spark, sf_dir, "documents")
     existing = d.where(F.col("doc_id") < 250)
     incoming = d.where(F.col("doc_id") >= 250)
-    fp = text.fingerprint("text")
-    new_docs = incoming.withColumn("__fp", fp).join(
-        existing.select(fp.alias("__fp")).distinct(), on="__fp", how="left_anti"
-    )
-    return new_docs.select("doc_id", "__fp").withColumnRenamed("__fp", "fingerprint")
+    return dedup.incremental_dedup(incoming, existing, "text", "doc_id")
 
 
 def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5471,12 +5472,14 @@ ORACLES: dict[str, str] = {
         ) WHERE rn = 1
     """,
     "dedup_incremental": f"""
-        SELECT doc_id, md5({_TEXT_NORM}) AS fingerprint
+        SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+               CAST(count(*) AS BIGINT) AS dup_count
         FROM documents
         WHERE doc_id >= 250
           AND md5({_TEXT_NORM}) NOT IN (
               SELECT md5({_TEXT_NORM}) FROM documents WHERE doc_id < 250
           )
+        GROUP BY md5({_TEXT_NORM})
     """,
     "fuzzy_match_entities": """
         WITH dirty AS (
