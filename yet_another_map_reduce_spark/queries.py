@@ -7353,6 +7353,53 @@ ORACLES["pack_sequences_bpe"] = f"""
 """
 
 
+def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-interval overlap join through the REAL operator
+    (joins.interval_overlap_join — previously test-only, r11 audit):
+    both sides explode onto coarse buckets and equi-join, with a match
+    accepted only in the bucket containing the overlap's start, so the
+    result is duplicate-free WITHOUT a dedup shuffle.  The oracle is
+    the plain theta join (l_lo <= r_hi AND r_lo <= l_hi) — a hash match
+    proves the bucketing introduces no duplicates and drops no pairs.
+    Deterministic integer intervals derived from the keys keep the
+    bucket math exact on both engines."""
+    sup = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (F.col("s_suppkey") * 10).alias("s_lo"),
+        (F.col("s_suppkey") * 10 + 15).alias("s_hi"),
+    )
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_custkey") * 7).alias("c_lo"),
+        (F.col("c_custkey") * 7 + 9).alias("c_hi"),
+    )
+    out = joins.interval_overlap_join(
+        cust, sup, "c_lo", "c_hi", "s_lo", "s_hi", bucket_width=64.0
+    )
+    return out.select(
+        "c_custkey",
+        "s_suppkey",
+        F.greatest("c_lo", "s_lo").cast("bigint").alias("overlap_lo"),
+        F.least("c_hi", "s_hi").cast("bigint").alias("overlap_hi"),
+    )
+
+
+ORACLES["interval_overlap_join"] = """
+    WITH c AS (
+        SELECT c_custkey, c_custkey * 7 AS c_lo, c_custkey * 7 + 9 AS c_hi
+        FROM customer
+    ),
+    s AS (
+        SELECT s_suppkey, s_suppkey * 10 AS s_lo, s_suppkey * 10 + 15 AS s_hi
+        FROM supplier
+    )
+    SELECT c_custkey, s_suppkey,
+           CAST(greatest(c_lo, s_lo) AS BIGINT) AS overlap_lo,
+           CAST(least(c_hi, s_hi) AS BIGINT) AS overlap_hi
+    FROM c JOIN s ON c_lo <= s_hi AND s_lo <= c_hi
+"""
+
+
 def q_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton z-values over (o_custkey, o_totalprice) — the clustering
     key behind :func:`sources.zorder.write_zordered` (the Delta
@@ -7602,6 +7649,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "feature_scaling": q_feature_scaling,
     "graph_pagerank": q_graph_pagerank,
     "graph_pagerank_cached": q_graph_pagerank_cached,
+    "interval_overlap_join": q_interval_overlap_join,
     "zorder_values": q_zorder_values,
 }
 
