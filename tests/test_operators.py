@@ -1802,3 +1802,66 @@ def test_text_operators_survive_pathological_corpus(spark):
     )
     out = classify.perceptron_train(feats, "y", ["f1", "f2"], 2).collect()
     assert len(out) == 2 and all(isinstance(r["w1"], int) for r in out)
+
+
+def test_window_and_sort_thin_wrappers_match_builtins(spark):
+    """row_numbered / lead_col / sort_within_partitions had no direct
+    coverage (r11 audit of operator functions unreferenced by the
+    registry): pin each against the raw Spark construct it wraps so the
+    API surface is exercised, not just its siblings."""
+    from pyspark.sql import Window
+
+    from yet_another_map_reduce_spark.operators import sorts, windows
+
+    df = spark.createDataFrame(
+        [("a", 3), ("a", 1), ("a", 2), ("b", 9), ("b", 7)], "g string, v long"
+    )
+    w = Window.partitionBy("g").orderBy("v")
+    expect_rn = {
+        (r["g"], r["v"]): r["rn"]
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    got_rn = {
+        (r["g"], r["v"]): r["rn"]
+        for r in windows.row_numbered(df, ["g"], ["v"]).collect()
+    }
+    assert got_rn == expect_rn
+
+    got_lead = {
+        (r["g"], r["v"]): r["v_lead1"]
+        for r in windows.lead_col(df, ["g"], ["v"], "v").collect()
+    }
+    expect_lead = {
+        (r["g"], r["v"]): r["nxt"]
+        for r in df.withColumn("nxt", F.lead("v", 1).over(w)).collect()
+    }
+    assert got_lead == expect_lead
+
+    # partition-local sort: each partition comes out ordered, and the
+    # plan grows NO exchange (the reference-F5 contract)
+    parted = df.repartition(2, "g")
+    out = sorts.sort_within_partitions(parted, ["v"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == parted._jdf.queryExecution().executedPlan().toString().count("Exchange")
+
+    def per_partition_sorted(it):
+        vals = [r["v"] for r in it]
+        yield (vals == sorted(vals),)
+
+    flags = [t[0] for t in out.rdd.mapPartitions(per_partition_sorted).collect()]
+    assert all(flags)
+
+
+def test_text_scalar_helpers_hand_values(spark):
+    """char_count / mean_word_length pinned on hand-computed values
+    (r11 audit: previously zero direct coverage)."""
+    from yet_another_map_reduce_spark.operators import text
+
+    df = spark.createDataFrame([("ab cde f",), ("",)], "t string")
+    rows = df.select(
+        text.char_count("t").alias("n"),
+        text.mean_word_length("t").alias("mwl"),
+    ).collect()
+    assert rows[0]["n"] == 8
+    assert rows[0]["mwl"] == 2.0  # (2+3+1)/3
+    assert rows[1]["n"] == 0
