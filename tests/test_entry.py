@@ -206,3 +206,40 @@ def test_registry_invariants_frozen_and_oracle_mapped():
         "tokenize_8k got the encode-half recursive-CTE oracle) - "
         f"document any new rows-only exception here: {rows_only}"
     )
+
+
+def test_no_zero_coverage_operator_functions():
+    """Every public operator function is referenced by the registry or
+    by at least one test — the r11 audit invariant (it caught a registry
+    row inlining its own logic and five wrapper functions with no
+    coverage anywhere).  Mirrors scripts/audit_registry_refs.py."""
+    import ast
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ops = os.path.join(root, "yet_another_map_reduce_spark", "operators")
+    queries_src = open(
+        os.path.join(root, "yet_another_map_reduce_spark", "queries.py")
+    ).read()
+    tests_src = "\n".join(
+        open(os.path.join(root, "tests", f)).read()
+        for f in os.listdir(os.path.join(root, "tests"))
+        if f.endswith(".py")
+    )
+    uncovered = []
+    for mod in sorted(os.listdir(ops)):
+        if not mod.endswith(".py") or mod.startswith("_"):
+            continue
+        tree = ast.parse(open(os.path.join(ops, mod)).read())
+        for node in tree.body:
+            if (
+                isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef))
+                and not node.name.startswith("_")
+                and node.name not in queries_src
+                and node.name not in tests_src
+            ):
+                uncovered.append(f"{mod[:-3]}.{node.name}")
+    assert uncovered == [], (
+        f"operator functions with no registry or test reference: {uncovered} "
+        "— cover them or delete them (see scripts/audit_registry_refs.py)"
+    )
