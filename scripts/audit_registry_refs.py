@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import ast
 import os
+import re
 import subprocess
 import sys
 
@@ -34,13 +35,16 @@ def main() -> None:
             continue
         tree = ast.parse(open(os.path.join(OPS, mod)).read())
         for node in tree.body:
+            # identifier-boundary match, not substring: a name that is a
+            # prefix of another identifier (hash_embed vs
+            # hash_embed_dense) must not count as covered (r11 ADVICE)
             if (
                 isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef))
                 and not node.name.startswith("_")
-                and node.name not in queries_src
+                and not re.search(rf"\b{re.escape(node.name)}\b", queries_src)
             ):
                 n_tests = subprocess.run(
-                    ["grep", "-rl", node.name, os.path.join(ROOT, "tests")],
+                    ["grep", "-rlw", node.name, os.path.join(ROOT, "tests")],
                     capture_output=True, text=True,
                 ).stdout.count("\n")
                 rows.append((f"{mod[:-3]}.{node.name}", n_tests))

@@ -212,9 +212,13 @@ def test_no_zero_coverage_operator_functions():
     """Every public operator function is referenced by the registry or
     by at least one test — the r11 audit invariant (it caught a registry
     row inlining its own logic and five wrapper functions with no
-    coverage anywhere).  Mirrors scripts/audit_registry_refs.py."""
+    coverage anywhere).  Mirrors scripts/audit_registry_refs.py.
+    References match on identifier boundaries, not substrings: a name
+    that prefixes another identifier (hash_embed vs hash_embed_dense)
+    must not read as covered (r11 ADVICE)."""
     import ast
     import os
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     ops = os.path.join(root, "yet_another_map_reduce_spark", "operators")
@@ -235,8 +239,10 @@ def test_no_zero_coverage_operator_functions():
             if (
                 isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef))
                 and not node.name.startswith("_")
-                and node.name not in queries_src
-                and node.name not in tests_src
+                and not re.search(
+                    rf"\b{re.escape(node.name)}\b", queries_src
+                )
+                and not re.search(rf"\b{re.escape(node.name)}\b", tests_src)
             ):
                 uncovered.append(f"{mod[:-3]}.{node.name}")
     assert uncovered == [], (

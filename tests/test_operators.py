@@ -1852,6 +1852,42 @@ def test_window_and_sort_thin_wrappers_match_builtins(spark):
     assert all(flags)
 
 
+def test_boundary_audit_stragglers_match_builtins(spark):
+    """distinct_count / discounted_price / sliding had zero direct
+    references once the coverage audit matched identifier BOUNDARIES
+    instead of substrings (r11 ADVICE — each had been shadow-covered by
+    a longer sibling name: approx_distinct_count, a same-named result
+    column, prose 'sliding window').  Pin each against the raw
+    construct it wraps."""
+    from yet_another_map_reduce_spark.operators import aggregates, udxf, windows
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 2), ("b", 5)], "g string, v long"
+    )
+    got = {
+        r["g"]: r["nv"]
+        for r in aggregates.distinct_count(df, ["g"], "v", "nv").collect()
+    }
+    assert got == {"a": 2, "b": 1}
+
+    # sliding: trailing-2 row frame == hand-computed running pairs
+    s = windows.sliding(
+        df, ["g"], ["v"], F.sum("v"), before=1, after=0, alias="t2"
+    )
+    got_s = {(r["g"], r["v"], r["t2"]) for r in s.collect()}
+    assert {("a", 1, 2), ("a", 2, 3), ("b", 5, 5)} <= got_s
+
+    # discounted_price: the Arrow-path canonical example == the builtin
+    ld = spark.createDataFrame(
+        [(10.0, 0.25), (8.0, 0.0)], "price double, disc double"
+    )
+    rows = ld.select(
+        udxf.discounted_price()("price", "disc").alias("udf_net"),
+        (F.col("price") * (1.0 - F.col("disc"))).alias("sql_net"),
+    ).collect()
+    assert all(abs(r["udf_net"] - r["sql_net"]) < 1e-12 for r in rows)
+
+
 def test_text_scalar_helpers_hand_values(spark):
     """char_count / mean_word_length pinned on hand-computed values
     (r11 audit: previously zero direct coverage)."""

@@ -1131,6 +1131,18 @@ def test_probe_fraction_slopes_recall_on_overlapping_clusters(spark, tmp_path):
     assert neighbors(probe_fraction=1e-9) == neighbors(nprobe=4)
     # (c) over-1 fractions clamp to nlist (exhaustive)
     assert neighbors(probe_fraction=2.5) == full
+    # (d) r11 verdict item 4: the DEFAULT is fraction-relative probing,
+    # not an absolute count — no-knob search equals an explicit
+    # DEFAULT_PROBE_FRACTION search (here both floor at 4 of 24 cells)
+    assert neighbors() == neighbors(
+        probe_fraction=similarity.DEFAULT_PROBE_FRACTION
+    )
+    # and the sizing itself scales with nlist instead of staying at 4:
+    # 2.5% of 10,000 cells probes 250, of 160 probes exactly the floor
+    assert similarity._sized_nprobe(10_000, None) == 250
+    assert similarity._sized_nprobe(160, None) == 4
+    assert similarity._sized_nprobe(24, None) == 4
+    assert similarity._sized_nprobe(24, 2.5) == 24
 
 
 def test_zorder_write_tightens_per_file_ranges(spark, sf_dir, tmp_path):

@@ -1258,6 +1258,13 @@ class IndexConflictError(RuntimeError):
 #: milliseconds) and is broken by waiters
 _COMMIT_LOCK_STALE_S = 60.0
 
+# Default probed index fraction for search_ivfpq_index when neither
+# nprobe nor probe_fraction is passed: 2.5% of cells (floored at
+# nprobe=4) keeps recall stable as nlist grows with the corpus
+# (nlist ∝ sqrt(n)); a fixed absolute nprobe would probe a vanishing
+# fraction at scale (r10/r11 verdict, BASELINE.md sloped-recall table).
+DEFAULT_PROBE_FRACTION = 0.025
+
 
 def _locked_occ_commit(
     index_dir: str, expected_live: str, version: str, action: str
@@ -1284,7 +1291,8 @@ def _locked_occ_commit(
     raises), and a breaker that discovers it renamed away a FRESH
     lock (a racing breaker unlinked the stale one and a new committer
     re-acquired between this breaker's stat and its rename) restores
-    it with a no-clobber ``os.link`` and backs off — the
+    it with a no-clobber ``O_CREAT|O_EXCL`` re-create (portable to
+    filesystems without hard links) and backs off — the
     stat-then-unlink variant this replaces let that slow loser delete
     the new committer's live lock outright.  Residual window: if the
     path is re-taken by yet another acquirer during the µs-scale
@@ -1356,8 +1364,23 @@ def _locked_occ_commit(
                 except OSError:
                     victim_fresh = False
                 if victim_fresh:
+                    # no-clobber restore via O_CREAT|O_EXCL + copy, not
+                    # os.link: hard links are unsupported or unreliable
+                    # on some network/object-store mounts, and a
+                    # swallowed link failure there would let this slow
+                    # breaker delete a freshly re-acquired live lock —
+                    # the exact race the restore exists to close (r11
+                    # ADVICE).  O_EXCL is the same atomic primitive the
+                    # lock acquisition itself relies on.
                     try:
-                        os.link(doomed, lock)
+                        rfd = os.open(
+                            lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                        )
+                        try:
+                            with open(doomed, "rb") as src:
+                                os.write(rfd, src.read())
+                        finally:
+                            os.close(rfd)
                     except OSError:
                         pass  # path re-taken meanwhile: can't restore
                 try:
@@ -1442,14 +1465,22 @@ def append_to_ivfpq_index(
     ``token`` makes the append IDEMPOTENT for at-least-once callers
     (a ``foreachBatch`` micro-batch replayed after a crash): the
     segment and version names derive from the token instead of a
-    random uuid, and if the LIVE manifest already lists
-    ``seg_<token>`` the call returns the live version unchanged — the
+    random uuid, and if the LIVE manifest already records the token
+    as consumed the call returns the live version unchanged — the
     Delta-style txn-version pattern, turning replay into exactly-once
     index maintenance.  The token must uniquely identify the batch
     CONTENT (use the checkpointed stream's batch_id); reusing a token
     for different data silently skips the append.  A replay that
     previously crashed between segment write and pointer swap simply
     rewrites the same segment dir (mode=overwrite) and commits.
+
+    Consumed tokens SURVIVE compaction: the manifest carries a
+    ``consumed_tokens`` set that :func:`compact_ivfpq_index` folds
+    forward even though the token-named segments themselves are gone
+    — without it, maintenance between a crashed batch's append commit
+    and its checkpoint commit would make the replay re-append and
+    duplicate the batch's vectors (r11 ADVICE; pinned by
+    ``tests/test_streaming.py::test_compaction_between_crash_and_replay_keeps_exactly_once``).
     """
     import json
     import os
@@ -1462,7 +1493,8 @@ def append_to_ivfpq_index(
         )
     live = _resolve_index_dir(index_dir)
     parent_segments = _segment_names(live, index_dir)
-    if token is not None and f"seg_{token}" in parent_segments:
+    consumed = _consumed_tokens(live, index_dir)
+    if token is not None and token in consumed:
         return live  # this batch already committed: replay is a no-op
 
     assigned = _nearest_centroids(batch, id_col, vec_col, centroids, 1).select(
@@ -1489,7 +1521,15 @@ def append_to_ivfpq_index(
     with open(
         os.path.join(vdir, "_segments.json"), "w", encoding="utf-8"
     ) as fh:
-        json.dump({"segments": parent_segments + [seg_name]}, fh)
+        json.dump(
+            {
+                "segments": parent_segments + [seg_name],
+                "consumed_tokens": sorted(
+                    consumed | ({token} if token is not None else set())
+                ),
+            },
+            fh,
+        )
     # OCC commit: the parent this append encoded against must still be
     # live — silently last-swap-winning over a racing append would drop
     # its batch from the lineage (its segment would be orphaned).  The
@@ -1512,12 +1552,21 @@ def compact_ivfpq_index(spark, index_dir: str) -> str:
     At 100 TB this is the periodic maintenance job (weekly compact
     after daily appends); old versions' segments become collectable
     garbage once no reader pins them — the vacuum story mirrors
-    yamr_format's."""
+    yamr_format's.
+
+    The compacted manifest CARRIES FORWARD every consumed append token
+    (explicit ``consumed_tokens`` plus the tokens implied by the
+    folded segments' names): a streaming batch whose append committed
+    but whose checkpoint didn't (crash window) replays AFTER
+    maintenance, and its token check must still hit the no-op branch
+    — otherwise compaction would turn the replay into a duplicate
+    append (r11 ADVICE, medium)."""
     import json
     import os
     import uuid
 
     live = _resolve_index_dir(index_dir)
+    consumed = _consumed_tokens(live, index_dir)
     parts = _index_data_paths(index_dir)
     from functools import reduce
 
@@ -1540,7 +1589,9 @@ def compact_ivfpq_index(spark, index_dir: str) -> str:
     with open(
         os.path.join(vdir, "_segments.json"), "w", encoding="utf-8"
     ) as fh:
-        json.dump({"segments": [seg_name]}, fh)
+        json.dump(
+            {"segments": [seg_name], "consumed_tokens": sorted(consumed)}, fh
+        )
     _locked_occ_commit(index_dir, live, version, "compaction")
     return vdir
 
@@ -1620,6 +1671,32 @@ def _segment_names(version_dir: str, index_dir: str) -> list[str]:
         return [os.path.relpath(version_dir, index_dir)]
 
 
+def _consumed_tokens(version_dir: str, index_dir: str) -> set[str]:
+    """Append idempotency tokens a version has already absorbed: the
+    manifest's explicit ``consumed_tokens`` (how the record survives
+    compaction folding the token-named segments away) UNIONED with the
+    tokens implied by the segment names themselves (pre-
+    ``consumed_tokens`` manifests, and build-layout versions).
+    uuid-named segments contribute their hex — harmless, a checkpoint
+    batch token never collides with a fresh 12-hex uuid."""
+    import json
+    import os
+
+    try:
+        with open(
+            os.path.join(version_dir, "_segments.json"), encoding="utf-8"
+        ) as fh:
+            manifest = json.load(fh)
+    except FileNotFoundError:
+        manifest = {}
+    toks = set(manifest.get("consumed_tokens", []))
+    for s in _segment_names(version_dir, index_dir):
+        base = os.path.basename(s)
+        if base.startswith("seg_"):
+            toks.add(base[4:])
+    return toks
+
+
 def _index_data_paths(index_dir: str) -> list[str]:
     """Parquet roots holding a version's encoded vectors.  Manifest
     segment names resolve against the INDEX ROOT — the version dir's
@@ -1674,6 +1751,20 @@ def _resolve_index_dir(index_dir: str) -> str:
         return index_dir
 
 
+def _sized_nprobe(nlist: int, probe_fraction: float | None) -> int:
+    """Fraction-relative probe count: ``min(nlist, max(4,
+    ceil(fraction * nlist)))`` with ``fraction`` defaulting to
+    ``DEFAULT_PROBE_FRACTION``.  The floor of 4 keeps tiny indexes
+    exhaustive-ish; the min clamps over-1 fractions to exhaustive."""
+    import math
+
+    if probe_fraction is None:
+        probe_fraction = DEFAULT_PROBE_FRACTION
+    if not 0.0 < probe_fraction:
+        raise ValueError(f"probe_fraction must be > 0, got {probe_fraction}")
+    return min(nlist, max(4, math.ceil(probe_fraction * nlist)))
+
+
 def search_ivfpq_index(
     spark,
     index_dir: str,
@@ -1683,10 +1774,10 @@ def search_ivfpq_index(
     centroids: DataFrame | None = None,
     books: list[list[list[float]]] | None = None,
     k: int = 10,
-    nprobe: int = 4,
+    nprobe: int | None = None,
     probe_fraction: float | None = None,
 ) -> DataFrame:
-    """Search a persisted IVF-PQ index: probe ``nprobe`` cells per
+    """Search a persisted IVF-PQ index: probe a subset of cells per
     query, rank the cell-mates by ADC lookup distance.  Identical
     results to :func:`ivfpq_topk` with the same model (pinned by test)
     — but the corpus is never rescanned and the probe reads ONLY the
@@ -1694,17 +1785,20 @@ def search_ivfpq_index(
 
     ``probe_fraction`` sizes the probe RELATIVE to the index instead
     of absolutely: ``nprobe = max(4, ceil(probe_fraction * nlist))``,
-    with ``nlist`` read from the index's own centroid count.  A fixed
-    ``nprobe=4`` silently probes an ever-smaller fraction as the index
-    grows (``nlist ∝ sqrt(n)`` under the auto-sizing policy) — fine on
-    well-separated geometry (measured recall-flat 0.900 from 2.5% to
-    25% probed on the benchmark corpus, BASELINE.md r10), but on
-    anisotropic / overlapping clusters recall slopes with the probed
-    fraction (measured: BASELINE.md r11 sloped-recall table), so
-    production search should pin the FRACTION, not the count.  The
-    floor of 4 keeps tiny indexes exhaustive-ish; ``probe_fraction >=
-    1.0`` probes every cell (exhaustive, equals the unpersisted
-    search).  When set, ``nprobe`` is ignored.
+    with ``nlist`` read from the index's own centroid count.  It is
+    the DEFAULT (``DEFAULT_PROBE_FRACTION`` = 0.025, i.e. 2.5% of
+    cells) when neither knob is passed: a fixed ``nprobe`` silently
+    probes an ever-smaller fraction as the index grows (``nlist ∝
+    sqrt(n)`` under the auto-sizing policy) — fine on well-separated
+    geometry (measured recall-flat 0.900 from 2.5% to 25% probed on
+    the benchmark corpus, BASELINE.md r10), but on anisotropic /
+    overlapping clusters recall slopes with the probed fraction
+    (measured: BASELINE.md r11 sloped-recall table), so the default
+    pins the FRACTION, not the count.  The floor of 4 keeps tiny
+    indexes exhaustive-ish; ``probe_fraction >= 1.0`` probes every
+    cell (exhaustive, equals the unpersisted search).  Passing
+    ``nprobe`` explicitly opts back into an absolute probe count;
+    when ``probe_fraction`` is set, ``nprobe`` is ignored.
 
     ``centroids``/``books`` default to the index's own persisted model
     (:func:`load_ivfpq_model`): the cold-session search path touches
@@ -1726,14 +1820,9 @@ def search_ivfpq_index(
                 "index has no persisted _model.json sidecar; pass "
                 "centroids and books explicitly"
             )
-    if probe_fraction is not None:
-        if not 0.0 < probe_fraction:
-            raise ValueError(f"probe_fraction must be > 0, got {probe_fraction}")
-        import math
-
+    if probe_fraction is not None or nprobe is None:
         # centroids is the KB-scale model frame; counting it is free
-        nlist = centroids.count()
-        nprobe = min(nlist, max(4, math.ceil(probe_fraction * nlist)))
+        nprobe = _sized_nprobe(centroids.count(), probe_fraction)
     probes = _nearest_centroids_expr(queries, id_col, vec_col, centroids, nprobe).select(
         F.col("__rid").alias("query_id"), F.col("__v").alias("__qv"), "centroid_id"
     )

@@ -2069,7 +2069,10 @@ def q_ann_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="vec_id",
         vec_col="embedding",
         k=10,
-        nprobe=4,
+        # default probing: probe_fraction=0.025 of nlist, floored at 4 —
+        # at these corpus sizes (nlist 8..159) the floor dominates, so
+        # results equal the former explicit nprobe=4 while production
+        # scale-ups keep probing a constant index fraction
     )
 
 
@@ -2122,7 +2125,7 @@ def q_ann_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="vec_id",
         vec_col="embedding",
         k=10,
-        nprobe=4,
+        # default probe_fraction sizing (floor 4 == former nprobe=4 here)
     )
 
 
@@ -4016,7 +4019,7 @@ def q_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CLASSIFIER_STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
 
-def with_classifier_features(d: DataFrame) -> DataFrame:
+def with_classifier_features(d: DataFrame, text_col: str = "text") -> DataFrame:
     """Append the four exact-count quality features to ``d`` KEEPING
     the payload — the form a gate consumer needs (classify.quality_gate
     keeps its input's columns, and the ingest pipeline still needs the
@@ -4024,17 +4027,18 @@ def with_classifier_features(d: DataFrame) -> DataFrame:
     the feature expressions: the trainer's projection, the throughput
     script, and the ingest tests all derive from it, so a change to the
     stopword list or the punctuation regex can never train on one
-    feature set and score on another."""
-    toks = F.split(normalize_text("text"), " ")
+    feature set and score on another.  ``text_col`` names the document
+    column (the ingest pipeline threads its own through, r11 ADVICE)."""
+    toks = F.split(normalize_text(text_col), " ")
     return d.withColumns(
         {
             "f_tokens": F.size(toks),
-            "f_chars": F.length(normalize_text("text")),
+            "f_chars": F.length(normalize_text(text_col)),
             "f_stop": F.size(
                 F.filter(toks, lambda t: t.isin(*_CLASSIFIER_STOPWORDS))
             ),
             "f_punct": F.length(
-                F.regexp_replace(F.col("text"), r"[A-Za-z0-9\s]", "")
+                F.regexp_replace(F.col(text_col), r"[A-Za-z0-9\s]", "")
             ),
         }
     )

@@ -91,7 +91,17 @@ def zorder_value(
             *[F.min(c).cast("double").alias(f"mn_{c}") for c in cols],
             *[F.max(c).cast("double").alias(f"mx_{c}") for c in cols],
         ).collect()[0]
-        bounds = {c: (row[f"mn_{c}"], row[f"mx_{c}"]) for c in cols}
+        # an all-NULL column (or empty df) aggregates to None: substitute
+        # a degenerate (0, 0) range so zorder_sql's span<=0 branch sends
+        # every row to bucket 0 — the NULL-first semantics it already
+        # defines — instead of an opaque TypeError below (r11 ADVICE)
+        bounds = {
+            c: (
+                row[f"mn_{c}"] if row[f"mn_{c}"] is not None else 0.0,
+                row[f"mx_{c}"] if row[f"mx_{c}"] is not None else 0.0,
+            )
+            for c in cols
+        }
     sql_bounds = {
         c: (repr(float(mn)), repr(float(mx))) for c, (mn, mx) in bounds.items()
     }
