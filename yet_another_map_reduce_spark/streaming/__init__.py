@@ -23,6 +23,8 @@ from yet_another_map_reduce_spark.streaming.ingest import (
     compact_seen,
     ingest_batch,
     maintain_ingest,
+    read_seen_pruned,
+    seen_probe_paths,
     streaming_ingest_pipeline,
 )
 from yet_another_map_reduce_spark.streaming.sources import file_stream, rate_stream
@@ -35,6 +37,8 @@ __all__ = [
     "ingest_batch",
     "maintain_ingest",
     "rate_stream",
+    "read_seen_pruned",
+    "seen_probe_paths",
     "session_windowed",
     "sliding_windowed",
     "stream_static_enrich",

@@ -74,9 +74,16 @@ def ingest_batch(
     stage order and the crash-consistency argument."""
     spark = batch_df.sparkSession
 
-    # 1. incremental dedup against the accumulated fingerprint relation
+    # 1. incremental dedup against the accumulated fingerprint relation.
+    # The seen side is read PRUNED: the batch's distinct fingerprints
+    # (a batch-bounded collect — KB-scale keys, never corpus data)
+    # select only the compacted-generation files whose [min, max] range
+    # can contain them, so the probe touches ~|keys| files instead of
+    # the whole relation (r11 verdict item 2; sidecar-less generations
+    # fall back to a full scan, so results never depend on pruning)
     if _seen_exists(seen_dir):
-        seen = spark.read.parquet(seen_dir)
+        keys = dedup.batch_fp_keys(batch_df, text_col)
+        seen = read_seen_pruned(spark, seen_dir, keys)
         fresh_ids = dedup.incremental_dedup(
             batch_df, seen, text_col, id_col, seen_fp_col="fp"
         ).select(id_col)
@@ -87,9 +94,17 @@ def ingest_batch(
         ).select(id_col)
     fresh = batch_df.join(fresh_ids, id_col)
 
-    # 2. stateless quality gate with the frozen model
+    # 2. stateless quality gate with the frozen model.  featurize gets
+    # text_col threaded through when it accepts a column argument (the
+    # shipped default, queries.with_classifier_features, does); a
+    # single-argument featurizer hardcodes its column, so a mismatched
+    # text_col would dedup/embed one column while gating on another —
+    # reject that loudly instead of silently mis-gating (r11 ADVICE)
     gated = classify.quality_gate(
-        featurize(fresh), weights, feature_cols, threshold=threshold
+        _featurized(featurize, fresh, text_col),
+        weights,
+        feature_cols,
+        threshold=threshold,
     )
 
     # 3. embed + exactly-once index append (batch_id is the txn token).
@@ -117,6 +132,43 @@ def ingest_batch(
         vecs.unpersist()
 
 
+def _featurized(
+    featurize: Callable, df: DataFrame, text_col: str
+) -> DataFrame:
+    """Apply the gate featurizer with ``text_col`` threaded through.
+    A featurizer that only takes the frame (a closure hardcoding its
+    column) is accepted ONLY for the default ``text_col='text'`` —
+    otherwise dedup/embedding would run on ``text_col`` while the gate
+    scores whatever column the closure baked in (r11 ADVICE: silent
+    mis-gating at worst, AnalysisException at best)."""
+    import inspect
+
+    try:
+        params = list(inspect.signature(featurize).parameters.values())
+    except (TypeError, ValueError):
+        params = []
+    takes_col = any(p.kind == p.VAR_POSITIONAL for p in params) or (
+        len(
+            [
+                p
+                for p in params
+                if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+            ]
+        )
+        >= 2
+    )
+    if takes_col:
+        return featurize(df, text_col)
+    if text_col != "text":
+        raise ValueError(
+            f"featurize takes no text-column argument but text_col="
+            f"{text_col!r}: the gate would score a different column "
+            "than the one being deduped/embedded; use a featurizer "
+            "accepting (df, text_col)"
+        )
+    return featurize(df)
+
+
 def _seen_exists(seen_dir: str) -> bool:
     """True once at least one batch directory has committed (parquet's
     _SUCCESS-less hive layout: any ``batch=*`` subdir with files)."""
@@ -129,21 +181,42 @@ def _seen_exists(seen_dir: str) -> bool:
     return False
 
 
-def compact_seen(spark, seen_dir: str) -> int:
+def compact_seen(spark, seen_dir: str, rows_per_file: int | None = None) -> int:
     """Fold the ingest's accumulated per-batch fingerprint directories
     into ONE distinct relation — the seen-side analog of
     ``compact_ivfpq_index`` (module docstring: the seen relation grows
     one hive directory per micro-batch; nightly appends make it a
     many-small-files scan).  Returns the compacted fingerprint count.
 
+    The compacted generation is RANGE-SORTED on the fingerprint
+    (``repartitionByRange`` + in-partition sort — the 1-column case of
+    the z-order writer's recipe, ``sources/zorder.py``) and carries a
+    ``_fp_ranges.json`` sidecar of per-file [min, max] fingerprint
+    ranges.  That layout is what makes the seen relation PRUNABLE: a
+    micro-batch's probe keys each land in exactly one file's range, so
+    :func:`read_seen_pruned` scans ~``|keys|`` files of
+    ``rows_per_file`` rows instead of the whole relation — the one
+    per-batch cost that previously grew linearly with corpus size
+    (r11 verdict item 2: 0.52 s at 100× but 5.37 s at 10,000×; the
+    bloom-filter attempt is a recorded negative, BASELINE.md).
+
+    ``rows_per_file`` balances probe decode cost (``keys ×
+    rows_per_file`` rows) against sidecar/metadata size (``n /
+    rows_per_file`` entries); the default ``ceil(sqrt(n))`` makes both
+    grow as sqrt(n), i.e. per-batch probe cost O(keys·sqrt(n)) instead
+    of O(n).
+
     Crash-safe by the dedup semantics themselves: the compacted
     directory commits BEFORE the old batch directories are removed, and
     duplicate fingerprints across directories are harmless to
     ``incremental_dedup`` (the semi join's hits are distinct'd), so a
     crash between write and cleanup only costs bytes, never
-    correctness.  Run it while the ingest stream is STOPPED — a batch
-    directory mid-write during the listing would be read partially but
-    deleted fully, losing fingerprints."""
+    correctness; a crash between the parquet write and the sidecar
+    write leaves a generation without ``_fp_ranges.json``, which
+    readers simply scan unpruned.  Run it while the ingest stream is
+    STOPPED — a batch directory mid-write during the listing would be
+    read partially but deleted fully, losing fingerprints."""
+    import math
     import shutil
 
     if not os.path.isdir(seen_dir):
@@ -159,20 +232,143 @@ def compact_seen(spark, seen_dir: str) -> int:
         # already one generation: folding would rewrite the full relation
         # (and march the generation id downward) for nothing
         return spark.read.parquet(os.path.join(seen_dir, old[0])).count()
-    fps = spark.read.parquet(*[os.path.join(seen_dir, d) for d in old]).select(
-        "fp"
-    ).distinct()
+    paths = [os.path.join(seen_dir, d) for d in old]
+    fps = spark.read.parquet(*paths).select("fp").distinct()
+    # file sizing needs a row count BEFORE the write; the pre-distinct
+    # sum is a parquet-metadata-only upper bound (each batch dir is
+    # already internally distinct), so overshooting the file count by
+    # the cross-batch dup fraction is the whole cost of avoiding a
+    # second distinct pass
+    n_bound = sum(spark.read.parquet(p).count() for p in paths)
+    if rows_per_file is None:
+        rows_per_file = max(4096, math.ceil(math.sqrt(max(1, n_bound))))
+    num_files = max(1, math.ceil(n_bound / rows_per_file))
     # the compacted generation gets a fresh batch id BELOW every real
     # one, so replayed stream batches can never collide with it
     gen = min(int(d.split("=", 1)[1]) for d in old) - 1
     target = os.path.join(seen_dir, f"batch={min(gen, -2)}")
-    fps.write.mode("overwrite").parquet(target)
-    n = spark.read.parquet(target).count()
+    (
+        fps.repartitionByRange(num_files, "fp")
+        .sortWithinPartitions("fp")
+        .write.mode("overwrite")
+        .parquet(target)
+    )
+    n = _write_fp_ranges(spark, target)
     for d in old:
         p = os.path.join(seen_dir, d)
         if p != target:
             shutil.rmtree(p)
     return n
+
+
+_FP_RANGES_FILE = "_fp_ranges.json"  # _-prefixed: invisible to parquet readers
+
+
+def _write_fp_ranges(spark, gen_dir: str) -> int:
+    """Write the per-file [min, max] fingerprint-range sidecar for a
+    range-sorted generation, returning its total row count.  One
+    aggregate scan of the just-written generation; the collect is
+    file-count-bounded (3 scalars per file), not row data."""
+    import json
+
+    from urllib.parse import urlparse
+
+    stats = (
+        spark.read.parquet(gen_dir)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("fp").alias("mn"), F.max("fp").alias("mx"), F.count("*").alias("c"))
+        .collect()
+    )
+    files = sorted(
+        (
+            {
+                "file": os.path.basename(urlparse(r["f"]).path),
+                "min": r["mn"],
+                "max": r["mx"],
+            }
+            for r in stats
+        ),
+        key=lambda e: e["min"],
+    )
+    tmp = os.path.join(gen_dir, f".{_FP_RANGES_FILE}.tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump({"files": files}, fh)
+    os.replace(tmp, os.path.join(gen_dir, _FP_RANGES_FILE))
+    return sum(r["c"] for r in stats)
+
+
+def _load_fp_ranges(gen_dir: str) -> list[dict] | None:
+    """The generation's range sidecar as a min-sorted list, or None if
+    absent/unusable (pre-layout generations, raw per-batch dirs, a
+    compaction that crashed before the sidecar landed) — None means
+    the caller must scan the whole directory.  Overlapping ranges
+    (which range partitioning never produces, but a hand-edited or
+    corrupted sidecar could) also return None: pruning must never be
+    able to skip a file that holds a probe key."""
+    import json
+
+    try:
+        with open(
+            os.path.join(gen_dir, _FP_RANGES_FILE), encoding="utf-8"
+        ) as fh:
+            files = json.load(fh)["files"]
+    except (FileNotFoundError, KeyError, ValueError):
+        return None
+    files = sorted(files, key=lambda e: e["min"])
+    for a, b in zip(files, files[1:]):
+        if b["min"] <= a["max"]:
+            return None  # overlap: distrust the sidecar entirely
+    return files
+
+
+def seen_probe_paths(seen_dir: str, keys: list[str]) -> tuple[list[str], int, int]:
+    """Resolve which parquet paths a probe with ``keys`` must scan:
+    for each generation with a valid range sidecar, only the FILES
+    whose [min, max] contains at least one key (bisect per key —
+    driver-side metadata work, O(|keys| · log files)); generations and
+    raw batch directories without a sidecar are included whole.
+    Returns ``(paths, files_selected, files_skipped)`` — the skip count
+    is the measured pruning claim
+    (tests/test_streaming.py::test_seen_probe_prunes_file_subset)."""
+    from bisect import bisect_right
+
+    paths: list[str] = []
+    selected = skipped = 0
+    if not os.path.isdir(seen_dir):
+        return paths, 0, 0
+    for d in sorted(os.listdir(seen_dir)):
+        p = os.path.join(seen_dir, d)
+        if not d.startswith("batch=") or not os.path.isdir(p):
+            continue
+        ranges = _load_fp_ranges(p)
+        if ranges is None:
+            paths.append(p)  # unpruned: scan the whole directory
+            continue
+        mins = [e["min"] for e in ranges]
+        hit: set[str] = set()
+        for k in keys:
+            i = bisect_right(mins, k) - 1
+            if i >= 0 and ranges[i]["min"] <= k <= ranges[i]["max"]:
+                hit.add(ranges[i]["file"])
+        selected += len(hit)
+        skipped += len(ranges) - len(hit)
+        paths.extend(os.path.join(p, f) for f in sorted(hit))
+    return paths, selected, skipped
+
+
+def read_seen_pruned(spark, seen_dir: str, keys: list[str]) -> DataFrame:
+    """The seen relation RESTRICTED to the files that can contain any
+    of ``keys`` — a superset of ``seen ∩ keys``, which is exactly what
+    :func:`~yet_another_map_reduce_spark.operators.dedup
+    .incremental_dedup`'s semi-join consumes, so substituting the
+    pruned frame for the full relation never changes dedup results
+    (pinned by test).  Per-batch scan cost is ~``|keys| ×
+    rows_per_file`` rows against a compacted generation instead of the
+    whole relation."""
+    paths, _, _ = seen_probe_paths(seen_dir, keys)
+    if not paths:
+        return spark.createDataFrame([], "fp string")
+    return spark.read.parquet(*paths).select("fp")
 
 
 def streaming_ingest_pipeline(
@@ -240,6 +436,13 @@ def maintain_ingest(
     bit-identical by that function's contract), then vacuum index
     versions/segments past the retention window
     (:func:`vacuum_ivfpq_index`).
+
+    Safe to run on a CRASHED (hence stopped) stream whose last batch
+    appended but never checkpointed: compaction carries the manifest's
+    consumed append tokens forward, so the batch's replay on restart
+    still hits the exactly-once no-op branch even though its
+    token-named segment was folded away (r11 ADVICE; pinned by
+    ``test_compaction_between_crash_and_replay_keeps_exactly_once``).
 
     Returns a summary dict: ``seen_fps`` (compacted fingerprint
     count), ``index_version`` (the compacted live version dir), and
