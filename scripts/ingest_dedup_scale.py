@@ -14,8 +14,9 @@ The 10,000× leg scans 50M rows in the full-scan arm: run with
 SPARK_GRAFT_DRIVER_MEM=48g (local mode hosts executors in the driver
 JVM; the default heap OOMs).
 
-Usage: python scripts/ingest_dedup_scale.py [max_scale]
+Usage: python scripts/ingest_dedup_scale.py [max_scale] [only]
   max_scale: 100 (default) or 10000
+  only: measure just max_scale (skip the smaller legs)
 """
 
 from __future__ import annotations
@@ -78,6 +79,8 @@ def main() -> None:
         dedup.batch_fingerprints(docs, "text").write.parquet(base)
 
     scales = [s for s in (1, 100, 10_000) if s <= max_scale]
+    if len(sys.argv) > 2 and sys.argv[2] == "only":
+        scales = [max_scale]
     for scale in scales:
         seen_dir = f"/tmp/ingest_seen_sorted_{scale}x"
         _ensure_relation(spark, seen_dir, scale, base)
