@@ -1,0 +1,222 @@
+"""Avro Object Container DataSource (sources/avro_format.py).
+
+The environment ships neither the spark-avro jar nor any Python avro
+package, so the format is implemented from the public spec — which
+makes INDEPENDENT verification non-negotiable: the golden test below
+hand-encodes a container byte-by-byte straight from the Avro 1.11
+spec (magic, metadata map, zigzag varints, deflate block, sync
+markers) so the reader is pinned to the FORMAT, not merely to our own
+writer's dialect.
+"""
+
+from __future__ import annotations
+
+import datetime
+import io
+import json
+import os
+import struct
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import *  # noqa: F401,F403 - spark/sf_dir fixtures
+from yet_another_map_reduce_spark.sources import avro_format
+
+
+def _zz(n: int) -> bytes:
+    """Spec zigzag varint, written independently of the module under
+    test (different construction: iterative masks over the zigzag)."""
+    z = (n << 1) ^ (n >> 63)
+    z &= (1 << 64) - 1
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        out.append(b | 0x80 if z else b)
+        if not z:
+            return bytes(out)
+
+
+def _golden_container(codec: str = "null") -> tuple[bytes, list[tuple]]:
+    """A 3-record container for schema (a long, s nullable string),
+    encoded by hand from the spec."""
+    schema = {
+        "type": "record",
+        "name": "golden",
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "s", "type": ["null", "string"]},
+        ],
+    }
+    rows = [(42, "hi"), (-3, None), (0, "yet another")]
+    body = io.BytesIO()
+    for a, s in rows:
+        body.write(_zz(a))
+        if s is None:
+            body.write(_zz(0))  # union branch 0 = null
+        else:
+            body.write(_zz(1))  # union branch 1 = string
+            b = s.encode()
+            body.write(_zz(len(b)) + b)
+    data = body.getvalue()
+    if codec == "deflate":
+        c = zlib.compressobj(wbits=-15)
+        data = c.compress(data) + c.flush()
+
+    sync = bytes(range(16))
+    out = io.BytesIO()
+    out.write(b"Obj\x01")
+    meta = {
+        "avro.schema": json.dumps(schema).encode(),
+        "avro.codec": codec.encode(),
+    }
+    out.write(_zz(len(meta)))
+    for k, v in meta.items():
+        out.write(_zz(len(k)) + k.encode())
+        out.write(_zz(len(v)) + v)
+    out.write(_zz(0))
+    out.write(sync)
+    out.write(_zz(len(rows)))  # block record count
+    out.write(_zz(len(data)))  # block byte size
+    out.write(data)
+    out.write(sync)
+    return out.getvalue(), rows
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_reader_decodes_hand_encoded_golden_container(spark, tmp_path, codec):
+    raw, rows = _golden_container(codec)
+    p = os.path.join(str(tmp_path), "golden.avro")
+    with open(p, "wb") as fh:
+        fh.write(raw)
+
+    # module-level reader
+    assert list(avro_format.read_container(p)) == rows
+
+    # full DataSource path: registration, schema inference, scan
+    avro_format.register(spark)
+    df = spark.read.format("pyavro").load(p)
+    assert [f.simpleString() for f in df.schema.fields] == [
+        "a:bigint",
+        "s:string",
+    ]
+    assert sorted(df.collect()) == sorted(rows)
+
+
+def test_reader_rejects_bad_magic_and_bad_codec(tmp_path):
+    p = os.path.join(str(tmp_path), "bad.avro")
+    with open(p, "wb") as fh:
+        fh.write(b"PAR1not an avro file")
+    with pytest.raises(ValueError, match="bad magic"):
+        avro_format.read_header(p)
+
+    raw, _ = _golden_container(codec="zstd")  # metadata names a codec we lack
+    p2 = os.path.join(str(tmp_path), "codec.avro")
+    with open(p2, "wb") as fh:
+        fh.write(raw)
+    with pytest.raises(ValueError, match="unsupported avro codec"):
+        avro_format.read_header(p2)
+
+
+def test_sync_marker_mismatch_is_loud(tmp_path):
+    raw, _ = _golden_container()
+    # flip one byte of the trailing sync marker
+    broken = raw[:-1] + bytes([raw[-1] ^ 0xFF])
+    p = os.path.join(str(tmp_path), "desync.avro")
+    with open(p, "wb") as fh:
+        fh.write(broken)
+    with pytest.raises(ValueError, match="sync marker"):
+        list(avro_format.read_container(p))
+
+
+def test_roundtrip_all_supported_types(spark, tmp_path):
+    """write -> read across every supported type incl. NULLs, negative
+    zigzag territory, empty arrays/strings, date + timestamp logicals."""
+    avro_format.register(spark)
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                -(2**40),
+                1.5,
+                float("inf"),
+                "héllo",
+                bytearray(b"\x00\xff"),
+                True,
+                [1.0, -2.5],
+                datetime.date(2026, 8, 15),
+                datetime.datetime(2026, 8, 15, 12, 34, 56, 789000),
+            ),
+            (2, None, None, None, "", None, None, [], None, None),
+            (3, 0, -0.0, 3.25, None, bytearray(b""), False, None, datetime.date(1969, 12, 31), None),
+        ],
+        "id int, l bigint, d double, f float, s string, b binary, "
+        "bo boolean, arr array<double>, dt date, ts timestamp",
+    )
+    out = os.path.join(str(tmp_path), "rt")
+    df.write.format("pyavro").mode("append").save(out)
+    assert [f for f in os.listdir(out) if f.endswith(".avro")]
+    back = spark.read.format("pyavro").load(out)
+    assert dict(back.dtypes) == dict(df.dtypes)
+    a = sorted(df.collect(), key=lambda r: r["id"])
+    b = sorted(back.collect(), key=lambda r: r["id"])
+    assert a == b
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_roundtrip_documents_table(spark, sf_dir, tmp_path, codec):
+    """Corpus-scale-ish round trip on real testdata, both codecs, and
+    the deflate output is genuinely smaller than the null-codec one."""
+    from yet_another_map_reduce_spark.sources.readers import read_table
+
+    avro_format.register(spark)
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    out = os.path.join(str(tmp_path), f"docs_{codec}")
+    docs.write.format("pyavro").option("codec", codec).mode("append").save(out)
+    back = spark.read.format("pyavro").load(out)
+    assert back.count() == docs.count()
+    assert (
+        back.agg(F.sum(F.crc32(F.concat_ws("|", "doc_id", "text", "lang")))).first()[0]
+        == docs.agg(F.sum(F.crc32(F.concat_ws("|", "doc_id", "text", "lang")))).first()[0]
+    )
+
+
+def test_deflate_smaller_than_null(spark, sf_dir, tmp_path):
+    from yet_another_map_reduce_spark.sources.readers import read_table
+
+    avro_format.register(spark)
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def total(codec):
+        out = os.path.join(str(tmp_path), codec)
+        docs.coalesce(2).write.format("pyavro").option("codec", codec).mode("append").save(out)
+        return sum(
+            os.path.getsize(os.path.join(out, f))
+            for f in os.listdir(out)
+            if f.endswith(".avro")
+        )
+
+    assert total("deflate") < total("null")
+
+
+def test_writer_rejects_unsupported_types_loudly(spark, tmp_path):
+    avro_format.register(spark)
+    df = spark.createDataFrame(
+        [(1, {"k": 1})], "id int, m map<string, int>"
+    )
+    with pytest.raises(Exception, match="outside this avro"):
+        df.write.format("pyavro").mode("append").save(os.path.join(str(tmp_path), "m"))
+
+
+def test_overwrite_and_abort_semantics(spark, tmp_path):
+    avro_format.register(spark)
+    out = os.path.join(str(tmp_path), "ow")
+    one = spark.range(5).select(F.col("id").cast("long"))
+    one.write.format("pyavro").mode("append").save(out)
+    two = spark.range(3).select(F.col("id").cast("long"))
+    two.write.format("pyavro").mode("overwrite").save(out)
+    assert spark.read.format("pyavro").load(out).count() == 3

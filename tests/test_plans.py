@@ -1267,3 +1267,18 @@ def test_zorder_sql_clamps_out_of_range_values(spark):
     assert got[999] == 255        # above max saturates at the top bucket
     assert got[200] == 255
     assert 0 < got[150] < 255
+
+
+def test_zorder_value_all_null_column_degrades_to_bucket_zero(spark):
+    """r11 ADVICE: default-bounds zorder_value on an all-NULL column
+    (min/max aggregate to None) must take zorder_sql's documented
+    bucket-0 degenerate-range path, not raise an opaque TypeError."""
+    from yet_another_map_reduce_spark.sources.zorder import zorder_value
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "a long, b double"
+    )
+    out = df.select(zorder_value(df, ["a", "b"]).alias("z"), "a").collect()
+    # b contributes bucket 0 everywhere; a still orders the rows
+    zs = {r["a"]: r["z"] for r in out}
+    assert zs[1] == 0 and zs[2] > 0

@@ -1022,6 +1022,31 @@ def test_maintain_ingest_is_noop_when_already_compacted(spark, sf_dir, tmp_path)
     assert stats2["index_version"] == live_before
 
 
+def test_featurize_text_col_threading_and_mismatch_rejection(spark):
+    """r11 ADVICE: a featurizer that accepts a column argument gets
+    text_col threaded through; a single-argument featurizer (closure
+    hardcoding its column) is rejected loudly for any non-default
+    text_col instead of silently gating on the wrong column."""
+    import pytest
+
+    from yet_another_map_reduce_spark.queries import with_classifier_features
+    from yet_another_map_reduce_spark.streaming.ingest import _featurized
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, body string")
+    out = _featurized(with_classifier_features, df, "body")
+    assert out.where(F.col("f_tokens") == 3).count() == 1
+
+    def one_arg(d):
+        return d.withColumn("f_tokens", F.lit(0))
+
+    with pytest.raises(ValueError, match="text_col"):
+        _featurized(one_arg, df, "body")
+    # default column: the 1-arg form stays accepted (back-compat)
+    assert _featurized(
+        one_arg, df.withColumnRenamed("body", "text"), "text"
+    ).columns[-1] == "f_tokens"
+
+
 def test_compact_seen_range_layout_and_probe_pruning(spark, sf_dir, tmp_path):
     """r11 verdict item 2: the compacted seen generation is range-sorted
     on the fingerprint with a per-file [min,max] sidecar, so a batch's

@@ -1,5 +1,6 @@
 """Sources & sinks (reference F1/F2/F9/F10 → Spark readers/writers/catalog)."""
 
+from yet_another_map_reduce_spark.sources.avro_format import read_avro, write_avro
 from yet_another_map_reduce_spark.sources.catalog import Catalog
 from yet_another_map_reduce_spark.sources.readers import (
     TABLES,
@@ -24,6 +25,7 @@ __all__ = [
     "TABLES",
     "Catalog",
     "load_tables",
+    "read_avro",
     "read_csv",
     "read_json",
     "read_orc",
@@ -31,6 +33,7 @@ __all__ = [
     "read_table",
     "read_text",
     "overwrite_partitions",
+    "write_avro",
     "write_csv",
     "write_json",
     "write_orc",
