@@ -212,6 +212,49 @@ def test_writer_rejects_unsupported_types_loudly(spark, tmp_path):
         df.write.format("pyavro").mode("append").save(os.path.join(str(tmp_path), "m"))
 
 
+def test_split_reads_tile_blocks_exactly_once(spark, tmp_path):
+    """A single container fans out across byte-range splits on sync
+    boundaries (the Hadoop-Avro convention): with split_bytes far below
+    the file size the scan gets many partitions, every row appears
+    exactly once, and results equal the unsplit read — for an awkward
+    split size that lands mid-block as well as a tiny one."""
+    avro_format.register(spark)
+    out = os.path.join(str(tmp_path), "big")
+    n = 20_000
+    df = spark.range(n).select(
+        F.col("id"), F.md5(F.col("id").cast("string")).alias("h")
+    )
+    # one file, many small blocks (64 rows/block -> ~312 sync points)
+    (
+        df.coalesce(1)
+        .write.format("pyavro")
+        .option("block_rows", 64)
+        .option("codec", "null")
+        .mode("append")
+        .save(out)
+    )
+    files = [f for f in os.listdir(out) if f.endswith(".avro")]
+    assert len(files) == 1
+    size = os.path.getsize(os.path.join(out, files[0]))
+
+    # default split (64 MiB) leaves this ~1 MB file as one partition
+    whole = spark.read.format("pyavro").load(out)
+    assert whole.rdd.getNumPartitions() == 1
+    for split in (4096, 13_331):  # tiny, and a prime that lands mid-block
+        got = (
+            spark.read.format("pyavro")
+            .option("split_bytes", split)
+            .load(out)
+        )
+        assert got.rdd.getNumPartitions() == -(-size // split)
+        assert got.count() == n, f"split={split}: lost or duplicated rows"
+        assert got.select("id").distinct().count() == n
+        assert (
+            got.agg(F.sum(F.crc32("h"))).first()[0]
+            == df.agg(F.sum(F.crc32("h"))).first()[0]
+        )
+
+
 def test_overwrite_and_abort_semantics(spark, tmp_path):
     avro_format.register(spark)
     out = os.path.join(str(tmp_path), "ow")

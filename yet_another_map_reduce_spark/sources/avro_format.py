@@ -20,11 +20,15 @@ Scope (documented, loud on violation — never silent corruption):
   records/maps/enums/fixed raise ``ValueError`` naming the field.
 - Codecs: ``null`` and ``deflate`` (raw RFC-1951 via stdlib zlib) —
   the two codecs the spec requires every implementation to support.
-- Parallelism: one input partition per ``.avro`` file (the classic
-  many-files layout).  Avro blocks are sync-marker-delimited and
-  therefore splittable; per-block splitting is a possible extension,
-  but the 100 TB posture here is parquet-first with Avro as an
-  ingest/egress format, where file-level parallelism is the norm.
+- Parallelism: files are SPLIT on sync-marker boundaries into
+  ``split_bytes`` ranges (reader option, default 64 MiB) — the Hadoop
+  Avro convention: a split owns exactly the blocks whose start offset
+  falls inside its byte range, found by scanning for the file's
+  16-byte sync marker, so one multi-GB container fans out across the
+  cluster instead of pinning one task.  Every block's trailing sync is
+  validated during the scan — a random 16-byte collision inside block
+  data (the spec's own accepted risk, ~2^-128) fails LOUDLY rather
+  than desyncing silently.
 
 Write path: each Spark partition writes one attempt-unique
 ``part-*.avro`` container (same collision discipline as
@@ -304,9 +308,17 @@ def _decode_logical(v, typ: str):
 _LOGICAL_BASE = {"timestamp-micros": "long", "date": "int"}
 
 
-def write_container(path: str, rows, avro_schema: dict, codec: str = "deflate") -> int:
+def write_container(
+    path: str,
+    rows,
+    avro_schema: dict,
+    codec: str = "deflate",
+    block_rows: int = _BLOCK_ROWS,
+) -> int:
     """Write one Avro Object Container File; returns the row count.
-    ``rows`` yields sequences in schema-field order."""
+    ``rows`` yields sequences in schema-field order.  ``block_rows``
+    bounds rows per block — each block ends with a sync marker, and
+    sync density is what makes the file SPLITTABLE on read."""
     if codec not in ("null", "deflate"):
         raise ValueError(f"unsupported avro codec {codec!r}")
     plans = [_plan_field(f)[1] for f in avro_schema["fields"]]
@@ -346,7 +358,7 @@ def write_container(path: str, rows, avro_schema: dict, codec: str = "deflate") 
             _write_value(block, _encode_logical(v, typ), base, nullable)
         in_block += 1
         n += 1
-        if in_block >= _BLOCK_ROWS:
+        if in_block >= block_rows:
             flush_block(block, in_block)
             block = io.BytesIO()
             in_block = 0
@@ -412,31 +424,69 @@ def _parse_header(path: str, head: bytes) -> tuple[dict, str, bytes, int]:
     return schema, codec, sync, pos
 
 
-def read_container(path: str):
-    """Yield rows (tuples in field order) from one container file."""
-    schema, codec, sync, pos = read_header(path)
+def read_container(path: str, start: int | None = None, end: int | None = None):
+    """Yield rows (tuples in field order) from one container file —
+    optionally restricted to the blocks whose START offset lies in
+    ``[start, end)`` (the Hadoop-Avro split convention: splits tile the
+    file, each block start belongs to exactly one split, and a block
+    is consumed whole even when it extends past ``end``).  The file is
+    mmapped, so a split touches only its own pages plus the header."""
+    import mmap
+
+    schema, codec, sync, data_pos = read_header(path)
     plans = [_plan_field(f)[1] for f in schema["fields"]]
     with open(path, "rb") as fh:
-        raw = fh.read()
-    view = memoryview(raw)
-    while pos < len(raw):
-        count, pos = read_long(view, pos)
-        size, pos = read_long(view, pos)
-        data = view[pos : pos + size]
-        pos += size
-        if bytes(view[pos : pos + _SYNC_SIZE]) != sync:
-            raise ValueError(f"{path}: sync marker mismatch (corrupt block)")
-        pos += _SYNC_SIZE
-        if codec == "deflate":
-            data = memoryview(zlib.decompress(bytes(data), wbits=-15))
-        dpos = 0
-        for _ in range(count):
-            row = []
-            for typ, nullable in plans:
-                base = _LOGICAL_BASE.get(typ, typ)
-                v, dpos = _read_value(data, dpos, base, nullable)
-                row.append(_decode_logical(v, typ))
-            yield tuple(row)
+        if os.fstat(fh.fileno()).st_size <= data_pos:
+            return  # header-only container: zero rows
+        with mmap.mmap(fh.fileno(), 0, access=mmap.ACCESS_READ) as mm:
+            view = memoryview(mm)
+            data = None
+            try:
+                lo = data_pos if start is None else max(start, data_pos)
+                hi = len(mm) if end is None else min(end, len(mm))
+                pos = _first_block_at_or_after(mm, sync, data_pos, lo)
+                while pos is not None and pos < hi and pos < len(mm):
+                    count, bpos = read_long(view, pos)
+                    size, bpos = read_long(view, bpos)
+                    data = view[bpos : bpos + size]
+                    bpos += size
+                    if bytes(view[bpos : bpos + _SYNC_SIZE]) != sync:
+                        raise ValueError(
+                            f"{path}: sync marker mismatch (corrupt block "
+                            f"or false sync match at offset {pos})"
+                        )
+                    bpos += _SYNC_SIZE
+                    if codec == "deflate":
+                        data = memoryview(
+                            zlib.decompress(bytes(data), wbits=-15)
+                        )
+                    dpos = 0
+                    for _ in range(count):
+                        row = []
+                        for typ, nullable in plans:
+                            base = _LOGICAL_BASE.get(typ, typ)
+                            v, dpos = _read_value(data, dpos, base, nullable)
+                            row.append(_decode_logical(v, typ))
+                        yield tuple(row)
+                    pos = bpos
+            finally:
+                data = None  # release mmap buffer exports before close
+                view.release()
+
+
+def _first_block_at_or_after(mm, sync: bytes, data_pos: int, lo: int) -> int | None:
+    """The smallest block-start offset >= ``lo``: ``data_pos`` itself
+    qualifies (it follows the header sync); otherwise scan for the next
+    sync occurrence ending at or after ``lo`` — block starts are
+    exactly the positions immediately after a sync marker."""
+    if lo <= data_pos:
+        return data_pos
+    # the sync preceding a block start q ends at q: search from lo-16
+    # so a sync straddling the boundary still yields q >= lo
+    idx = mm.find(sync, max(data_pos, lo - _SYNC_SIZE))
+    if idx == -1:
+        return None
+    return idx + _SYNC_SIZE
 
 
 def _list_avro_files(path: str) -> list[str]:
@@ -461,24 +511,39 @@ from pyspark.sql.datasource import (  # noqa: E402
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str | None):
+    def __init__(self, path: str | None, start: int = 0, end: int | None = None):
         self.path = path
+        self.start = start
+        self.end = end
 
 
 class AvroReader(DataSourceReader):
     def __init__(self, options: dict):
         self.path = options["path"]
+        self.split_bytes = int(options.get("split_bytes", 64 * 1024 * 1024))
+        if self.split_bytes <= 0:
+            raise ValueError("split_bytes must be positive")
 
     def partitions(self):
-        files = _list_avro_files(self.path)
-        if not files:
+        parts = []
+        for f in _list_avro_files(self.path):
+            size = os.path.getsize(f)
+            n = max(1, -(-size // self.split_bytes))
+            step = -(-size // n)
+            for i in range(n):
+                parts.append(
+                    _FilePartition(f, i * step, min(size, (i + 1) * step))
+                )
+        if not parts:
             return [_FilePartition(None)]  # empty sentinel (yamr pattern)
-        return [_FilePartition(f) for f in files]
+        return parts
 
     def read(self, partition: _FilePartition):
         if partition is None or partition.path is None:
             return
-        yield from read_container(partition.path)
+        yield from read_container(
+            partition.path, start=partition.start, end=partition.end
+        )
 
 
 class _AvroCommit(WriterCommitMessage):
@@ -490,6 +555,7 @@ class AvroWriter(DataSourceWriter):
     def __init__(self, options: dict, schema, overwrite: bool):
         self.path = options["path"]
         self.codec = options.get("codec", "deflate")
+        self.block_rows = int(options.get("block_rows", _BLOCK_ROWS))
         self.avro_schema = spark_schema_to_avro(schema)
         self.overwrite = overwrite
         self.token = uuid.uuid4().hex[:8]
@@ -507,7 +573,13 @@ class AvroWriter(DataSourceWriter):
             f"-a{tc.attemptNumber()}.avro"
         )
         full = os.path.join(self.path, fname)
-        write_container(full, iterator, self.avro_schema, codec=self.codec)
+        write_container(
+            full,
+            iterator,
+            self.avro_schema,
+            codec=self.codec,
+            block_rows=self.block_rows,
+        )
         return _AvroCommit(full)
 
     def commit(self, messages):
