@@ -1826,9 +1826,12 @@ def search_ivfpq_index(
     probes = _nearest_centroids_expr(queries, id_col, vec_col, centroids, nprobe).select(
         F.col("__rid").alias("query_id"), F.col("__v").alias("__qv"), "centroid_id"
     )
+    # collect |queries| x nprobe cell ids and dedupe DRIVER-side: same
+    # KB-scale bound as before, but without a 32-partition distinct
+    # shuffle — for the typical few-query probe that shuffle job was
+    # pure fixed overhead (r12: it alone cost ~0.3 s of a 3 s search)
     cells = sorted(
-        int(r["centroid_id"])
-        for r in probes.select("centroid_id").distinct().collect()
+        {int(r["centroid_id"]) for r in probes.select("centroid_id").collect()}
     )
     # one pruned scan per manifest segment (each segment is its own
     # hive-partitioned parquet root, so PartitionFilters prune per
