@@ -255,6 +255,58 @@ def test_split_reads_tile_blocks_exactly_once(spark, tmp_path):
         )
 
 
+def test_schema_evolution_reads_by_name_across_drifted_files(spark, tmp_path):
+    """The Avro read rule: each file decodes with its own writer schema
+    and projects onto the read schema BY NAME.  A directory holding an
+    old-layout file (fewer fields, different order) and a new-layout
+    file must read consistently — old files surface NULL for the field
+    they predate, and field ORDER drift must not misassign values (the
+    positional-read failure mode this pins against)."""
+    avro_format.register(spark)
+    out = os.path.join(str(tmp_path), "evo")
+    os.makedirs(out)
+
+    old_schema = {
+        "type": "record",
+        "name": "evo",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": ["null", "string"]},
+        ],
+    }
+    new_schema = {
+        "type": "record",
+        "name": "evo",
+        "fields": [  # reordered + one added field
+            {"name": "name", "type": ["null", "string"]},
+            {"name": "score", "type": ["null", "double"]},
+            {"name": "id", "type": "long"},
+        ],
+    }
+    avro_format.write_container(
+        os.path.join(out, "part-old.avro"), [(1, "a"), (2, "b")], old_schema
+    )
+    avro_format.write_container(
+        os.path.join(out, "part-new.avro"), [("c", 0.5, 3)], new_schema
+    )
+
+    # explicit read schema: the union layout, in an order matching
+    # NEITHER file — every value must land under its own name
+    df = (
+        spark.read.format("pyavro")
+        .schema("id bigint, score double, name string")
+        .load(out)
+    )
+    got = {r["id"]: (r["score"], r["name"]) for r in df.collect()}
+    assert got == {1: (None, "a"), 2: (None, "b"), 3: (0.5, "c")}
+
+    # inferred schema comes from one file; the other still projects by
+    # name (whichever file wins inference, values stay under their name)
+    inf = spark.read.format("pyavro").load(out)
+    by_id = {r["id"]: r["name"] for r in inf.collect()}
+    assert by_id == {1: "a", 2: "b", 3: "c"}
+
+
 def test_overwrite_and_abort_semantics(spark, tmp_path):
     avro_format.register(spark)
     out = os.path.join(str(tmp_path), "ow")

@@ -1126,6 +1126,73 @@ def test_compact_seen_range_layout_and_probe_pruning(spark, sf_dir, tmp_path):
     assert paths2 == [gen] and sel2 == 0 and skip2 == 0
 
 
+def test_minor_compaction_folds_only_raw_levels(spark, sf_dir, tmp_path):
+    """LSM-style minor compaction: major=False folds only the
+    sidecar-less raw batch dirs into a NEW sorted level, leaving the
+    existing sorted generation byte-untouched — O(new data) maintenance
+    instead of O(corpus).  Probes prune across both levels and dedup
+    results equal the one-level (major) layout; a later major pass
+    folds the levels back into one."""
+    from yet_another_map_reduce_spark.operators import dedup
+    from yet_another_map_reduce_spark.streaming import (
+        compact_seen,
+        read_seen_pruned,
+        seen_probe_paths,
+    )
+    from yet_another_map_reduce_spark.streaming.ingest import _load_fp_ranges
+
+    docs = read_table(spark, sf_dir, "documents")
+    seen_dir = os.path.join(str(tmp_path), "lsm_seen")
+    for b in range(2):
+        dedup.batch_fingerprints(
+            docs.where(F.col("doc_id") % 4 == b), "text"
+        ).write.parquet(os.path.join(seen_dir, f"batch={b}"))
+    n1 = compact_seen(spark, seen_dir, rows_per_file=64)
+    gen1 = os.path.join(seen_dir, "batch=-2")
+    stamp = os.path.getmtime(os.path.join(gen1, "_fp_ranges.json"))
+
+    # two more raw batches arrive; MINOR maintenance folds just them
+    for b in (2, 3):
+        dedup.batch_fingerprints(
+            docs.where(F.col("doc_id") % 4 == b), "text"
+        ).write.parquet(os.path.join(seen_dir, f"batch={b}"))
+    n2 = compact_seen(spark, seen_dir, rows_per_file=64, major=False)
+    assert n2 > 0
+    gens = sorted(d for d in os.listdir(seen_dir) if d.startswith("batch="))
+    assert gens == ["batch=-2", "batch=-3"], gens  # raw dirs folded, L1 kept
+    assert os.path.getmtime(os.path.join(gen1, "_fp_ranges.json")) == stamp
+    assert _load_fp_ranges(os.path.join(seen_dir, "batch=-3")) is not None
+
+    # a minor pass with nothing raw is a no-op
+    assert compact_seen(spark, seen_dir, major=False) == 0
+    assert sorted(
+        d for d in os.listdir(seen_dir) if d.startswith("batch=")
+    ) == ["batch=-2", "batch=-3"]
+
+    # probes prune BOTH levels; dedup equals a full union scan
+    probe = docs.where(F.col("doc_id") < 8).select(
+        (F.col("doc_id") + 70_000).alias("doc_id"), "text"
+    )
+    keys = dedup.batch_fp_keys(probe, "text")
+    paths, selected, skipped = seen_probe_paths(seen_dir, keys)
+    assert skipped > 0 and all(p.endswith(".parquet") for p in paths)
+    got = sorted(
+        r["doc_id"]
+        for r in dedup.incremental_dedup(
+            probe, read_seen_pruned(spark, seen_dir, keys),
+            "text", "doc_id", seen_fp_col="fp",
+        ).collect()
+    )
+    assert got == []  # every probed text already seen across the levels
+
+    # major compaction folds the levels into one, same total distinct
+    n3 = compact_seen(spark, seen_dir, rows_per_file=64)
+    assert n3 == dedup.batch_fingerprints(docs, "text").count()
+    assert sorted(
+        d for d in os.listdir(seen_dir) if d.startswith("batch=")
+    ) == ["batch=-4"]
+
+
 def test_ingest_crash_after_append_before_fp_write_converges(
     spark, sf_dir, tmp_path
 ):

@@ -424,17 +424,35 @@ def _parse_header(path: str, head: bytes) -> tuple[dict, str, bytes, int]:
     return schema, codec, sync, pos
 
 
-def read_container(path: str, start: int | None = None, end: int | None = None):
+def read_container(
+    path: str,
+    start: int | None = None,
+    end: int | None = None,
+    reader_fields: list[str] | None = None,
+):
     """Yield rows (tuples in field order) from one container file —
     optionally restricted to the blocks whose START offset lies in
     ``[start, end)`` (the Hadoop-Avro split convention: splits tile the
     file, each block start belongs to exactly one split, and a block
     is consumed whole even when it extends past ``end``).  The file is
-    mmapped, so a split touches only its own pages plus the header."""
+    mmapped, so a split touches only its own pages plus the header.
+
+    ``reader_fields`` projects each row onto the given field names BY
+    NAME — the Avro schema-evolution read rule: every file decodes with
+    its OWN writer schema, then fields are matched by name, a field the
+    file lacks reads as NULL, and fields the reader doesn't ask for are
+    dropped.  Without it, rows come back in the file's own field order
+    — which differs file-to-file in an evolved dataset, so the Spark
+    reader always passes the read schema's names."""
     import mmap
 
     schema, codec, sync, data_pos = read_header(path)
     plans = [_plan_field(f)[1] for f in schema["fields"]]
+    names = [f["name"] for f in schema["fields"]]
+    sel: list[int | None] | None = None
+    if reader_fields is not None and reader_fields != names:
+        idx = {n: i for i, n in enumerate(names)}
+        sel = [idx.get(n) for n in reader_fields]
     with open(path, "rb") as fh:
         if os.fstat(fh.fileno()).st_size <= data_pos:
             return  # header-only container: zero rows
@@ -467,7 +485,12 @@ def read_container(path: str, start: int | None = None, end: int | None = None):
                             base = _LOGICAL_BASE.get(typ, typ)
                             v, dpos = _read_value(data, dpos, base, nullable)
                             row.append(_decode_logical(v, typ))
-                        yield tuple(row)
+                        if sel is None:
+                            yield tuple(row)
+                        else:
+                            yield tuple(
+                                row[i] if i is not None else None for i in sel
+                            )
                     pos = bpos
             finally:
                 data = None  # release mmap buffer exports before close
@@ -518,11 +541,17 @@ class _FilePartition(InputPartition):
 
 
 class AvroReader(DataSourceReader):
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, schema=None):
         self.path = options["path"]
         self.split_bytes = int(options.get("split_bytes", 64 * 1024 * 1024))
         if self.split_bytes <= 0:
             raise ValueError("split_bytes must be positive")
+        # the read schema's field names: every file projects onto these
+        # BY NAME (schema-evolution read rule), so a directory of files
+        # with drifted field order/coverage reads consistently — and a
+        # user-supplied .schema(...) acts as a projection with NULLs for
+        # fields a file predates
+        self.field_names = [f.name for f in schema.fields] if schema else None
 
     def partitions(self):
         parts = []
@@ -542,7 +571,10 @@ class AvroReader(DataSourceReader):
         if partition is None or partition.path is None:
             return
         yield from read_container(
-            partition.path, start=partition.start, end=partition.end
+            partition.path,
+            start=partition.start,
+            end=partition.end,
+            reader_fields=self.field_names,
         )
 
 
@@ -615,7 +647,7 @@ class AvroDataSource(DataSource):
         return avro_schema_to_spark_ddl(schema)
 
     def reader(self, schema) -> AvroReader:
-        return AvroReader(self.options)
+        return AvroReader(self.options, schema)
 
     def writer(self, schema, overwrite: bool) -> AvroWriter:
         return AvroWriter(self.options, schema, overwrite)

@@ -181,12 +181,31 @@ def _seen_exists(seen_dir: str) -> bool:
     return False
 
 
-def compact_seen(spark, seen_dir: str, rows_per_file: int | None = None) -> int:
+def compact_seen(
+    spark,
+    seen_dir: str,
+    rows_per_file: int | None = None,
+    major: bool = True,
+) -> int:
     """Fold the ingest's accumulated per-batch fingerprint directories
     into ONE distinct relation — the seen-side analog of
     ``compact_ivfpq_index`` (module docstring: the seen relation grows
     one hive directory per micro-batch; nightly appends make it a
     many-small-files scan).  Returns the compacted fingerprint count.
+
+    ``major=False`` is the LSM-style MINOR compaction: fold only the
+    sidecar-less directories (raw per-batch dirs, plus any generation a
+    crashed compaction left without its sidecar) into one NEW sorted +
+    sidecar'd generation, leaving existing sorted generations
+    untouched.  Cost is O(new data since last maintenance) instead of
+    O(corpus) — the L0→L1 shape — at the price of (a) transient
+    duplicate fingerprints across generations (harmless: the probe
+    semi-join distincts its hits) and (b) probes touching ~|keys| files
+    PER generation (``seen_probe_paths`` prunes each level
+    independently).  Run ``major=True`` periodically to fold the levels
+    back into one and drop the cross-level duplicates.  Returns the NEW
+    generation's row count for minor runs (counting the whole relation
+    would defeat the point).
 
     The compacted generation is RANGE-SORTED on the fingerprint
     (``repartitionByRange`` + in-partition sort — the 1-column case of
@@ -221,14 +240,25 @@ def compact_seen(spark, seen_dir: str, rows_per_file: int | None = None) -> int:
 
     if not os.path.isdir(seen_dir):
         return 0  # maintenance fired before the first batch ever landed
-    old = [
+    all_gens = [
         d
         for d in os.listdir(seen_dir)
         if d.startswith("batch=") and os.path.isdir(os.path.join(seen_dir, d))
     ]
-    if not old:
+    if not all_gens:
         return 0  # fresh or fully-compacted-and-emptied dir: nothing to fold
-    if len(old) == 1:
+    old = (
+        all_gens
+        if major
+        else [
+            d
+            for d in all_gens
+            if _load_fp_ranges(os.path.join(seen_dir, d)) is None
+        ]
+    )
+    if not old:
+        return 0  # minor run with nothing raw to fold: no-op
+    if major and len(old) == 1:
         # already one generation: folding would rewrite the full relation
         # (and march the generation id downward) for nothing
         return spark.read.parquet(os.path.join(seen_dir, old[0])).count()
@@ -244,8 +274,9 @@ def compact_seen(spark, seen_dir: str, rows_per_file: int | None = None) -> int:
         rows_per_file = max(4096, math.ceil(math.sqrt(max(1, n_bound))))
     num_files = max(1, math.ceil(n_bound / rows_per_file))
     # the compacted generation gets a fresh batch id BELOW every real
-    # one, so replayed stream batches can never collide with it
-    gen = min(int(d.split("=", 1)[1]) for d in old) - 1
+    # one (and every existing generation), so replayed stream batches —
+    # and later compactions — can never collide with it
+    gen = min(int(d.split("=", 1)[1]) for d in all_gens) - 1
     target = os.path.join(seen_dir, f"batch={min(gen, -2)}")
     (
         fps.repartitionByRange(num_files, "fp")
@@ -427,6 +458,7 @@ def maintain_ingest(
     seen_dir: str,
     keep_versions: int = 2,
     retention_seconds: float = 3600.0,
+    major_seen: bool = True,
 ) -> dict:
     """The periodic maintenance job for a running ingest deployment,
     run while the stream is STOPPED (both halves document why): fold
@@ -447,7 +479,11 @@ def maintain_ingest(
     Returns a summary dict: ``seen_fps`` (compacted fingerprint
     count), ``index_version`` (the compacted live version dir), and
     the vacuum stats."""
-    seen_fps = compact_seen(spark, seen_dir)
+    # major_seen=False keeps nightly maintenance O(new data): the raw
+    # batch dirs fold into one new sorted level and existing sorted
+    # generations stay untouched (LSM minor); run a periodic
+    # major_seen=True pass to fold the levels back into one
+    seen_fps = compact_seen(spark, seen_dir, major=major_seen)
     live = similarity._resolve_index_dir(index_dir)
     if len(similarity._segment_names(live, index_dir)) > 1:
         version = similarity.compact_ivfpq_index(spark, index_dir)
