@@ -1126,6 +1126,54 @@ def test_compact_seen_range_layout_and_probe_pruning(spark, sf_dir, tmp_path):
     assert paths2 == [gen] and sel2 == 0 and skip2 == 0
 
 
+def test_null_text_fingerprints_never_break_pruning(spark, tmp_path):
+    """NULL-text documents have NULL fingerprints, which never
+    equi-match (SQL join semantics): batch_fp_keys must drop them (a
+    None key would break the range bisect), compact_seen must drop them
+    at the fold (an all-NULL file has no min/max stats for the
+    sidecar), and dedup results must be unaffected either way."""
+    from yet_another_map_reduce_spark.operators import dedup
+    from yet_another_map_reduce_spark.streaming import (
+        compact_seen,
+        read_seen_pruned,
+    )
+    from yet_another_map_reduce_spark.streaming.ingest import _load_fp_ranges
+
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, None), (3, "beta"), (4, None)],
+        "doc_id long, text string",
+    )
+    keys = dedup.batch_fp_keys(df, "text")
+    assert len(keys) == 2 and all(k is not None for k in keys)
+
+    seen_dir = os.path.join(str(tmp_path), "null_seen")
+    dedup.batch_fingerprints(df, "text").write.parquet(
+        os.path.join(seen_dir, "batch=0")
+    )
+    dedup.batch_fingerprints(
+        df.where(F.col("doc_id") == 3), "text"
+    ).write.parquet(os.path.join(seen_dir, "batch=1"))
+    n = compact_seen(spark, seen_dir, rows_per_file=1)
+    assert n == 2  # the NULL fingerprint row is dropped at the fold
+    gen = os.path.join(seen_dir, "batch=-2")
+    assert _load_fp_ranges(gen) is not None
+
+    # probe: seen texts dedup away, NULL-text docs always survive
+    probe = df.withColumn("doc_id", F.col("doc_id") + 100)
+    got = sorted(
+        r["doc_id"]
+        for r in dedup.incremental_dedup(
+            probe,
+            read_seen_pruned(spark, seen_dir, dedup.batch_fp_keys(probe, "text")),
+            "text",
+            "doc_id",
+            seen_fp_col="fp",
+        ).collect()
+    )
+    assert got == [102]  # NULLs collapse to one surviving doc (min id),
+    # matching exact_dedup's NULL-group semantics; alpha/beta are seen
+
+
 def test_minor_compaction_folds_only_raw_levels(spark, sf_dir, tmp_path):
     """LSM-style minor compaction: major=False folds only the
     sidecar-less raw batch dirs into a NEW sorted level, leaving the

@@ -1104,12 +1104,18 @@ def batch_fp_keys(df: DataFrame, text_col: str) -> list[str]:
     corpus data).  Same fingerprint definition as
     :func:`batch_fingerprints`; kept as its own call so the collect is
     a single extra batch-sized job, not a second pass through any
-    caller-patched fingerprint-relation writer."""
+    caller-patched fingerprint-relation writer.
+
+    NULL-text documents have a NULL fingerprint, which never
+    equi-matches anything (SQL NULL join semantics — such documents
+    never dedup against the seen relation), so NULL is dropped from
+    the key list rather than handed to the range-bisect pruner."""
     return [
         r["fp"]
         for r in df.select(
             F.md5(normalize_text(text_col)).alias("fp")
         ).distinct().collect()
+        if r["fp"] is not None
     ]
 
 

@@ -278,9 +278,10 @@ def _encode_logical(v, typ: str):
 
         if isinstance(v, _dt.datetime):
             epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
-            return int((v - epoch).total_seconds() * 1_000_000) if v.tzinfo else int(
-                (v - _dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000
-            )
+            # timedelta floordiv is exact integer microseconds;
+            # total_seconds() is a float64 whose ulp near current epochs
+            # (~1.8e15 us) is large enough to misround by a microsecond
+            return (v - epoch) // _dt.timedelta(microseconds=1)
         return int(v)
     if typ == "date":
         import datetime as _dt
@@ -318,54 +319,56 @@ def write_container(
     """Write one Avro Object Container File; returns the row count.
     ``rows`` yields sequences in schema-field order.  ``block_rows``
     bounds rows per block — each block ends with a sync marker, and
-    sync density is what makes the file SPLITTABLE on read."""
+    sync density is what makes the file SPLITTABLE on read.
+
+    Streams block-by-block to ``path`` (opened ``'x'`` — collisions are
+    loud): memory is bounded by one encoded block, not the partition,
+    so an arbitrarily large Spark partition writes in O(block) space."""
     if codec not in ("null", "deflate"):
         raise ValueError(f"unsupported avro codec {codec!r}")
     plans = [_plan_field(f)[1] for f in avro_schema["fields"]]
     sync = os.urandom(_SYNC_SIZE)
-    out = io.BytesIO()
-    out.write(MAGIC)
-    meta = {
-        "avro.schema": json.dumps(avro_schema).encode(),
-        "avro.codec": codec.encode(),
-    }
-    write_long(out, len(meta))
-    for k, v in meta.items():
-        kb = k.encode()
-        write_long(out, len(kb))
-        out.write(kb)
-        write_long(out, len(v))
-        out.write(v)
-    write_long(out, 0)  # end of metadata map
-    out.write(sync)
-
-    def flush_block(block: io.BytesIO, count: int) -> None:
-        data = block.getvalue()
-        if codec == "deflate":
-            comp = zlib.compressobj(wbits=-15)
-            data = comp.compress(data) + comp.flush()
-        write_long(out, count)
-        write_long(out, len(data))
-        out.write(data)
+    n = 0
+    with open(path, "xb") as out:
+        out.write(MAGIC)
+        meta = {
+            "avro.schema": json.dumps(avro_schema).encode(),
+            "avro.codec": codec.encode(),
+        }
+        write_long(out, len(meta))
+        for k, v in meta.items():
+            kb = k.encode()
+            write_long(out, len(kb))
+            out.write(kb)
+            write_long(out, len(v))
+            out.write(v)
+        write_long(out, 0)  # end of metadata map
         out.write(sync)
 
-    n = 0
-    block = io.BytesIO()
-    in_block = 0
-    for row in rows:
-        for v, (typ, nullable) in zip(row, plans):
-            base = _LOGICAL_BASE.get(typ, typ)
-            _write_value(block, _encode_logical(v, typ), base, nullable)
-        in_block += 1
-        n += 1
-        if in_block >= block_rows:
+        def flush_block(block: io.BytesIO, count: int) -> None:
+            data = block.getvalue()
+            if codec == "deflate":
+                comp = zlib.compressobj(wbits=-15)
+                data = comp.compress(data) + comp.flush()
+            write_long(out, count)
+            write_long(out, len(data))
+            out.write(data)
+            out.write(sync)
+
+        block = io.BytesIO()
+        in_block = 0
+        for row in rows:
+            for v, (typ, nullable) in zip(row, plans):
+                base = _LOGICAL_BASE.get(typ, typ)
+                _write_value(block, _encode_logical(v, typ), base, nullable)
+            in_block += 1
+            n += 1
+            if in_block >= block_rows:
+                flush_block(block, in_block)
+                block = io.BytesIO()
+                in_block = 0
+        if in_block:
             flush_block(block, in_block)
-            block = io.BytesIO()
-            in_block = 0
-    if in_block:
-        flush_block(block, in_block)
-    with open(path, "xb") as fh:
-        fh.write(out.getvalue())
     return n
 
 

@@ -263,7 +263,17 @@ def compact_seen(
         # (and march the generation id downward) for nothing
         return spark.read.parquet(os.path.join(seen_dir, old[0])).count()
     paths = [os.path.join(seen_dir, d) for d in old]
-    fps = spark.read.parquet(*paths).select("fp").distinct()
+    # NULL fingerprints (NULL-text documents) never equi-match anything,
+    # so they carry no dedup information — and an all-NULL parquet file
+    # has no min/max stats, which would leave the range sidecar unable
+    # to account for it (an unlisted file would be wrongly skipped).
+    # Drop them at the fold.
+    fps = (
+        spark.read.parquet(*paths)
+        .select("fp")
+        .where(F.col("fp").isNotNull())
+        .distinct()
+    )
     # file sizing needs a row count BEFORE the write; the pre-distinct
     # sum is a parquet-metadata-only upper bound (each batch dir is
     # already internally distinct), so overshooting the file count by
@@ -310,6 +320,13 @@ def _write_fp_ranges(spark, gen_dir: str) -> int:
         .agg(F.min("fp").alias("mn"), F.max("fp").alias("mx"), F.count("*").alias("c"))
         .collect()
     )
+    if any(r["mn"] is None or r["mx"] is None for r in stats):
+        # a file with no non-NULL fingerprints has no usable range; a
+        # sidecar that cannot list every file would let the pruner skip
+        # real data, so write none — the generation scans unpruned.
+        # compact_seen's isNotNull fold makes this unreachable for our
+        # own generations; the guard covers hand-built ones.
+        return sum(r["c"] for r in stats)
     files = sorted(
         (
             {
