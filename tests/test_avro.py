@@ -307,6 +307,44 @@ def test_schema_evolution_reads_by_name_across_drifted_files(spark, tmp_path):
     assert by_id == {1: "a", 2: "b", 3: "c"}
 
 
+def test_stream_reader_tails_new_containers_exactly_once(spark, tmp_path):
+    """The pyavro streaming source: an availableNow pass absorbs the
+    backlog; a restart from the same checkpoint after a new container
+    lands reads ONLY the new file (the consumed-filename offset), so
+    the downstream total is exactly-once across restarts."""
+    avro_format.register(spark)
+    src = os.path.join(str(tmp_path), "feed")
+    os.makedirs(src)
+    sink = os.path.join(str(tmp_path), "sink")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    schema = {
+        "type": "record",
+        "name": "feed",
+        "fields": [{"name": "id", "type": "long"}],
+    }
+    avro_format.write_container(os.path.join(src, "a.avro"), [(1,), (2,)], schema)
+    avro_format.write_container(os.path.join(src, "b.avro"), [(3,)], schema)
+
+    def drain():
+        q = (
+            spark.readStream.format("pyavro")
+            .load(src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    drain()
+    assert sorted(r["id"] for r in spark.read.parquet(sink).collect()) == [1, 2, 3]
+
+    avro_format.write_container(os.path.join(src, "c.avro"), [(4,)], schema)
+    drain()
+    assert sorted(r["id"] for r in spark.read.parquet(sink).collect()) == [1, 2, 3, 4]
+
+
 def test_overwrite_and_abort_semantics(spark, tmp_path):
     avro_format.register(spark)
     out = os.path.join(str(tmp_path), "ow")

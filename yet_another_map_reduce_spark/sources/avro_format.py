@@ -530,6 +530,7 @@ def _list_avro_files(path: str) -> list[str]:
 from pyspark.sql.datasource import (  # noqa: E402
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -628,6 +629,49 @@ class AvroWriter(DataSourceWriter):
                 pass
 
 
+class AvroStreamReader(DataSourceStreamReader):
+    """Structured-Streaming source tailing a directory of ``.avro``
+    containers — the ingest-feed shape (an upstream system drops one
+    container per batch; the stream absorbs new files as they appear).
+
+    The offset is the SET of consumed filenames (stored sorted): files
+    are immutable once present (this module's writer creates them with
+    ``'x'`` and never rewrites), so replaying an offset range re-reads
+    identical bytes and exactly-once downstream composes.  Files must
+    LAND atomically — drop them in via rename, or quiesce the producer
+    — a file listed mid-write reads as a truncated container and fails
+    the stream loudly (sync validation) rather than silently emitting
+    half a batch.  One input partition per new file."""
+
+    def __init__(self, options: dict, schema=None):
+        self.path = options["path"]
+        self.field_names = [f.name for f in schema.fields] if schema else None
+
+    def initialOffset(self) -> dict:
+        return {"files": []}
+
+    def latestOffset(self) -> dict:
+        return {
+            "files": [os.path.basename(p) for p in _list_avro_files(self.path)]
+        }
+
+    def partitions(self, start: dict, end: dict):
+        new = sorted(set(end["files"]) - set(start["files"]))
+        if not new:
+            return [_FilePartition(None)]  # empty sentinel (yamr pattern)
+        return [_FilePartition(os.path.join(self.path, f)) for f in new]
+
+    def read(self, partition: _FilePartition):
+        if partition is None or partition.path is None:
+            return
+        yield from read_container(
+            partition.path, reader_fields=self.field_names
+        )
+
+    def commit(self, end: dict) -> None:
+        pass  # no source-side cleanup: files stay readable for replay
+
+
 class AvroDataSource(DataSource):
     """``spark.read.format("pyavro")`` / ``df.write.format("pyavro")``
     after :func:`register` — schema inferred from the first file's
@@ -654,6 +698,9 @@ class AvroDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> AvroWriter:
         return AvroWriter(self.options, schema, overwrite)
+
+    def streamReader(self, schema) -> AvroStreamReader:
+        return AvroStreamReader(self.options, schema)
 
 
 def register(spark) -> None:
