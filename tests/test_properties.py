@@ -546,3 +546,31 @@ def test_avro_container_roundtrip_arbitrary_rows(tmp_path_factory, rows, codec, 
         for (l, s, b, bo, d, arr) in rows
     ]
     assert got == want
+
+
+@settings(max_examples=150, deadline=1000)
+@given(blob=st.binary(max_size=300))
+def test_avro_header_fuzz_fails_loudly_never_hangs(tmp_path_factory, blob):
+    """Feeding arbitrary bytes after the magic to the header parser must
+    terminate promptly with a clean Python exception (ValueError /
+    KeyError / UnicodeDecodeError family) — never hang, never crash the
+    interpreter, never return a bogus schema (a valid return requires a
+    parseable avro.schema JSON entry, which random bytes cannot form
+    without also being a legitimate header)."""
+    import os
+    import uuid
+
+    from yet_another_map_reduce_spark.sources import avro_format
+
+    p = os.path.join(
+        str(tmp_path_factory.mktemp("avrofuzz")), f"{uuid.uuid4().hex}.avro"
+    )
+    with open(p, "wb") as fh:
+        fh.write(b"Obj\x01" + blob)
+    try:
+        schema, codec, sync, pos = avro_format.read_header(p)
+    except (ValueError, KeyError, UnicodeDecodeError, AttributeError, TypeError):
+        return
+    # astronomically unlikely success path: must still be structurally sane
+    assert isinstance(schema, dict) and codec in ("null", "deflate")
+    assert len(sync) == 16 and pos <= 4 + len(blob)

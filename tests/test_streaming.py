@@ -1126,6 +1126,50 @@ def test_compact_seen_range_layout_and_probe_pruning(spark, sf_dir, tmp_path):
     assert paths2 == [gen] and sel2 == 0 and skip2 == 0
 
 
+def test_maintain_ingest_auto_compaction_policy(spark, sf_dir, tmp_path):
+    """major_seen='auto' is the LSM trigger: minor folds while the
+    sorted-level count stays under max_seen_levels, then one major fold
+    collapses the levels.  Five maintenance rounds with one new raw
+    batch each: levels grow 1,2,3,4 then fold back to 1."""
+    from yet_another_map_reduce_spark.operators import dedup, similarity, text
+    from yet_another_map_reduce_spark.streaming import maintain_ingest
+    from yet_another_map_reduce_spark.streaming.ingest import _load_fp_ranges
+
+    docs = read_table(spark, sf_dir, "documents")
+    index_dir = os.path.join(str(tmp_path), "auto_idx")
+    seen_dir = os.path.join(str(tmp_path), "auto_seen")
+    vecs = text.hash_embed_dense(
+        docs.where(F.col("doc_id") < 60).select("doc_id", "text"), "text", "doc_id"
+    )
+    similarity.build_ivfpq_index_auto(
+        vecs, "doc_id", "embedding", index_dir,
+        books=similarity.train_pq_codebooks(vecs, "doc_id", "embedding"),
+    )
+
+    def levels():
+        return sorted(
+            d
+            for d in os.listdir(seen_dir)
+            if d.startswith("batch=")
+            and _load_fp_ranges(os.path.join(seen_dir, d)) is not None
+        )
+
+    seen_levels = []
+    for b in range(5):
+        dedup.batch_fingerprints(
+            docs.where(F.col("doc_id") % 5 == b), "text"
+        ).write.parquet(os.path.join(seen_dir, f"batch={b}"))
+        maintain_ingest(
+            spark, index_dir, seen_dir, major_seen="auto",
+            retention_seconds=3600,
+        )
+        seen_levels.append(len(levels()))
+    assert seen_levels == [1, 2, 3, 4, 1], seen_levels
+    # the major fold deduplicated across levels: exact distinct count
+    n = spark.read.parquet(os.path.join(seen_dir, levels()[0])).count()
+    assert n == dedup.batch_fingerprints(docs, "text").count()
+
+
 def test_null_text_fingerprints_never_break_pruning(spark, tmp_path):
     """NULL-text documents have NULL fingerprints, which never
     equi-match (SQL join semantics): batch_fp_keys must drop them (a

@@ -475,7 +475,8 @@ def maintain_ingest(
     seen_dir: str,
     keep_versions: int = 2,
     retention_seconds: float = 3600.0,
-    major_seen: bool = True,
+    major_seen: bool | str = True,
+    max_seen_levels: int = 4,
 ) -> dict:
     """The periodic maintenance job for a running ingest deployment,
     run while the stream is STOPPED (both halves document why): fold
@@ -498,8 +499,24 @@ def maintain_ingest(
     the vacuum stats."""
     # major_seen=False keeps nightly maintenance O(new data): the raw
     # batch dirs fold into one new sorted level and existing sorted
-    # generations stay untouched (LSM minor); run a periodic
-    # major_seen=True pass to fold the levels back into one
+    # generations stay untouched (LSM minor); major_seen=True folds
+    # everything; "auto" is the LSM trigger policy — minor until the
+    # sorted-level count reaches max_seen_levels, then one major fold
+    # (levels only affect file/metadata counts, not probe cost — the
+    # r12 A/B measured probes level-independent — so the trigger
+    # bounds bookkeeping, not latency)
+    if major_seen == "auto":
+        levels = (
+            sum(
+                1
+                for d in os.listdir(seen_dir)
+                if d.startswith("batch=")
+                and _load_fp_ranges(os.path.join(seen_dir, d)) is not None
+            )
+            if os.path.isdir(seen_dir)
+            else 0
+        )
+        major_seen = levels >= max_seen_levels
     seen_fps = compact_seen(spark, seen_dir, major=major_seen)
     live = similarity._resolve_index_dir(index_dir)
     if len(similarity._segment_names(live, index_dir)) > 1:
