@@ -205,11 +205,17 @@ def test_deflate_smaller_than_null(spark, sf_dir, tmp_path):
 
 def test_writer_rejects_unsupported_types_loudly(spark, tmp_path):
     avro_format.register(spark)
-    df = spark.createDataFrame(
-        [(1, {"k": 1})], "id int, m map<string, int>"
+    df = spark.createDataFrame([(1, 1.5)], "id int, d double").select(
+        "id", F.col("d").cast("decimal(10,2)").alias("d")
     )
     with pytest.raises(Exception, match="outside this avro"):
-        df.write.format("pyavro").mode("append").save(os.path.join(str(tmp_path), "m"))
+        df.write.format("pyavro").mode("append").save(os.path.join(str(tmp_path), "d"))
+    # avro maps have string keys only — non-string keys must be loud
+    mk = spark.createDataFrame([(1,)], "id int").select(
+        "id", F.create_map(F.lit(1), F.lit("x")).alias("m")
+    )
+    with pytest.raises(Exception, match="string keys"):
+        mk.write.format("pyavro").mode("append").save(os.path.join(str(tmp_path), "m"))
 
 
 def test_split_reads_tile_blocks_exactly_once(spark, tmp_path):
@@ -353,3 +359,214 @@ def test_overwrite_and_abort_semantics(spark, tmp_path):
     two = spark.range(3).select(F.col("id").cast("long"))
     two.write.format("pyavro").mode("overwrite").save(out)
     assert spark.read.format("pyavro").load(out).count() == 3
+
+
+def test_roundtrip_nested_struct_map_and_array_of_struct(spark, tmp_path):
+    """Nested records (Spark struct), maps (string keys), and arrays of
+    records roundtrip through the full DataSource path — including NULL
+    structs, NULL map values, and logical types INSIDE a nested record
+    (timestamp-micros must encode/decode recursively, not only at the
+    top level)."""
+    avro_format.register(spark)
+    out = os.path.join(str(tmp_path), "nested")
+    ts = datetime.datetime(2026, 8, 16, 12, 30, 0, 123456)
+    rows = [
+        (
+            1,
+            {"w": 640, "h": 480, "tags": ["a", "b"]},
+            {"fps": 24, "missing": None},
+            [{"ts": ts, "score": 0.5}, {"ts": None, "score": -1.0}],
+        ),
+        (2, None, {}, []),
+    ]
+    ddl = (
+        "id bigint, meta struct<w:int,h:int,tags:array<string>>, "
+        "props map<string,bigint>, "
+        "frames array<struct<ts:timestamp,score:double>>"
+    )
+    df = spark.createDataFrame(rows, ddl)
+    df.write.format("pyavro").mode("append").save(out)
+
+    back = spark.read.format("pyavro").load(out)
+    assert back.schema.simpleString() == df.schema.simpleString()
+    got = {r["id"]: r for r in back.collect()}
+    assert got[1]["meta"].asDict() == {"w": 640, "h": 480, "tags": ["a", "b"]}
+    assert got[1]["props"] == {"fps": 24, "missing": None}
+    assert [f.asDict() for f in got[1]["frames"]] == [
+        {"ts": ts, "score": 0.5},
+        {"ts": None, "score": -1.0},
+    ]
+    assert got[2]["meta"] is None
+    assert got[2]["props"] == {}
+    assert got[2]["frames"] == []
+
+
+def test_nested_golden_hand_encoded_record_and_map(spark, tmp_path):
+    """Reader pinned to the SPEC for nested values: a record field is
+    the plain concatenation of its fields' encodings; a map is
+    count-prefixed key/value blocks ending with a 0 count — encoded
+    here by hand, independently of the module's writer."""
+    schema = {
+        "type": "record",
+        "name": "g",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {
+                "name": "geo",
+                "type": [
+                    "null",
+                    {
+                        "type": "record",
+                        "name": "g_geo",
+                        "fields": [
+                            {"name": "lat", "type": "double"},
+                            {"name": "city", "type": ["null", "string"]},
+                        ],
+                    },
+                ],
+            },
+            {"name": "kv", "type": {"type": "map", "values": "long"}},
+        ],
+    }
+    body = io.BytesIO()
+    # row 1: id=7, geo={lat:1.5, city:"x"}, kv={"a":1,"b":2}
+    body.write(_zz(7))
+    body.write(_zz(1))  # geo union branch 1 = record
+    body.write(struct.pack("<d", 1.5))
+    body.write(_zz(1) + _zz(1) + b"x")  # city: branch 1, len 1, 'x'
+    body.write(_zz(2))  # map block of 2 entries
+    body.write(_zz(1) + b"a" + _zz(1))
+    body.write(_zz(1) + b"b" + _zz(2))
+    body.write(_zz(0))  # end of map blocks
+    # row 2: id=-1, geo=null, kv={}
+    body.write(_zz(-1))
+    body.write(_zz(0))  # geo null branch
+    body.write(_zz(0))  # empty map
+    data = body.getvalue()
+
+    sync = bytes(range(16))
+    out = io.BytesIO()
+    out.write(b"Obj\x01")
+    meta = {"avro.schema": json.dumps(schema).encode(), "avro.codec": b"null"}
+    out.write(_zz(len(meta)))
+    for k, v in meta.items():
+        out.write(_zz(len(k)) + k.encode())
+        out.write(_zz(len(v)) + v)
+    out.write(_zz(0))
+    out.write(sync)
+    out.write(_zz(2))  # block record count
+    out.write(_zz(len(data)))
+    out.write(data)
+    out.write(sync)
+
+    p = os.path.join(str(tmp_path), "nested-golden.avro")
+    with open(p, "wb") as fh:
+        fh.write(out.getvalue())
+
+    assert list(avro_format.read_container(p)) == [
+        (7, (1.5, "x"), {"a": 1, "b": 2}),
+        (-1, None, {}),
+    ]
+
+    avro_format.register(spark)
+    df = spark.read.format("pyavro").load(p)
+    assert (
+        df.schema.simpleString()
+        == "struct<id:bigint,geo:struct<lat:double,city:string>,kv:map<string,bigint>>"
+    )
+    got = sorted(df.collect(), key=lambda r: r["id"])
+    assert got[0]["geo"] is None and got[0]["kv"] == {}
+    assert got[1]["geo"].asDict() == {"lat": 1.5, "city": "x"}
+    assert got[1]["kv"] == {"a": 1, "b": 2}
+
+
+def test_nested_schema_evolution_resolves_by_name(spark, tmp_path):
+    """By-name resolution must recurse INTO nested records — including
+    records inside arrays: a file whose nested field order drifted (or
+    that predates a nested field) must still land every value under its
+    name, never positionally misassigned."""
+    avro_format.register(spark)
+    out = os.path.join(str(tmp_path), "nevo")
+    os.makedirs(out)
+
+    def rec(name, fields):
+        return {"type": "record", "name": name, "fields": fields}
+
+    old = rec(
+        "e",
+        [
+            {"name": "id", "type": "long"},
+            {
+                "name": "m",
+                "type": rec(
+                    "e_m",
+                    [
+                        {"name": "w", "type": "long"},
+                        {"name": "h", "type": "long"},
+                    ],
+                ),
+            },
+        ],
+    )
+    new = rec(
+        "e",
+        [
+            {"name": "id", "type": "long"},
+            {
+                "name": "m",
+                "type": rec(
+                    "e_m",
+                    [  # reordered + added nested field
+                        {"name": "h", "type": "long"},
+                        {"name": "label", "type": ["null", "string"]},
+                        {"name": "w", "type": "long"},
+                    ],
+                ),
+            },
+        ],
+    )
+    avro_format.write_container(
+        os.path.join(out, "part-old.avro"), [(1, (640, 480))], old
+    )
+    avro_format.write_container(
+        os.path.join(out, "part-new.avro"), [(2, (1080, "hd", 1920))], new
+    )
+
+    df = (
+        spark.read.format("pyavro")
+        .schema("id bigint, m struct<w:bigint,h:bigint,label:string>")
+        .load(out)
+    )
+    got = {r["id"]: r["m"].asDict() for r in df.collect()}
+    assert got == {
+        1: {"w": 640, "h": 480, "label": None},
+        2: {"w": 1920, "h": 1080, "label": "hd"},
+    }
+
+    # records inside arrays resolve too
+    arr_old = rec(
+        "a",
+        [
+            {
+                "name": "xs",
+                "type": {
+                    "type": "array",
+                    "items": rec("a_xs", [{"name": "p", "type": "long"}]),
+                },
+            }
+        ],
+    )
+    out2 = os.path.join(str(tmp_path), "nevo-arr")
+    os.makedirs(out2)
+    avro_format.write_container(
+        os.path.join(out2, "part.avro"), [([(5,), (6,)],)], arr_old
+    )
+    df2 = (
+        spark.read.format("pyavro")
+        .schema("xs array<struct<q:bigint,p:bigint>>")
+        .load(out2)
+    )
+    assert [x.asDict() for x in df2.first()["xs"]] == [
+        {"q": None, "p": 5},
+        {"q": None, "p": 6},
+    ]

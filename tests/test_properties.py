@@ -548,6 +548,81 @@ def test_avro_container_roundtrip_arbitrary_rows(tmp_path_factory, rows, codec, 
     assert got == want
 
 
+_AVRO_NESTED_SCHEMA = {
+    "type": "record",
+    "name": "nprop",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {
+            "name": "rec",
+            "type": [
+                "null",
+                {
+                    "type": "record",
+                    "name": "nprop_rec",
+                    "fields": [
+                        {"name": "x", "type": "long"},
+                        {
+                            "name": "tags",
+                            "type": {"type": "array", "items": "string"},
+                        },
+                    ],
+                },
+            ],
+        },
+        {"name": "kv", "type": {"type": "map", "values": ["null", "long"]}},
+    ],
+}
+
+_avro_nested_row = st.tuples(
+    st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    st.one_of(
+        st.none(),
+        st.tuples(
+            st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            st.lists(st.text(max_size=10), max_size=4),
+        ),
+    ),
+    st.dictionaries(
+        st.text(max_size=8),
+        st.one_of(
+            st.none(), st.integers(min_value=-(2**40), max_value=2**40)
+        ),
+        max_size=4,
+    ),
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    rows=st.lists(_avro_nested_row, max_size=12),
+    codec=st.sampled_from(["null", "deflate"]),
+    block_rows=st.integers(min_value=1, max_value=5),
+)
+def test_avro_nested_container_roundtrip(tmp_path_factory, rows, codec, block_rows):
+    """Arbitrary NESTED values — nullable records holding arrays, maps
+    with nullable values — survive write_container -> read_container
+    exactly, across both codecs and pathological block sizes."""
+    import os
+    import uuid
+
+    from yet_another_map_reduce_spark.sources import avro_format
+
+    p = os.path.join(
+        str(tmp_path_factory.mktemp("avronest")), f"{uuid.uuid4().hex}.avro"
+    )
+    n = avro_format.write_container(
+        p, iter(rows), _AVRO_NESTED_SCHEMA, codec=codec, block_rows=block_rows
+    )
+    assert n == len(rows)
+    got = list(avro_format.read_container(p))
+    want = [
+        (i, (r[0], list(r[1])) if r is not None else None, dict(kv))
+        for (i, r, kv) in rows
+    ]
+    assert got == want
+
+
 @settings(max_examples=150, deadline=1000)
 @given(blob=st.binary(max_size=300))
 def test_avro_header_fuzz_fails_loudly_never_hangs(tmp_path_factory, blob):
@@ -574,3 +649,55 @@ def test_avro_header_fuzz_fails_loudly_never_hangs(tmp_path_factory, blob):
     # astronomically unlikely success path: must still be structurally sane
     assert isinstance(schema, dict) and codec in ("null", "deflate")
     assert len(sync) == 16 and pos <= 4 + len(blob)
+
+
+@settings(max_examples=150, deadline=2000)
+@given(
+    mode=st.sampled_from(["truncate", "flip"]),
+    where=st.floats(min_value=0.0, max_value=1.0),
+    flip=st.integers(min_value=1, max_value=255),
+    codec=st.sampled_from(["null", "deflate"]),
+)
+def test_avro_block_corruption_fails_loudly_never_hangs(
+    tmp_path_factory, mode, where, flip, codec
+):
+    """Corrupting or truncating the DATA region of a valid container
+    (flip one byte / cut the file at an arbitrary point) must terminate
+    promptly: either a clean exception (ValueError / IndexError /
+    zlib.error / UnicodeDecodeError family) or a list of
+    schema-arity rows (avro blocks carry no checksum, so a flipped byte
+    can legally decode to different values; truncation at an exact
+    block boundary is indistinguishable from a shorter file).  Never a
+    hang, never unbounded memory — the anti-hang guards on counts and
+    lengths are what this pins."""
+    import os
+    import uuid
+    import zlib
+
+    from yet_another_map_reduce_spark.sources import avro_format
+
+    p = os.path.join(
+        str(tmp_path_factory.mktemp("avrocorrupt")), f"{uuid.uuid4().hex}.avro"
+    )
+    rows = [
+        (i, (i * 7, ["t", "u"]), {"k": i, "z": None}) for i in range(50)
+    ]
+    avro_format.write_container(
+        p, iter(rows), _AVRO_NESTED_SCHEMA, codec=codec, block_rows=8
+    )
+    raw = open(p, "rb").read()
+    _, _, _, data_pos = avro_format.read_header(p)
+    span = len(raw) - data_pos
+    off = data_pos + min(span - 1, int(where * span))
+    if mode == "truncate":
+        bad = raw[: off + 1]
+    else:
+        bad = raw[:off] + bytes([raw[off] ^ flip]) + raw[off + 1 :]
+    with open(p, "wb") as fh:
+        fh.write(bad)
+    try:
+        got = list(avro_format.read_container(p))
+    except (ValueError, IndexError, UnicodeDecodeError, zlib.error, OverflowError):
+        return
+    assert all(isinstance(r, tuple) and len(r) == 3 for r in got)
+    assert len(got) <= len(rows)

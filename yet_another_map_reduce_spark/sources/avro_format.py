@@ -12,12 +12,18 @@ Reference parity note: the reference engine has no Avro support at all
 ingest stack.
 
 Scope (documented, loud on violation — never silent corruption):
-- Schemas: flat records of the primitive types ``null boolean int long
+- Schemas: records of the primitive types ``null boolean int long
   float double string bytes``, nullable via ``["null", T]`` unions,
-  arrays of those primitives, and the logical types ``date``
-  (int-days) and ``timestamp-micros`` (long) — the subset Spark's
-  testdata tables and a typical ingest feed actually use.  Nested
-  records/maps/enums/fixed raise ``ValueError`` naming the field.
+  NESTED records (Spark ``struct``), ``array`` and ``map`` (string
+  keys — the only key type Avro has) of any supported type, and the
+  logical types ``date`` (int-days) and ``timestamp-micros`` (long).
+  Enums/fixed/multi-branch unions/non-string-key maps raise
+  ``ValueError`` naming the field.
+- Schema evolution on read: fields resolve BY NAME recursively
+  (through nested records, arrays, and maps); a field the file lacks
+  reads as NULL.  Type PROMOTIONS (int→long etc.) are not performed —
+  a leaf whose type drifted decodes with its writer type and fails
+  loudly at the Spark conversion layer rather than being coerced.
 - Codecs: ``null`` and ``deflate`` (raw RFC-1951 via stdlib zlib) —
   the two codecs the spec requires every implementation to support.
 - Parallelism: files are SPLIT on sync-marker boundaries into
@@ -84,7 +90,11 @@ def read_long(view: memoryview, pos: int) -> tuple[int, int]:
     return n, pos
 
 
-def _write_value(buf: io.BytesIO, v, typ: str, nullable: bool) -> None:
+def _write_value(buf: io.BytesIO, v, typ, nullable: bool) -> None:
+    """Encode one value.  ``typ`` is this module's plan tag: a primitive
+    or logical-type name, or a nested tuple — ``("array", item_plan)``,
+    ``("map", value_plan)``, ``("record", ((name, plan), ...))`` where
+    ``plan`` is ``(tag, nullable)``."""
     if nullable:
         if v is None:
             write_long(buf, 0)  # union branch 0 = null
@@ -92,6 +102,43 @@ def _write_value(buf: io.BytesIO, v, typ: str, nullable: bool) -> None:
         write_long(buf, 1)
     elif v is None:
         raise ValueError(f"NULL in non-nullable avro field of type {typ}")
+    if isinstance(typ, tuple):
+        kind = typ[0]
+        if kind == "array":
+            it_typ, it_null = typ[1]
+            items = list(v)
+            if items:
+                write_long(buf, len(items))
+                for it in items:
+                    _write_value(buf, it, it_typ, it_null)
+            write_long(buf, 0)  # end of blocks
+            return
+        if kind == "map":
+            v_typ, v_null = typ[1]
+            entries = list(v.items())
+            if entries:
+                write_long(buf, len(entries))
+                for k, mv in entries:
+                    kb = k.encode("utf-8")
+                    write_long(buf, len(kb))
+                    buf.write(kb)
+                    _write_value(buf, mv, v_typ, v_null)
+            write_long(buf, 0)
+            return
+        if kind == "record":
+            # a record is the plain concatenation of its fields; Spark
+            # hands structs as Row (positional) — dicts resolve by name
+            if isinstance(v, dict):
+                for name, (f_typ, f_null) in typ[1]:
+                    _write_value(buf, v.get(name), f_typ, f_null)
+            else:
+                for i, (_name, (f_typ, f_null)) in enumerate(typ[1]):
+                    _write_value(buf, v[i], f_typ, f_null)
+            return
+        raise ValueError(f"unsupported avro plan {typ!r}")
+    if typ in _LOGICAL_BASE:
+        v = _encode_logical(v, typ)
+        typ = _LOGICAL_BASE[typ]
     if typ in ("long", "int"):
         write_long(buf, int(v))
     elif typ == "string":
@@ -110,30 +157,77 @@ def _write_value(buf: io.BytesIO, v, typ: str, nullable: bool) -> None:
         buf.write(b"\x01" if v else b"\x00")
     elif typ == "null":
         pass
-    elif typ.startswith("array:"):
-        item = typ.split(":", 1)[1]
-        items = list(v)
-        if items:
-            write_long(buf, len(items))
-            for it in items:
-                _write_value(buf, it, item, False)
-        write_long(buf, 0)  # end of blocks
     else:  # pragma: no cover - schema translation rejects these upfront
         raise ValueError(f"unsupported avro type {typ}")
 
 
-def _read_value(view: memoryview, pos: int, typ: str, nullable: bool):
+def _read_value(view: memoryview, pos: int, typ, nullable: bool):
     if nullable:
         branch, pos = read_long(view, pos)
         if branch == 0:
             return None, pos
+    if isinstance(typ, tuple):
+        kind = typ[0]
+        if kind == "array":
+            it_typ, it_null = typ[1]
+            out = []
+            while True:
+                cnt, pos = read_long(view, pos)
+                if cnt == 0:
+                    return out, pos
+                if cnt < 0:
+                    # negative count: block byte-size follows (skippable
+                    # form) — consume the size, then |cnt| items
+                    _, pos = read_long(view, pos)
+                    cnt = -cnt
+                if cnt > len(view):
+                    # anti-hang guard for corrupt counts: every real item
+                    # consumes >= 1 byte (a null-typed array bigger than
+                    # its whole buffer is rejected as corrupt, not looped)
+                    raise ValueError(f"corrupt avro array count {cnt}")
+                for _ in range(cnt):
+                    it, pos = _read_value(view, pos, it_typ, it_null)
+                    out.append(it)
+        if kind == "map":
+            v_typ, v_null = typ[1]
+            m: dict = {}
+            while True:
+                cnt, pos = read_long(view, pos)
+                if cnt == 0:
+                    return m, pos
+                if cnt < 0:
+                    _, pos = read_long(view, pos)
+                    cnt = -cnt
+                if cnt > len(view):
+                    raise ValueError(f"corrupt avro map count {cnt}")
+                for _ in range(cnt):
+                    n, pos = read_long(view, pos)
+                    if n < 0 or pos + n > len(view):
+                        raise ValueError(f"corrupt avro map key length {n}")
+                    k = str(view[pos : pos + n], "utf-8")
+                    pos += n
+                    m[k], pos = _read_value(view, pos, v_typ, v_null)
+        if kind == "record":
+            row = []
+            for _name, (f_typ, f_null) in typ[1]:
+                fv, pos = _read_value(view, pos, f_typ, f_null)
+                row.append(fv)
+            return tuple(row), pos
+        raise ValueError(f"unsupported avro plan {typ!r}")
+    if typ in _LOGICAL_BASE:
+        v, pos = _read_value(view, pos, _LOGICAL_BASE[typ], False)
+        return _decode_logical(v, typ), pos
     if typ in ("long", "int"):
         return read_long(view, pos)
     if typ == "string":
         n, pos = read_long(view, pos)
+        if n < 0 or pos + n > len(view):
+            raise ValueError(f"corrupt avro string length {n}")
         return str(view[pos : pos + n], "utf-8"), pos + n
     if typ == "bytes":
         n, pos = read_long(view, pos)
+        if n < 0 or pos + n > len(view):
+            raise ValueError(f"corrupt avro bytes length {n}")
         return bytes(view[pos : pos + n]), pos + n
     if typ == "double":
         return struct.unpack_from("<d", view, pos)[0], pos + 8
@@ -143,21 +237,6 @@ def _read_value(view: memoryview, pos: int, typ: str, nullable: bool):
         return view[pos] == 1, pos + 1
     if typ == "null":
         return None, pos
-    if typ.startswith("array:"):
-        item = typ.split(":", 1)[1]
-        out = []
-        while True:
-            cnt, pos = read_long(view, pos)
-            if cnt == 0:
-                return out, pos
-            if cnt < 0:
-                # negative count: block byte-size follows (skippable
-                # form) — consume the size, then |cnt| items
-                _, pos = read_long(view, pos)
-                cnt = -cnt
-            for _ in range(cnt):
-                it, pos = _read_value(view, pos, item, False)
-                out.append(it)
     raise ValueError(f"unsupported avro type {typ}")
 
 
@@ -186,29 +265,75 @@ _AVRO_TO_SPARK = {
 def spark_schema_to_avro(schema, name: str = "spark_row") -> dict:
     """Translate a Spark StructType into the Avro record-schema dict
     this module's codec can encode.  Unsupported Spark types raise
-    ``ValueError`` naming the field — no silent downcasts."""
-    fields = []
-    for f in schema.fields:
-        fields.append(
-            {"name": f.name, "type": _field_avro_type(f.dataType, f.nullable, f.name)}
-        )
+    ``ValueError`` naming the field — no silent downcasts.  Nested
+    record names are path-derived (Avro requires every named type to be
+    unique within a schema) and uniquified if sanitization collides."""
+    used: set[str] = {name}
+    fields = [
+        {
+            "name": f.name,
+            "type": _field_avro_type(f.dataType, f.nullable, f.name, name, used),
+        }
+        for f in schema.fields
+    ]
     return {"type": "record", "name": name, "fields": fields}
 
 
-def _field_avro_type(dt, nullable: bool, fname: str):
+def _avro_name(raw: str, used: set[str]) -> str:
+    """A valid, schema-unique Avro name ([A-Za-z_][A-Za-z0-9_]*)."""
+    import re
+
+    n = re.sub(r"\W", "_", raw) or "_"
+    if n[0].isdigit():
+        n = "_" + n
+    cand, i = n, 1
+    while cand in used:
+        i += 1
+        cand = f"{n}_{i}"
+    used.add(cand)
+    return cand
+
+
+def _field_avro_type(dt, nullable: bool, fname: str, path: str, used: set[str]):
     tn = dt.typeName()
     if tn == "timestamp":
         base: object = {"type": "long", "logicalType": "timestamp-micros"}
     elif tn == "date":
         base = {"type": "int", "logicalType": "date"}
+    elif tn == "struct":
+        rec = _avro_name(f"{path}_{fname}", used)
+        base = {
+            "type": "record",
+            "name": rec,
+            "fields": [
+                {
+                    "name": sf.name,
+                    "type": _field_avro_type(
+                        sf.dataType, sf.nullable, sf.name, rec, used
+                    ),
+                }
+                for sf in dt.fields
+            ],
+        }
     elif tn == "array":
-        el = dt.elementType.typeName()
-        if el not in _SPARK_TO_AVRO:
+        base = {
+            "type": "array",
+            "items": _field_avro_type(
+                dt.elementType, dt.containsNull, f"{fname}_item", path, used
+            ),
+        }
+    elif tn == "map":
+        if dt.keyType.typeName() != "string":
             raise ValueError(
-                f"avro writer supports arrays of primitives only; "
-                f"field {fname!r} is array<{el}>"
+                f"field {fname!r}: avro maps have string keys only; "
+                f"got map<{dt.keyType.typeName()}, ...>"
             )
-        base = {"type": "array", "items": _SPARK_TO_AVRO[el]}
+        base = {
+            "type": "map",
+            "values": _field_avro_type(
+                dt.valueType, dt.valueContainsNull, f"{fname}_value", path, used
+            ),
+        }
     elif tn in _SPARK_TO_AVRO:
         base = _SPARK_TO_AVRO[tn]
     else:
@@ -230,18 +355,21 @@ def avro_schema_to_spark_ddl(schema: dict) -> str:
     return ", ".join(cols)
 
 
-def _plan_field(f: dict) -> tuple[str, tuple[str, bool]]:
-    """(spark_ddl_type, (codec_type, nullable)) for one avro field.
-    ``codec_type`` is this module's internal tag: a primitive name,
-    ``array:<item>``, or the logical-type carriers ``date`` /
-    ``timestamp-micros``."""
-    t = f["type"]
+def _plan_field(f: dict) -> tuple[str, tuple]:
+    """(spark_ddl_type, (tag, nullable)) for one avro field.  ``tag``
+    is this module's internal plan tag — a primitive / logical-type
+    name, or a nested tuple ``("array", item_plan)`` /
+    ``("map", value_plan)`` / ``("record", ((name, plan), ...))``."""
+    return _plan_type(f["type"], f["name"])
+
+
+def _plan_type(t, fname: str) -> tuple[str, tuple]:
     nullable = False
     if isinstance(t, list):
         branches = [b for b in t if b != "null"]
         if len(t) != 2 or len(branches) != 1:
             raise ValueError(
-                f"field {f['name']!r}: only 2-branch [null, T] unions "
+                f"field {fname!r}: only 2-branch [null, T] unions "
                 "are supported"
             )
         nullable = True
@@ -251,19 +379,27 @@ def _plan_field(f: dict) -> tuple[str, tuple[str, bool]]:
     if isinstance(t, dict) and t.get("logicalType") == "date":
         return "date", ("date", nullable)
     if isinstance(t, dict) and t.get("type") == "array":
-        item = t["items"]
-        if not isinstance(item, str) or item not in _AVRO_TO_SPARK:
-            raise ValueError(
-                f"field {f['name']!r}: arrays of non-primitive items "
-                "are unsupported"
-            )
-        return f"array<{_AVRO_TO_SPARK[item]}>", (f"array:{item}", nullable)
+        it_ddl, it_plan = _plan_type(t["items"], fname)
+        return f"array<{it_ddl}>", (("array", it_plan), nullable)
+    if isinstance(t, dict) and t.get("type") == "map":
+        v_ddl, v_plan = _plan_type(t["values"], fname)
+        return f"map<string,{v_ddl}>", (("map", v_plan), nullable)
+    if isinstance(t, dict) and t.get("type") == "record":
+        ddls, plans = [], []
+        for sf in t["fields"]:
+            s_ddl, s_plan = _plan_type(sf["type"], sf["name"])
+            ddls.append(f"`{sf['name']}`:{s_ddl}")
+            plans.append((sf["name"], s_plan))
+        return (
+            "struct<" + ",".join(ddls) + ">",
+            (("record", tuple(plans)), nullable),
+        )
     if isinstance(t, dict):  # un-logical'd wrapper like {"type": "long"}
         t = t.get("type")
     if isinstance(t, str) and t in _AVRO_TO_SPARK:
         return _AVRO_TO_SPARK[t], (t, nullable)
     raise ValueError(
-        f"field {f['name']!r}: avro type {t!r} is outside this "
+        f"field {fname!r}: avro type {t!r} is outside this "
         "implementation's documented subset"
     )
 
@@ -359,8 +495,7 @@ def write_container(
         in_block = 0
         for row in rows:
             for v, (typ, nullable) in zip(row, plans):
-                base = _LOGICAL_BASE.get(typ, typ)
-                _write_value(block, _encode_logical(v, typ), base, nullable)
+                _write_value(block, v, typ, nullable)
             in_block += 1
             n += 1
             if in_block >= block_rows:
@@ -427,11 +562,91 @@ def _parse_header(path: str, head: bytes) -> tuple[dict, str, bytes, int]:
     return schema, codec, sync, pos
 
 
+def _reader_tree(schema_or_names):
+    """The by-name resolution tree for a reader schema: ``("record",
+    ((name, subtree), ...))`` with ``None`` at leaves that need no
+    resolution.  Accepts a Spark StructType or a plain name list
+    (top-level-only projection)."""
+    if isinstance(schema_or_names, (list, tuple)):
+        return ("record", tuple((n, None) for n in schema_or_names))
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    def walk(dt):
+        if isinstance(dt, StructType):
+            return (
+                "record",
+                tuple((f.name, walk(f.dataType)) for f in dt.fields),
+            )
+        if isinstance(dt, ArrayType):
+            sub = walk(dt.elementType)
+            return ("array", sub) if sub is not None else None
+        if isinstance(dt, MapType):
+            sub = walk(dt.valueType)
+            return ("map", sub) if sub is not None else None
+        return None
+
+    return walk(schema_or_names)
+
+
+def _writer_tree(tag):
+    """The resolution tree of one decoded plan tag (see _reader_tree)."""
+    if isinstance(tag, tuple):
+        kind = tag[0]
+        if kind == "record":
+            return (
+                "record",
+                tuple((n, _writer_tree(p[0])) for n, p in tag[1]),
+            )
+        if kind in ("array", "map"):
+            sub = _writer_tree(tag[1][0])
+            return (kind, sub) if sub is not None else None
+    return None
+
+
+def _projector(reader_tree, writer_tree):
+    """A function reshaping a writer-decoded value into the reader's
+    shape by NAME, recursively — the Avro schema-resolution rule for
+    records: match fields by name, absent fields read NULL, extra
+    fields drop.  Returns ``None`` where no reshaping is needed (the
+    value passes through; a leaf-type mismatch then surfaces loudly at
+    Spark's conversion layer — promotions are out of scope)."""
+    if reader_tree is None or reader_tree == writer_tree:
+        return None
+    kind = reader_tree[0]
+    if writer_tree is None or writer_tree[0] != kind:
+        return None  # structural mismatch: pass through, fail loudly
+    if kind == "record":
+        widx = {n: i for i, (n, _) in enumerate(writer_tree[1])}
+        steps = []
+        for n, r_sub in reader_tree[1]:
+            i = widx.get(n)
+            sub = _projector(r_sub, writer_tree[1][i][1]) if i is not None else None
+            steps.append((i, sub))
+
+        def proj_record(v, steps=steps):
+            if v is None:
+                return None
+            return tuple(
+                None
+                if i is None
+                else (v[i] if sub is None else sub(v[i]))
+                for i, sub in steps
+            )
+
+        return proj_record
+    sub = _projector(reader_tree[1], writer_tree[1])
+    if sub is None:
+        return None
+    if kind == "array":
+        return lambda v: None if v is None else [sub(x) for x in v]
+    return lambda v: None if v is None else {k: sub(x) for k, x in v.items()}
+
+
 def read_container(
     path: str,
     start: int | None = None,
     end: int | None = None,
-    reader_fields: list[str] | None = None,
+    reader_schema=None,
 ):
     """Yield rows (tuples in field order) from one container file —
     optionally restricted to the blocks whose START offset lies in
@@ -440,28 +655,34 @@ def read_container(
     is consumed whole even when it extends past ``end``).  The file is
     mmapped, so a split touches only its own pages plus the header.
 
-    ``reader_fields`` projects each row onto the given field names BY
-    NAME — the Avro schema-evolution read rule: every file decodes with
-    its OWN writer schema, then fields are matched by name, a field the
-    file lacks reads as NULL, and fields the reader doesn't ask for are
-    dropped.  Without it, rows come back in the file's own field order
-    — which differs file-to-file in an evolved dataset, so the Spark
-    reader always passes the read schema's names."""
+    ``reader_schema`` (a Spark StructType, or a plain list of names for
+    top-level-only projection) resolves each row against the reader BY
+    NAME, recursively through nested records/arrays/maps — the Avro
+    schema-evolution read rule: every file decodes with its OWN writer
+    schema, then fields match by name, a field the file lacks reads as
+    NULL, and fields the reader doesn't ask for are dropped.  Without
+    it, rows come back in the file's own field order — which differs
+    file-to-file in an evolved dataset, so the Spark reader always
+    passes its read schema."""
     import mmap
 
     schema, codec, sync, data_pos = read_header(path)
     plans = [_plan_field(f)[1] for f in schema["fields"]]
-    names = [f["name"] for f in schema["fields"]]
-    sel: list[int | None] | None = None
-    if reader_fields is not None and reader_fields != names:
-        idx = {n: i for i, n in enumerate(names)}
-        sel = [idx.get(n) for n in reader_fields]
+    proj = None
+    if reader_schema is not None:
+        w_tree = (
+            "record",
+            tuple(
+                (f["name"], _writer_tree(p[0]))
+                for f, p in zip(schema["fields"], plans)
+            ),
+        )
+        proj = _projector(_reader_tree(reader_schema), w_tree)
     with open(path, "rb") as fh:
         if os.fstat(fh.fileno()).st_size <= data_pos:
             return  # header-only container: zero rows
         with mmap.mmap(fh.fileno(), 0, access=mmap.ACCESS_READ) as mm:
             view = memoryview(mm)
-            data = None
             try:
                 lo = data_pos if start is None else max(start, data_pos)
                 hi = len(mm) if end is None else min(end, len(mm))
@@ -469,7 +690,27 @@ def read_container(
                 while pos is not None and pos < hi and pos < len(mm):
                     count, bpos = read_long(view, pos)
                     size, bpos = read_long(view, bpos)
-                    data = view[bpos : bpos + size]
+                    if (
+                        count < 0
+                        or size < 0
+                        or bpos + size + _SYNC_SIZE > len(view)
+                        or count > (1 << 31)
+                    ):
+                        # truncated file or corrupt block header — reject
+                        # before decoding garbage (count is also the
+                        # decode-loop bound, so an insane value must not
+                        # spin; 2^31 rows/block is far past any writer)
+                        raise ValueError(
+                            f"{path}: corrupt avro block header at offset "
+                            f"{pos} (count={count}, size={size})"
+                        )
+                    # COPY the block out of the mmap before decoding: if
+                    # decode raises on a corrupt block, the exception's
+                    # traceback frames would otherwise hold mmap-backed
+                    # slices and mm.close() would mask the real error
+                    # with "BufferError: cannot close exported pointers"
+                    # (found by the block-corruption fuzz test)
+                    raw_block = bytes(view[bpos : bpos + size])
                     bpos += size
                     if bytes(view[bpos : bpos + _SYNC_SIZE]) != sync:
                         raise ValueError(
@@ -478,26 +719,19 @@ def read_container(
                         )
                     bpos += _SYNC_SIZE
                     if codec == "deflate":
-                        data = memoryview(
-                            zlib.decompress(bytes(data), wbits=-15)
-                        )
+                        raw_block = zlib.decompress(raw_block, wbits=-15)
+                    data = memoryview(raw_block)
                     dpos = 0
                     for _ in range(count):
                         row = []
                         for typ, nullable in plans:
-                            base = _LOGICAL_BASE.get(typ, typ)
-                            v, dpos = _read_value(data, dpos, base, nullable)
-                            row.append(_decode_logical(v, typ))
-                        if sel is None:
-                            yield tuple(row)
-                        else:
-                            yield tuple(
-                                row[i] if i is not None else None for i in sel
-                            )
+                            v, dpos = _read_value(data, dpos, typ, nullable)
+                            row.append(v)
+                        t = tuple(row)
+                        yield t if proj is None else proj(t)
                     pos = bpos
             finally:
-                data = None  # release mmap buffer exports before close
-                view.release()
+                view.release()  # the only mmap export; safe under refs
 
 
 def _first_block_at_or_after(mm, sync: bytes, data_pos: int, lo: int) -> int | None:
@@ -550,12 +784,12 @@ class AvroReader(DataSourceReader):
         self.split_bytes = int(options.get("split_bytes", 64 * 1024 * 1024))
         if self.split_bytes <= 0:
             raise ValueError("split_bytes must be positive")
-        # the read schema's field names: every file projects onto these
-        # BY NAME (schema-evolution read rule), so a directory of files
-        # with drifted field order/coverage reads consistently — and a
-        # user-supplied .schema(...) acts as a projection with NULLs for
-        # fields a file predates
-        self.field_names = [f.name for f in schema.fields] if schema else None
+        # the read schema: every file resolves onto it BY NAME,
+        # recursively (schema-evolution read rule), so a directory of
+        # files with drifted field order/coverage reads consistently —
+        # and a user-supplied .schema(...) acts as a projection with
+        # NULLs for fields a file predates
+        self.read_schema = schema
 
     def partitions(self):
         parts = []
@@ -578,7 +812,7 @@ class AvroReader(DataSourceReader):
             partition.path,
             start=partition.start,
             end=partition.end,
-            reader_fields=self.field_names,
+            reader_schema=self.read_schema,
         )
 
 
@@ -645,7 +879,7 @@ class AvroStreamReader(DataSourceStreamReader):
 
     def __init__(self, options: dict, schema=None):
         self.path = options["path"]
-        self.field_names = [f.name for f in schema.fields] if schema else None
+        self.read_schema = schema
 
     def initialOffset(self) -> dict:
         return {"files": []}
@@ -665,7 +899,7 @@ class AvroStreamReader(DataSourceStreamReader):
         if partition is None or partition.path is None:
             return
         yield from read_container(
-            partition.path, reader_fields=self.field_names
+            partition.path, reader_schema=self.read_schema
         )
 
     def commit(self, end: dict) -> None:
