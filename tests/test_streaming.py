@@ -1424,3 +1424,37 @@ def test_compaction_between_crash_and_replay_keeps_exactly_once(
         spark, docs, batches, kw["weights"], kw["feature_cols"], kw["threshold"]
     )
     assert {i for i in ids if i >= 200} == expected
+
+
+def test_compact_seen_single_raw_generation_still_becomes_prunable(spark, tmp_path):
+    """A MAJOR compaction over exactly one sidecar-less directory (one
+    raw batch so far, or a compaction that crashed before its sidecar
+    landed) must still range-sort it and publish the sidecar — only a
+    single already-SORTED generation takes the rewrite-nothing early
+    exit.  Without this, a single-batch seen relation never becomes
+    prunable."""
+    from yet_another_map_reduce_spark.operators import dedup
+    from yet_another_map_reduce_spark.streaming import compact_seen
+    from yet_another_map_reduce_spark.streaming.ingest import _load_fp_ranges
+
+    seen_dir = os.path.join(str(tmp_path), "seen1")
+    docs = spark.createDataFrame(
+        [(i, f"solo batch text {i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    dedup.batch_fingerprints(docs, "text").write.parquet(
+        os.path.join(seen_dir, "batch=0")
+    )
+
+    n = compact_seen(spark, seen_dir, rows_per_file=8, major=True)
+    assert n == 40
+    gens = sorted(d for d in os.listdir(seen_dir) if d.startswith("batch="))
+    assert gens == ["batch=-2"]
+    ranges = _load_fp_ranges(os.path.join(seen_dir, "batch=-2"))
+    assert ranges is not None and len(ranges) > 1
+
+    # and a second major run over the now-sorted single generation IS
+    # the no-op early exit: same count, directory untouched
+    before = sorted(os.listdir(os.path.join(seen_dir, "batch=-2")))
+    assert compact_seen(spark, seen_dir, major=True) == 40
+    assert sorted(os.listdir(os.path.join(seen_dir, "batch=-2"))) == before

@@ -258,9 +258,16 @@ def compact_seen(
     )
     if not old:
         return 0  # minor run with nothing raw to fold: no-op
-    if major and len(old) == 1:
-        # already one generation: folding would rewrite the full relation
-        # (and march the generation id downward) for nothing
+    if (
+        major
+        and len(old) == 1
+        and _load_fp_ranges(os.path.join(seen_dir, old[0])) is not None
+    ):
+        # already one SORTED generation: folding would rewrite the full
+        # relation (and march the generation id downward) for nothing.
+        # A single sidecar-less dir (one raw batch, or a compaction that
+        # crashed before its sidecar) does NOT take this exit — it still
+        # needs the range sort to become prunable.
         return spark.read.parquet(os.path.join(seen_dir, old[0])).count()
     paths = [os.path.join(seen_dir, d) for d in old]
     # NULL fingerprints (NULL-text documents) never equi-match anything,
