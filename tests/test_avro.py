@@ -154,7 +154,7 @@ def test_roundtrip_all_supported_types(spark, tmp_path):
         ],
         "id int, l bigint, d double, f float, s string, b binary, "
         "bo boolean, arr array<double>, dt date, ts timestamp",
-    )
+    ).withColumn("tsn", F.col("ts").cast("timestamp_ntz"))
     out = os.path.join(str(tmp_path), "rt")
     df.write.format("pyavro").mode("append").save(out)
     assert [f for f in os.listdir(out) if f.endswith(".avro")]
@@ -570,3 +570,43 @@ def test_nested_schema_evolution_resolves_by_name(spark, tmp_path):
         {"q": None, "p": 5},
         {"q": None, "p": 6},
     ]
+
+
+def test_arrow_fast_path_roundtrip_ntz_date_arrays(spark, tmp_path):
+    """A schema of primitives + date + TIMESTAMP_NTZ + arrays is arrow
+    fast-path ELIGIBLE (asserted directly) and roundtrips exactly
+    through the DataSource — including NULLs and empty arrays.  The
+    tz'd-timestamp all-types test rides the row path, so this is the
+    coverage for the RecordBatch hand-off."""
+    from pyspark.sql.types import StructType
+
+    from yet_another_map_reduce_spark.sources.avro_format import (
+        _arrow_fast_schema,
+    )
+
+    avro_format.register(spark)
+    ddl = (
+        "id bigint, name string, score double, ok boolean, "
+        "dt date, tsn timestamp_ntz, xs array<bigint>"
+    )
+    assert _arrow_fast_schema(StructType.fromDDL(ddl)) is not None
+    # and a tz'd timestamp or nested struct disqualifies
+    assert _arrow_fast_schema(StructType.fromDDL("ts timestamp")) is None
+    assert (
+        _arrow_fast_schema(StructType.fromDDL("s struct<a:int>")) is None
+    )
+
+    ntz = datetime.datetime(2026, 8, 16, 7, 8, 9, 250000)
+    rows = [
+        (1, "a", 0.5, True, datetime.date(2026, 1, 2), ntz, [1, 2]),
+        (2, None, None, None, None, None, []),
+        (3, "", -0.0, False, datetime.date(1969, 12, 31), None, None),
+    ]
+    df = spark.createDataFrame(rows, ddl)
+    out = os.path.join(str(tmp_path), "fast")
+    df.write.format("pyavro").mode("append").save(out)
+    back = spark.read.format("pyavro").load(out)
+    assert dict(back.dtypes) == dict(df.dtypes)
+    assert sorted(back.collect(), key=lambda r: r["id"]) == sorted(
+        df.collect(), key=lambda r: r["id"]
+    )

@@ -16,7 +16,8 @@ Scope (documented, loud on violation — never silent corruption):
   float double string bytes``, nullable via ``["null", T]`` unions,
   NESTED records (Spark ``struct``), ``array`` and ``map`` (string
   keys — the only key type Avro has) of any supported type, and the
-  logical types ``date`` (int-days) and ``timestamp-micros`` (long).
+  logical types ``date`` (int-days), ``timestamp-micros`` (long), and
+  ``local-timestamp-micros`` (long; Spark TIMESTAMP_NTZ).
   Enums/fixed/multi-branch unions/non-string-key maps raise
   ``ValueError`` naming the field.
 - Schema evolution on read: fields resolve BY NAME recursively
@@ -298,6 +299,10 @@ def _field_avro_type(dt, nullable: bool, fname: str, path: str, used: set[str]):
     tn = dt.typeName()
     if tn == "timestamp":
         base: object = {"type": "long", "logicalType": "timestamp-micros"}
+    elif tn == "timestamp_ntz":
+        # the spec's zone-less twin (avro >= 1.10): micros since the
+        # epoch of the LOCAL (unzoned) datetime — exactly TIMESTAMP_NTZ
+        base = {"type": "long", "logicalType": "local-timestamp-micros"}
     elif tn == "date":
         base = {"type": "int", "logicalType": "date"}
     elif tn == "struct":
@@ -376,6 +381,8 @@ def _plan_type(t, fname: str) -> tuple[str, tuple]:
         t = branches[0]
     if isinstance(t, dict) and t.get("logicalType") == "timestamp-micros":
         return "timestamp", ("timestamp-micros", nullable)
+    if isinstance(t, dict) and t.get("logicalType") == "local-timestamp-micros":
+        return "timestamp_ntz", ("local-timestamp-micros", nullable)
     if isinstance(t, dict) and t.get("logicalType") == "date":
         return "date", ("date", nullable)
     if isinstance(t, dict) and t.get("type") == "array":
@@ -409,7 +416,7 @@ def _plan_type(t, fname: str) -> tuple[str, tuple]:
 def _encode_logical(v, typ: str):
     if v is None:
         return None
-    if typ == "timestamp-micros":
+    if typ in ("timestamp-micros", "local-timestamp-micros"):
         import datetime as _dt
 
         if isinstance(v, _dt.datetime):
@@ -431,7 +438,7 @@ def _encode_logical(v, typ: str):
 def _decode_logical(v, typ: str):
     if v is None:
         return None
-    if typ == "timestamp-micros":
+    if typ in ("timestamp-micros", "local-timestamp-micros"):
         import datetime as _dt
 
         return _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=v)
@@ -442,7 +449,11 @@ def _decode_logical(v, typ: str):
     return v
 
 
-_LOGICAL_BASE = {"timestamp-micros": "long", "date": "int"}
+_LOGICAL_BASE = {
+    "timestamp-micros": "long",
+    "local-timestamp-micros": "long",
+    "date": "int",
+}
 
 
 def write_container(
@@ -664,6 +675,19 @@ def read_container(
     it, rows come back in the file's own field order — which differs
     file-to-file in an evolved dataset, so the Spark reader always
     passes its read schema."""
+    for block in _iter_block_rows(path, start, end, reader_schema):
+        yield from block
+
+
+def _iter_block_rows(
+    path: str,
+    start: int | None = None,
+    end: int | None = None,
+    reader_schema=None,
+):
+    """:func:`read_container`'s engine, one LIST of row tuples per
+    container block — the block granularity is what the arrow fast path
+    batches on (one RecordBatch per block)."""
     import mmap
 
     schema, codec, sync, data_pos = read_header(path)
@@ -722,16 +746,92 @@ def read_container(
                         raw_block = zlib.decompress(raw_block, wbits=-15)
                     data = memoryview(raw_block)
                     dpos = 0
+                    block_rows = []
                     for _ in range(count):
                         row = []
                         for typ, nullable in plans:
                             v, dpos = _read_value(data, dpos, typ, nullable)
                             row.append(v)
                         t = tuple(row)
-                        yield t if proj is None else proj(t)
+                        block_rows.append(t if proj is None else proj(t))
+                    yield block_rows
                     pos = bpos
             finally:
                 view.release()  # the only mmap export; safe under refs
+
+
+def _arrow_fast_schema(read_schema):
+    """A pyarrow schema for the arrow fast path, or None when the read
+    schema needs the row-tuple path.  Fast-path-eligible: the primitive
+    types, date, TIMESTAMP_NTZ, and arrays of those — the shapes whose
+    Python values (``None``/int/float/str/bytes/bool/date/naive
+    datetime/list) convert to arrow columns without any session-
+    timezone or nested-shape judgement.  TIMESTAMP (tz'd) and nested
+    records/maps stay on the row path where Spark owns the conversion
+    semantics."""
+    try:
+        import pyarrow as pa
+        from pyspark.sql.types import ArrayType
+    except ImportError:  # pragma: no cover - pyarrow ships with pyspark
+        return None
+
+    simple = {
+        "long": pa.int64(),
+        "integer": pa.int32(),
+        "double": pa.float64(),
+        "float": pa.float32(),
+        "string": pa.string(),
+        "binary": pa.binary(),
+        "boolean": pa.bool_(),
+        "date": pa.date32(),
+        "timestamp_ntz": pa.timestamp("us"),
+    }
+    fields = []
+    for f in read_schema.fields:
+        dt = f.dataType
+        tn = dt.typeName()
+        if tn in simple:
+            t = simple[tn]
+        elif (
+            isinstance(dt, ArrayType)
+            and dt.elementType.typeName() in simple
+        ):
+            t = pa.list_(simple[dt.elementType.typeName()])
+        else:
+            return None
+        fields.append(pa.field(f.name, t, nullable=True))
+    return pa.schema(fields)
+
+
+def _read_arrow_batches(partition, read_schema, arrow_schema):
+    """The arrow fast path: one ``pyarrow.RecordBatch`` per container
+    block (writer default 4096 rows), transposed from the decoded row
+    tuples — the per-row decode is identical to the tuple path (same
+    ``_read_value``, same by-name resolution), but handing Spark
+    columnar batches skips the per-row pickle round-trip.  Measured a
+    modest ~1.25× on a 600k-row single-split scan (scripts/
+    avro_scale.py): the pure-Python field decode dominates, so the real
+    scan lever is SPLIT parallelism (sync-boundary splits fan one
+    container across cores), and the right 100 TB posture is landing
+    avro → parquet once, not serving analytics from avro."""
+    import pyarrow as pa
+
+    for block in _iter_block_rows(
+        partition.path,
+        start=partition.start,
+        end=partition.end,
+        reader_schema=read_schema,
+    ):
+        if not block:
+            continue
+        cols = list(zip(*block))
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(c, type=f.type)
+                for c, f in zip(cols, arrow_schema)
+            ],
+            schema=arrow_schema,
+        )
 
 
 def _first_block_at_or_after(mm, sync: bytes, data_pos: int, lo: int) -> int | None:
@@ -807,6 +907,12 @@ class AvroReader(DataSourceReader):
 
     def read(self, partition: _FilePartition):
         if partition is None or partition.path is None:
+            return
+        arrow = (
+            _arrow_fast_schema(self.read_schema) if self.read_schema else None
+        )
+        if arrow is not None:
+            yield from _read_arrow_batches(partition, self.read_schema, arrow)
             return
         yield from read_container(
             partition.path,
@@ -897,6 +1003,12 @@ class AvroStreamReader(DataSourceStreamReader):
 
     def read(self, partition: _FilePartition):
         if partition is None or partition.path is None:
+            return
+        arrow = (
+            _arrow_fast_schema(self.read_schema) if self.read_schema else None
+        )
+        if arrow is not None:
+            yield from _read_arrow_batches(partition, self.read_schema, arrow)
             return
         yield from read_container(
             partition.path, reader_schema=self.read_schema
