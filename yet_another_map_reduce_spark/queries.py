@@ -7456,6 +7456,72 @@ def _zorder_oracle() -> str:
 ORACLES["zorder_values"] = _zorder_oracle()
 
 
+def q_avro_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pyavro DataSource under the hash gate: documents → Avro
+    Object Container files (``sources/avro_format.py``, self-contained
+    spec codec — no spark-avro jar in the env) → read back → per-lang
+    aggregate whose values cover every roundtripped column (row counts,
+    char sums, an md5-hash sum over doc_id|text).  The DuckDB oracle
+    computes the SAME aggregate straight from the parquet table, so a
+    hash match proves the avro write+read preserved every row and every
+    byte of text — the roundtrip itself is what's verified (DuckDB has
+    no avro reader; it doesn't need one).
+
+    The container lands under a deterministic temp path keyed by
+    ``sf_dir`` and is overwritten per call (no tempdir leak across
+    bench repetitions).  Scale: the write fans out one container per
+    partition; the read is one split-able scan — but see BASELINE.md
+    r12: avro is the INGEST format here, parquet the serving one."""
+    import hashlib
+    import tempfile
+
+    from yet_another_map_reduce_spark.functions import md5_hash64
+    from yet_another_map_reduce_spark.sources import avro_format
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"yamr_avro_rt_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    avro_format.write_avro(d, out, mode="overwrite")
+    back = avro_format.read_avro(spark, out)
+    return (
+        back.withColumn(
+            "h",
+            md5_hash64(
+                F.concat_ws(
+                    "|",
+                    F.col("doc_id"),
+                    F.coalesce(F.col("text"), F.lit("<NULL>")),
+                )
+            ),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            # xor-fold, not sum: order-insensitive like sum but can't
+            # overflow int64 under ANSI mode
+            F.expr("bit_xor(h)").alias("text_hash_xor"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLES["avro_roundtrip_stats"] = f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(bit_xor({_sql_hash64("(doc_id || '|' || coalesce(text, '<NULL>'))")})
+                AS BIGINT) AS text_hash_xor
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -7655,6 +7721,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_pagerank_cached": q_graph_pagerank_cached,
     "interval_overlap_join": q_interval_overlap_join,
     "zorder_values": q_zorder_values,
+    "avro_roundtrip_stats": q_avro_roundtrip_stats,
 }
 
 
