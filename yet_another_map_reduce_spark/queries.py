@@ -7481,9 +7481,14 @@ def q_avro_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "n_chars"
     )
+    # keyed by sf_dir AND pid: repeated calls in one process (bench's
+    # timed runs) overwrite in place, while a concurrently-running
+    # second harness (driver gate + local parity) can never read this
+    # process's half-written container set
     out = os.path.join(
         tempfile.gettempdir(),
-        f"yamr_avro_rt_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+        f"yamr_avro_rt_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+        f"_{os.getpid()}",
     )
     avro_format.write_avro(d, out, mode="overwrite")
     back = avro_format.read_avro(spark, out)
@@ -7510,6 +7515,59 @@ def q_avro_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_yamr_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom ``yamr`` DataSource (the reference's manifest/part
+    text format, ``sources/yamr_format.py`` — 2-phase commit, versioned
+    manifests) under the hash gate, the same way ``avro_roundtrip_stats``
+    gates pyavro: render every document as the reference's ``key,value``
+    line contract (``/root/reference/Worker/worker.py:210`` — here
+    ``doc_id,md5(text)``), write through the format, read it back, and
+    fold the lines into an order-insensitive xor + count.  The DuckDB
+    oracle builds the SAME lines straight from parquet, so a hash match
+    proves the 2PC write + manifest-routed read preserved every line
+    exactly.  The tmp dataset is recreated per call (rmtree + fresh
+    version 1) so bench repetitions don't accrete time-travel versions."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from yet_another_map_reduce_spark.functions import md5_hash64
+    from yet_another_map_reduce_spark.sources import yamr_format
+
+    yamr_format.register(spark)
+    d = read_table(spark, sf_dir, "documents").select(
+        F.concat_ws(
+            ",",
+            F.col("doc_id"),
+            F.md5(F.coalesce(F.col("text"), F.lit("<NULL>"))),
+        ).alias("value")
+    )
+    # sf_dir+pid key: same rationale as q_avro_roundtrip_stats
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"yamr_rt_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+        f"_{os.getpid()}",
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    (
+        d.write.format("yamr")
+        .option("path", out)
+        .option("name", "docs")
+        .mode("append")
+        .save()
+    )
+    back = (
+        spark.read.format("yamr")
+        .option("path", out)
+        .option("name", "docs")
+        .load()
+    )
+    return back.withColumn("h", md5_hash64(F.col("value"))).agg(
+        F.count("*").alias("n_lines"),
+        F.expr("bit_xor(h)").alias("line_hash_xor"),
+    )
+
+
 ORACLES["avro_roundtrip_stats"] = f"""
     SELECT lang,
            CAST(count(*) AS BIGINT) AS n_docs,
@@ -7519,6 +7577,14 @@ ORACLES["avro_roundtrip_stats"] = f"""
     FROM documents
     GROUP BY lang
     ORDER BY lang
+"""
+
+ORACLES["yamr_roundtrip_stats"] = f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(bit_xor({_sql_hash64(
+               "(doc_id || ',' || md5(coalesce(text, '<NULL>')))"
+           )}) AS BIGINT) AS line_hash_xor
+    FROM documents
 """
 
 
@@ -7722,6 +7788,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interval_overlap_join": q_interval_overlap_join,
     "zorder_values": q_zorder_values,
     "avro_roundtrip_stats": q_avro_roundtrip_stats,
+    "yamr_roundtrip_stats": q_yamr_roundtrip_stats,
 }
 
 
