@@ -1458,3 +1458,74 @@ def test_compact_seen_single_raw_generation_still_becomes_prunable(spark, tmp_pa
     before = sorted(os.listdir(os.path.join(seen_dir, "batch=-2")))
     assert compact_seen(spark, seen_dir, major=True) == 40
     assert sorted(os.listdir(os.path.join(seen_dir, "batch=-2"))) == before
+
+
+def test_ingest_pipeline_from_pyavro_feed_exactly_once(spark, sf_dir, tmp_path):
+    """The two custom pieces composed end to end: an Avro container FEED
+    (sources/avro_format.py streaming source — consumed-filename
+    offsets) driving the full ingest pipeline (incremental dedup →
+    frozen gate → exactly-once IVF-PQ append).  Batch 0 lands, an
+    availableNow pass drains it; batches 1+2 land as new containers and
+    a RESTART from the same checkpoint ingests ONLY them (the avro
+    offset must not replay b0, the append tokens must not double-ingest
+    anything).  The final index must equal the SAME golden expectation
+    as the parquet-fed pipeline test — micro-batch grouping of the new
+    files is immaterial because dedup keeps the min id and ids are
+    ordered across batches."""
+    from yet_another_map_reduce_spark.sources import avro_format
+    from yet_another_map_reduce_spark.streaming import streaming_ingest_pipeline
+
+    docs, batches, replay, kw = _ingest_fixture(spark, sf_dir, tmp_path)
+    boot_ids = set(_live_index_ids(spark, kw["index_dir"]))
+    avro_format.register(spark)
+
+    feed = os.path.join(str(tmp_path), "avro_feed")
+    os.makedirs(feed)
+    schema = spark.read.parquet(os.path.join(replay, "b0")).schema
+    avro_schema = avro_format.spark_schema_to_avro(schema)
+    cols = [f.name for f in schema.fields]
+
+    def land(i: int) -> None:
+        # stage under a non-.avro name, rename into visibility LAST —
+        # the stream reader's atomic-landing contract
+        rows = [
+            tuple(r[c] for c in cols)
+            for r in spark.read.parquet(os.path.join(replay, f"b{i}")).collect()
+        ]
+        tmp = os.path.join(feed, f"b{i}.staging")
+        avro_format.write_container(tmp, rows, avro_schema)
+        os.rename(tmp, os.path.join(feed, f"b{i}.avro"))
+
+    def run_pass() -> None:
+        stream = (
+            spark.readStream.format("pyavro")
+            .schema(schema)
+            .option("path", feed)
+            .load()
+        )
+        q = streaming_ingest_pipeline(
+            stream,
+            checkpoint_dir=os.path.join(str(tmp_path), "avro_ingest_ckpt"),
+            **kw,
+        )
+        q.awaitTermination(300)
+
+    land(0)
+    run_pass()
+    after_b0 = {i for i in _live_index_ids(spark, kw["index_dir"]) if i >= 200}
+
+    land(1)
+    land(2)
+    run_pass()  # restart: same checkpoint, must consume ONLY b1/b2
+
+    ids = _live_index_ids(spark, kw["index_dir"])
+    assert len(ids) == len(set(ids)), "a document was ingested twice"
+    got_inc = {i for i in ids if i >= 200}
+    assert after_b0 <= got_inc, "restart lost batch-0 ingests"
+    expected = _expected_ingested_ids(
+        spark, docs, batches, kw["weights"], kw["feature_cols"], kw["threshold"]
+    )
+    assert expected and got_inc == expected
+    assert not {10_000 + i for i in range(10)} & got_inc
+    assert 20_000 not in got_inc and 30_000 not in got_inc
+    assert {i for i in ids if i < 200} == boot_ids
