@@ -1010,15 +1010,23 @@ def test_maintain_ingest_is_noop_when_already_compacted(spark, sf_dir, tmp_path)
     assert stats["index_version"] == live_before
     assert similarity._resolve_index_dir(index_dir) == live_before
 
-    # single-generation seen: no rewrite, same dir stays
+    # a single RAW generation gets ONE rewrite — the range sort that
+    # makes it prunable (post-r12 contract; sidecar-less means NOT yet
+    # fully compacted)...
     dedup.batch_fingerprints(docs, "text").write.parquet(
         os.path.join(seen_dir, "batch=-2")
     )
     n = compact_seen(spark, seen_dir)
     assert n > 0
-    assert [d for d in os.listdir(seen_dir) if d.startswith("batch=")] == ["batch=-2"]
+    assert [d for d in os.listdir(seen_dir) if d.startswith("batch=")] == ["batch=-3"]
+    # ...and from then on maintenance is a true no-op: same generation,
+    # byte-identical listing, no downward-marching ids
+    gen = os.path.join(seen_dir, "batch=-3")
+    before_files = sorted(os.listdir(gen))
     stats2 = maintain_ingest(spark, index_dir, seen_dir, retention_seconds=3600)
     assert stats2["seen_fps"] == n
+    assert [d for d in os.listdir(seen_dir) if d.startswith("batch=")] == ["batch=-3"]
+    assert sorted(os.listdir(gen)) == before_files
     assert stats2["index_version"] == live_before
 
 

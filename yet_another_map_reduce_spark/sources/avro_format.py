@@ -573,6 +573,131 @@ def _parse_header(path: str, head: bytes) -> tuple[dict, str, bytes, int]:
     return schema, codec, sync, pos
 
 
+def _compile_block_decoder(plans):
+    """Generate a specialized ``decode(view, count) -> list[tuple]`` for
+    one writer schema — the classic serializer move (fastavro's
+    pure-Python fallback does the same): the interpreted path pays 2+
+    function calls per FIELD (``_read_value`` dispatch + ``read_long``),
+    which profiling shows is most of the scan cost, so the hot
+    primitives (varint ints, strings, bytes, double/float/boolean and
+    their ``[null, T]`` unions) are inlined into one generated loop.
+    Logical types and nested records/arrays/maps fall back to a
+    ``_read_value`` call per field — identical semantics, and every
+    corrupt-length/overlong-varint guard is emitted into the generated
+    source verbatim (the corruption fuzz test runs through this path).
+    Measured ~2.5× on a 200k-row container (scripts/avro_scale.py)."""
+    varint = """
+        acc = 0
+        shift = 0
+        while True:
+            b = view[pos]
+            pos += 1
+            acc |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+            if shift > 70:
+                raise ValueError("malformed varint (over 10 bytes)")
+        {out} = (acc >> 1) ^ -(acc & 1)
+"""
+    lines = [
+        "def _decode(view, count, _read_value=_read_value,",
+        "            unpack_from=_unpack_from):",
+        "    pos = 0",
+        "    L = len(view)",
+        "    rows = []",
+        "    ap = rows.append",
+        "    for _ in range(count):",
+    ]
+    simple = {"long", "int", "string", "bytes", "double", "float",
+              "boolean", "null", "date", "timestamp-micros",
+              "local-timestamp-micros"}
+    for i, (typ, nullable) in enumerate(plans):
+        v = f"v{i}"
+        if not isinstance(typ, str) or typ not in simple:
+            # logical / nested: the interpreted path, one call per field
+            lines.append(
+                f"        {v}, pos = _read_value(view, pos, "
+                f"{typ!r}, {nullable!r})"
+            )
+            continue
+        body = []
+        if typ in ("long", "int"):
+            body.append(varint.format(out=v))
+        elif typ == "string":
+            body.append(varint.format(out="n"))
+            body.append(
+                "        if n < 0 or pos + n > L:\n"
+                "            raise ValueError("
+                "f'corrupt avro string length {n}')\n"
+                f"        {v} = str(view[pos : pos + n], 'utf-8')\n"
+                "        pos += n\n"
+            )
+        elif typ == "bytes":
+            body.append(varint.format(out="n"))
+            body.append(
+                "        if n < 0 or pos + n > L:\n"
+                "            raise ValueError("
+                "f'corrupt avro bytes length {n}')\n"
+                f"        {v} = bytes(view[pos : pos + n])\n"
+                "        pos += n\n"
+            )
+        elif typ == "double":
+            body.append(
+                f"        {v} = unpack_from('<d', view, pos)[0]\n"
+                "        pos += 8\n"
+            )
+        elif typ == "float":
+            body.append(
+                f"        {v} = unpack_from('<f', view, pos)[0]\n"
+                "        pos += 4\n"
+            )
+        elif typ == "boolean":
+            body.append(
+                f"        {v} = view[pos] == 1\n        pos += 1\n"
+            )
+        elif typ in ("timestamp-micros", "local-timestamp-micros"):
+            body.append(varint.format(out="n"))
+            body.append(f"        {v} = _epoch_dt + _td(microseconds=n)\n")
+        elif typ == "date":
+            # 719163 = date(1970, 1, 1).toordinal(); fromordinal is the
+            # C-fast equivalent of epoch + timedelta(days=n), incl. the
+            # same loud ValueError on out-of-range ordinals
+            body.append(varint.format(out="n"))
+            body.append(f"        {v} = _date_fromordinal(n + 719163)\n")
+        else:  # null
+            body.append(f"        {v} = None\n")
+        if nullable:
+            # union branch index is itself a varint (overlong encodings
+            # tolerated, same as read_long)
+            lines.append(varint.format(out="branch"))
+            lines.append(f"        if branch == 0:")
+            lines.append(f"            {v} = None")
+            lines.append(f"        else:")
+            lines.extend(
+                "    " + ln for b in body for ln in b.rstrip("\n").split("\n")
+            )
+        else:
+            lines.extend(
+                ln for b in body for ln in b.rstrip("\n").split("\n")
+            )
+    tup = ", ".join(f"v{i}" for i in range(len(plans)))
+    comma = "," if len(plans) == 1 else ""
+    lines.append(f"        ap(({tup}{comma}))")
+    lines.append("    return rows")
+    import datetime as _dt
+
+    ns = {
+        "_read_value": _read_value,
+        "_unpack_from": struct.unpack_from,
+        "_epoch_dt": _dt.datetime(1970, 1, 1),
+        "_td": _dt.timedelta,
+        "_date_fromordinal": _dt.date.fromordinal,
+    }
+    exec("\n".join(lines), ns)  # noqa: S102 - source built above from plans only
+    return ns["_decode"]
+
+
 def _reader_tree(schema_or_names):
     """The by-name resolution tree for a reader schema: ``("record",
     ((name, subtree), ...))`` with ``None`` at leaves that need no
@@ -692,6 +817,7 @@ def _iter_block_rows(
 
     schema, codec, sync, data_pos = read_header(path)
     plans = [_plan_field(f)[1] for f in schema["fields"]]
+    decode = _compile_block_decoder(plans)
     proj = None
     if reader_schema is not None:
         w_tree = (
@@ -744,16 +870,9 @@ def _iter_block_rows(
                     bpos += _SYNC_SIZE
                     if codec == "deflate":
                         raw_block = zlib.decompress(raw_block, wbits=-15)
-                    data = memoryview(raw_block)
-                    dpos = 0
-                    block_rows = []
-                    for _ in range(count):
-                        row = []
-                        for typ, nullable in plans:
-                            v, dpos = _read_value(data, dpos, typ, nullable)
-                            row.append(v)
-                        t = tuple(row)
-                        block_rows.append(t if proj is None else proj(t))
+                    block_rows = decode(memoryview(raw_block), count)
+                    if proj is not None:
+                        block_rows = [proj(t) for t in block_rows]
                     yield block_rows
                     pos = bpos
             finally:
