@@ -651,15 +651,34 @@ def test_avro_header_fuzz_fails_loudly_never_hangs(tmp_path_factory, blob):
     assert len(sync) == 16 and pos <= 4 + len(blob)
 
 
+_AVRO_WIDE_SCHEMA = {
+    "type": "record",
+    "name": "wprop",
+    "fields": [
+        {"name": "a", "type": "long"},
+        {"name": "d", "type": "double"},
+        {"name": "f", "type": ["null", "float"]},
+        {"name": "s", "type": "string"},
+        {"name": "bo", "type": "boolean"},
+        {"name": "dt", "type": {"type": "int", "logicalType": "date"}},
+        {
+            "name": "ts",
+            "type": {"type": "long", "logicalType": "timestamp-micros"},
+        },
+    ],
+}
+
+
 @settings(max_examples=150, deadline=2000)
 @given(
     mode=st.sampled_from(["truncate", "flip"]),
     where=st.floats(min_value=0.0, max_value=1.0),
     flip=st.integers(min_value=1, max_value=255),
     codec=st.sampled_from(["null", "deflate"]),
+    shape=st.sampled_from(["nested", "wide"]),
 )
 def test_avro_block_corruption_fails_loudly_never_hangs(
-    tmp_path_factory, mode, where, flip, codec
+    tmp_path_factory, mode, where, flip, codec, shape
 ):
     """Corrupting or truncating the DATA region of a valid container
     (flip one byte / cut the file at an arbitrary point) must terminate
@@ -679,11 +698,32 @@ def test_avro_block_corruption_fails_loudly_never_hangs(
     p = os.path.join(
         str(tmp_path_factory.mktemp("avrocorrupt")), f"{uuid.uuid4().hex}.avro"
     )
-    rows = [
-        (i, (i * 7, ["t", "u"]), {"k": i, "z": None}) for i in range(50)
-    ]
+    import datetime
+
+    if shape == "nested":
+        schema = _AVRO_NESTED_SCHEMA
+        rows = [
+            (i, (i * 7, ["t", "u"]), {"k": i, "z": None}) for i in range(50)
+        ]
+        arity = 3
+    else:  # wide: reaches the double/float/date/timestamp decode guards
+        schema = _AVRO_WIDE_SCHEMA
+        ep = datetime.datetime(1970, 1, 1)
+        rows = [
+            (
+                i,
+                i * 0.5,
+                float(i) if i % 3 else None,
+                f"s{i}",
+                bool(i % 2),
+                datetime.date(2026, 1, 1),
+                ep + datetime.timedelta(seconds=i),
+            )
+            for i in range(50)
+        ]
+        arity = 7
     avro_format.write_container(
-        p, iter(rows), _AVRO_NESTED_SCHEMA, codec=codec, block_rows=8
+        p, iter(rows), schema, codec=codec, block_rows=8
     )
     raw = open(p, "rb").read()
     _, _, _, data_pos = avro_format.read_header(p)
@@ -699,5 +739,5 @@ def test_avro_block_corruption_fails_loudly_never_hangs(
         got = list(avro_format.read_container(p))
     except (ValueError, IndexError, UnicodeDecodeError, zlib.error, OverflowError):
         return
-    assert all(isinstance(r, tuple) and len(r) == 3 for r in got)
+    assert all(isinstance(r, tuple) and len(r) == arity for r in got)
     assert len(got) <= len(rows)

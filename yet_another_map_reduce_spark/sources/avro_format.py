@@ -231,8 +231,12 @@ def _read_value(view: memoryview, pos: int, typ, nullable: bool):
             raise ValueError(f"corrupt avro bytes length {n}")
         return bytes(view[pos : pos + n]), pos + n
     if typ == "double":
+        if pos + 8 > len(view):
+            raise ValueError("truncated avro double")
         return struct.unpack_from("<d", view, pos)[0], pos + 8
     if typ == "float":
+        if pos + 4 > len(view):
+            raise ValueError("truncated avro float")
         return struct.unpack_from("<f", view, pos)[0], pos + 4
     if typ == "boolean":
         return view[pos] == 1, pos + 1
@@ -644,11 +648,15 @@ def _compile_block_decoder(plans):
             )
         elif typ == "double":
             body.append(
+                "        if pos + 8 > L:\n"
+                "            raise ValueError('truncated avro double')\n"
                 f"        {v} = unpack_from('<d', view, pos)[0]\n"
                 "        pos += 8\n"
             )
         elif typ == "float":
             body.append(
+                "        if pos + 4 > L:\n"
+                "            raise ValueError('truncated avro float')\n"
                 f"        {v} = unpack_from('<f', view, pos)[0]\n"
                 "        pos += 4\n"
             )
