@@ -460,6 +460,80 @@ _LOGICAL_BASE = {
 }
 
 
+def _compile_row_encoder(plans):
+    """The write-side twin of ``_compile_block_decoder``: a generated
+    ``encode(buf: bytearray, row) -> None`` appending one row's binary
+    encoding, with the varint/zigzag loop and the primitive + logical
+    writers inlined (write-path profiling shows the same per-field
+    call-overhead shape as the read path).  Returns ``None`` when any
+    field is nested (record/array/map) — those schemas keep the
+    interpreted ``_write_value`` path, which the roundtrip tests also
+    exercise via nested fixtures."""
+    varint = """
+    z = ({val} << 1) ^ ({val} >> 63)
+    z &= 0xFFFFFFFFFFFFFFFF
+    while True:
+        b7 = z & 0x7F
+        z >>= 7
+        if z:
+            append(b7 | 0x80)
+        else:
+            append(b7)
+            break
+"""
+    lines = [
+        "def _encode(buf, row, pack=_pack, _enc_logical=_encode_logical):",
+        "    append = buf.append",
+    ]
+    for i, (typ, nullable) in enumerate(plans):
+        if not isinstance(typ, str):
+            return None  # nested: interpreted path
+        body = []
+        if typ in ("long", "int"):
+            body.append(f"    v = int(v{i})")
+            body.append(varint.format(val="v"))
+        elif typ in ("timestamp-micros", "local-timestamp-micros", "date"):
+            body.append(f"    v = _enc_logical(v{i}, {typ!r})")
+            body.append(varint.format(val="v"))
+        elif typ == "string":
+            body.append(f"    s = v{i}.encode('utf-8')")
+            body.append("    n = len(s)")
+            body.append(varint.format(val="n"))
+            body.append("    buf += s")
+        elif typ == "bytes":
+            body.append(f"    s = bytes(v{i})")
+            body.append("    n = len(s)")
+            body.append(varint.format(val="n"))
+            body.append("    buf += s")
+        elif typ == "double":
+            body.append(f"    buf += pack('<d', float(v{i}))")
+        elif typ == "float":
+            body.append(f"    buf += pack('<f', float(v{i}))")
+        elif typ == "boolean":
+            body.append(f"    append(1 if v{i} else 0)")
+        elif typ == "null":
+            body = []
+        else:
+            return None  # outside the compiled subset
+        lines.append(f"    v{i} = row[{i}]")
+        if nullable:
+            lines.append(f"    if v{i} is None:")
+            lines.append("        append(0)  # union branch 0 = null")
+            lines.append("    else:")
+            lines.append("        append(2)  # zigzag(1): union branch 1")
+            lines.extend("    " + ln for b in body for ln in b.split("\n"))
+        else:
+            lines.append(f"    if v{i} is None:")
+            lines.append(
+                f"        raise ValueError('NULL in non-nullable avro "
+                f"field of type {typ}')"
+            )
+            lines.extend(ln for b in body for ln in b.split("\n"))
+    ns = {"_pack": struct.pack, "_encode_logical": _encode_logical}
+    exec("\n".join(lines), ns)  # noqa: S102 - source built above from plans only
+    return ns["_encode"]
+
+
 def write_container(
     path: str,
     rows,
@@ -496,8 +570,7 @@ def write_container(
         write_long(out, 0)  # end of metadata map
         out.write(sync)
 
-        def flush_block(block: io.BytesIO, count: int) -> None:
-            data = block.getvalue()
+        def flush_block(data: bytes, count: int) -> None:
             if codec == "deflate":
                 comp = zlib.compressobj(wbits=-15)
                 data = comp.compress(data) + comp.flush()
@@ -506,19 +579,32 @@ def write_container(
             out.write(data)
             out.write(sync)
 
-        block = io.BytesIO()
+        enc = _compile_row_encoder(plans)
+        block = bytearray()
         in_block = 0
-        for row in rows:
-            for v, (typ, nullable) in zip(row, plans):
-                _write_value(block, v, typ, nullable)
-            in_block += 1
-            n += 1
-            if in_block >= block_rows:
-                flush_block(block, in_block)
-                block = io.BytesIO()
-                in_block = 0
+        if enc is not None:
+            for row in rows:
+                enc(block, row)
+                in_block += 1
+                n += 1
+                if in_block >= block_rows:
+                    flush_block(bytes(block), in_block)
+                    block = bytearray()
+                    in_block = 0
+        else:  # nested schema: interpreted per-field path
+            bio = io.BytesIO()
+            for row in rows:
+                for v, (typ, nullable) in zip(row, plans):
+                    _write_value(bio, v, typ, nullable)
+                in_block += 1
+                n += 1
+                if in_block >= block_rows:
+                    flush_block(bio.getvalue(), in_block)
+                    bio = io.BytesIO()
+                    in_block = 0
+            block = bio.getvalue()
         if in_block:
-            flush_block(block, in_block)
+            flush_block(bytes(block), in_block)
     return n
 
 
@@ -546,6 +632,10 @@ def _parse_header(path: str, head: bytes) -> tuple[dict, str, bytes, int]:
     view = memoryview(head)
 
     def take(p: int, n: int) -> bytes:
+        # a NEGATIVE length would walk pos backwards and cycle the
+        # metadata loop forever (found by fuzzing) — corrupt, not short
+        if n < 0:
+            raise ValueError(f"{path}: corrupt avro header (negative length)")
         # slicing a memoryview short-reads silently; the incremental
         # header reader needs a LOUD IndexError to know to read more
         if p + n > len(view):
