@@ -192,3 +192,41 @@ def test_extract_features_routes_wav_through_pcm_kernel(spark):
         # square wave: min = -amplitude, max = +amplitude
         amp = 1000.0 + (mid % 100) * 10
         assert f[5] == -amp and f[6] == amp
+
+
+def test_media_parsers_quarantine_arbitrary_bytes_never_raise():
+    """The three hand-written binary parsers uphold the quarantine
+    contract on HOSTILE input: None (or a valid parse) for arbitrary
+    bytes, never an exception that would fail the whole Arrow batch —
+    the avro fuzzing campaign's lesson applied to the media kernels.
+    Includes the pathological PPM header whose >4300-digit dimension
+    used to make int() itself raise (CPython's int-str limit) and kill
+    the batch instead of quarantining the row."""
+    import random
+
+    from yet_another_map_reduce_spark.operators.multimodal import (
+        _decode_ppm,
+        _parse_mjpm,
+        _parse_wav_pcm16,
+    )
+
+    # explicit regression: giant-digit PPM header quarantines, not raises
+    evil = b"P6\n" + b"9" * 5000 + b" 1\n255\n" + b"\x00" * 16
+    assert _decode_ppm(evil) is None
+    assert _decode_ppm(b"P6\n" + b"9" * 10 + b" 1\n255\n") is None
+
+    rng = random.Random(0xBEEF)
+    magics = [b"", b"P6\n", b"RIFF" + b"\x00" * 4 + b"WAVE", b"MJPM"]
+    for i in range(3000):
+        blob = bytes(
+            rng.randrange(256) for _ in range(rng.randrange(0, 200))
+        )
+        blob = magics[i % len(magics)] + blob
+        img = _decode_ppm(blob)
+        assert img is None or img.ndim == 3 and img.shape[2] == 3
+        wav = _parse_wav_pcm16(blob)
+        assert wav is None or (len(wav) == 2 and wav[0] is not None)
+        vid = _parse_mjpm(blob)
+        assert vid is None or (
+            len(vid) == 2 and isinstance(vid[1], list)
+        )

@@ -289,6 +289,11 @@ def _decode_ppm(blob: bytes | None):
     m = _PPM_HEADER.match(blob)
     if not m:
         return None
+    if any(len(g) > 9 for g in m.groups()):
+        # a dimension/maxval with >9 digits is never a real image, and
+        # past ~4300 digits int() itself raises (CVE-2020-10735 limit)
+        # — which would fail the batch instead of quarantining the row
+        return None
     w, h, maxval = (int(g) for g in m.groups())
     if maxval > 255 or w <= 0 or h <= 0:
         return None
