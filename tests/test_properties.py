@@ -741,3 +741,71 @@ def test_avro_block_corruption_fails_loudly_never_hangs(
         return
     assert all(isinstance(r, tuple) and len(r) == arity for r in got)
     assert len(got) <= len(rows)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    rows=st.lists(_avro_row, max_size=16),
+    block_rows=st.integers(min_value=1, max_value=5),
+)
+def test_avro_codegen_paths_equal_interpreted_paths(
+    tmp_path_factory, rows, block_rows
+):
+    """The generated codec is pinned BYTE-EQUAL (write side) and
+    VALUE-EQUAL (read side) to the interpreted `_write_value` /
+    `_read_value` paths on arbitrary rows — so a codegen bug can't hide
+    behind the roundtrip tests' our-writer-our-reader symmetry."""
+    import io
+    import os
+    import uuid
+    from unittest import mock
+
+    from yet_another_map_reduce_spark.sources import avro_format
+
+    d = str(tmp_path_factory.mktemp("avrodiff"))
+    plans = [
+        avro_format._plan_field(f)[1]
+        for f in _AVRO_PROP_SCHEMA["fields"]
+    ]
+
+    # write side: generated encoder output == interpreted encoder output
+    # (on the flat prefix — the trailing array field is outside the
+    # compiled subset by design, so the full schema must NOT compile)
+    assert avro_format._compile_row_encoder(plans) is None
+    flat_plans = plans[:-1]
+    enc = avro_format._compile_row_encoder(flat_plans)
+    assert enc is not None, "flat primitive schema must compile"
+    for row in rows:
+        flat = row[:-1]
+        gen = bytearray()
+        enc(gen, flat)
+        ref = io.BytesIO()
+        for v, (typ, nullable) in zip(flat, flat_plans):
+            avro_format._write_value(ref, v, typ, nullable)
+        assert bytes(gen) == ref.getvalue(), f"encoder divergence on {flat!r}"
+
+    # read side: force the interpreted decoder and compare full reads
+    p = os.path.join(d, f"{uuid.uuid4().hex}.avro")
+    avro_format.write_container(
+        p, iter(rows), _AVRO_PROP_SCHEMA, codec="null", block_rows=block_rows
+    )
+    with_codegen = list(avro_format.read_container(p))
+
+    def interpreted(plans_):
+        def _decode(view, count):
+            out, pos = [], 0
+            for _ in range(count):
+                r = []
+                for typ, nullable in plans_:
+                    v, pos = avro_format._read_value(view, pos, typ, nullable)
+                    r.append(v)
+                out.append(tuple(r))
+            return out
+
+        return _decode
+
+    with mock.patch.object(
+        avro_format, "_compile_block_decoder", interpreted
+    ):
+        with_interpreter = list(avro_format.read_container(p))
+    assert with_codegen == with_interpreter
