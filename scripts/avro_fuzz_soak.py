@@ -29,6 +29,8 @@ class Hang(Exception):
 
 
 def main() -> None:
+    if len(sys.argv) > 1 and not sys.argv[1].isdigit():
+        sys.exit("usage: avro_fuzz_soak.py [n_examples]")
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
     random.seed(0xA7F0)
     d = tempfile.mkdtemp(prefix="avro_soak_")

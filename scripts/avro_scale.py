@@ -35,6 +35,8 @@ def timed(fn):
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    if not os.path.isdir(sf_dir):
+        sys.exit(f"usage: avro_scale.py [sf_dir]; not a directory: {sf_dir}")
     spark = build_session()
     avro_format.register(spark)
     tmp = tempfile.mkdtemp(prefix="avro_scale_")
