@@ -705,3 +705,80 @@ def test_yamr_noop_delete_commits_auditable_version(spark, tmp_path):
     assert yamr_format.list_versions(out, "tx") == [1, 2]
     back = spark.read.format("yamr").option("path", out).option("name", "tx").load()
     assert [x["value"] for x in back.collect()] == ["keep"]
+
+
+def test_yamr_register_enables_pushdown_conf(spark, tmp_path):
+    """Regression for the r12 driver-session failure: Spark 4.1
+    hard-errors (DATA_SOURCE_PUSHDOWN_DISABLED) when a Python reader
+    implements pushFilters while spark.sql.python.filterPushdown.enabled
+    is false — the DEFAULT in any session not built by build_session.
+    register() must flip the (runtime-settable) conf so yamr reads work
+    from any session that registers the format."""
+    from yet_another_map_reduce_spark.sources import yamr_format
+
+    conf = "spark.sql.python.filterPushdown.enabled"
+    yamr_format.register(spark)
+    out = str(tmp_path / "regds")
+    (
+        spark.createDataFrame([("a",), ("b",)], "value string")
+        .repartition(1)
+        .write.format("yamr")
+        .option("path", out)
+        .option("name", "tx")
+        .mode("append")
+        .save()
+    )
+    read = lambda: (  # noqa: E731
+        spark.read.format("yamr")
+        .option("path", out)
+        .option("name", "tx")
+        .load()
+        .collect()
+    )
+    spark.conf.set(conf, "false")
+    try:
+        # sanity: the failure mode this guards against is real
+        with pytest.raises(Exception, match="PUSHDOWN|pushFilters|DATA_SOURCE"):
+            read()
+        # the fix: register() re-enables the conf in-place
+        yamr_format.register(spark)
+        assert spark.conf.get(conf) == "true"
+        assert sorted(r["value"] for r in read()) == ["a", "b"]
+    finally:
+        spark.conf.set(conf, "true")
+
+
+def test_yamr_pushdown_option_reads_under_locked_conf(spark, tmp_path):
+    """.option("pushdown", "false") selects YamrReaderNoPushdown, whose
+    pushFilters attribute IS the base-class method, so Spark's
+    implements-pushFilters probe passes even with the conf false — the
+    escape hatch for sessions where the conf cannot be flipped.  Chunk
+    pruning is lost; row-level correctness is not (pruning never
+    filters rows)."""
+    from yet_another_map_reduce_spark.sources import yamr_format
+
+    conf = "spark.sql.python.filterPushdown.enabled"
+    yamr_format.register(spark)
+    out = str(tmp_path / "lockds")
+    (
+        spark.createDataFrame([(f"v{i}",) for i in range(5)], "value string")
+        .repartition(2)
+        .write.format("yamr")
+        .option("path", out)
+        .option("name", "tx")
+        .mode("append")
+        .save()
+    )
+    spark.conf.set(conf, "false")
+    try:
+        back = (
+            spark.read.format("yamr")
+            .option("path", out)
+            .option("name", "tx")
+            .option("pushdown", "false")
+            .load()
+            .where(F.col("value") >= "v2")
+        )
+        assert sorted(r["value"] for r in back.collect()) == ["v2", "v3", "v4"]
+    finally:
+        spark.conf.set(conf, "true")

@@ -358,6 +358,21 @@ class YamrReader(DataSourceReader):
                 yield (partition.filename, i, line.rstrip("\n"))
 
 
+class YamrReaderNoPushdown(YamrReader):
+    """:class:`YamrReader` with chunk-stat pruning disabled, for
+    sessions where ``spark.sql.python.filterPushdown.enabled`` is
+    locked to false.  Spark 4.1 decides "this reader implements
+    pushFilters" by ``__func__`` identity against the base class
+    (``pyspark/sql/worker/plan_data_source_read.py:376``), so
+    rebinding the attribute to the base implementation makes the
+    probe see it as absent — the read then proceeds with Spark
+    applying every filter post-scan, which is always correct (pruning
+    only ever skips chunks, never rows).  Selected per-read via
+    ``.option("pushdown", "false")``."""
+
+    pushFilters = DataSourceReader.pushFilters
+
+
 class _PartCommit(WriterCommitMessage):
     def __init__(
         self,
@@ -605,6 +620,12 @@ class YamrDataSource(DataSource):
         return "part string, line_no bigint, value string"
 
     def reader(self, schema) -> YamrReader:
+        if str(self.options.get("pushdown", "true")).lower() in (
+            "false",
+            "0",
+            "no",
+        ):
+            return YamrReaderNoPushdown(self.options)
         return YamrReader(self.options)
 
     def writer(self, schema, overwrite: bool) -> YamrWriter:
@@ -618,8 +639,25 @@ class YamrDataSource(DataSource):
 
 
 def register(spark) -> None:
-    """Idempotently register the ``yamr`` format on a session."""
+    """Idempotently register the ``yamr`` format on a session.
+
+    Also turns on ``spark.sql.python.filterPushdown.enabled``: Spark
+    4.1 hard-errors (``DATA_SOURCE_PUSHDOWN_DISABLED``) when a Python
+    ``DataSourceReader`` implements ``pushFilters`` while that conf is
+    false, and :class:`YamrReader` implements it for chunk pruning.
+    The conf is runtime-settable, so flipping it here makes the format
+    usable from ANY session — not just ones built by
+    ``session.build_session`` (which sets it at construction).  Sessions
+    that lock the conf can still read by disabling pruning per-read with
+    ``.option("pushdown", "false")``.
+    """
     spark.dataSource.register(YamrDataSource)
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        # conf locked down: per-read .option("pushdown", "false")
+        # remains as the escape hatch
+        pass
 
 
 def vacuum(
