@@ -15,7 +15,8 @@ SPARK_GRAFT_DRIVER_MEM=48g (local mode hosts executors in the driver
 JVM; the default heap OOMs).
 
 Usage: python scripts/ingest_dedup_scale.py [max_scale] [only]
-  max_scale: 100 (default) or 10000
+  max_scale: 100 (default), 10000, or any replica factor (e.g. 40000
+             for the ~200M-fps leg; 4,992 base fps per replica)
   only: measure just max_scale (skip the smaller legs)
 """
 
@@ -78,7 +79,9 @@ def main() -> None:
     if not os.path.exists(base):
         dedup.batch_fingerprints(docs, "text").write.parquet(base)
 
-    scales = [s for s in (1, 100, 10_000) if s <= max_scale]
+    scales = sorted(
+        {s for s in (1, 100, 10_000, max_scale) if s <= max_scale}
+    )
     if len(sys.argv) > 2 and sys.argv[2] == "only":
         scales = [max_scale]
     for scale in scales:

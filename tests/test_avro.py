@@ -610,3 +610,66 @@ def test_arrow_fast_path_roundtrip_ntz_date_arrays(spark, tmp_path):
     assert sorted(back.collect(), key=lambda r: r["id"]) == sorted(
         df.collect(), key=lambda r: r["id"]
     )
+
+
+def test_avro_to_parquet_conversion(spark, sf_dir, tmp_path):
+    """The land-then-convert operator (BASELINE.md r12 posture made
+    first-class): avro containers in, parquet out, one call.  Pins
+    (a) row/hash parity between the source table and the converted
+    parquet, (b) that the read actually fanned the containers across
+    sync-marker splits (split-count assertion), (c) output file sizing
+    from on-disk bytes."""
+    from yet_another_map_reduce_spark.functions import md5_hash64
+    from yet_another_map_reduce_spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    land = str(tmp_path / "landed")
+    out = str(tmp_path / "served")
+    avro_format.write_avro(docs.coalesce(2), land, codec="null", mode="overwrite")
+
+    # tiny split size forces multi-split reads of each container
+    res = avro_format.avro_to_parquet(
+        spark, land, out, split_bytes=16 * 1024
+    )
+    assert res["rows"] == docs.count()
+    n_files = len([f for f in os.listdir(land) if f.endswith(".avro")])
+    assert res["splits"] > n_files, "containers must fan out across splits"
+    assert res["out_files"] >= 1
+
+    def corpus_hash(df):
+        return df.withColumn(
+            "h",
+            md5_hash64(
+                F.concat_ws(
+                    "|",
+                    F.col("doc_id"),
+                    F.coalesce(F.col("text"), F.lit("<NULL>")),
+                    F.col("lang"),
+                    F.col("n_chars").cast("string"),
+                )
+            ),
+        ).agg(F.expr("bit_xor(h)").alias("h")).collect()[0]["h"]
+
+    assert corpus_hash(spark.read.parquet(out)) == corpus_hash(docs)
+
+
+def test_avro_to_parquet_partitioned(spark, sf_dir, tmp_path):
+    """partition_by routes rows into hive directories with whole files
+    per directory (the shuffle-on-partition-cols path)."""
+    from yet_another_map_reduce_spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    land = str(tmp_path / "landed")
+    out = str(tmp_path / "bylang")
+    avro_format.write_avro(docs, land, mode="overwrite")
+    res = avro_format.avro_to_parquet(spark, land, out, partition_by=["lang"])
+    langs = {r["lang"] for r in docs.select("lang").distinct().collect()}
+    got_dirs = {
+        d.split("=", 1)[1]
+        for d in os.listdir(out)
+        if d.startswith("lang=")
+    }
+    assert got_dirs == langs
+    assert res["rows"] == docs.count()

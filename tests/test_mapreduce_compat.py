@@ -98,3 +98,69 @@ def test_wordcount_roundtrip(spark, tmp_path):
     # part files exist and round-trip
     back = spark.read.text(out_dir)
     assert back.count() == 3
+
+
+@needs_reference
+def test_cli_mr_reproduces_reference_golden(spark, tmp_path):
+    """The `python -m yet_another_map_reduce_spark -mr` facade (the
+    reference client's third verb, Client/client.py:47-71,126) runs the
+    verbatim reference mapper/reducer over the reference's data.txt and
+    reproduces the committed golden output through the CLI path."""
+    from yet_another_map_reduce_spark.__main__ import main
+
+    out_dir = str(tmp_path / "mr_out")
+    rc = main(
+        [
+            "-mr",
+            os.path.join(REF, "data.txt"),
+            os.path.join(REF, "mapper.py"),
+            os.path.join(REF, "reducer.py"),
+            "--reducers",
+            "3",
+            "--output",
+            out_dir,
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    got = sorted(
+        line.rstrip("\n")
+        for f in os.listdir(out_dir)
+        if f.startswith("part-")
+        for line in open(os.path.join(out_dir, f))
+        if line.strip()
+    )
+    assert got == _golden_lines()
+
+
+def test_cli_write_then_read_roundtrip(spark, tmp_path, capsys):
+    """-w registers the file under its stem; -r resolves (bare filename
+    accepted, like the reference's filename.split('.')[0]), merges,
+    SORTS, and prints — the reference read contract."""
+    from yet_another_map_reduce_spark.__main__ import main
+
+    src = tmp_path / "greet.txt"
+    src.write_text("b,2\na,1\nc,3\n")
+    cat = str(tmp_path / "cat")
+    assert main(["--catalog", cat, "-w", str(src)], spark=spark) == 0
+    out_file = tmp_path / "merged.txt"
+    assert (
+        main(
+            ["--catalog", cat, "-r", "greet.txt", "--out", str(out_file)],
+            spark=spark,
+        )
+        == 0
+    )
+    printed = capsys.readouterr().out
+    assert "a,1\nb,2\nc,3" in printed
+    assert out_file.read_text() == "a,1\nb,2\nc,3\n"
+
+
+def test_cli_write_missing_file_errors(spark, tmp_path):
+    from yet_another_map_reduce_spark.__main__ import main
+
+    rc = main(
+        ["--catalog", str(tmp_path / "cat"), "-w", str(tmp_path / "nope.txt")],
+        spark=spark,
+    )
+    assert rc == 2

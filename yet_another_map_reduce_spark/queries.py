@@ -7456,6 +7456,28 @@ def _zorder_oracle() -> str:
 ORACLES["zorder_values"] = _zorder_oracle()
 
 
+def _scratch_path(tag: str, sf_dir: str) -> str:
+    """Per-process scratch dataset path for queries that exercise a
+    write+read cycle.  pid-keyed so a concurrently-running second
+    harness (driver gate + local parity) can never read this process's
+    half-written files; repeated calls in ONE process (bench's timed
+    runs) land on the same path and overwrite in place.  The whole
+    per-pid root is rmtree'd at interpreter exit, so successive
+    bench/gate processes don't accrete dataset copies under /tmp."""
+    import atexit
+    import hashlib
+    import shutil
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), f"yamr_scratch_{os.getpid()}")
+    if not os.path.isdir(root):
+        os.makedirs(root, exist_ok=True)
+        atexit.register(shutil.rmtree, root, True)
+    return os.path.join(
+        root, f"{tag}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    )
+
+
 def q_avro_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pyavro DataSource under the hash gate: documents → Avro
     Object Container files (``sources/avro_format.py``, self-contained
@@ -7467,29 +7489,18 @@ def q_avro_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte of text — the roundtrip itself is what's verified (DuckDB has
     no avro reader; it doesn't need one).
 
-    The container lands under a deterministic temp path keyed by
-    ``sf_dir`` and is overwritten per call (no tempdir leak across
-    bench repetitions).  Scale: the write fans out one container per
+    The container lands under the per-process scratch root
+    (``_scratch_path``: overwritten across calls, rmtree'd at exit).
+    Scale: the write fans out one container per
     partition; the read is one split-able scan — but see BASELINE.md
     r12: avro is the INGEST format here, parquet the serving one."""
-    import hashlib
-    import tempfile
-
     from yet_another_map_reduce_spark.functions import md5_hash64
     from yet_another_map_reduce_spark.sources import avro_format
 
     d = read_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "n_chars"
     )
-    # keyed by sf_dir AND pid: repeated calls in one process (bench's
-    # timed runs) overwrite in place, while a concurrently-running
-    # second harness (driver gate + local parity) can never read this
-    # process's half-written container set
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"yamr_avro_rt_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
-        f"_{os.getpid()}",
-    )
+    out = _scratch_path("avro_rt", sf_dir)
     avro_format.write_avro(d, out, mode="overwrite")
     back = avro_format.read_avro(spark, out)
     return (
@@ -7527,9 +7538,7 @@ def q_yamr_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves the 2PC write + manifest-routed read preserved every line
     exactly.  The tmp dataset is recreated per call (rmtree + fresh
     version 1) so bench repetitions don't accrete time-travel versions."""
-    import hashlib
     import shutil
-    import tempfile
 
     from yet_another_map_reduce_spark.functions import md5_hash64
     from yet_another_map_reduce_spark.sources import yamr_format
@@ -7542,12 +7551,7 @@ def q_yamr_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.coalesce(F.col("text"), F.lit("<NULL>"))),
         ).alias("value")
     )
-    # sf_dir+pid key: same rationale as q_avro_roundtrip_stats
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"yamr_rt_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
-        f"_{os.getpid()}",
-    )
+    out = _scratch_path("yamr_rt", sf_dir)
     shutil.rmtree(out, ignore_errors=True)
     (
         d.write.format("yamr")
@@ -7567,6 +7571,58 @@ def q_yamr_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("bit_xor(h)").alias("line_hash_xor"),
     )
 
+
+def q_avro_convert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The land-then-convert operator (``avro_format.avro_to_parquet``,
+    the r12 posture made first-class) under the hash gate: documents →
+    avro containers → ONE conversion call (sync-split read → sized,
+    shuffle-free parquet write) → the per-lang aggregate computed from
+    the CONVERTED PARQUET.  The oracle computes the same aggregate from
+    the source table, so a hash match certifies the whole
+    land→convert→serve path end to end — which is exactly what a 100 TB
+    avro user runs."""
+    from yet_another_map_reduce_spark.functions import md5_hash64
+    from yet_another_map_reduce_spark.sources import avro_format
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    land = _scratch_path("avro_land", sf_dir)
+    served = _scratch_path("avro_served", sf_dir)
+    avro_format.write_avro(d, land, mode="overwrite")
+    avro_format.avro_to_parquet(spark, land, served)
+    return (
+        spark.read.parquet(served)
+        .withColumn(
+            "h",
+            md5_hash64(
+                F.concat_ws(
+                    "|",
+                    F.col("doc_id"),
+                    F.coalesce(F.col("text"), F.lit("<NULL>")),
+                )
+            ),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.expr("bit_xor(h)").alias("text_hash_xor"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLES["avro_convert_stats"] = f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(bit_xor({_sql_hash64("(doc_id || '|' || coalesce(text, '<NULL>'))")})
+                AS BIGINT) AS text_hash_xor
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+"""
 
 ORACLES["avro_roundtrip_stats"] = f"""
     SELECT lang,
@@ -7788,6 +7844,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interval_overlap_join": q_interval_overlap_join,
     "zorder_values": q_zorder_values,
     "avro_roundtrip_stats": q_avro_roundtrip_stats,
+    "avro_convert_stats": q_avro_convert_stats,
     "yamr_roundtrip_stats": q_yamr_roundtrip_stats,
 }
 

@@ -1293,3 +1293,78 @@ def write_avro(df, path: str, codec: str = "deflate", mode: str = "append") -> N
     so append never clobbers)."""
     register(df.sparkSession)
     df.write.format("pyavro").option("codec", codec).mode(mode).save(path)
+
+
+def avro_to_parquet(
+    spark,
+    src: str,
+    dest: str,
+    split_bytes: int = 64 * 1024 * 1024,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> dict:
+    """Land-then-convert: the operator a 100 TB avro user actually
+    calls.  pyavro is a Python-codec DataSource (~20x slower than
+    parquet's columnar scan, structurally — see BASELINE.md r12), so
+    the documented posture is avro as the INGEST/interchange format
+    only: land the containers, convert ONCE to parquet, serve every
+    query from parquet.  This is that conversion as one call.
+
+    Shape, at scale:
+
+    - **Read** fans each container across tasks on sync-marker splits
+      (``split_bytes``, the Hadoop-style input-split rule), so one
+      giant landed file still parallelizes across the cluster.
+    - **Write** is sized from the avro on-disk bytes — never a
+      pre-``count()`` — at ``target_file_bytes`` per output file, and
+      uses ``coalesce`` (no shuffle: read splits are already
+      ~``split_bytes``-balanced, so merging adjacent splits keeps
+      balance).  Only ``partition_by`` forces a real shuffle, on the
+      partition columns, so each output directory gets whole files
+      instead of one sliver per task.
+    - **Row count** comes from the written parquet's footers
+      (metadata-only count — no second data scan).
+
+    Returns ``{"rows", "splits", "src_bytes", "out_files"}``.
+    """
+    import math
+
+    from pyspark.sql import functions as F
+
+    register(spark)
+    files = _list_avro_files(src)
+    if not files:
+        raise FileNotFoundError(f"no .avro files under {src}")
+    src_bytes = sum(os.path.getsize(f) for f in files)
+    n_splits = sum(
+        max(1, -(-os.path.getsize(f) // split_bytes)) for f in files
+    )
+    n_out = max(1, math.ceil(src_bytes / target_file_bytes))
+    df = (
+        spark.read.format("pyavro")
+        .option("split_bytes", split_bytes)
+        .load(src)
+    )
+    if partition_by:
+        writer = (
+            df.repartition(n_out, *[F.col(c) for c in partition_by])
+            .write.mode(mode)
+            .partitionBy(*partition_by)
+        )
+    else:
+        writer = df.coalesce(min(n_out, n_splits)).write.mode(mode)
+    writer.parquet(dest)
+    out_files = sum(
+        1
+        for root, _, names in os.walk(dest)
+        for f in names
+        if f.endswith(".parquet")
+    )
+    return {
+        # footer-metadata count — no second data scan
+        "rows": spark.read.parquet(dest).count(),
+        "splits": n_splits,
+        "src_bytes": src_bytes,
+        "out_files": out_files,
+    }
