@@ -673,3 +673,95 @@ def test_avro_to_parquet_partitioned(spark, sf_dir, tmp_path):
     }
     assert got_dirs == langs
     assert res["rows"] == docs.count()
+
+
+def test_type_drift_on_shared_leaf_raises_loudly(spark, tmp_path):
+    """A leaf whose type CHANGED between the file's writer schema and
+    the read schema must raise at open time, naming the field — never
+    coerce silently (Arrow int->float64 loses precision above 2^53;
+    that near-miss is why this check exists).  Promotions are out of
+    scope by module contract."""
+    avro_format.register(spark)
+    out = os.path.join(str(tmp_path), "drift")
+    os.makedirs(out)
+    schema = {
+        "type": "record",
+        "name": "d",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "v", "type": "long"},
+        ],
+    }
+    big = (1 << 53) + 1  # not representable in float64
+    avro_format.write_container(
+        os.path.join(out, "part-0.avro"), [(1, big)], schema
+    )
+
+    # leaf drift: long written, double requested
+    with pytest.raises(Exception, match="type drift.*\\bv\\b|\\bv\\b.*type drift"):
+        (
+            spark.read.format("pyavro")
+            .schema("id bigint, v double")
+            .load(out)
+            .collect()
+        )
+
+    # container-kind drift: leaf written, struct requested
+    with pytest.raises(Exception, match="struct"):
+        (
+            spark.read.format("pyavro")
+            .schema("id bigint, v struct<x:bigint>")
+            .load(out)
+            .collect()
+        )
+
+    # matching read schema still reads the full value exactly
+    got = (
+        spark.read.format("pyavro")
+        .schema("id bigint, v bigint")
+        .load(out)
+        .collect()
+    )
+    assert got[0]["v"] == big
+
+    # absent/extra fields stay legal (by-name evolution unchanged)
+    got = (
+        spark.read.format("pyavro")
+        .schema("id bigint, missing string")
+        .load(out)
+        .collect()
+    )
+    assert got[0]["missing"] is None
+
+
+def test_nested_type_drift_names_the_path(spark, tmp_path):
+    """Drift inside a nested record/array is caught with the full field
+    path in the error."""
+    avro_format.register(spark)
+    out = os.path.join(str(tmp_path), "nested_drift")
+    os.makedirs(out)
+    schema = {
+        "type": "record",
+        "name": "n",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {
+                "name": "meta",
+                "type": {
+                    "type": "record",
+                    "name": "meta_t",
+                    "fields": [{"name": "w", "type": "int"}],
+                },
+            },
+        ],
+    }
+    avro_format.write_container(
+        os.path.join(out, "part-0.avro"), [(1, (7,))], schema
+    )
+    with pytest.raises(Exception, match="meta\\.w"):
+        (
+            spark.read.format("pyavro")
+            .schema("id bigint, meta struct<w:string>")
+            .load(out)
+            .collect()
+        )

@@ -23,8 +23,11 @@ Scope (documented, loud on violation — never silent corruption):
 - Schema evolution on read: fields resolve BY NAME recursively
   (through nested records, arrays, and maps); a field the file lacks
   reads as NULL.  Type PROMOTIONS (int→long etc.) are not performed —
-  a leaf whose type drifted decodes with its writer type and fails
-  loudly at the Spark conversion layer rather than being coerced.
+  a shared leaf (or container kind) whose type drifted between the
+  file and the read schema raises ``ValueError`` naming the field and
+  file at open time (``_check_read_types``), because downstream layers
+  would otherwise coerce silently (Arrow int→float64 is lossy above
+  2^53).
 - Codecs: ``null`` and ``deflate`` (raw RFC-1951 via stdlib zlib) —
   the two codecs the spec requires every implementation to support.
 - Parallelism: files are SPLIT on sync-marker boundaries into
@@ -902,6 +905,79 @@ def read_container(
         yield from block
 
 
+_LEAF_EXPECTED_TAG = {
+    # reader Spark type (simpleString) -> the one writer plan tag it
+    # reads without coercion.  Promotions are deliberately out of scope
+    # (module contract): a long written where the reader expects double
+    # would otherwise be coerced SILENTLY downstream (Arrow path:
+    # pa.array int->float64, lossy above 2^53; row path: Spark coerces
+    # too) — exactly the quiet-corruption class this module refuses.
+    "bigint": "long",
+    "int": "int",
+    "double": "double",
+    "float": "float",
+    "string": "string",
+    "binary": "bytes",
+    "boolean": "boolean",
+    "date": "date",
+    "timestamp": "timestamp-micros",
+    "timestamp_ntz": "local-timestamp-micros",
+}
+
+
+def _check_read_types(read_schema, field_names, plans, path: str) -> None:
+    """Raise ``ValueError`` naming the field if any leaf (or container
+    kind) present in BOTH the reader schema and the file's writer
+    schema has drifted in type — once per file open, zero per-row cost.
+    Fields only one side has are fine (by-name resolution: absent reads
+    NULL, extra drops); only a type CHANGE on a shared leaf is an
+    error."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    def walk(dt, tag, where: str) -> None:
+        if isinstance(dt, StructType):
+            if not (isinstance(tag, tuple) and tag[0] == "record"):
+                raise ValueError(
+                    f"{path}: field {where}: file has avro {tag!r}, "
+                    f"read schema expects a struct"
+                )
+            sub = {n: p for n, p in tag[1]}
+            for f in dt.fields:
+                if f.name in sub:
+                    walk(f.dataType, sub[f.name][0], f"{where}.{f.name}")
+            return
+        if isinstance(dt, ArrayType):
+            if not (isinstance(tag, tuple) and tag[0] == "array"):
+                raise ValueError(
+                    f"{path}: field {where}: file has avro {tag!r}, "
+                    f"read schema expects an array"
+                )
+            walk(dt.elementType, tag[1][0], where + "[]")
+            return
+        if isinstance(dt, MapType):
+            if not (isinstance(tag, tuple) and tag[0] == "map"):
+                raise ValueError(
+                    f"{path}: field {where}: file has avro {tag!r}, "
+                    f"read schema expects a map"
+                )
+            walk(dt.valueType, tag[1][0], where + "{}")
+            return
+        expected = _LEAF_EXPECTED_TAG.get(dt.simpleString())
+        if expected is not None and tag != expected:
+            raise ValueError(
+                f"{path}: field {where}: type drift — file wrote avro "
+                f"{tag!r} but the read schema expects "
+                f"{dt.simpleString()!r} (avro {expected!r}); promotions "
+                "are not performed (land-then-convert with an explicit "
+                "cast instead)"
+            )
+
+    by_name = dict(zip(field_names, plans))
+    for f in read_schema.fields:
+        if f.name in by_name:
+            walk(f.dataType, by_name[f.name][0], f.name)
+
+
 def _iter_block_rows(
     path: str,
     start: int | None = None,
@@ -913,10 +989,19 @@ def _iter_block_rows(
     batches on (one RecordBatch per block)."""
     import mmap
 
+    from pyspark.sql.types import StructType
+
     schema, codec, sync, data_pos = read_header(path)
     plans = [_plan_field(f)[1] for f in schema["fields"]]
     decode = _compile_block_decoder(plans)
     proj = None
+    if isinstance(reader_schema, StructType):
+        _check_read_types(
+            reader_schema,
+            [f["name"] for f in schema["fields"]],
+            plans,
+            path,
+        )
     if reader_schema is not None:
         w_tree = (
             "record",
