@@ -1901,3 +1901,48 @@ def test_text_scalar_helpers_hand_values(spark):
     assert rows[0]["n"] == 8
     assert rows[0]["mwl"] == 2.0  # (2+3+1)/3
     assert rows[1]["n"] == 0
+
+
+def test_remove_common_lines_rewrites_docs(spark):
+    """C4-style line dedup: a line occurring in >max_doc_freq docs is
+    deleted from every doc; short repeats survive; order is preserved;
+    a doc losing every line survives with empty text."""
+    from yet_another_map_reduce_spark.operators import text
+
+    banner = "accept all cookies to continue"
+    rows = [
+        (1, f"unique alpha content\n{banner}\nok\nmore alpha"),
+        (2, f"{banner}\nunique beta content"),
+        (3, f"unique gamma content\n{banner}"),
+        (4, banner),  # the all-boilerplate doc
+        (5, "ok\nok\nok"),  # short repeats: never boilerplate
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_lines"], r["n_removed"])
+        for r in text.remove_common_lines(df, max_doc_freq=2).collect()
+    }
+    assert got[1] == ("unique alpha content\nok\nmore alpha", 4, 1)
+    assert got[2] == ("unique beta content", 2, 1)
+    assert got[3] == ("unique gamma content", 2, 1)
+    assert got[4] == ("", 1, 1)
+    assert got[5] == ("ok\nok\nok", 3, 0)
+
+
+def test_remove_common_lines_respects_doc_freq_threshold(spark):
+    """A line in exactly max_doc_freq docs (or repeated many times
+    WITHIN one doc) is kept — frequency is distinct-document count."""
+    from yet_another_map_reduce_spark.operators import text
+
+    line = "this line repeats within one document"
+    rows = [
+        (1, f"{line}\n{line}\n{line}"),
+        (2, f"other content here\n{line}"),
+        (3, "unrelated text entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: r["n_removed"]
+        for r in text.remove_common_lines(df, max_doc_freq=2).collect()
+    }
+    assert got == {1: 0, 2: 0, 3: 0}

@@ -664,6 +664,89 @@ def boilerplate_ngram_stats(
     )
 
 
+def remove_common_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_freq: int = 2,
+    min_line_chars: int = 10,
+    sep: str = "\n",
+    join_sep: str | None = None,
+) -> DataFrame:
+    """C4/Dolma-style corpus-level line dedup: REWRITE each document by
+    deleting the individual lines that occur in more than
+    ``max_doc_freq`` distinct documents (navigation bars, cookie
+    banners, license headers — the classic web-corpus noise), keeping
+    everything else in original order.  This is the redaction
+    counterpart of :func:`boilerplate_ngram_stats`, which only SCORES
+    documents; pipelines run the score to drop template-dominated docs
+    and this to clean the survivors.
+
+    Lines shorter than ``min_line_chars`` after trimming never count as
+    boilerplate (blank lines and short structural fragments are
+    legitimate repeats).  ``sep`` is a Spark ``split`` regex (default
+    literal newline); ``join_sep`` is the LITERAL string lines are
+    re-joined with, defaulting to ``sep`` — pass it explicitly whenever
+    ``sep`` is a non-literal regex.  Documents whose every line is
+    removed survive
+    with empty text — the corpus spine is never dropped by cleaning.
+
+    Returns ``(id_col, text_col cleaned, n_lines, n_removed)``.
+
+    Scale shape: document frequency is a distinct + count over md5 line
+    keys (fixed-width, map-side partials, two key shuffles); the
+    removal is a LEFT ANTI join against ONLY the offending keys — a
+    relation of boilerplate classes, typically minuscule next to the
+    corpus, so AQE broadcasts it and the line stream never shuffles for
+    the join; reassembly then shuffles each surviving line once on
+    ``id_col`` — one corpus-sized shuffle, the same cost class as
+    ``pack_sequences``.
+    """
+    split_col = F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(split_col).alias("__pos", "__line"),
+    )
+    keyed = lines.withColumn(
+        "__k",
+        F.when(
+            F.length(F.trim(F.col("__line"))) >= min_line_chars,
+            F.md5(F.trim(F.col("__line"))),
+        ),
+    )
+    boiler = (
+        keyed.where(F.col("__k").isNotNull())
+        .select("__k", id_col)
+        .distinct()
+        .groupBy("__k")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .where(F.col("__df") > max_doc_freq)
+        .select("__k")
+    )
+    kept = keyed.join(boiler, "__k", "left_anti")
+    spine = df.select(
+        F.col(id_col), F.size(split_col).alias("n_lines")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda x: x["__line"],
+            ),
+            join_sep if join_sep is not None else sep,
+        ).alias("__text"),
+        F.count(F.lit(1)).alias("__kept"),
+    )
+    return spine.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("__text"), F.lit("")).alias(text_col),
+        F.col("n_lines").cast("bigint").alias("n_lines"),
+        (F.col("n_lines") - F.coalesce(F.col("__kept"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_removed"),
+    )
+
+
 def bigram_lm_score(
     df: DataFrame,
     text_col: str,

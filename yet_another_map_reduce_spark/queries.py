@@ -1323,6 +1323,46 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.decontaminate(train, holdout, n=4, threshold=0.01).orderBy("doc_id")
 
 
+def q_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Dolma-style corpus-wide line dedup (``text.remove_common_lines``)
+    under the hash gate.  The synthetic corpus has no newlines, so the
+    query first RE-LINES each document deterministically (8-token
+    groups joined with newlines — cross-document duplicate 8-token
+    spans exist by corpus construction), then deletes every line
+    occurring in more than 2 distinct documents and reports the cleaned
+    text's md5 + per-doc removal stats.  The oracle replays the exact
+    chunk/count/delete/reassemble pipeline in SQL, so a green hash
+    certifies line keying, distinct-document frequency, threshold,
+    order-preserving reassembly, and the empty-doc spine rule."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    relined = d.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size(toks) / F.lit(8.0)).cast("int") - F.lit(1),
+                ),
+                lambda i: F.array_join(
+                    F.slice(toks, i * F.lit(8) + F.lit(1), F.lit(8)), " "
+                ),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    out = text.remove_common_lines(
+        relined, max_doc_freq=2, min_line_chars=10
+    )
+    return out.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("clean_md5"),
+        F.length("text").cast("bigint").alias("clean_chars"),
+        "n_lines",
+        "n_removed",
+    ).orderBy("doc_id")
+
+
 def q_text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filters (top-n-gram / duplicated-trigram
     fractions) with thresholds tuned to split this corpus."""
@@ -5403,6 +5443,43 @@ ORACLES: dict[str, str] = {
         FROM t LEFT JOIN m ON t.doc_id = m.doc_id
         ORDER BY t.doc_id
     """,
+    "text_line_dedup": """
+    WITH toks AS (
+      SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, g.i AS pos,
+             array_to_string(list_slice(t, g.i * 8 + 1, g.i * 8 + 8), ' ') AS line
+      FROM toks,
+           UNNEST(generate_series(0, CAST(ceil(len(t) / 8.0) AS BIGINT) - 1)) AS g(i)
+    ),
+    keyed AS (
+      SELECT doc_id, pos, line,
+             CASE WHEN length(trim(line)) >= 10 THEN md5(trim(line)) END AS k
+      FROM lines
+    ),
+    boiler AS (
+      SELECT k FROM keyed WHERE k IS NOT NULL
+      GROUP BY k HAVING count(DISTINCT doc_id) > 2
+    ),
+    kept AS (
+      SELECT doc_id, pos, line FROM keyed
+      WHERE k IS NULL OR k NOT IN (SELECT k FROM boiler)
+    ),
+    spine AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id),
+    rebuilt AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean,
+             count(*) AS kept_n
+      FROM kept GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           md5(coalesce(r.clean, '')) AS clean_md5,
+           CAST(length(coalesce(r.clean, '')) AS BIGINT) AS clean_chars,
+           CAST(s.n_lines AS BIGINT) AS n_lines,
+           CAST(s.n_lines - coalesce(r.kept_n, 0) AS BIGINT) AS n_removed
+    FROM spine s LEFT JOIN rebuilt r ON s.doc_id = r.doc_id
+    ORDER BY s.doc_id
+""",
     "text_repetition_stats": f"""
         WITH docs AS (SELECT doc_id, string_split({_norm('text')}, ' ') AS w
                       FROM documents),
@@ -7705,6 +7782,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences_bpe": q_pack_sequences_bpe,
     "text_decontaminate": q_text_decontaminate,
     "text_repetition_stats": q_text_repetition_stats,
+    "text_line_dedup": q_text_line_dedup,
     "text_bigram_lm": q_text_bigram_lm,
     "vocab_oov": q_vocab_oov,
     "pmi_cooccurrence": q_pmi_cooccurrence,
