@@ -1603,9 +1603,18 @@ def test_operator_caches_are_tracked_and_releasable(spark):
     spark.catalog.clearCache()
     # delta-based floor: other tests may leave raw RDD persists that
     # catalog.clearCache() does not touch — what must hold is that THIS
-    # operator's caches appear in storage and release returns them
-    time.sleep(0.5)
+    # operator's caches appear in storage and release returns them.
+    # unpersist is ASYNC, so a prior test's blocks can still be draining
+    # here: poll until two consecutive readings agree before taking the
+    # floor (a stale-high floor made the storage-grows assert fail in
+    # one full-suite run).
     floor = storage_bytes()
+    for _ in range(30):
+        time.sleep(0.3)
+        cur = storage_bytes()
+        if cur == floor:
+            break
+        floor = cur
     before = caching.tracked_count()
     assert before == 0
     edges = spark.createDataFrame(
