@@ -1282,3 +1282,20 @@ def test_zorder_value_all_null_column_degrades_to_bucket_zero(spark):
     # b contributes bucket 0 everywhere; a still orders the rows
     zs = {r["a"]: r["z"] for r in out}
     assert zs[1] == 0 and zs[2] > 0
+
+
+def test_remove_common_lines_plan_shape(spark, sf_dir):
+    """The line-dedup scale contract: the boilerplate-key removal is a
+    BROADCAST anti-join (the line stream must not shuffle to meet a
+    tiny key set) and the corpus pays exactly one body-bearing
+    reassembly exchange — the plan that survives a 100x scale-up."""
+    from yet_another_map_reduce_spark.operators import text
+    from yet_another_map_reduce_spark.sources.readers import read_table
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = text.remove_common_lines(d, max_doc_freq=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    # no sort-merge path anywhere: the only non-broadcast joins allowed
+    # are hash joins over the doc-id spine
+    assert "SortMergeJoin" not in plan, plan
