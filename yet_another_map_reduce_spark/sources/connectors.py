@@ -3,8 +3,11 @@
 Thin declarative wrappers over Spark's built-in connectors.  This
 container has no database server, JDBC driver jar, or Kafka broker, so
 these are exercised only up to plan construction; the read paths raise
-Spark's own clear errors when the external system is absent.  The
-shapes below are the scale-correct ones:
+Spark's own clear errors when the external system is absent.  The one
+network connector the container CAN execute end to end is the TCP
+socket source (``streaming.sources.socket_stream``, loopback-pinned by
+test) — it shares the downstream ``value``-column contract with the
+Kafka wrappers here.  The shapes below are the scale-correct ones:
 
 - JDBC reads MUST be partitioned (``partition_column`` + bounds) — an
   unpartitioned JDBC read funnels the whole table through one task;

@@ -37,3 +37,30 @@ def rate_stream(spark: SparkSession, rows_per_second: int = 1000) -> DataFrame:
         .option("rowsPerSecond", rows_per_second)
         .load()
     )
+
+
+def socket_stream(
+    spark: SparkSession,
+    host: str = "127.0.0.1",
+    port: int = 9999,
+    include_timestamp: bool = False,
+) -> DataFrame:
+    """TCP line source (Spark's built-in ``socket`` connector):
+    newline-delimited UTF-8 lines as a ``value string`` stream —
+    the one NETWORK connector this container can execute end to end
+    (loopback; pinned by ``test_socket_stream_reads_loopback_lines``),
+    which is why it exists here next to the plan-only Kafka wrappers.
+
+    At-most-once by design (no offsets, no replay — a reconnect loses
+    the gap), so its production role is demos and integration tests;
+    durable network ingest is Kafka's job
+    (``sources.connectors.read_kafka_stream``), which carries the same
+    ``value``-column contract downstream.
+    """
+    return (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", str(port))
+        .option("includeTimestamp", str(include_timestamp).lower())
+        .load()
+    )
