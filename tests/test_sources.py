@@ -782,3 +782,45 @@ def test_yamr_pushdown_option_reads_under_locked_conf(spark, tmp_path):
         assert sorted(r["value"] for r in back.collect()) == ["v2", "v3", "v4"]
     finally:
         spark.conf.set(conf, "true")
+
+
+def test_yamr_manifest_corruption_fails_loudly(spark, tmp_path):
+    """Manifest parsing is the format's trust root: a truncated,
+    foreign, or garbled manifest must raise a ValueError naming the
+    file and line — never half-parse into a wrong chunk list (the
+    avro-side hardening discipline applied to the text format)."""
+    from yet_another_map_reduce_spark.sources import yamr_format
+
+    yamr_format.register(spark)
+    out = str(tmp_path / "ds")
+    (
+        spark.createDataFrame([("x",)], "value string")
+        .repartition(1)
+        .write.format("yamr")
+        .option("path", out)
+        .option("name", "tx")
+        .mode("append")
+        .save()
+    )
+    mpath = os.path.join(out, "tx_manifest")
+    good = open(mpath).read()
+
+    # sane baseline
+    assert yamr_format.read_manifest(out, "tx")
+
+    for label, content in [
+        ("zero-byte", ""),
+        ("foreign file", "not,a,manifest,file\nwhatever\n"),
+        ("garbled row", "filename,filesize,header\nchunk_a,notanumber,h\n"),
+        ("missing column", "filename,filesize,header\nchunk_a,12\n"),
+    ]:
+        with open(mpath, "w") as fh:
+            fh.write(content)
+        with pytest.raises(ValueError, match="manifest"):
+            yamr_format.read_manifest(out, "tx")
+
+    # restore and confirm the dataset still reads
+    with open(mpath, "w") as fh:
+        fh.write(good)
+    back = spark.read.format("yamr").option("path", out).option("name", "tx").load()
+    assert [r["value"] for r in back.collect()] == ["x"]

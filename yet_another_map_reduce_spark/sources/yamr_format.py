@@ -69,15 +69,29 @@ def read_manifest(
     """Parse ``filename,filesize,header`` rows (header line skipped).
     ``version`` reads a committed snapshot manifest instead of the live
     one (time travel)."""
+    mpath = _manifest_path(path, name, version)
     entries: list[tuple[str, int]] = []
-    with open(_manifest_path(path, name, version), encoding="utf-8") as fh:
-        next(fh)  # "filename,filesize,header"
-        for line in fh:
+    with open(mpath, encoding="utf-8") as fh:
+        header = fh.readline()
+        # validate rather than blindly skip line 1: a truncated or
+        # foreign file must fail HERE with the path, not half-parse
+        # (an empty read() means a zero-byte manifest — a crashed
+        # writer's artifact, equally loud)
+        if header.strip() != "filename,filesize,header":
+            raise ValueError(
+                f"{mpath}: not a yamr manifest (bad or missing header "
+                f"line {header.strip()!r})"
+            )
+        for i, line in enumerate(fh, start=2):
             line = line.strip()
             if not line:
                 continue
-            fname, fsize, _header = line.split(",")
-            entries.append((fname, int(fsize)))
+            parts = line.split(",")
+            if len(parts) != 3 or not parts[1].lstrip("-").isdigit():
+                raise ValueError(
+                    f"{mpath}: corrupt manifest row at line {i}: {line!r}"
+                )
+            entries.append((parts[0], int(parts[1])))
     return entries
 
 
