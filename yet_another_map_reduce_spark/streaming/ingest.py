@@ -510,8 +510,10 @@ def maintain_ingest(
     # everything; "auto" is the LSM trigger policy — minor until the
     # sorted-level count reaches max_seen_levels, then one major fold
     # (levels only affect file/metadata counts, not probe cost — the
-    # r12 A/B measured probes level-independent — so the trigger
-    # bounds bookkeeping, not latency)
+    # r12 A/B measured probes level-independent at 50M fps and the r13
+    # stacked-levels run re-measured it flat through 8 levels at 200M
+    # fps, BASELINE.md §r13 — so the trigger bounds bookkeeping, not
+    # latency)
     if major_seen == "auto":
         levels = (
             sum(
