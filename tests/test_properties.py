@@ -809,3 +809,66 @@ def test_avro_codegen_paths_equal_interpreted_paths(
     ):
         with_interpreter = list(avro_format.read_container(p))
     assert with_codegen == with_interpreter
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            # a tiny line alphabet so cross-doc repeats actually occur;
+            # both boilerplate-eligible (>=10 chars) and short lines
+            st.sampled_from(
+                [
+                    "shared boilerplate banner line",
+                    "another repeated long line here",
+                    "unique-ish filler text segment",
+                    "short",
+                    "",
+                    "  padded boilerplate line  ",
+                ]
+            ),
+            min_size=0,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    freq=st.integers(min_value=1, max_value=3),
+)
+def test_remove_common_lines_equals_python_reference(spark, docs, freq):
+    """remove_common_lines == the obvious in-Python reference: count
+    distinct docs per trimmed line (>= 10 chars), delete lines over the
+    threshold, keep order, never drop a doc."""
+    from yet_another_map_reduce_spark.operators.text import remove_common_lines
+
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_lines"], r["n_removed"])
+        for r in remove_common_lines(df, max_doc_freq=freq).collect()
+    }
+
+    # reference: split EXACTLY like the operator (split of "" is [""])
+    split = {i: t.split("\n") for i, t in rows}
+    docfreq: dict[str, set[int]] = {}
+    for i, lines in split.items():
+        for ln in lines:
+            if len(ln.strip()) >= 10:
+                docfreq.setdefault(ln.strip(), set()).add(i)
+    boiler = {k for k, s in docfreq.items() if len(s) > freq}
+    for i, lines in split.items():
+        kept = [
+            ln
+            for ln in lines
+            if not (len(ln.strip()) >= 10 and ln.strip() in boiler)
+        ]
+        assert got[i] == (
+            "\n".join(kept),
+            len(lines),
+            len(lines) - len(kept),
+        ), f"doc {i}"
+    assert set(got) == set(split)  # the spine never drops a doc
