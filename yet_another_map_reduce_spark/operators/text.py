@@ -698,9 +698,12 @@ def remove_common_lines(
     removal is a LEFT ANTI join against ONLY the offending keys — a
     relation of boilerplate classes, typically minuscule next to the
     corpus, so AQE broadcasts it and the line stream never shuffles for
-    the join; reassembly then shuffles each surviving line once on
-    ``id_col`` — one corpus-sized shuffle, the same cost class as
-    ``pack_sequences``.
+    the join (plan-pinned at sf, re-verified on the 100x replica); if a
+    pathological corpus ever pushes the class set past the broadcast
+    threshold, Spark degrades to a shuffled anti-join on the md5 key —
+    one extra fixed-width-key shuffle, still never all-pairs; reassembly
+    then shuffles each surviving line once on ``id_col`` — one
+    corpus-sized shuffle, the same cost class as ``pack_sequences``.
     """
     split_col = F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
     lines = df.select(
