@@ -824,3 +824,32 @@ def test_yamr_manifest_corruption_fails_loudly(spark, tmp_path):
         fh.write(good)
     back = spark.read.format("yamr").option("path", out).option("name", "tx").load()
     assert [r["value"] for r in back.collect()] == ["x"]
+
+
+def test_jsonl_quarantine_splits_good_and_bad(spark, tmp_path):
+    """One PERMISSIVE scan, two relations: clean rows parse to the
+    schema; unparseable lines AND type-drifted fields land in
+    quarantine with the raw text and whatever partially parsed —
+    nothing killed, nothing silently dropped (row conservation)."""
+    from yet_another_map_reduce_spark.sources.readers import read_jsonl_quarantine
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"id": 1, "t": "ok"}\n'
+        "{utterly broken\n"
+        '{"id": 2, "t": "fine"}\n'
+        '{"id": "not-an-int", "t": "drifted"}\n'
+        '{"id": 3}\n'  # missing field: legal, reads NULL
+    )
+    good, bad = read_jsonl_quarantine(spark, str(p), "id bigint, t string")
+    g = {r["id"]: r["t"] for r in good.collect()}
+    assert g == {1: "ok", 2: "fine", 3: None}
+    b = sorted((r["raw_line"], r["t"]) for r in bad.collect())
+    assert b == [
+        ('{"id": "not-an-int", "t": "drifted"}', "drifted"),
+        ("{utterly broken", None),
+    ]
+    assert good.count() + bad.count() == 5  # conservation
+
+    with pytest.raises(ValueError, match="_corrupt_record"):
+        read_jsonl_quarantine(spark, str(p), "id bigint, _corrupt_record string")

@@ -69,6 +69,65 @@ def read_json(spark: SparkSession, path: str, schema: StructType | str | None = 
     return reader.json(path)
 
 
+def read_jsonl_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+) -> tuple[DataFrame, DataFrame]:
+    """JSONL ingest with an explicit quarantine split — the web-crawl
+    reality at 100 TB: malformed lines and type-drifted fields must
+    neither kill the job (FAILFAST) nor silently vanish (DROPMALFORMED);
+    they land in a quarantine relation for triage, like the multimodal
+    codecs' hostile-blob contract.
+
+    One PERMISSIVE scan with ``columnNameOfCorruptRecord``; returns
+    ``(good, quarantined)``:
+
+    - ``good``: rows that parsed fully, exactly the given schema;
+    - ``quarantined``: rows Spark flagged (unparseable line OR any
+      type-drifted field), as the schema's columns (whatever partially
+      parsed, rest NULL) plus ``raw_line`` — the verbatim input text.
+
+    ``schema`` is REQUIRED: inference would scan the corpus twice and
+    re-resolve drifted types per run.
+
+    Implementation note: this is a TEXT scan + ``from_json`` with a
+    corrupt-record field, NOT ``spark.read.json`` with
+    ``columnNameOfCorruptRecord`` — the native reader's internal
+    corrupt column carries a planner restriction
+    (``UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN``) that
+    breaks ``count()``/any fully-pruned plan over the quarantine side;
+    a computed struct has no such restriction, parses with the same
+    Jackson parser, and keeps both halves lazy single-scan filters —
+    no caching, no second pass.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    if "_corrupt_record" in schema.fieldNames():
+        raise ValueError("schema must not declare _corrupt_record itself")
+    full = schema.add("_corrupt_record", T.StringType())
+    parsed = spark.read.text(path).select(
+        F.col("value").alias("__raw"),
+        F.from_json(
+            F.col("value"),
+            full,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("__r"),
+    )
+    is_bad = F.col("__r").isNull() | F.col("__r._corrupt_record").isNotNull()
+    good = parsed.where(~is_bad).select(
+        *[F.col(f"__r.{f.name}").alias(f.name) for f in schema.fields]
+    )
+    quarantined = parsed.where(is_bad).select(
+        *[F.col(f"__r.{f.name}").alias(f.name) for f in schema.fields],
+        F.col("__raw").alias("raw_line"),
+    )
+    return good, quarantined
+
+
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """Columnar ORC scan — same pushdown/pruning properties as parquet
     (stripe-level predicate pushdown via ORC statistics)."""
