@@ -7649,6 +7649,77 @@ def q_yamr_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jsonl_quarantine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``read_jsonl_quarantine`` under the hash gate: render documents
+    as JSONL, deterministically mangle every ``doc_id % 37 == 0`` line
+    into invalid JSON, write as text, read back through the quarantine
+    split, and fold both halves into order-insensitive stats.  The
+    oracle computes the SAME stats straight from the table (corruption
+    membership is a pure function of doc_id), so a green hash certifies
+    the JSON render→parse roundtrip, the good/bad routing, and that
+    quarantine preserves raw lines verbatim — nothing killed, nothing
+    silently dropped."""
+    from yet_another_map_reduce_spark.functions import md5_hash64
+    from yet_another_map_reduce_spark.sources.readers import (
+        read_jsonl_quarantine,
+    )
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    mangled = d.select(
+        F.when(
+            F.col("doc_id") % 37 == 0,
+            F.concat(F.lit("{bad "), F.col("doc_id").cast("string")),
+        )
+        .otherwise(F.to_json(F.struct("doc_id", "text", "lang")))
+        .alias("value")
+    )
+    out = _scratch_path("jsonl_q", sf_dir)
+    mangled.write.mode("overwrite").text(out)
+    good, bad = read_jsonl_quarantine(
+        spark, out, "doc_id bigint, text string, lang string"
+    )
+    # hash the parsed columns on the good half, the verbatim raw line
+    # on the quarantine half
+    g = (
+        good.withColumn(
+            "h",
+            md5_hash64(
+                F.concat_ws(
+                    "|",
+                    F.col("doc_id"),
+                    F.coalesce(F.col("text"), F.lit("<NULL>")),
+                    F.coalesce(F.col("lang"), F.lit("<NULL>")),
+                )
+            ),
+        )
+        .agg(F.count("*").alias("n"), F.expr("bit_xor(h)").alias("hx"))
+        .select(F.lit("good").alias("half"), "n", "hx")
+    )
+    b = (
+        bad.withColumn("h", md5_hash64(F.col("raw_line")))
+        .agg(F.count("*").alias("n"), F.expr("bit_xor(h)").alias("hx"))
+        .select(F.lit("quarantined").alias("half"), "n", "hx")
+    )
+    return g.unionAll(b).orderBy("half")
+
+
+ORACLES["jsonl_quarantine_stats"] = f"""
+    SELECT 'good' AS half,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(bit_xor({_sql_hash64(
+               "(doc_id || '|' || coalesce(text, '<NULL>') || '|' || "
+               "coalesce(lang, '<NULL>'))"
+           )}) AS BIGINT) AS hx
+    FROM documents WHERE doc_id % 37 <> 0
+    UNION ALL
+    SELECT 'quarantined' AS half,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(bit_xor({_sql_hash64("(chr(123) || 'bad ' || doc_id)")}) AS BIGINT) AS hx
+    FROM documents WHERE doc_id % 37 = 0
+    ORDER BY half
+"""
+
+
 def q_avro_convert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The land-then-convert operator (``avro_format.avro_to_parquet``,
     the r12 posture made first-class) under the hash gate: documents →
@@ -7924,6 +7995,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "avro_roundtrip_stats": q_avro_roundtrip_stats,
     "avro_convert_stats": q_avro_convert_stats,
     "yamr_roundtrip_stats": q_yamr_roundtrip_stats,
+    "jsonl_quarantine_stats": q_jsonl_quarantine_stats,
 }
 
 
