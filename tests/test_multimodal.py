@@ -230,3 +230,61 @@ def test_media_parsers_quarantine_arbitrary_bytes_never_raise():
         assert vid is None or (
             len(vid) == 2 and isinstance(vid[1], list)
         )
+
+
+def test_image_phash_identical_and_perturbed(spark):
+    """Identical images hash equal (hamming 0); a lightly-perturbed
+    copy lands within a small hamming distance; a structurally
+    different image lands far; undecodable blobs get NULL + false."""
+    import numpy as np
+
+    from yet_another_map_reduce_spark.operators import multimodal
+
+    base = np.zeros((8, 8, 3), dtype=np.uint8)
+    base[:4] = 255  # top half bright: strong bit structure
+    perturbed = base.copy()
+    perturbed[0, 0] = 0  # flip one bright cell dark
+    different = np.transpose(base, (1, 0, 2)).copy()  # left half bright
+    rows = [
+        (1, bytearray(multimodal.encode_ppm(base))),
+        (2, bytearray(multimodal.encode_ppm(base))),
+        (3, bytearray(multimodal.encode_ppm(perturbed))),
+        (4, bytearray(multimodal.encode_ppm(different))),
+        (5, bytearray(b"not an image")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r["media_id"]: (r["phash"], r["decodable"]) for r in multimodal.image_phash(df).collect()}
+    assert got[1] == got[2] and got[1][1] is True
+    assert got[5] == (None, False)
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert 1 <= ham(got[1][0], got[3][0]) <= 3
+    assert ham(got[1][0], got[4][0]) > 3
+
+
+def test_image_near_dup_pairs_banded(spark):
+    """Band collisions find the exact and hamming-1 pairs; the far
+    image pairs with nothing; the corrupt blob never pairs."""
+    import numpy as np
+
+    from yet_another_map_reduce_spark.operators import multimodal
+
+    base = np.zeros((8, 8, 3), dtype=np.uint8)
+    base[:4] = 255
+    perturbed = base.copy()
+    perturbed[0, 0] = 0
+    different = np.transpose(base, (1, 0, 2)).copy()
+    rows = [
+        (1, bytearray(multimodal.encode_ppm(base))),
+        (2, bytearray(multimodal.encode_ppm(base))),
+        (3, bytearray(multimodal.encode_ppm(perturbed))),
+        (4, bytearray(multimodal.encode_ppm(different))),
+        (5, bytearray(b"junk")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in multimodal.image_near_dup_pairs(df, max_hamming=3).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and 1 <= pairs[(1, 3)] <= 3
+    assert not any(4 in p or 5 in p for p in pairs)

@@ -635,3 +635,122 @@ def sample_video_frames(df: DataFrame, every_ms: int) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.select("media_id", "content").mapInPandas(kernel, schema=VIDEO_FRAME_SCHEMA)
+
+
+def image_phash(df: DataFrame, hash_size: int = 8) -> DataFrame:
+    """Perceptual average-hash (aHash) over PPM blobs — the multimodal
+    counterpart of ``dedup.simhash``: near-identical images get equal
+    or Hamming-close hashes, so corpus-level image dedup becomes the
+    same banded fixed-width-key problem as text dedup.
+
+    Deliberately INTEGER-EXACT end to end so an ANSI-SQL oracle can
+    replay it bit for bit (the discipline every hash in this repo
+    follows): grayscale is the plain channel sum (0..765), downsampling
+    uses the same ``(k*dim)//hash_size`` index rule as
+    :func:`resize_image`, the threshold compare is ``gray*N > total``
+    (no float mean), and the bits pack into the LOW 60 of a BIGINT
+    (``md5_hash64``'s 60-bit discipline — a sign bit would shift
+    differently in engines with arithmetic-only right shift).  The
+    threshold total still sums ALL ``hash_size**2`` cells; only the
+    packing drops cells ≥ 60.
+
+    Output: ``(media_id, phash bigint, decodable boolean)`` — phash
+    NULL for undecodable blobs (quarantine contract).
+    """
+    import numpy as np
+
+    n_cells = hash_size * hash_size
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("phash", LongType()),
+            StructField("decodable", BooleanType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, hashes, ok = [], [], []
+            for mid, blob in zip(batch["media_id"], batch["content"]):
+                ids.append(mid)
+                img = _decode_ppm(blob)
+                if img is None:
+                    hashes.append(None)
+                    ok.append(False)
+                    continue
+                h, w = img.shape[:2]
+                yi = (np.arange(hash_size) * h) // hash_size
+                xi = (np.arange(hash_size) * w) // hash_size
+                cells = img[yi][:, xi].astype(np.int64).sum(axis=2).ravel()
+                total = int(cells.sum())
+                bits = (cells * n_cells) > total
+                ph = 0
+                for k in range(min(60, n_cells)):
+                    if bits[k]:
+                        ph |= 1 << k
+                hashes.append(ph)
+                ok.append(True)
+            yield pd.DataFrame(
+                {"media_id": ids, "phash": pd.array(hashes, dtype="Int64"), "decodable": ok}
+            )
+
+    return df.select("media_id", "content").mapInPandas(kernel, schema=out_schema)
+
+
+def image_near_dup_pairs(
+    df: DataFrame,
+    bands: int = 4,
+    max_hamming: int = 3,
+    hash_size: int = 8,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Image near-duplicate pairs by banded perceptual hash — the same
+    pigeonhole trick as ``dedup.simhash_near_dup_pairs`` (two 60-bit
+    hashes within Hamming distance ``bands - 1`` share an unchanged
+    band), applied to :func:`image_phash`: band collision generates
+    candidates, exact ``bit_count(XOR)`` verifies.  Undecodable blobs
+    never pair (NULL phash drops).
+
+    Scale shape: one mapInPandas pass for hashes, one fixed-width-key
+    shuffle for band grouping, capped in-bucket expansion — image BYTES
+    never shuffle, only 8-byte hashes do.
+    """
+    if max_hamming > bands - 1:
+        raise ValueError("bands must exceed max_hamming (pigeonhole guarantee)")
+    width = 60 // bands
+    fp = image_phash(df, hash_size=hash_size).where(F.col("phash").isNotNull())
+
+    def band_val(b: int):
+        col = F.shiftrightunsigned(F.col("phash"), b * width)
+        if b < bands - 1:
+            col = col.bitwiseAND(F.lit((1 << width) - 1))
+        return col
+
+    banded = fp.select(
+        "media_id",
+        "phash",
+        F.posexplode(F.array(*[band_val(b) for b in range(bands)])).alias(
+            "band", "band_key"
+        ),
+    )
+    groups = (
+        banded.groupBy("band", "band_key")
+        .agg(F.collect_list(F.struct(F.col("media_id").alias("id"), "phash")).alias("__g"))
+        .where(F.size("__g") >= 2)
+    )
+    if max_bucket_size is not None:
+        groups = groups.where(F.size("__g") <= max_bucket_size)
+    pairs = (
+        groups.select(F.explode("__g").alias("a"), "__g")
+        .select("a", F.explode("__g").alias("b"))
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.where(F.col("hamming") <= max_hamming).select(
+        "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")
+    )

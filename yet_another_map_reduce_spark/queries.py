@@ -2379,6 +2379,44 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup via banded perceptual hash
+    (``multimodal.image_phash`` + ``image_near_dup_pairs``) under the
+    hash gate.  The synthetic pixel rule ``(i*31 + y*7 + x*3 + c*11) %
+    256`` makes images ``i`` and ``i+256`` bit-identical (31 is
+    invertible mod 256), so the expected near-dup structure is a pure
+    function of doc_id — and the DuckDB oracle REPLAYS the whole
+    pipeline arithmetically: the 16x16→8x8 even-pixel downsample,
+    grayscale channel sums, the integer ``gray*64 > total`` threshold
+    bits, the 60-bit pack, the 4x15-bit banding self-join, and the
+    exact ``bit_count(xor)`` verification, folded per hamming distance
+    (pair counts + pair-id xor-hash) so the row stays small however
+    dense the synthetic near-dup structure is.  A green hash certifies
+    every stage of the multimodal dedup path."""
+    from yet_another_map_reduce_spark.functions import md5_hash64
+    from yet_another_map_reduce_spark.operators import multimodal
+
+    d = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 600)
+    media = multimodal.synthetic_ppm_media(d, "doc_id", width=16, height=16)
+    pairs = multimodal.image_near_dup_pairs(
+        media, bands=4, max_hamming=3, max_bucket_size=None
+    )
+    return (
+        pairs.withColumn(
+            "h",
+            md5_hash64(F.concat_ws("|", F.col("id_a"), F.col("id_b"))),
+        )
+        .groupBy("hamming")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.expr("bit_xor(h)").alias("pair_hash_xor"),
+        )
+        .orderBy("hamming")
+    )
+
+
+
+
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL nearest-neighbor resize chained into the REAL PPM decode:
     8x8 synthetic images shrink to 4x4, so the decoded pixel (y,x,c) is
@@ -6688,6 +6726,50 @@ ORACLES: dict[str, str] = {
         FROM feats, (VALUES (0), (1), (2), (3), (4), (5), (6), (7)) AS p(pos)
         ORDER BY media_id, pos
     """,
+    "multimodal_phash_neardup": f"""
+    WITH cells AS (
+      SELECT doc_id, g.k,
+             ((doc_id*31 + (g.k // 8)*14 + (g.k % 8)*6) % 256)
+           + ((doc_id*31 + (g.k // 8)*14 + (g.k % 8)*6 + 11) % 256)
+           + ((doc_id*31 + (g.k // 8)*14 + (g.k % 8)*6 + 22) % 256) AS gray
+      FROM documents, generate_series(0, 63) AS g(k)
+      WHERE doc_id < 600
+    ),
+    tot AS (SELECT doc_id, sum(gray) AS total FROM cells GROUP BY doc_id),
+    ph AS (
+      SELECT c.doc_id,
+             CAST(sum(CASE WHEN c.gray*64 > t.total
+                           THEN (1::BIGINT << c.k) ELSE 0 END) AS BIGINT) AS phash
+      FROM cells c JOIN tot t USING (doc_id)
+      WHERE c.k < 60
+      GROUP BY c.doc_id
+    ),
+    banded AS (
+      SELECT doc_id, phash, b.band,
+             CASE WHEN b.band < 3
+                  THEN (phash >> (b.band*15)) & 32767
+                  ELSE phash >> 45 END AS band_key
+      FROM ph, generate_series(0, 3) AS b(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, a.phash AS pa,
+                      b2.doc_id AS id_b, b2.phash AS pb
+      FROM banded a
+      JOIN banded b2 ON a.band = b2.band AND a.band_key = b2.band_key
+                     AND a.doc_id < b2.doc_id
+    ),
+    pairs AS (
+      SELECT id_a, id_b, bit_count(xor(pa, pb)) AS hamming
+      FROM cand WHERE bit_count(xor(pa, pb)) <= 3
+    )
+    SELECT CAST(hamming AS BIGINT) AS hamming,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(bit_xor({_sql_hash64("(id_a || '|' || id_b)")}) AS BIGINT)
+               AS pair_hash_xor
+    FROM pairs
+    GROUP BY hamming
+    ORDER BY hamming
+""",
     "multimodal_decode": """
         SELECT CAST(doc_id AS BIGINT) AS media_id,
                CAST(8 AS BIGINT) AS width,
@@ -7890,6 +7972,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_banded": q_dedup_simhash_banded,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_phash_neardup": q_multimodal_phash_neardup,
     "multimodal_resize": q_multimodal_resize,
     "multimodal_audio": q_multimodal_audio,
     "multimodal_video_frames": q_multimodal_video_frames,
