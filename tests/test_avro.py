@@ -765,3 +765,24 @@ def test_nested_type_drift_names_the_path(spark, tmp_path):
             .load(out)
             .collect()
         )
+
+
+def test_avro_to_parquet_append_stats_are_deltas(spark, sf_dir, tmp_path):
+    """Under mode='append' the stats dict reports THIS conversion's
+    rows/files, not the accumulated dataset (reconciliation contract)."""
+    from yet_another_map_reduce_spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    land1 = str(tmp_path / "b1")
+    land2 = str(tmp_path / "b2")
+    out = str(tmp_path / "served")
+    avro_format.write_avro(docs.where("doc_id < 100"), land1, mode="overwrite")
+    avro_format.write_avro(docs.where("doc_id >= 100"), land2, mode="overwrite")
+    n1 = docs.where("doc_id < 100").count()
+    n2 = docs.where("doc_id >= 100").count()
+    r1 = avro_format.avro_to_parquet(spark, land1, out, mode="overwrite")
+    r2 = avro_format.avro_to_parquet(spark, land2, out, mode="append")
+    assert r1["rows"] == n1
+    assert r2["rows"] == n2  # delta, not n1 + n2
+    assert r2["out_files"] >= 1
+    assert spark.read.parquet(out).count() == n1 + n2

@@ -164,3 +164,11 @@ def test_cli_write_missing_file_errors(spark, tmp_path):
         spark=spark,
     )
     assert rc == 2
+
+
+def test_cli_read_unknown_dataset_errors_cleanly(spark, tmp_path, capsys):
+    from yet_another_map_reduce_spark.__main__ import main
+
+    rc = main(["--catalog", str(tmp_path / "cat"), "-r", "nosuch.txt"], spark=spark)
+    assert rc == 2
+    assert "not found" in capsys.readouterr().err

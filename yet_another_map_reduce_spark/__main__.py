@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import shlex
 import sys
 
 
@@ -108,7 +109,15 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 catalog.resolve(name)
             except DatasetNotFound:
                 name = os.path.splitext(os.path.basename(name))[0]
-            df = catalog.read(spark, name)
+            try:
+                df = catalog.read(spark, name)
+            except DatasetNotFound:
+                print(
+                    f"Dataset not found in catalog {args.catalog}: "
+                    f"{args.name}",
+                    file=sys.stderr,
+                )
+                return 2
             lines = sorted(r[0] for r in df.collect())
             data = "\n".join(lines)
             if args.out:
@@ -127,8 +136,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             run_streaming_job(
                 spark,
                 input_path=args.input,
-                mapper_cmd=f"{sys.executable} {args.mapper}",
-                reducer_cmd=f"{sys.executable} {args.reducer}",
+                mapper_cmd=f"{shlex.quote(sys.executable)} {shlex.quote(args.mapper)}",
+                reducer_cmd=f"{shlex.quote(sys.executable)} {shlex.quote(args.reducer)}",
                 num_reducers=args.reducers,
                 output_path=out_dir,
             )

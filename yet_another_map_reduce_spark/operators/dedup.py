@@ -427,27 +427,63 @@ def simhash_near_dup_pairs(
     One shuffle for fingerprints, one for band grouping, and the XOR
     verification touches only candidates — never all pairs.
     """
-    if max_hamming > bands - 1:
-        raise ValueError("bands must exceed max_hamming (pigeonhole guarantee)")
     fp = simhash(df, text_col, id_col, bits)
     bits = min(bits, 60)  # simhash() folds >60 to the 60 usable bits
+    return banded_hamming_pairs(
+        fp,
+        hash_col="simhash",
+        id_col=id_col,
+        bits=bits,
+        bands=bands,
+        max_hamming=max_hamming,
+        max_bucket_size=max_bucket_size,
+    )
+
+
+def banded_hamming_pairs(
+    fp: DataFrame,
+    hash_col: str,
+    id_col: str,
+    bits: int,
+    bands: int,
+    max_hamming: int,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """The shared banded-Hamming candidate/verify pipeline behind both
+    :func:`simhash_near_dup_pairs` (text) and
+    ``multimodal.image_near_dup_pairs`` (perceptual image hashes):
+    split each ``bits``-wide hash into ``bands`` contiguous bit bands
+    (the LAST band absorbs the remainder when ``bands`` doesn't divide
+    ``bits``), generate candidates per band collision with the capped
+    grouped-pair expansion, verify ``bit_count(XOR)`` exactly.
+    Pigeonhole: lossless for hamming ≤ ``bands - 1``.
+
+    One fixed-width-key shuffle for band grouping; hash payloads are
+    8 bytes, so the original records (documents, image bytes) never
+    travel.  Returns ``(id_a, id_b, hamming bigint)``.
+    """
+    if max_hamming > bands - 1:
+        raise ValueError("bands must exceed max_hamming (pigeonhole guarantee)")
     width = bits // bands
-    # band b = bits [b*width, (b+1)*width) — the last band absorbs the
-    # remainder when bands doesn't divide bits
+
     def band_val(b: int):
-        col = F.shiftrightunsigned(F.col("simhash"), b * width)
+        col = F.shiftrightunsigned(F.col(hash_col), b * width)
         if b < bands - 1:
             col = col.bitwiseAND(F.lit((1 << width) - 1))
         return col
 
     banded = fp.select(
         F.col(id_col),
-        F.col("simhash"),
+        F.col(hash_col),
         F.posexplode(F.array(*[band_val(b) for b in range(bands)])).alias("band", "band_key"),
     )
     groups = (
         banded.groupBy("band", "band_key")
-        .agg(F.collect_list(F.struct(F.col(id_col).alias("id"), "simhash")).alias("__g"))
+        .agg(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("id"), F.col(hash_col).alias("h"))
+            ).alias("__g")
+        )
         .where(F.size("__g") >= 2)
     )
     if max_bucket_size is not None:
@@ -459,7 +495,7 @@ def simhash_near_dup_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+            F.bit_count(F.col("a.h").bitwiseXOR(F.col("b.h"))).alias("hamming"),
         )
         .distinct()
     )

@@ -711,46 +711,20 @@ def image_near_dup_pairs(
     candidates, exact ``bit_count(XOR)`` verifies.  Undecodable blobs
     never pair (NULL phash drops).
 
-    Scale shape: one mapInPandas pass for hashes, one fixed-width-key
-    shuffle for band grouping, capped in-bucket expansion — image BYTES
+    Scale shape: one mapInPandas pass for hashes, then the SHARED
+    banded-Hamming pipeline (``dedup.banded_hamming_pairs`` — one
+    fixed-width-key shuffle, capped in-bucket expansion); image BYTES
     never shuffle, only 8-byte hashes do.
     """
-    if max_hamming > bands - 1:
-        raise ValueError("bands must exceed max_hamming (pigeonhole guarantee)")
-    width = 60 // bands
+    from yet_another_map_reduce_spark.operators.dedup import banded_hamming_pairs
+
     fp = image_phash(df, hash_size=hash_size).where(F.col("phash").isNotNull())
-
-    def band_val(b: int):
-        col = F.shiftrightunsigned(F.col("phash"), b * width)
-        if b < bands - 1:
-            col = col.bitwiseAND(F.lit((1 << width) - 1))
-        return col
-
-    banded = fp.select(
-        "media_id",
-        "phash",
-        F.posexplode(F.array(*[band_val(b) for b in range(bands)])).alias(
-            "band", "band_key"
-        ),
-    )
-    groups = (
-        banded.groupBy("band", "band_key")
-        .agg(F.collect_list(F.struct(F.col("media_id").alias("id"), "phash")).alias("__g"))
-        .where(F.size("__g") >= 2)
-    )
-    if max_bucket_size is not None:
-        groups = groups.where(F.size("__g") <= max_bucket_size)
-    pairs = (
-        groups.select(F.explode("__g").alias("a"), "__g")
-        .select("a", F.explode("__g").alias("b"))
-        .where(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash"))).alias("hamming"),
-        )
-        .distinct()
-    )
-    return pairs.where(F.col("hamming") <= max_hamming).select(
-        "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")
+    return banded_hamming_pairs(
+        fp,
+        hash_col="phash",
+        id_col="media_id",
+        bits=60,
+        bands=bands,
+        max_hamming=max_hamming,
+        max_bucket_size=max_bucket_size,
     )

@@ -1431,6 +1431,21 @@ def avro_to_parquet(
         .option("split_bytes", split_bytes)
         .load(src)
     )
+    def _parquet_files() -> set[str]:
+        return {
+            os.path.join(root, f)
+            for root, _, names in os.walk(dest)
+            for f in names
+            if f.endswith(".parquet")
+        }
+
+    # stats report THIS conversion, not the whole destination: under
+    # mode="append" the dataset already holds earlier batches, so rows
+    # and files are deltas against a pre-write snapshot
+    pre_files = _parquet_files() if os.path.isdir(dest) else set()
+    pre_rows = (
+        spark.read.parquet(dest).count() if pre_files else 0
+    )  # footer-metadata count — no data scan
     if partition_by:
         writer = (
             df.repartition(n_out, *[F.col(c) for c in partition_by])
@@ -1440,16 +1455,11 @@ def avro_to_parquet(
     else:
         writer = df.coalesce(min(n_out, n_splits)).write.mode(mode)
     writer.parquet(dest)
-    out_files = sum(
-        1
-        for root, _, names in os.walk(dest)
-        for f in names
-        if f.endswith(".parquet")
-    )
+    post_files = _parquet_files()
+    overwritten = mode == "overwrite" or not pre_files
     return {
-        # footer-metadata count — no second data scan
-        "rows": spark.read.parquet(dest).count(),
+        "rows": spark.read.parquet(dest).count() - (0 if overwritten else pre_rows),
         "splits": n_splits,
         "src_bytes": src_bytes,
-        "out_files": out_files,
+        "out_files": len(post_files if overwritten else post_files - pre_files),
     }

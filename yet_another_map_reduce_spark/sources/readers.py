@@ -108,7 +108,12 @@ def read_jsonl_quarantine(
         schema = T.StructType.fromDDL(schema)
     if "_corrupt_record" in schema.fieldNames():
         raise ValueError("schema must not declare _corrupt_record itself")
-    full = schema.add("_corrupt_record", T.StringType())
+    # a NEW StructType — StructType.add mutates in place, which would
+    # leak _corrupt_record into the caller's schema object (and into
+    # both returned frames' projections)
+    full = T.StructType(
+        list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
+    )
     parsed = spark.read.text(path).select(
         F.col("value").alias("__raw"),
         F.from_json(

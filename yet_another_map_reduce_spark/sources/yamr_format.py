@@ -87,7 +87,9 @@ def read_manifest(
             if not line:
                 continue
             parts = line.split(",")
-            if len(parts) != 3 or not parts[1].lstrip("-").isdigit():
+            # sizes are never negative; plain isdigit also rejects the
+            # '--5' class that a dash-strip would let through to int()
+            if len(parts) != 3 or not parts[1].isdigit():
                 raise ValueError(
                     f"{mpath}: corrupt manifest row at line {i}: {line!r}"
                 )
