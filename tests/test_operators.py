@@ -1955,3 +1955,44 @@ def test_remove_common_lines_respects_doc_freq_threshold(spark):
         for r in text.remove_common_lines(df, max_doc_freq=2).collect()
     }
     assert got == {1: 0, 2: 0, 3: 0}
+
+
+def test_banded_hamming_pairs_shared_helper(spark):
+    """The shared candidate/verify pipeline behind simhash text dedup
+    and image phash dedup, exercised directly: pigeonhole finds every
+    pair within hamming <= bands-1, the last band absorbs the remainder
+    when bands doesn't divide bits, and the bucket cap drops degenerate
+    buckets."""
+    from yet_another_map_reduce_spark.operators.dedup import banded_hamming_pairs
+
+    base = (1 << 50) - 1  # 50 low bits set inside a 58-bit space
+    rows = [
+        (1, base),
+        (2, base),            # hamming 0
+        (3, base ^ (1 << 3)), # hamming 1
+        (4, base ^ 0b111),    # hamming 3
+        (5, base >> 25),      # far away
+    ]
+    df = spark.createDataFrame(rows, "id long, h long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in banded_hamming_pairs(
+            df, hash_col="h", id_col="id", bits=58, bands=4, max_hamming=3
+        ).collect()
+    }
+    # 58 bits / 4 bands: width 14, last band = bits [42, 58)
+    assert got[(1, 2)] == 0
+    assert got[(1, 3)] == 1 and got[(2, 3)] == 1
+    assert got[(1, 4)] == 3
+    assert not any(5 in p for p in got)
+
+    # cap: a bucket holding every row is dropped entirely
+    capped = banded_hamming_pairs(
+        df, hash_col="h", id_col="id", bits=58, bands=4,
+        max_hamming=3, max_bucket_size=1,
+    )
+    assert capped.count() == 0
+    import pytest
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        banded_hamming_pairs(df, "h", "id", bits=58, bands=2, max_hamming=3)
