@@ -288,3 +288,58 @@ def test_image_near_dup_pairs_banded(spark):
     assert pairs[(1, 2)] == 0
     assert (1, 3) in pairs and 1 <= pairs[(1, 3)] <= 3
     assert not any(4 in p or 5 in p for p in pairs)
+
+
+def _ppm_from_mask(mask: int):
+    """4x4 PPM whose hash_size=4 aHash equals ``mask`` exactly: cell k
+    is bright iff bit k is set; with 0 < popcount < 16 the integer
+    threshold (gray*16 > total) reproduces the mask bit for bit."""
+    import numpy as np
+
+    from yet_another_map_reduce_spark.operators import multimodal
+
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    for k in range(16):
+        if mask >> k & 1:
+            img[k // 4, k % 4] = 255
+    return bytearray(multimodal.encode_ppm(img))
+
+
+def test_image_near_dup_small_hash_bands_cover_real_bits(spark):
+    """hash_size=4 populates only 16 bits; banding must split THOSE 16,
+    not a hardcoded 60 — under the old bits=60 banding the upper bands
+    were identically zero, every image collided there, and with a
+    bucket cap those mega-buckets silently dropped, losing true pairs
+    whose only real-bit agreement was inside an upper band."""
+    from yet_another_map_reduce_spark.operators import multimodal
+
+    a = (1 << 0) | (1 << 1) | (1 << 2) | (1 << 8) | (1 << 9) | (1 << 15)
+    b = a ^ ((1 << 2) | (1 << 7) | (1 << 12))  # hamming 3; bits 8-11 agree
+    fillers = [
+        (1 << 15) | (1 << 3) | (1 << 4) | (1 << 13) | (1 << 14) | (1 << i)
+        for i in (5, 6, 10, 11)
+    ] * 3  # 12 images sharing bit 15 -> zero-band buckets would exceed the cap
+    rows = [(1, _ppm_from_mask(a)), (2, _ppm_from_mask(b))] + [
+        (10 + i, blob)
+        for i, mask in enumerate(fillers)
+        for blob in [_ppm_from_mask(mask)]
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in multimodal.image_near_dup_pairs(
+            df, bands=4, max_hamming=3, hash_size=4, max_bucket_size=8
+        ).collect()
+    }
+    assert pairs.get((1, 2)) == 3
+
+
+def test_banded_hamming_rejects_bands_exceeding_bits():
+    import pytest
+
+    from yet_another_map_reduce_spark.operators.dedup import banded_hamming_pairs
+
+    with pytest.raises(ValueError, match="bands"):
+        banded_hamming_pairs(
+            None, hash_col="h", id_col="i", bits=4, bands=8, max_hamming=3
+        )

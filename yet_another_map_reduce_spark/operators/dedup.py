@@ -464,6 +464,11 @@ def banded_hamming_pairs(
     """
     if max_hamming > bands - 1:
         raise ValueError("bands must exceed max_hamming (pigeonhole guarantee)")
+    if bands > bits:
+        raise ValueError(
+            f"bands={bands} > bits={bits}: every band must cover at least "
+            "one real hash bit, or empty bands collide universally"
+        )
     width = bits // bands
 
     def band_val(b: int):

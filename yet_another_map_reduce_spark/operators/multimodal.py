@@ -719,11 +719,14 @@ def image_near_dup_pairs(
     from yet_another_map_reduce_spark.operators.dedup import banded_hamming_pairs
 
     fp = image_phash(df, hash_size=hash_size).where(F.col("phash").isNotNull())
+    # image_phash populates min(60, hash_size**2) bits: banding the full
+    # 60 at hash_size < 8 would make the upper bands identically zero
+    # (every image collides there → capped mega-buckets silently drop)
     return banded_hamming_pairs(
         fp,
         hash_col="phash",
         id_col="media_id",
-        bits=60,
+        bits=min(60, hash_size * hash_size),
         bands=bands,
         max_hamming=max_hamming,
         max_bucket_size=max_bucket_size,

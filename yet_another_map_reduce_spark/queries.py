@@ -7629,9 +7629,11 @@ def _scratch_path(tag: str, sf_dir: str) -> str:
     import tempfile
 
     root = os.path.join(tempfile.gettempdir(), f"yamr_scratch_{os.getpid()}")
-    if not os.path.isdir(root):
-        os.makedirs(root, exist_ok=True)
-        atexit.register(shutil.rmtree, root, True)
+    os.makedirs(root, exist_ok=True)
+    # registered unconditionally (atexit dedups nothing, but rmtree of a
+    # gone dir is a no-op): a stale root left by a crashed process with a
+    # recycled pid must still get a cleanup registration in THIS process
+    atexit.register(shutil.rmtree, root, True)
     return os.path.join(
         root, f"{tag}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
     )

@@ -1441,8 +1441,14 @@ def avro_to_parquet(
 
     # stats report THIS conversion, not the whole destination: under
     # mode="append" the dataset already holds earlier batches, so rows
-    # and files are deltas against a pre-write snapshot
-    pre_files = _parquet_files() if os.path.isdir(dest) else set()
+    # and files are deltas against a pre-write snapshot (delta stats
+    # assume no concurrent writers to dest).  mode="overwrite" takes NO
+    # pre-snapshot: reading a corrupt or schema-incompatible prior dest
+    # must not fail the very conversion that replaces it
+    overwriting = mode == "overwrite"
+    pre_files = (
+        _parquet_files() if not overwriting and os.path.isdir(dest) else set()
+    )
     pre_rows = (
         spark.read.parquet(dest).count() if pre_files else 0
     )  # footer-metadata count — no data scan
@@ -1456,7 +1462,7 @@ def avro_to_parquet(
         writer = df.coalesce(min(n_out, n_splits)).write.mode(mode)
     writer.parquet(dest)
     post_files = _parquet_files()
-    overwritten = mode == "overwrite" or not pre_files
+    overwritten = overwriting or not pre_files
     return {
         "rows": spark.read.parquet(dest).count() - (0 if overwritten else pre_rows),
         "splits": n_splits,

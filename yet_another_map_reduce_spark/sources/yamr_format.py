@@ -45,6 +45,7 @@ from __future__ import annotations
 import os
 import re as _re
 import uuid as _uuid
+import warnings
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -384,7 +385,15 @@ class YamrReaderNoPushdown(YamrReader):
     probe see it as absent — the read then proceeds with Spark
     applying every filter post-scan, which is always correct (pruning
     only ever skips chunks, never rows).  Selected per-read via
-    ``.option("pushdown", "false")``."""
+    ``.option("pushdown", "false")``.
+
+    VERSION NOTE: the ``__func__``-identity probe is a pyspark 4.1
+    internal; an upgrade could change the probe and re-raise
+    ``DATA_SOURCE_PUSHDOWN_DISABLED`` here.  The regression test
+    ``tests/test_sources.py::test_yamr_pushdown_option_reads_under_locked_conf``
+    is the tripwire — if it fails after a pyspark bump, restructure so
+    pruning lives in a mixin and this class genuinely lacks the
+    method."""
 
     pushFilters = DataSourceReader.pushFilters
 
@@ -668,12 +677,29 @@ def register(spark) -> None:
     ``.option("pushdown", "false")``.
     """
     spark.dataSource.register(YamrDataSource)
+    conf_key = "spark.sql.python.filterPushdown.enabled"
     try:
-        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        already_on = spark.conf.get(conf_key, "false") == "true"
     except Exception:
-        # conf locked down: per-read .option("pushdown", "false")
-        # remains as the escape hatch
-        pass
+        already_on = False
+    if not already_on:
+        from pyspark.errors import AnalysisException
+
+        try:
+            spark.conf.set(conf_key, "true")
+            # session-wide by necessity (the conf has no per-read
+            # scope) — say so, since it affects every Python
+            # DataSource in the session, not just this format
+            warnings.warn(
+                f"yamr.register(): enabled {conf_key} session-wide "
+                "(required for chunk-stats pushdown; affects all "
+                "Python DataSources in this session)",
+                stacklevel=2,
+            )
+        except AnalysisException:
+            # conf locked down (CANNOT_MODIFY_CONFIG): per-read
+            # .option("pushdown", "false") remains as the escape hatch
+            pass
 
 
 def vacuum(
