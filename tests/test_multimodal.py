@@ -343,3 +343,93 @@ def test_banded_hamming_rejects_bands_exceeding_bits():
         banded_hamming_pairs(
             None, hash_col="h", id_col="i", bits=4, bands=8, max_hamming=3
         )
+
+
+def test_image_phash_dct_survives_illumination_gradient(spark):
+    """The DCT tier's reason to exist: a left-to-right illumination
+    ramp (amp 60) over a textured image flips >3 aHash bits (local
+    means shift across the lit side) but <=3 DCT bits (a smooth ramp
+    lives in the DC + lowest AC coefficients, which the median
+    threshold mostly absorbs).  Fixture chosen at margin: aHash
+    hamming 6, DCT hamming 0."""
+    import numpy as np
+
+    from yet_another_map_reduce_spark.operators import multimodal
+
+    rng = np.random.RandomState(1)
+    small = rng.randint(40, 216, size=(8, 8))
+    base1 = np.kron(small, np.ones((2, 2), dtype=np.int64))
+    base = np.stack([base1] * 3, axis=2).astype(np.uint8)
+    y, x = np.meshgrid(np.arange(16), np.arange(16), indexing="ij")
+    grad = (x * 60 // 15).astype(np.int64)[:, :, None]
+    shifted = np.clip(base.astype(np.int64) + grad, 0, 255).astype(np.uint8)
+    rows = [
+        (1, bytearray(multimodal.encode_ppm(base))),
+        (2, bytearray(multimodal.encode_ppm(shifted))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    a = {r["media_id"]: r["phash"] for r in multimodal.image_phash(df, kind="ahash").collect()}
+    d = {r["media_id"]: r["phash"] for r in multimodal.image_phash(df, kind="dct").collect()}
+    assert ham(a[1], a[2]) > 3  # aHash misses this near-dup at the standard radius
+    assert ham(d[1], d[2]) <= 3  # the DCT tier keeps it
+
+
+def test_image_phash_rejects_unknown_kind(spark):
+    import pytest
+
+    from yet_another_map_reduce_spark.operators import multimodal
+
+    df = spark.createDataFrame([(1, bytearray(b"x"))], "media_id long, content binary")
+    with pytest.raises(ValueError, match="kind"):
+        multimodal.image_phash(df, kind="wavelet")
+
+
+def test_video_near_dup_pairs_shared_frames(spark):
+    """Two clips sharing identical frames pair with the matching-pair
+    count and min hamming 0; an unrelated clip and a corrupt blob never
+    pair; min_frame_pairs filters single-frame coincidences."""
+    import struct
+
+    import numpy as np
+
+    from yet_another_map_reduce_spark.operators import multimodal
+
+    def frame(idx: int):
+        img = np.zeros((8, 8, 3), dtype=np.uint8)
+        img[(idx * 3) % 8 : (idx * 3) % 8 + 2] = 255  # distinct stripe per idx
+        return multimodal.encode_ppm(img)
+
+    def clip(frame_ids):
+        frames = [frame(i) for i in frame_ids]
+        payload = b"".join(struct.pack("<I", len(p)) + p for p in frames)
+        return bytearray(
+            b"MJPM" + struct.pack("<II", len(frames), 40) + payload
+        )
+
+    rows = [
+        (1, clip([0, 1, 2, 3])),
+        (2, clip([9, 1, 2, 7])),  # shares frames 1 and 2 with clip 1
+        (3, clip([5, 6, 5, 6])),  # internally repetitive; intra-clip
+        # frame matches must NOT produce a self-pair
+        (4, bytearray(b"not a video")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    pairs = {
+        (r["id_a"], r["id_b"]): (r["n_frame_pairs"], r["min_hamming"])
+        for r in multimodal.video_near_dup_pairs(
+            df, every_ms=40, max_hamming=3, max_bucket_size=None
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)][1] == 0
+    assert pairs[(1, 2)][0] >= 2  # frames 1 and 2 both match
+    assert not any(4 in p for p in pairs)
+    assert not any(a == b for a, b in pairs)  # no self-pairs from clip 3
+    strict = {
+        (r["id_a"], r["id_b"])
+        for r in multimodal.video_near_dup_pairs(
+            df, every_ms=40, max_hamming=3, max_bucket_size=None,
+            min_frame_pairs=10,
+        ).collect()
+    }
+    assert (1, 2) not in strict

@@ -637,28 +637,67 @@ def sample_video_frames(df: DataFrame, every_ms: int) -> DataFrame:
     return df.select("media_id", "content").mapInPandas(kernel, schema=VIDEO_FRAME_SCHEMA)
 
 
-def image_phash(df: DataFrame, hash_size: int = 8) -> DataFrame:
-    """Perceptual average-hash (aHash) over PPM blobs — the multimodal
-    counterpart of ``dedup.simhash``: near-identical images get equal
-    or Hamming-close hashes, so corpus-level image dedup becomes the
-    same banded fixed-width-key problem as text dedup.
+DCT_FIXED_SCALE = 1 << 14  # fixed-point DCT coefficient scale (2^14)
 
-    Deliberately INTEGER-EXACT end to end so an ANSI-SQL oracle can
-    replay it bit for bit (the discipline every hash in this repo
-    follows): grayscale is the plain channel sum (0..765), downsampling
-    uses the same ``(k*dim)//hash_size`` index rule as
-    :func:`resize_image`, the threshold compare is ``gray*N > total``
-    (no float mean), and the bits pack into the LOW 60 of a BIGINT
+
+def dct_coeff_table(n: int, scale: int = DCT_FIXED_SCALE) -> list[list[int]]:
+    """Fixed-point DCT-II basis: ``C[u][k] = round(scale *
+    cos(pi*(2k+1)*u/(2n)))`` as plain Python ints.  The SAME table is
+    used by the Spark kernel (:func:`image_phash` ``kind="dct"``) and
+    inlined as literals into the DuckDB oracle SQL, so the transform is
+    integer-exact and engine-portable by construction — rounding
+    happens once, here, not per-engine.  Unnormalized on purpose: the
+    hash thresholds coefficients against their own median, so any
+    per-row constant factor cancels and the orthonormal scaling would
+    only add division (and float drift) for nothing."""
+    import math
+
+    return [
+        [
+            int(round(scale * math.cos(math.pi * (2 * k + 1) * u / (2 * n))))
+            for k in range(n)
+        ]
+        for u in range(n)
+    ]
+
+
+def image_phash(df: DataFrame, hash_size: int = 8, kind: str = "ahash") -> DataFrame:
+    """Perceptual hash over PPM blobs — the multimodal counterpart of
+    ``dedup.simhash``: near-identical images get equal or Hamming-close
+    hashes, so corpus-level image dedup becomes the same banded
+    fixed-width-key problem as text dedup.  Two tiers:
+
+    - ``kind="ahash"`` (default): average hash — grayscale channel sum
+      (0..765), downsample to ``hash_size``² cells with the same
+      ``(k*dim)//hash_size`` index rule as :func:`resize_image`,
+      bit = ``gray*N > total`` (no float mean).  Cheapest; sensitive to
+      smooth illumination changes (a brightness GRADIENT shifts local
+      means and flips bits across the lit side).
+    - ``kind="dct"``: DCT perceptual hash — downsample to a
+      ``2·hash_size``² grid, fixed-point integer DCT-II
+      (:func:`dct_coeff_table`, scale 2^14, int64 matmul — exact, no
+      floats), keep the low-frequency ``hash_size``² block (row-major),
+      bit = coefficient > median of the block's 63 non-DC
+      coefficients (odd count → the median IS an element, no
+      interpolation).  Robust to brightness/contrast/illumination-
+      gradient shifts: those live almost entirely in the DC and lowest
+      AC coefficients, leaving the thresholded spectrum shape intact.
+
+    Both tiers are INTEGER-EXACT end to end so an ANSI-SQL oracle can
+    replay them bit for bit (the discipline every hash in this repo
+    follows), and both pack bits into the LOW 60 of a BIGINT
     (``md5_hash64``'s 60-bit discipline — a sign bit would shift
-    differently in engines with arithmetic-only right shift).  The
-    threshold total still sums ALL ``hash_size**2`` cells; only the
-    packing drops cells ≥ 60.
+    differently in engines with arithmetic-only right shift); cells ≥
+    60 still participate in the threshold (aHash total / dct median),
+    only the packing drops them.
 
     Output: ``(media_id, phash bigint, decodable boolean)`` — phash
     NULL for undecodable blobs (quarantine contract).
     """
     import numpy as np
 
+    if kind not in ("ahash", "dct"):
+        raise ValueError(f"kind must be 'ahash' or 'dct', got {kind!r}")
     n_cells = hash_size * hash_size
     out_schema = StructType(
         [
@@ -667,6 +706,42 @@ def image_phash(df: DataFrame, hash_size: int = 8) -> DataFrame:
             StructField("decodable", BooleanType()),
         ]
     )
+    dct_n = 2 * hash_size
+
+    def _gray_grid(img, grid: int):
+        h, w = img.shape[:2]
+        yi = (np.arange(grid) * h) // grid
+        xi = (np.arange(grid) * w) // grid
+        return img[yi][:, xi].astype(np.int64).sum(axis=2)
+
+    def _hash_ahash(img) -> int:
+        cells = _gray_grid(img, hash_size).ravel()
+        total = int(cells.sum())
+        bits = (cells * n_cells) > total
+        ph = 0
+        for k in range(min(60, n_cells)):
+            if bits[k]:
+                ph |= 1 << k
+        return ph
+
+    dct_c = None  # built lazily inside the worker, shared across rows
+
+    def _hash_dct(img) -> int:
+        nonlocal dct_c
+        if dct_c is None:
+            dct_c = np.array(dct_coeff_table(dct_n), dtype=np.int64)
+        g = _gray_grid(img, dct_n)
+        # |C| <= 2^14, g <= 765, two n<=2^6-term sums: |F| < 2^46 — int64-safe
+        coef = (dct_c @ g @ dct_c.T)[:hash_size, :hash_size].ravel()
+        med = int(np.sort(coef[1:])[(n_cells - 1 - 1) // 2])
+        bits = coef > med
+        ph = 0
+        for k in range(min(60, n_cells)):
+            if bits[k]:
+                ph |= 1 << k
+        return ph
+
+    hash_one = _hash_ahash if kind == "ahash" else _hash_dct
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -678,17 +753,7 @@ def image_phash(df: DataFrame, hash_size: int = 8) -> DataFrame:
                     hashes.append(None)
                     ok.append(False)
                     continue
-                h, w = img.shape[:2]
-                yi = (np.arange(hash_size) * h) // hash_size
-                xi = (np.arange(hash_size) * w) // hash_size
-                cells = img[yi][:, xi].astype(np.int64).sum(axis=2).ravel()
-                total = int(cells.sum())
-                bits = (cells * n_cells) > total
-                ph = 0
-                for k in range(min(60, n_cells)):
-                    if bits[k]:
-                        ph |= 1 << k
-                hashes.append(ph)
+                hashes.append(hash_one(img))
                 ok.append(True)
             yield pd.DataFrame(
                 {"media_id": ids, "phash": pd.array(hashes, dtype="Int64"), "decodable": ok}
@@ -703,6 +768,7 @@ def image_near_dup_pairs(
     max_hamming: int = 3,
     hash_size: int = 8,
     max_bucket_size: int | None = 1000,
+    kind: str = "ahash",
 ) -> DataFrame:
     """Image near-duplicate pairs by banded perceptual hash — the same
     pigeonhole trick as ``dedup.simhash_near_dup_pairs`` (two 60-bit
@@ -718,7 +784,9 @@ def image_near_dup_pairs(
     """
     from yet_another_map_reduce_spark.operators.dedup import banded_hamming_pairs
 
-    fp = image_phash(df, hash_size=hash_size).where(F.col("phash").isNotNull())
+    fp = image_phash(df, hash_size=hash_size, kind=kind).where(
+        F.col("phash").isNotNull()
+    )
     # image_phash populates min(60, hash_size**2) bits: banding the full
     # 60 at hash_size < 8 would make the upper bands identically zero
     # (every image collides there → capped mega-buckets silently drop)
@@ -730,4 +798,93 @@ def image_near_dup_pairs(
         bands=bands,
         max_hamming=max_hamming,
         max_bucket_size=max_bucket_size,
+    )
+
+
+#: frame-key packing base for video near-dup: the composite frame id is
+#: ``media_id * FRAME_KEY_SPACE + frame_idx``, so clip ids must stay
+#: below 2^43 and clips below 2^20 frames (a 9.7-hour clip at 30 fps)
+FRAME_KEY_SPACE = 1 << 20
+
+
+def video_near_dup_pairs(
+    df: DataFrame,
+    every_ms: int = 1000,
+    bands: int = 4,
+    max_hamming: int = 3,
+    hash_size: int = 8,
+    max_bucket_size: int | None = 1000,
+    kind: str = "ahash",
+    min_frame_pairs: int = 1,
+) -> DataFrame:
+    """Video clip-level near-duplicate pairs — the operator a multimodal
+    training-data pipeline runs on crawled video (re-encodes, re-uploads,
+    clipped copies): two clips are near-dups when they share at least
+    ``min_frame_pairs`` visually-near-identical sampled frames.
+
+    Pipeline (each stage is the already-proven substrate):
+
+    1. :func:`sample_video_frames` at ``every_ms`` cadence — byte-offset
+       walk, only sampled frames materialize, a video never leaves its
+       partition; unparseable blobs quarantine (never pair).
+    2. :func:`image_phash` per sampled frame (``kind`` selects the
+       aHash or DCT tier) — frames collapse to 8-byte hashes.
+    3. ``dedup.banded_hamming_pairs`` over the frame hashes with the
+       composite frame key ``media_id * FRAME_KEY_SPACE + frame_idx``
+       — one fixed-width-key shuffle; FRAME BYTES NEVER SHUFFLE, only
+       the packed hash+key pairs do.
+    4. Fold frame pairs to clip pairs: cross-clip only, canonically
+       ordered, ``n_frame_pairs`` = matching frame pairs (a frame may
+       match several frames of the other clip — it counts PAIRS, not
+       distinct frames), ``min_hamming`` = the closest match.
+
+    Scale shape: work after stage 1 is proportional to sampled-frame
+    count, not video bytes; the candidate stage is bucketed (capped
+    per-band groups), never all-pairs.  ``min_frame_pairs`` > 1 is the
+    precision knob against single-frame coincidences (title cards,
+    black frames) — raise it or lower ``every_ms`` together.
+
+    Returns ``(id_a, id_b, n_frame_pairs, min_hamming)``.
+    """
+    from yet_another_map_reduce_spark.operators.dedup import banded_hamming_pairs
+
+    frames = sample_video_frames(df, every_ms=every_ms).where(
+        F.col("frame_idx").isNotNull()
+    )
+    fp = image_phash(
+        frames.select(
+            (F.col("media_id") * FRAME_KEY_SPACE + F.col("frame_idx")).alias(
+                "media_id"
+            ),
+            "content",
+        ),
+        hash_size=hash_size,
+        kind=kind,
+    ).where(F.col("phash").isNotNull())
+    frame_pairs = banded_hamming_pairs(
+        fp,
+        hash_col="phash",
+        id_col="media_id",
+        bits=min(60, hash_size * hash_size),
+        bands=bands,
+        max_hamming=max_hamming,
+        max_bucket_size=max_bucket_size,
+    )
+    clip = frame_pairs.select(
+        (F.col("id_a") / FRAME_KEY_SPACE).cast("bigint").alias("clip_a"),
+        (F.col("id_b") / FRAME_KEY_SPACE).cast("bigint").alias("clip_b"),
+        "hamming",
+    ).where(F.col("clip_a") != F.col("clip_b"))
+    return (
+        clip.select(
+            F.least("clip_a", "clip_b").alias("id_a"),
+            F.greatest("clip_a", "clip_b").alias("id_b"),
+            "hamming",
+        )
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_frame_pairs"),
+            F.min("hamming").alias("min_hamming"),
+        )
+        .where(F.col("n_frame_pairs") >= min_frame_pairs)
     )

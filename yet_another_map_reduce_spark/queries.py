@@ -2417,6 +2417,69 @@ def q_multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_multimodal_phash_dct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DCT perceptual hash (``image_phash(kind="dct")``) — the
+    brightness/contrast/illumination-robust tier above aHash.  The
+    whole transform is fixed-point integer arithmetic
+    (``multimodal.dct_coeff_table``, scale 2^14, int64 matmuls, median
+    = an element of the 63 non-DC coefficients), so the DuckDB oracle
+    replays it bit for bit: the synthetic 16x16 pixel rule, the two
+    integer basis matmuls (row pass then column pass over the SAME
+    inlined coefficient literals the Spark kernel uses), the
+    median-of-63 threshold, and the 60-bit pack.  A green hash
+    certifies every stage of the DCT tier."""
+    from yet_another_map_reduce_spark.operators import multimodal
+
+    d = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    media = multimodal.synthetic_ppm_media(d, "doc_id", width=16, height=16)
+    return (
+        multimodal.image_phash(media, hash_size=8, kind="dct")
+        .select("media_id", "phash", "decodable")
+        .orderBy("media_id")
+    )
+
+
+def q_multimodal_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video clip-level near-dup (``multimodal.video_near_dup_pairs``)
+    under the hash gate: frame f of video i is the synthetic pattern
+    for index ``i*1000 + f`` (invertible mod 256), so the expected
+    clip-pair structure — which clips share visually-identical frames,
+    how many frame pairs, the min hamming — is a pure function of
+    doc_id, and the oracle replays the WHOLE pipeline arithmetically:
+    per-frame aHash from the pixel rule, the 4x15-bit banding over
+    composite frame keys, exact ``bit_count(xor)`` verification, the
+    cross-clip fold (least/greatest canonicalization, pair counts, min
+    hamming), folded per min-hamming so the result stays small however
+    dense the synthetic structure is."""
+    from yet_another_map_reduce_spark.functions import md5_hash64
+    from yet_another_map_reduce_spark.operators import multimodal
+
+    d = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    video = multimodal.synthetic_video_media(
+        d, "doc_id", n_frames=6, frame_ms=40, width=8, height=8
+    )
+    pairs = multimodal.video_near_dup_pairs(
+        video, every_ms=40, bands=4, max_hamming=3, max_bucket_size=None
+    )
+    return (
+        pairs.withColumn(
+            "h",
+            md5_hash64(
+                F.concat_ws(
+                    "|", F.col("id_a"), F.col("id_b"), F.col("n_frame_pairs")
+                )
+            ),
+        )
+        .groupBy("min_hamming")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("n_frame_pairs").alias("n_frame_pairs_total"),
+            F.expr("bit_xor(h)").alias("pair_hash_xor"),
+        )
+        .orderBy("min_hamming")
+    )
+
+
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL nearest-neighbor resize chained into the REAL PPM decode:
     8x8 synthetic images shrink to 4x4, so the decoded pixel (y,x,c) is
@@ -7804,6 +7867,128 @@ ORACLES["jsonl_quarantine_stats"] = f"""
 """
 
 
+def _dct_phash_oracle() -> str:
+    """ANSI-SQL replay of ``image_phash(kind="dct")`` over the 16x16
+    synthetic fixture: the SAME fixed-point coefficient table the Spark
+    kernel computes (``multimodal.dct_coeff_table(16)``) is inlined as
+    literals, so rounding happens exactly once, in Python — the SQL
+    never calls cos().  The separable DCT runs as two integer matmul
+    passes (rows then columns), keeping the join fan-out at
+    docs x 256 x 8 instead of docs x 256 x 64."""
+    from yet_another_map_reduce_spark.operators.multimodal import dct_coeff_table
+
+    c_rows = ",".join(
+        f"({u},{k},{v})"
+        for u, crow in enumerate(dct_coeff_table(16))
+        for k, v in enumerate(crow)
+    )
+    return f"""
+    WITH c(u, k, v) AS (VALUES {c_rows}),
+    gray AS (
+      SELECT doc_id, yy.y AS y, xx.x AS x,
+          ((doc_id*31 + yy.y*7 + xx.x*3) % 256)
+        + ((doc_id*31 + yy.y*7 + xx.x*3 + 11) % 256)
+        + ((doc_id*31 + yy.y*7 + xx.x*3 + 22) % 256) AS g
+      FROM documents,
+           generate_series(0, 15) AS yy(y),
+           generate_series(0, 15) AS xx(x)
+      WHERE doc_id < 200
+    ),
+    rowt AS (
+      SELECT gray.doc_id, c.u, gray.x,
+             CAST(sum(CAST(c.v AS BIGINT) * gray.g) AS BIGINT) AS r
+      FROM gray JOIN c ON c.k = gray.y
+      WHERE c.u < 8
+      GROUP BY gray.doc_id, c.u, gray.x
+    ),
+    coef AS (
+      SELECT rowt.doc_id, rowt.u, c.u AS vf,
+             CAST(sum(CAST(c.v AS BIGINT) * rowt.r) AS BIGINT) AS f
+      FROM rowt JOIN c ON c.k = rowt.x
+      WHERE c.u < 8
+      GROUP BY rowt.doc_id, rowt.u, c.u
+    ),
+    blk AS (SELECT doc_id, u*8 + vf AS k, f FROM coef),
+    med AS (
+      SELECT doc_id, f AS m FROM (
+        SELECT doc_id, f,
+               row_number() OVER (PARTITION BY doc_id ORDER BY f) AS rn
+        FROM blk WHERE k > 0
+      ) WHERE rn = 32
+    ),
+    ph AS (
+      SELECT blk.doc_id,
+             CAST(sum(CASE WHEN blk.f > med.m
+                           THEN (1::BIGINT << blk.k) ELSE 0 END)
+                  AS BIGINT) AS phash
+      FROM blk JOIN med USING (doc_id)
+      WHERE blk.k < 60
+      GROUP BY blk.doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS media_id, phash, TRUE AS decodable
+    FROM ph ORDER BY media_id
+"""
+
+
+ORACLES["multimodal_phash_dct"] = _dct_phash_oracle()
+
+ORACLES["multimodal_video_neardup"] = f"""
+    WITH fr AS (
+      SELECT doc_id AS vid, ff.f AS fidx, doc_id*1000 + ff.f AS m
+      FROM documents, generate_series(0, 5) AS ff(f)
+      WHERE doc_id < 400
+    ),
+    cells AS (
+      SELECT fr.vid, fr.fidx, g.k,
+          ((fr.m*31 + (g.k // 8)*7 + (g.k % 8)*3) % 256)
+        + ((fr.m*31 + (g.k // 8)*7 + (g.k % 8)*3 + 11) % 256)
+        + ((fr.m*31 + (g.k // 8)*7 + (g.k % 8)*3 + 22) % 256) AS gray
+      FROM fr, generate_series(0, 63) AS g(k)
+    ),
+    tot AS (SELECT vid, fidx, sum(gray) AS total FROM cells GROUP BY vid, fidx),
+    ph AS (
+      SELECT c.vid, c.fidx,
+             CAST(sum(CASE WHEN c.gray*64 > t.total
+                           THEN (1::BIGINT << c.k) ELSE 0 END) AS BIGINT) AS phash
+      FROM cells c JOIN tot t USING (vid, fidx)
+      WHERE c.k < 60
+      GROUP BY c.vid, c.fidx
+    ),
+    banded AS (
+      SELECT vid, fidx, phash, b.band,
+             CASE WHEN b.band < 3
+                  THEN (phash >> (b.band*15)) & 32767
+                  ELSE phash >> 45 END AS band_key
+      FROM ph, generate_series(0, 3) AS b(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.vid AS va, a.fidx AS fa, a.phash AS pa,
+                      b2.vid AS vb, b2.fidx AS fb, b2.phash AS pb
+      FROM banded a
+      JOIN banded b2 ON a.band = b2.band AND a.band_key = b2.band_key
+        AND (a.vid*1048576 + a.fidx) < (b2.vid*1048576 + b2.fidx)
+    ),
+    fpairs AS (
+      SELECT va, vb, bit_count(xor(pa, pb)) AS hamming
+      FROM cand
+      WHERE bit_count(xor(pa, pb)) <= 3 AND va <> vb
+    ),
+    cpairs AS (
+      SELECT least(va, vb) AS id_a, greatest(va, vb) AS id_b,
+             count(*) AS n_frame_pairs, min(hamming) AS min_hamming
+      FROM fpairs GROUP BY 1, 2
+    )
+    SELECT CAST(min_hamming AS BIGINT) AS min_hamming,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(n_frame_pairs) AS BIGINT) AS n_frame_pairs_total,
+           CAST(bit_xor({_sql_hash64("(id_a || '|' || id_b || '|' || n_frame_pairs)")}) AS BIGINT)
+               AS pair_hash_xor
+    FROM cpairs
+    GROUP BY min_hamming
+    ORDER BY min_hamming
+"""
+
+
 def q_avro_convert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The land-then-convert operator (``avro_format.avro_to_parquet``,
     the r12 posture made first-class) under the hash gate: documents →
@@ -8081,6 +8266,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "avro_convert_stats": q_avro_convert_stats,
     "yamr_roundtrip_stats": q_yamr_roundtrip_stats,
     "jsonl_quarantine_stats": q_jsonl_quarantine_stats,
+    "multimodal_phash_dct": q_multimodal_phash_dct,
+    "multimodal_video_neardup": q_multimodal_video_neardup,
 }
 
 
