@@ -14,7 +14,10 @@ raw batch dirs (~5k fps each), then time:
 Run idle with SPARK_GRAFT_DRIVER_MEM=48g (the major leg scans 50M rows
 in a single local JVM).
 
-Usage: python scripts/seen_compaction_scale.py
+Usage: python scripts/seen_compaction_scale.py [scale]
+  scale: replica factor of the cached sorted generation (default 10000
+  = 50M fps; 40000 = 200M fps — the r13 fixture), matching a prior
+  `scripts/ingest_dedup_scale.py <scale> only` run.
 """
 
 from __future__ import annotations
@@ -39,23 +42,24 @@ from yet_another_map_reduce_spark.streaming.ingest import (  # noqa: E402
     seen_probe_paths,
 )
 
-BASE = "/tmp/ingest_seen_sorted_10000x/batch=-2"
 SCRATCH = "/tmp/seen_lsm_scratch"
 
 
 def main() -> None:
+    scale = int(sys.argv[1]) if len(sys.argv) > 1 else 10000
+    base = f"/tmp/ingest_seen_sorted_{scale}x/batch=-2"
     load = os.getloadavg()[0]
     if load > 4.0:
         print(f"WARNING: loadavg {load:.1f} — readings may be contaminated")
-    if not os.path.isdir(BASE):
-        sys.exit("run scripts/ingest_dedup_scale.py 10000 only first (builds the 50M relation)")
+    if not os.path.isdir(base):
+        sys.exit(f"run scripts/ingest_dedup_scale.py {scale} only first (builds the relation)")
 
     shutil.rmtree(SCRATCH, ignore_errors=True)
     os.makedirs(SCRATCH)
     # hardlink copy: instant, and compaction never mutates files in
     # place (it writes a new generation then rmtree's the old dir,
     # which only unlinks — the cached fixture's inodes survive)
-    subprocess.run(["cp", "-al", BASE, os.path.join(SCRATCH, "batch=-2")], check=True)
+    subprocess.run(["cp", "-al", base, os.path.join(SCRATCH, "batch=-2")], check=True)
 
     spark = build_session(app_name="seen-compaction-scale")
     docs = read_table(spark, "/root/testdata/sf0.1", "documents")

@@ -433,3 +433,26 @@ def test_video_near_dup_pairs_shared_frames(spark):
         ).collect()
     }
     assert (1, 2) not in strict
+
+
+def test_image_near_dup_capped_buckets_reports_drops(spark):
+    """The exclusion report names exactly the buckets the pairs call
+    drops: with 12 images sharing a band key and cap 8, the oversized
+    bucket appears in the report (size 12), and a suppressed pair is
+    indeed absent from the capped pairs output but present uncapped."""
+    from yet_another_map_reduce_spark.operators import multimodal
+
+    mask = (1 << 15) | (1 << 3)  # same upper band (bits 12-15) for all
+    rows = [(i, _ppm_from_mask(mask | (1 << (i % 3)))) for i in range(12)]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    report = multimodal.image_near_dup_capped_buckets(
+        df, bands=4, hash_size=4, max_bucket_size=8
+    ).collect()
+    assert any(r["n_ids"] == 12 for r in report)  # the shared band bucket
+    capped = multimodal.image_near_dup_pairs(
+        df, bands=4, max_hamming=3, hash_size=4, max_bucket_size=8
+    ).count()
+    uncapped = multimodal.image_near_dup_pairs(
+        df, bands=4, max_hamming=3, hash_size=4, max_bucket_size=None
+    ).count()
+    assert uncapped > capped  # the report's buckets are real suppressions

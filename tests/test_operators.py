@@ -1996,3 +1996,30 @@ def test_banded_hamming_pairs_shared_helper(spark):
 
     with pytest.raises(ValueError, match="pigeonhole"):
         banded_hamming_pairs(df, "h", "id", bits=58, bands=2, max_hamming=3)
+
+
+def test_banded_hamming_capped_buckets_names_the_drops(spark):
+    """The exclusion report is exactly the complement of the capped
+    pairs call: with cap 1 every >=2 bucket is suppressed, and the
+    report lists each with its size and lowest member id; with the cap
+    above the biggest bucket the report is empty (nothing silently
+    dropped)."""
+    from yet_another_map_reduce_spark.operators.dedup import (
+        banded_hamming_capped_buckets,
+    )
+
+    base = (1 << 50) - 1
+    rows = [(1, base), (2, base), (3, base ^ (1 << 3)), (5, base >> 25)]
+    df = spark.createDataFrame(rows, "id long, h long")
+    report = banded_hamming_capped_buckets(
+        df, hash_col="h", id_col="id", bits=58, bands=4, max_bucket_size=1
+    ).collect()
+    assert report and all(r["n_ids"] >= 2 and r["example_id"] == 1 for r in report)
+    # ids 1,2,3 share every band except the one holding bit 3
+    assert max(r["n_ids"] for r in report) == 3
+    assert (
+        banded_hamming_capped_buckets(
+            df, hash_col="h", id_col="id", bits=58, bands=4, max_bucket_size=3
+        ).count()
+        == 0
+    )

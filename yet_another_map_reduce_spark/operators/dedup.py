@@ -440,6 +440,78 @@ def simhash_near_dup_pairs(
     )
 
 
+def _hamming_band_groups(
+    fp: DataFrame, hash_col: str, id_col: str, bits: int, bands: int
+) -> DataFrame:
+    """Shared banding stage for :func:`banded_hamming_pairs` and
+    :func:`banded_hamming_capped_buckets`: explode each hash into
+    ``bands`` (band, band_key) rows (last band absorbs the remainder
+    when ``bands`` doesn't divide ``bits``), group, and keep buckets
+    of size ≥ 2 as ``(band, band_key, __g: array<struct<id, h>>)``."""
+    if bands > bits:
+        raise ValueError(
+            f"bands={bands} > bits={bits}: every band must cover at least "
+            "one real hash bit, or empty bands collide universally"
+        )
+    width = bits // bands
+
+    def band_val(b: int):
+        col = F.shiftrightunsigned(F.col(hash_col), b * width)
+        if b < bands - 1:
+            col = col.bitwiseAND(F.lit((1 << width) - 1))
+        return col
+
+    banded = fp.select(
+        F.col(id_col),
+        F.col(hash_col),
+        F.posexplode(F.array(*[band_val(b) for b in range(bands)])).alias(
+            "band", "band_key"
+        ),
+    )
+    return (
+        banded.groupBy("band", "band_key")
+        .agg(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("id"), F.col(hash_col).alias("h"))
+            ).alias("__g")
+        )
+        .where(F.size("__g") >= 2)
+    )
+
+
+def banded_hamming_capped_buckets(
+    fp: DataFrame,
+    hash_col: str,
+    id_col: str,
+    bits: int,
+    bands: int,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """The exclusion report for :func:`banded_hamming_pairs`' bucket
+    cap — the no-silent-caps discipline (every candidate pair the cap
+    suppressed collides in one of THESE buckets): the (band, band_key)
+    buckets whose size exceeds ``max_bucket_size``, with their sizes
+    and lowest member id as an exemplar.  Empty result == the cap
+    dropped nothing and the pigeonhole guarantee held in full.
+
+    Run it alongside the pairs call (same banding plan, same single
+    shuffle shape) whenever ``max_bucket_size`` is set: a non-empty
+    report on an image/video corpus usually means degenerate media
+    (solid frames, test cards) that exact-dedup should absorb first —
+    the same boilerplate story as the MinHash-LSH cap
+    (:func:`minhash_lsh_pairs`)."""
+    return (
+        _hamming_band_groups(fp, hash_col, id_col, bits, bands)
+        .where(F.size("__g") > max_bucket_size)
+        .select(
+            "band",
+            F.col("band_key").cast("bigint").alias("band_key"),
+            F.size("__g").cast("bigint").alias("n_ids"),
+            F.array_min(F.col("__g.id")).alias("example_id"),
+        )
+    )
+
+
 def banded_hamming_pairs(
     fp: DataFrame,
     hash_col: str,
@@ -464,33 +536,7 @@ def banded_hamming_pairs(
     """
     if max_hamming > bands - 1:
         raise ValueError("bands must exceed max_hamming (pigeonhole guarantee)")
-    if bands > bits:
-        raise ValueError(
-            f"bands={bands} > bits={bits}: every band must cover at least "
-            "one real hash bit, or empty bands collide universally"
-        )
-    width = bits // bands
-
-    def band_val(b: int):
-        col = F.shiftrightunsigned(F.col(hash_col), b * width)
-        if b < bands - 1:
-            col = col.bitwiseAND(F.lit((1 << width) - 1))
-        return col
-
-    banded = fp.select(
-        F.col(id_col),
-        F.col(hash_col),
-        F.posexplode(F.array(*[band_val(b) for b in range(bands)])).alias("band", "band_key"),
-    )
-    groups = (
-        banded.groupBy("band", "band_key")
-        .agg(
-            F.collect_list(
-                F.struct(F.col(id_col).alias("id"), F.col(hash_col).alias("h"))
-            ).alias("__g")
-        )
-        .where(F.size("__g") >= 2)
-    )
+    groups = _hamming_band_groups(fp, hash_col, id_col, bits, bands)
     if max_bucket_size is not None:
         groups = groups.where(F.size("__g") <= max_bucket_size)
     pairs = (

@@ -888,3 +888,34 @@ def video_near_dup_pairs(
         )
         .where(F.col("n_frame_pairs") >= min_frame_pairs)
     )
+
+
+def image_near_dup_capped_buckets(
+    df: DataFrame,
+    bands: int = 4,
+    hash_size: int = 8,
+    max_bucket_size: int = 1000,
+    kind: str = "ahash",
+) -> DataFrame:
+    """The no-silent-caps companion to :func:`image_near_dup_pairs`:
+    the perceptual-hash band buckets the ``max_bucket_size`` cap would
+    drop (``dedup.banded_hamming_capped_buckets`` over the same
+    hashes, same banding).  Feed the result to ``skew.skew_stats`` or
+    alert on non-emptiness — an oversized bucket on an image corpus
+    usually means degenerate media (solid frames, test cards) that
+    exact content-hash dedup should absorb before near-dup runs."""
+    from yet_another_map_reduce_spark.operators.dedup import (
+        banded_hamming_capped_buckets,
+    )
+
+    fp = image_phash(df, hash_size=hash_size, kind=kind).where(
+        F.col("phash").isNotNull()
+    )
+    return banded_hamming_capped_buckets(
+        fp,
+        hash_col="phash",
+        id_col="media_id",
+        bits=min(60, hash_size * hash_size),
+        bands=bands,
+        max_bucket_size=max_bucket_size,
+    )

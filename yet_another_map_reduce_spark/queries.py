@@ -7867,6 +7867,130 @@ ORACLES["jsonl_quarantine_stats"] = f"""
 """
 
 
+def q_ingest_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END ingest pipeline (``streaming/ingest.py`` — the
+    flagship composition) as a batch-mode oracle row: three ordered
+    micro-batches of documents with PLANTED duplicates (ten in-batch
+    clones inside batch 0, ten cross-batch re-crawls of batch-0 texts
+    inside batch 1, ten of batch-1 texts inside batch 2) run through
+    bootstrap-build → ``ingest_batch`` × 2: incremental dedup against
+    the accumulated seen relation, the frozen-weights quality gate
+    (margin = 16·f_stop − f_tokens > 0), hash-embed, exactly-once
+    IVF-PQ index append, fingerprint recording.  The result reads the
+    FINAL PERSISTED STATE back — indexed ids come from the committed
+    index's own parquet segments, seen fingerprints from the seen
+    relation — so a green hash certifies what the pipeline durably
+    wrote, not what it computed in flight.  Oracle: clones all carry
+    higher ids than their originals and batches are ordered id ranges,
+    so the surviving set is exactly ``min(doc_id) per fingerprint``;
+    gate features replay via the shared classifier-feature SQL twins.
+    Scratch dirs are wiped up front: every run is a full fresh replay
+    (cross-run idempotency is pinned separately by the streaming
+    crash-consistency tests)."""
+    import shutil
+
+    from yet_another_map_reduce_spark.streaming.ingest import ingest_batch
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.where(F.col("doc_id") < 450)
+
+    def clones(lo: int, hi: int, offset: int) -> DataFrame:
+        return docs.where(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).withColumn("doc_id", F.col("doc_id") + offset)
+
+    batches = [
+        base.where(F.col("doc_id") < 150).unionByName(clones(0, 10, 10_000)),
+        base.where((F.col("doc_id") >= 150) & (F.col("doc_id") < 300)).unionByName(
+            clones(10, 20, 20_000)
+        ),
+        base.where(F.col("doc_id") >= 300).unionByName(clones(150, 160, 30_000)),
+    ]
+    weights = [0, -1, 0, 16, 0]  # margin = 16*f_stop - f_tokens
+    root = _scratch_path("ingest_pipe", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    index_dir = os.path.join(root, "idx")
+    seen_dir = os.path.join(root, "seen")
+
+    # bootstrap (the documented contract: the index build is a batch
+    # job) — batch 0 dedups within itself, gates, builds the index
+    b0 = batches[0]
+    surv0 = b0.join(
+        dedup.incremental_dedup(b0, b0.limit(0), "text", "doc_id").select("doc_id"),
+        "doc_id",
+    )
+    gated0 = classify.quality_gate(
+        with_classifier_features(surv0), weights, _CLASSIFIER_FEATURE_COLS
+    )
+    vec0 = text.hash_embed_dense(
+        gated0.select("doc_id", "text"), "text", "doc_id", dim=16
+    ).persist()  # codebook training + the build both consume it
+    try:
+        similarity.build_ivfpq_index_auto(
+            vec0,
+            "doc_id",
+            "embedding",
+            index_dir,
+            # light training config: this row certifies the pipeline
+            # orchestration + durable state (ids in the committed index),
+            # not quantization quality — the ann_* rows own that
+            books=similarity.train_pq_codebooks(
+                vec0, "doc_id", "embedding", m=2, k=4, iterations=1
+            ),
+        )
+    finally:
+        vec0.unpersist()
+    dedup.batch_fingerprints(b0, "text").write.mode("overwrite").parquet(
+        os.path.join(seen_dir, "batch=0")
+    )
+
+    for i in (1, 2):
+        ingest_batch(
+            batches[i],
+            i,
+            index_dir=index_dir,
+            seen_dir=seen_dir,
+            weights=weights,
+            feature_cols=_CLASSIFIER_FEATURE_COLS,
+            featurize=with_classifier_features,
+            embed_dim=16,
+        )
+
+    from functools import reduce as _reduce
+
+    idx_rows = _reduce(
+        DataFrame.unionByName,
+        [
+            spark.read.parquet(p).select(F.col("neighbor_id").alias("doc_id"))
+            for p in similarity._index_data_paths(index_dir)
+        ],
+    )
+    idx = (
+        idx_rows
+        .withColumn("h", md5_hash64(F.col("doc_id").cast("string")))
+        .agg(
+            F.count("*").alias("n_indexed"),
+            F.expr("bit_xor(h)").alias("indexed_hash_xor"),
+        )
+    )
+    seen_fps = (
+        spark.read.parquet(seen_dir)
+        .where(F.col("fp").isNotNull())
+        .select("fp")
+        .distinct()
+        .agg(F.count("*").alias("n_seen_fps"))
+    )
+    n_in = (
+        batches[0]
+        .unionByName(batches[1])
+        .unionByName(batches[2])
+        .agg(F.count("*").alias("n_docs_in"))
+    )
+    return n_in.crossJoin(seen_fps).crossJoin(idx).select(
+        "n_docs_in", "n_seen_fps", "n_indexed", "indexed_hash_xor"
+    )
+
+
 def _dct_phash_oracle() -> str:
     """ANSI-SQL replay of ``image_phash(kind="dct")`` over the 16x16
     synthetic fixture: the SAME fixed-point coefficient table the Spark
@@ -7931,6 +8055,30 @@ def _dct_phash_oracle() -> str:
 
 
 ORACLES["multimodal_phash_dct"] = _dct_phash_oracle()
+
+ORACLES["ingest_pipeline_stats"] = f"""
+    WITH base AS (
+      SELECT doc_id, text, md5({_TEXT_NORM}) AS fp
+      FROM documents WHERE doc_id < 450
+    ),
+    surv AS (  -- clones always have higher ids than their originals and
+               -- batches are ordered id ranges, so the pipeline's
+               -- survivor set is exactly min(doc_id) per fingerprint
+      SELECT min(doc_id) AS doc_id FROM base GROUP BY fp
+    ),
+    gated AS (
+      SELECT b.doc_id
+      FROM base b JOIN surv USING (doc_id)
+      WHERE 16 * len(list_filter(string_split({_TEXT_NORM}, ' '),
+                                 t -> t IN {_STOPLIST}))
+            - len(string_split({_TEXT_NORM}, ' ')) > 0
+    )
+    SELECT CAST((SELECT count(*) FROM base) + 30 AS BIGINT) AS n_docs_in,
+           CAST((SELECT count(DISTINCT fp) FROM base) AS BIGINT) AS n_seen_fps,
+           CAST(count(*) AS BIGINT) AS n_indexed,
+           CAST(bit_xor({_sql_hash64("CAST(doc_id AS VARCHAR)")}) AS BIGINT) AS indexed_hash_xor
+    FROM gated
+"""
 
 ORACLES["multimodal_video_neardup"] = f"""
     WITH fr AS (
@@ -8268,6 +8416,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jsonl_quarantine_stats": q_jsonl_quarantine_stats,
     "multimodal_phash_dct": q_multimodal_phash_dct,
     "multimodal_video_neardup": q_multimodal_video_neardup,
+    "ingest_pipeline_stats": q_ingest_pipeline_stats,
 }
 
 
