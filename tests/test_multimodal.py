@@ -456,3 +456,43 @@ def test_image_near_dup_capped_buckets_reports_drops(spark):
         df, bands=4, max_hamming=3, hash_size=4, max_bucket_size=None
     ).count()
     assert uncapped > capped  # the report's buckets are real suppressions
+
+
+def test_video_near_dup_capped_buckets_decomposes_exemplar(spark):
+    """Degenerate repeated frames across many clips land in oversized
+    buckets; the report decomposes the exemplar back to (clip, frame)
+    and the capped pairs call indeed suppresses those collisions."""
+    import struct
+
+    import numpy as np
+
+    from yet_another_map_reduce_spark.operators import multimodal
+
+    black = multimodal.encode_ppm(np.zeros((8, 8, 3), dtype=np.uint8))
+
+    def stripe(idx: int):
+        img = np.zeros((8, 8, 3), dtype=np.uint8)
+        img[(idx * 2) % 7 : (idx * 2) % 7 + 1] = 255
+        return multimodal.encode_ppm(img)
+
+    def clip(frames):
+        payload = b"".join(struct.pack("<I", len(p)) + p for p in frames)
+        return bytearray(b"MJPM" + struct.pack("<II", len(frames), 40) + payload)
+
+    # every clip opens with the same black frame (the degenerate bucket),
+    # then a distinct stripe frame
+    rows = [(i, clip([black, stripe(i)])) for i in range(6)]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    report = multimodal.video_near_dup_capped_buckets(
+        df, every_ms=40, max_bucket_size=4
+    ).collect()
+    assert report
+    r = max(report, key=lambda r: r["n_ids"])
+    # all six black frames collide (hash 0), joined by stripe frames
+    # whose stripe lies outside the band — >= 6 either way
+    assert r["n_ids"] >= 6
+    assert r["example_clip"] == 0 and r["example_frame"] == 0
+    pairs = multimodal.video_near_dup_pairs(
+        df, every_ms=40, max_hamming=3, max_bucket_size=4
+    ).count()
+    assert pairs == 0  # with the cap, the black-frame pairs are suppressed

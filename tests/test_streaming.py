@@ -1024,7 +1024,10 @@ def test_maintain_ingest_is_noop_when_already_compacted(spark, sf_dir, tmp_path)
     gen = os.path.join(seen_dir, "batch=-3")
     before_files = sorted(os.listdir(gen))
     stats2 = maintain_ingest(spark, index_dir, seen_dir, retention_seconds=3600)
-    assert stats2["seen_fps"] == n
+    # default "auto" at 1 sorted level runs the MINOR path with nothing
+    # raw to fold: 0, without even a count scan of the relation (the old
+    # major default re-counted the whole corpus just to report a no-op)
+    assert stats2["seen_fps"] == 0
     assert [d for d in os.listdir(seen_dir) if d.startswith("batch=")] == ["batch=-3"]
     assert sorted(os.listdir(gen)) == before_files
     assert stats2["index_version"] == live_before

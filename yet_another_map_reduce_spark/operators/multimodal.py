@@ -919,3 +919,55 @@ def image_near_dup_capped_buckets(
         bands=bands,
         max_bucket_size=max_bucket_size,
     )
+
+
+def video_near_dup_capped_buckets(
+    df: DataFrame,
+    every_ms: int = 1000,
+    bands: int = 4,
+    hash_size: int = 8,
+    max_bucket_size: int = 1000,
+    kind: str = "ahash",
+) -> DataFrame:
+    """The no-silent-caps companion to :func:`video_near_dup_pairs`:
+    the frame-hash band buckets its cap would drop, with the exemplar
+    decomposed back into ``(example_clip, example_frame)`` so the
+    offending media is directly inspectable.  An oversized bucket on a
+    video corpus usually means degenerate frames across many clips
+    (black frames, title cards, station idents) — sample those clips,
+    confirm, and either exact-dedup the frames first or raise the cap
+    knowingly."""
+    from yet_another_map_reduce_spark.operators.dedup import (
+        banded_hamming_capped_buckets,
+    )
+
+    frames = sample_video_frames(df, every_ms=every_ms).where(
+        F.col("frame_idx").isNotNull()
+    )
+    fp = image_phash(
+        frames.select(
+            (F.col("media_id") * FRAME_KEY_SPACE + F.col("frame_idx")).alias(
+                "media_id"
+            ),
+            "content",
+        ),
+        hash_size=hash_size,
+        kind=kind,
+    ).where(F.col("phash").isNotNull())
+    report = banded_hamming_capped_buckets(
+        fp,
+        hash_col="phash",
+        id_col="media_id",
+        bits=min(60, hash_size * hash_size),
+        bands=bands,
+        max_bucket_size=max_bucket_size,
+    )
+    return report.select(
+        "band",
+        "band_key",
+        "n_ids",
+        (F.col("example_id") / FRAME_KEY_SPACE).cast("bigint").alias("example_clip"),
+        F.pmod("example_id", F.lit(FRAME_KEY_SPACE)).cast("bigint").alias(
+            "example_frame"
+        ),
+    )

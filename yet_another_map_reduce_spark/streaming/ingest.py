@@ -482,17 +482,18 @@ def maintain_ingest(
     seen_dir: str,
     keep_versions: int = 2,
     retention_seconds: float = 3600.0,
-    major_seen: bool | str = True,
+    major_seen: bool | str = "auto",
     max_seen_levels: int = 4,
 ) -> dict:
     """The periodic maintenance job for a running ingest deployment,
     run while the stream is STOPPED (both halves document why): fold
-    the per-batch fingerprint directories into one generation
-    (:func:`compact_seen`), fold the index's accumulated append
-    segments into one (:func:`compact_ivfpq_index` — search results
-    bit-identical by that function's contract), then vacuum index
-    versions/segments past the retention window
-    (:func:`vacuum_ivfpq_index`).
+    the per-batch fingerprint directories (:func:`compact_seen` —
+    ``major_seen="auto"``, the default, minors nightly and majors only
+    when the sorted-level count hits ``max_seen_levels``), fold the
+    index's accumulated append segments into one
+    (:func:`compact_ivfpq_index` — search results bit-identical by
+    that function's contract), then vacuum index versions/segments
+    past the retention window (:func:`vacuum_ivfpq_index`).
 
     Safe to run on a CRASHED (hence stopped) stream whose last batch
     appended but never checkpointed: compaction carries the manifest's
@@ -507,13 +508,13 @@ def maintain_ingest(
     # major_seen=False keeps nightly maintenance O(new data): the raw
     # batch dirs fold into one new sorted level and existing sorted
     # generations stay untouched (LSM minor); major_seen=True folds
-    # everything; "auto" is the LSM trigger policy — minor until the
-    # sorted-level count reaches max_seen_levels, then one major fold
-    # (levels only affect file/metadata counts, not probe cost — the
-    # r12 A/B measured probes level-independent at 50M fps and the r13
-    # stacked-levels run re-measured it flat through 8 levels at 200M
-    # fps, BASELINE.md §r13 — so the trigger bounds bookkeeping, not
-    # latency)
+    # everything; "auto" (the DEFAULT) is the LSM trigger policy —
+    # minor until the sorted-level count reaches max_seen_levels, then
+    # one major fold.  Auto is the measured right default: probe cost
+    # is level-independent (flat through 8 levels at 200M fps,
+    # BASELINE.md §r13) while a major fold costs 214× a minor at 200M
+    # fps (447.8 s vs 2.09 s, BASELINE.md §r14), so majors should only
+    # fire on the bookkeeping trigger, never every night
     if major_seen == "auto":
         levels = (
             sum(
