@@ -496,3 +496,23 @@ def test_video_near_dup_capped_buckets_decomposes_exemplar(spark):
         df, every_ms=40, max_hamming=3, max_bucket_size=4
     ).count()
     assert pairs == 0  # with the cap, the black-frame pairs are suppressed
+
+
+def test_video_near_dup_rejects_out_of_domain_media_id(spark):
+    """The composite frame key is only sound for media_id < 2^43;
+    out-of-domain ids (e.g. 60-bit md5-derived keys) must raise, not
+    silently alias into other clips' keys."""
+    import struct
+
+    import numpy as np
+
+    from yet_another_map_reduce_spark.operators import multimodal
+
+    frame = multimodal.encode_ppm(np.zeros((8, 8, 3), dtype=np.uint8))
+    payload = struct.pack("<I", len(frame)) + frame
+    blob = bytearray(b"MJPM" + struct.pack("<II", 1, 40) + payload)
+    df = spark.createDataFrame(
+        [(1 << 43, blob), (1, blob)], "media_id long, content binary"
+    )
+    with pytest.raises(Exception, match="out of domain"):
+        multimodal.video_near_dup_pairs(df, every_ms=40).collect()

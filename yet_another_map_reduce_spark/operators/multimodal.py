@@ -784,14 +784,8 @@ def image_near_dup_pairs(
     """
     from yet_another_map_reduce_spark.operators.dedup import banded_hamming_pairs
 
-    fp = image_phash(df, hash_size=hash_size, kind=kind).where(
-        F.col("phash").isNotNull()
-    )
-    # image_phash populates min(60, hash_size**2) bits: banding the full
-    # 60 at hash_size < 8 would make the upper bands identically zero
-    # (every image collides there → capped mega-buckets silently drop)
     return banded_hamming_pairs(
-        fp,
+        _image_fingerprints(df, hash_size, kind),
         hash_col="phash",
         id_col="media_id",
         bits=min(60, hash_size * hash_size),
@@ -801,10 +795,82 @@ def image_near_dup_pairs(
     )
 
 
-#: frame-key packing base for video near-dup: the composite frame id is
-#: ``media_id * FRAME_KEY_SPACE + frame_idx``, so clip ids must stay
-#: below 2^43 and clips below 2^20 frames (a 9.7-hour clip at 30 fps)
-FRAME_KEY_SPACE = 1 << 20
+def _image_fingerprints(df: DataFrame, hash_size: int, kind: str) -> DataFrame:
+    """Shared hash stage for :func:`image_near_dup_pairs` and its cap
+    report — ONE definition, so the report always describes the same
+    hashing/banding whose buckets the pairs call actually dropped.
+    Undecodable blobs (NULL phash) never reach the banding.
+
+    Banding note: :func:`image_phash` populates ``min(60,
+    hash_size**2)`` bits — banding a hardcoded 60 at ``hash_size < 8``
+    would make the upper bands identically zero (every image collides
+    there → capped mega-buckets silently drop), so both consumers pass
+    ``bits=min(60, hash_size**2)``."""
+    return image_phash(df, hash_size=hash_size, kind=kind).where(
+        F.col("phash").isNotNull()
+    )
+
+
+#: frame-key packing for video near-dup: the composite frame id is
+#: ``media_id << FRAME_KEY_BITS | frame_idx``, so clip ids must stay
+#: below 2^43 and clips below 2^20 frames (a 9.7-hour clip at 30 fps);
+#: both bounds are ENFORCED per row (violations raise, never alias)
+FRAME_KEY_BITS = 20
+FRAME_KEY_SPACE = 1 << FRAME_KEY_BITS
+_MAX_CLIP_ID = 1 << 43
+
+
+def _video_frame_fingerprints(
+    df: DataFrame, every_ms: int, hash_size: int, kind: str
+) -> DataFrame:
+    """Shared frame-hash stage for :func:`video_near_dup_pairs` and its
+    cap report — ONE definition, so the report always describes the
+    same sampling/hashing/banding whose buckets the pairs call actually
+    dropped: sample frames, pack the composite frame key, hash.
+
+    The composite key is only sound inside its documented domain
+    (``media_id < 2^43``, ``frame_idx < 2^20``); out-of-range rows
+    would silently alias into OTHER clips' keys (and 60-bit md5-derived
+    ids would overflow int64 outright), so the packing raises on
+    violation instead — same fail-loudly discipline as the bands>bits
+    guard in ``dedup._hamming_band_groups``.  Unparseable videos
+    (NULL frame_idx) and undecodable frames (NULL phash) quarantine
+    out before any key is built."""
+    frames = sample_video_frames(df, every_ms=every_ms).where(
+        F.col("frame_idx").isNotNull()
+    )
+    in_domain = (
+        (F.col("media_id") >= 0)
+        & (F.col("media_id") < F.lit(_MAX_CLIP_ID))
+        & (F.col("frame_idx") >= 0)
+        & (F.col("frame_idx") < F.lit(FRAME_KEY_SPACE))
+    )
+    key = F.when(
+        F.assert_true(
+            in_domain,
+            F.concat_ws(
+                " ",
+                F.lit(
+                    "video near-dup composite frame key out of domain "
+                    "(need 0 <= media_id < 2^43 and 0 <= frame_idx < 2^20):"
+                ),
+                F.col("media_id"),
+                F.col("frame_idx"),
+            ),
+        ).isNull(),
+        F.shiftleft(F.col("media_id"), FRAME_KEY_BITS) + F.col("frame_idx"),
+    )
+    return image_phash(
+        frames.select(key.alias("media_id"), "content"),
+        hash_size=hash_size,
+        kind=kind,
+    ).where(F.col("phash").isNotNull())
+
+
+def _clip_of(col: str):
+    """Exact clip id from a composite frame key (integer bit shift —
+    float division would be lossy above 2^53)."""
+    return F.shiftrightunsigned(F.col(col), FRAME_KEY_BITS)
 
 
 def video_near_dup_pairs(
@@ -830,9 +896,10 @@ def video_near_dup_pairs(
     2. :func:`image_phash` per sampled frame (``kind`` selects the
        aHash or DCT tier) — frames collapse to 8-byte hashes.
     3. ``dedup.banded_hamming_pairs`` over the frame hashes with the
-       composite frame key ``media_id * FRAME_KEY_SPACE + frame_idx``
-       — one fixed-width-key shuffle; FRAME BYTES NEVER SHUFFLE, only
-       the packed hash+key pairs do.
+       composite frame key ``media_id << FRAME_KEY_BITS | frame_idx``
+       (domain-checked — see :func:`_video_frame_fingerprints`) — one
+       fixed-width-key shuffle; FRAME BYTES NEVER SHUFFLE, only the
+       packed hash+key pairs do.
     4. Fold frame pairs to clip pairs: cross-clip only, canonically
        ordered, ``n_frame_pairs`` = matching frame pairs (a frame may
        match several frames of the other clip — it counts PAIRS, not
@@ -848,21 +915,8 @@ def video_near_dup_pairs(
     """
     from yet_another_map_reduce_spark.operators.dedup import banded_hamming_pairs
 
-    frames = sample_video_frames(df, every_ms=every_ms).where(
-        F.col("frame_idx").isNotNull()
-    )
-    fp = image_phash(
-        frames.select(
-            (F.col("media_id") * FRAME_KEY_SPACE + F.col("frame_idx")).alias(
-                "media_id"
-            ),
-            "content",
-        ),
-        hash_size=hash_size,
-        kind=kind,
-    ).where(F.col("phash").isNotNull())
     frame_pairs = banded_hamming_pairs(
-        fp,
+        _video_frame_fingerprints(df, every_ms, hash_size, kind),
         hash_col="phash",
         id_col="media_id",
         bits=min(60, hash_size * hash_size),
@@ -871,8 +925,8 @@ def video_near_dup_pairs(
         max_bucket_size=max_bucket_size,
     )
     clip = frame_pairs.select(
-        (F.col("id_a") / FRAME_KEY_SPACE).cast("bigint").alias("clip_a"),
-        (F.col("id_b") / FRAME_KEY_SPACE).cast("bigint").alias("clip_b"),
+        _clip_of("id_a").alias("clip_a"),
+        _clip_of("id_b").alias("clip_b"),
         "hamming",
     ).where(F.col("clip_a") != F.col("clip_b"))
     return (
@@ -908,11 +962,8 @@ def image_near_dup_capped_buckets(
         banded_hamming_capped_buckets,
     )
 
-    fp = image_phash(df, hash_size=hash_size, kind=kind).where(
-        F.col("phash").isNotNull()
-    )
     return banded_hamming_capped_buckets(
-        fp,
+        _image_fingerprints(df, hash_size, kind),
         hash_col="phash",
         id_col="media_id",
         bits=min(60, hash_size * hash_size),
@@ -941,21 +992,8 @@ def video_near_dup_capped_buckets(
         banded_hamming_capped_buckets,
     )
 
-    frames = sample_video_frames(df, every_ms=every_ms).where(
-        F.col("frame_idx").isNotNull()
-    )
-    fp = image_phash(
-        frames.select(
-            (F.col("media_id") * FRAME_KEY_SPACE + F.col("frame_idx")).alias(
-                "media_id"
-            ),
-            "content",
-        ),
-        hash_size=hash_size,
-        kind=kind,
-    ).where(F.col("phash").isNotNull())
     report = banded_hamming_capped_buckets(
-        fp,
+        _video_frame_fingerprints(df, every_ms, hash_size, kind),
         hash_col="phash",
         id_col="media_id",
         bits=min(60, hash_size * hash_size),
@@ -966,8 +1004,9 @@ def video_near_dup_capped_buckets(
         "band",
         "band_key",
         "n_ids",
-        (F.col("example_id") / FRAME_KEY_SPACE).cast("bigint").alias("example_clip"),
-        F.pmod("example_id", F.lit(FRAME_KEY_SPACE)).cast("bigint").alias(
-            "example_frame"
-        ),
+        _clip_of("example_id").alias("example_clip"),
+        F.col("example_id")
+        .bitwiseAND(F.lit(FRAME_KEY_SPACE - 1))
+        .cast("bigint")
+        .alias("example_frame"),
     )

@@ -7678,6 +7678,11 @@ def _zorder_oracle() -> str:
 ORACLES["zorder_values"] = _zorder_oracle()
 
 
+#: scratch roots with a registered atexit cleanup (runtime session
+#: state — the _TRACKED suffix excludes it from query fingerprints)
+_SCRATCH_ROOTS_TRACKED: set[str] = set()
+
+
 def _scratch_path(tag: str, sf_dir: str) -> str:
     """Per-process scratch dataset path for queries that exercise a
     write+read cycle.  pid-keyed so a concurrently-running second
@@ -7693,10 +7698,14 @@ def _scratch_path(tag: str, sf_dir: str) -> str:
 
     root = os.path.join(tempfile.gettempdir(), f"yamr_scratch_{os.getpid()}")
     os.makedirs(root, exist_ok=True)
-    # registered unconditionally (atexit dedups nothing, but rmtree of a
-    # gone dir is a no-op): a stale root left by a crashed process with a
-    # recycled pid must still get a cleanup registration in THIS process
-    atexit.register(shutil.rmtree, root, True)
+    # registered on first sight of the root in THIS process (not only on
+    # the mkdir branch: a stale root left by a crashed process with a
+    # recycled pid must still get a cleanup registration) — the seen-set
+    # guard keeps a bench loop from stacking thousands of identical
+    # atexit callbacks
+    if root not in _SCRATCH_ROOTS_TRACKED:
+        _SCRATCH_ROOTS_TRACKED.add(root)
+        atexit.register(shutil.rmtree, root, True)
     return os.path.join(
         root, f"{tag}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
     )

@@ -700,6 +700,16 @@ def register(spark) -> None:
             # conf locked down (CANNOT_MODIFY_CONFIG): per-read
             # .option("pushdown", "false") remains as the escape hatch
             pass
+        except Exception as exc:  # noqa: BLE001
+            # a forked/proxied session may reject conf mutation with a
+            # different exception type; the escape hatch still applies,
+            # but surface what happened instead of swallowing it
+            warnings.warn(
+                f"yamr.register(): could not enable {conf_key} "
+                f"({type(exc).__name__}: {exc}); reads needing chunk "
+                'pruning will fail — use .option("pushdown", "false")',
+                stacklevel=2,
+            )
 
 
 def vacuum(
