@@ -516,3 +516,47 @@ def test_video_near_dup_rejects_out_of_domain_media_id(spark):
     )
     with pytest.raises(Exception, match="out of domain"):
         multimodal.video_near_dup_pairs(df, every_ms=40).collect()
+
+
+def test_audio_fingerprint_gain_invariant_and_quarantine(spark):
+    """Re-gained copies of the same waveform fingerprint identically
+    (the near-dup property), different periods land far apart, garbage
+    quarantines, and n_bits is validated."""
+    ids = spark.createDataFrame([(3,), (11,), (4,)], "doc_id long")
+    # docs 3 and 11 share half-period (i%8)=3 with different amplitudes
+    wav = multimodal.synthetic_wav_media(ids, "doc_id", n_samples=800)
+    got = {r["media_id"]: r["afp"] for r in multimodal.audio_fingerprint(wav).collect()}
+    assert got[3] == got[11]
+    assert bin(got[3] ^ got[4]).count("1") > 3
+    bad = spark.createDataFrame([(1, bytearray(b"RIFFjunk"))], "media_id long, content binary")
+    row = multimodal.audio_fingerprint(bad).collect()[0]
+    assert row["afp"] is None and row["decodable"] is False
+    with pytest.raises(ValueError, match="n_bits"):
+        multimodal.audio_fingerprint(wav, n_bits=0)
+
+
+def test_audio_near_dup_pairs_same_period_classes(spark):
+    """Equal-period clips pair at hamming 0 regardless of gain; the
+    unparseable blob never pairs."""
+    ids = spark.createDataFrame([(3,), (11,), (19,), (4,)], "doc_id long")
+    wav = multimodal.synthetic_wav_media(ids, "doc_id", n_samples=800)
+    corrupt = spark.createDataFrame(
+        [(99, bytearray(b"not audio"))], "media_id long, content binary"
+    )
+    media = wav.unionByName(corrupt)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in multimodal.audio_near_dup_pairs(media, max_bucket_size=None).collect()
+    }
+    assert pairs[(3, 11)] == 0 and pairs[(3, 19)] == 0 and pairs[(11, 19)] == 0
+    assert not any(4 in p or 99 in p for p in pairs)
+
+
+def test_audio_fingerprint_short_clip_pads_as_silence(spark):
+    """A clip shorter than n_bits*stride samples still fingerprints:
+    missing samples read as silence (sign bit 1), deterministically."""
+    ids = spark.createDataFrame([(0,)], "doc_id long")
+    wav = multimodal.synthetic_wav_media(ids, "doc_id", n_samples=100)
+    fp = multimodal.audio_fingerprint(wav).collect()[0]["afp"]
+    # positions 13k >= 100 (k >= 8) are all silence -> bits set
+    assert all(fp >> k & 1 for k in range(8, 60))

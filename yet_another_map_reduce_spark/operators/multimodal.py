@@ -1010,3 +1010,92 @@ def video_near_dup_capped_buckets(
         .cast("bigint")
         .alias("example_frame"),
     )
+
+
+def audio_fingerprint(
+    df: DataFrame, n_bits: int = 60, stride: int = 13
+) -> DataFrame:
+    """Sign-pattern audio fingerprint over PCM16 WAV blobs — the audio
+    member of the perceptual-hash family (:func:`image_phash` for
+    images, per-frame hashes for video): bit ``k`` is the sign of
+    sample ``k * stride`` (1 = non-negative), packed into the low
+    ``n_bits`` of a BIGINT.  The sign sequence at a fixed stride is an
+    amplitude-independent sketch of the waveform's zero-crossing
+    structure, so re-levelled or re-gained copies of a recording get
+    equal or Hamming-close fingerprints — the property near-dup needs.
+    A production deployment swaps this kernel for a spectral
+    fingerprint (chromaprint-style) behind the same (media_id, afp)
+    contract; sign-of-sample keeps it INTEGER-EXACT and replayable in
+    ANSI SQL, the discipline every hash in this repo follows.
+
+    Output: ``(media_id, afp bigint, decodable boolean)`` — afp NULL
+    for unparseable blobs (quarantine contract); recordings shorter
+    than ``n_bits * stride`` samples treat missing samples as silence
+    (sign bit 1), so short clips still fingerprint deterministically.
+    """
+    if not 1 <= n_bits <= 60:
+        raise ValueError(f"n_bits must be in [1, 60], got {n_bits}")
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("afp", LongType()),
+            StructField("decodable", BooleanType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, fps, ok = [], [], []
+            for mid, blob in zip(batch["media_id"], batch["content"]):
+                ids.append(mid)
+                parsed = _parse_wav_pcm16(blob)
+                if parsed is None:
+                    fps.append(None)
+                    ok.append(False)
+                    continue
+                _, samples = parsed
+                fp = 0
+                for k in range(n_bits):
+                    pos = k * stride
+                    if pos >= samples.size or samples[pos] >= 0:
+                        fp |= 1 << k
+                fps.append(fp)
+                ok.append(True)
+            yield pd.DataFrame(
+                {"media_id": ids, "afp": pd.array(fps, dtype="Int64"), "decodable": ok}
+            )
+
+    return df.select("media_id", "content").mapInPandas(kernel, schema=out_schema)
+
+
+def audio_near_dup_pairs(
+    df: DataFrame,
+    bands: int = 4,
+    max_hamming: int = 3,
+    n_bits: int = 60,
+    stride: int = 13,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Audio near-duplicate pairs — :func:`audio_fingerprint` into the
+    SHARED banded-Hamming pipeline (``dedup.banded_hamming_pairs``),
+    completing the modality symmetry with image and video near-dup:
+    band collision generates candidates (one fixed-width-key shuffle;
+    audio BYTES never shuffle), exact ``bit_count(XOR)`` verifies,
+    unparseable blobs never pair.  ``max_bucket_size`` caps degenerate
+    buckets (silence, test tones) — run
+    ``dedup.banded_hamming_capped_buckets`` over the same fingerprints
+    to see exactly what a cap dropped (no-silent-caps discipline)."""
+    from yet_another_map_reduce_spark.operators.dedup import banded_hamming_pairs
+
+    fp = audio_fingerprint(df, n_bits=n_bits, stride=stride).where(
+        F.col("afp").isNotNull()
+    )
+    return banded_hamming_pairs(
+        fp,
+        hash_col="afp",
+        id_col="media_id",
+        bits=n_bits,
+        bands=bands,
+        max_hamming=max_hamming,
+        max_bucket_size=max_bucket_size,
+    )

@@ -2555,6 +2555,38 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup (``multimodal.audio_near_dup_pairs``) under the
+    hash gate — completing the modality symmetry (image r13, video r14,
+    audio here).  The sign-pattern fingerprint is amplitude-independent
+    by construction, and the fixture proves it concretely: documents
+    ``i`` and ``i+8`` synthesize square waves with DIFFERENT amplitudes
+    but the same half-period, so they must land at hamming 0 — the
+    re-gained-copy story a real audio dedup needs.  The oracle replays
+    everything arithmetically: the sign of sample ``13k`` of a square
+    wave with half-period ``4 + (i % 8)``, the 60-bit pack, the 4x15
+    banding self-join, exact ``bit_count(xor)``, folded per hamming."""
+    from yet_another_map_reduce_spark.functions import md5_hash64
+    from yet_another_map_reduce_spark.operators import multimodal
+
+    d = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    wav = multimodal.synthetic_wav_media(d, "doc_id", rate=8000, n_samples=800)
+    pairs = multimodal.audio_near_dup_pairs(
+        wav, bands=4, max_hamming=3, max_bucket_size=None
+    )
+    return (
+        pairs.withColumn(
+            "h", md5_hash64(F.concat_ws("|", F.col("id_a"), F.col("id_b")))
+        )
+        .groupBy("hamming")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.expr("bit_xor(h)").alias("pair_hash_xor"),
+        )
+        .orderBy("hamming")
+    )
+
+
 def q_agg_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile sketch VERIFIED against exact percentiles.
 
@@ -8065,6 +8097,42 @@ def _dct_phash_oracle() -> str:
 
 ORACLES["multimodal_phash_dct"] = _dct_phash_oracle()
 
+ORACLES["multimodal_audio_neardup"] = f"""
+    WITH fp AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN ((g.k * 13) // (4 + (doc_id % 8))) % 2 = 0
+                           THEN (1::BIGINT << g.k) ELSE 0 END) AS BIGINT) AS afp
+      FROM documents, generate_series(0, 59) AS g(k)
+      WHERE doc_id < 300
+      GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, afp, b.band,
+             CASE WHEN b.band < 3
+                  THEN (afp >> (b.band*15)) & 32767
+                  ELSE afp >> 45 END AS band_key
+      FROM fp, generate_series(0, 3) AS b(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, a.afp AS fa,
+                      b2.doc_id AS id_b, b2.afp AS fb
+      FROM banded a
+      JOIN banded b2 ON a.band = b2.band AND a.band_key = b2.band_key
+                     AND a.doc_id < b2.doc_id
+    ),
+    pairs AS (
+      SELECT id_a, id_b, bit_count(xor(fa, fb)) AS hamming
+      FROM cand WHERE bit_count(xor(fa, fb)) <= 3
+    )
+    SELECT CAST(hamming AS BIGINT) AS hamming,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(bit_xor({_sql_hash64("(id_a || '|' || id_b)")}) AS BIGINT)
+               AS pair_hash_xor
+    FROM pairs
+    GROUP BY hamming
+    ORDER BY hamming
+"""
+
 ORACLES["ingest_pipeline_stats"] = f"""
     WITH base AS (
       SELECT doc_id, text, md5({_TEXT_NORM}) AS fp
@@ -8426,6 +8494,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_phash_dct": q_multimodal_phash_dct,
     "multimodal_video_neardup": q_multimodal_video_neardup,
     "ingest_pipeline_stats": q_ingest_pipeline_stats,
+    "multimodal_audio_neardup": q_multimodal_audio_neardup,
 }
 
 
