@@ -249,3 +249,35 @@ def test_no_zero_coverage_operator_functions():
         f"operator functions with no registry or test reference: {uncovered} "
         "— cover them or delete them (see scripts/audit_registry_refs.py)"
     )
+
+
+def test_fingerprint_follows_function_local_imports():
+    """A dependency reached ONLY through a function-local
+    `from pkg.mod import fn` must appear in the transitive closure —
+    the r14 blind spot: the banded-Hamming refactor rewrote
+    multimodal_phash_neardup's plan code without flipping its
+    fingerprint because image_near_dup_pairs imports
+    banded_hamming_pairs inside its body."""
+    from yet_another_map_reduce_spark import fingerprints as fp
+    from yet_another_map_reduce_spark.operators import multimodal
+    from yet_another_map_reduce_spark.queries import ORACLES, QUERIES
+
+    srcs = "\n".join(fp._transitive_sources(multimodal.image_near_dup_pairs))
+    assert "def banded_hamming_pairs" in srcs
+    # and the registered query that rides that path flips when the
+    # locally-imported helper's source is (simulated) rewritten
+    name = "multimodal_phash_neardup"
+    before = fp.query_fingerprint(name, QUERIES, ORACLES)
+    from yet_another_map_reduce_spark.operators import dedup
+
+    orig = dedup.banded_hamming_pairs
+
+    def patched(*a, **k):  # pragma: no cover - source only
+        return orig(*a, **k)
+
+    dedup.banded_hamming_pairs = patched
+    try:
+        assert fp.query_fingerprint(name, QUERIES, ORACLES) != before
+    finally:
+        dedup.banded_hamming_pairs = orig
+    assert fp.query_fingerprint(name, QUERIES, ORACLES) == before

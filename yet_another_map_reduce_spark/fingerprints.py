@@ -23,11 +23,15 @@ helper flips every caller's fingerprint and triggers re-verification
 of them all.  The scheme hashes transitive function source, the
 source of referenced package classes, stable renderings of referenced
 plain-data constants (module-level tunables like tier-switch
-thresholds and data tables), and the oracle SQL.  Residual blind
-spot, by design: a rewrite reachable only through a non-plain object
-(an instance with identity ``repr``, state read from disk) does not
-flip the fingerprint — hash coverage errs toward checking for code
-and plain data, but is not a total-behavior hash.
+thresholds and data tables), and the oracle SQL.  References resolve
+through module globals AND through function-local imports (``from
+pkg.mod import fn`` inside a body — the r14 blind spot: a refactor of
+a locally-imported helper rewrote a query's plan code without
+flipping its fingerprint).  Residual blind spot, by design: a rewrite
+reachable only through a non-plain object (an instance with identity
+``repr``, state read from disk) does not flip the fingerprint — hash
+coverage errs toward checking for code and plain data, but is not a
+total-behavior hash.
 """
 
 from __future__ import annotations
@@ -98,15 +102,30 @@ def _transitive_sources(fn: types.FunctionType) -> list[str]:
     cells.  Deterministically ordered by qualified name."""
     sources: dict[str, str] = {}
     stack: list[types.FunctionType] = [fn]
+    names: set[str] = set()
+    seen_mods: set[str] = set()
 
     def _visit(name: str, obj: object, owner: str) -> None:
         """Classify one referenced object: package functions recurse,
         package classes contribute their full class source (method
-        bodies included textually), ``functools.partial`` recurses into
-        its func and hashes plain args, plain data hashes by value.
-        Runtime caches (``*_CACHE`` / ``*_MEMO`` / ``*_TRACKED``) are
-        session state, not behavior, and are excluded."""
+        bodies included textually), package MODULES fan out to their
+        attributes whose names also appear in the referencing
+        function's co_names (covers both ``mod.attr`` reads and
+        function-local ``from mod import attr``), ``functools.partial``
+        recurses into its func and hashes plain args, plain data hashes
+        by value.  Runtime caches (``*_CACHE`` / ``*_MEMO`` /
+        ``*_TRACKED``) are session state, not behavior, and are
+        excluded."""
         if _CACHE_NAME_RE.match(name):
+            return
+        if isinstance(obj, types.ModuleType):
+            mn = obj.__name__ or ""
+            if mn.startswith(_PKG) and mn not in seen_mods:
+                seen_mods.add(mn)
+                for an in sorted(names):
+                    a = getattr(obj, an, None)
+                    if a is not None:
+                        _visit(an, a, mn)
             return
         if isinstance(obj, types.FunctionType):
             if (obj.__module__ or "").startswith(_PKG):
@@ -141,7 +160,11 @@ def _transitive_sources(fn: types.FunctionType) -> list[str]:
         except (OSError, TypeError):
             sources[key] = f"<nosource:{key}>"
         g = getattr(f, "__globals__", {})
-        names: set[str] = set()
+        # names/seen_mods are the closure state _visit fans modules out
+        # with — rebuilt per function so attribute matching is scoped to
+        # THIS function's co_names
+        names.clear()
+        seen_mods.clear()
         codes = [f.__code__]
         while codes:
             c = codes.pop()
@@ -153,15 +176,24 @@ def _transitive_sources(fn: types.FunctionType) -> list[str]:
         for n in sorted(names):
             obj = g.get(n)
             if obj is None:
-                continue
-            if isinstance(obj, types.ModuleType):
-                if (obj.__name__ or "").startswith(_PKG):
-                    # attribute-style reference: visit every attribute
-                    # of the module whose name also appears in co_names
-                    for an in sorted(names):
-                        a = getattr(obj, an, None)
-                        if a is not None:
-                            _visit(an, a, obj.__name__)
+                # function-LOCAL imports don't resolve through globals:
+                # `from pkg.mod import fn` / `import pkg.mod` inside a
+                # body leaves only the dotted module string and the
+                # bare attr names in co_names.  Resolving the dotted
+                # module and fanning out to its co_names-matching
+                # attributes (via the module branch of _visit) closes
+                # the blind spot where a local-import dependency could
+                # be rewritten without flipping its callers'
+                # fingerprints (caught r14: the banded-Hamming refactor
+                # didn't flag multimodal_phash_neardup).
+                if "." in n and n.startswith(_PKG):
+                    import importlib
+
+                    try:
+                        mod = importlib.import_module(n)
+                    except ImportError:
+                        continue
+                    _visit(n, mod, owner)
                 continue
             _visit(n, obj, owner)
         for i, cell in enumerate(getattr(f, "__closure__", None) or ()):
