@@ -853,3 +853,81 @@ def test_jsonl_quarantine_splits_good_and_bad(spark, tmp_path):
 
     with pytest.raises(ValueError, match="_corrupt_record"):
         read_jsonl_quarantine(spark, str(p), "id bigint, _corrupt_record string")
+
+
+def test_yamr_value_codec_roundtrips_nulls_and_newlines(spark, tmp_path):
+    """NULLs and values with embedded newlines/backslashes round-trip
+    losslessly (previously NULL came back as the string 'None' and an
+    embedded newline split one row into two)."""
+    from yet_another_map_reduce_spark.sources import yamr_format
+
+    yamr_format.register(spark)
+    out = str(tmp_path / "codec")
+    rows = [("a\nb",), (None,), ("back\\slash",), ("\\N",), ("plain",)]
+    df = spark.createDataFrame(rows, "value string")
+    df.write.format("yamr").option("path", out).option("name", "tx").mode(
+        "overwrite"
+    ).save()
+    back = (
+        spark.read.format("yamr").option("path", out).option("name", "tx")
+        .load().select("value").collect()
+    )
+    assert sorted((r["value"] is None, r["value"] or "") for r in back) == sorted(
+        (v is None, v or "") for (v,) in rows
+    )
+    # the literal string '\\N' survives distinctly from NULL
+    vals = [r["value"] for r in back]
+    assert "\\N" in vals and None in vals
+
+
+def test_yamr_stream_commit_appends_not_sorts(spark, tmp_path):
+    """A stream micro-batch's manifest entries go at the END even when
+    their names sort before existing entries (b... < g...): the stream
+    reader's offset is a manifest prefix length, so a global sort would
+    shift consumed entries and skip new ones."""
+    from yet_another_map_reduce_spark.sources import yamr_format
+
+    yamr_format.register(spark)
+    out = str(tmp_path / "order")
+    spark.createDataFrame([("x",), ("y",)], "value string").write.format(
+        "yamr"
+    ).option("path", out).option("name", "ev").mode("overwrite").save()
+    before = yamr_format.read_manifest(out, "ev")
+    assert all("_part-g" in f for f, _ in before)
+
+    w = yamr_format.YamrStreamWriter({"path": out, "name": "ev"})
+    fname = f"ev_part-b00000-{w.token}-00000-a0.txt"
+    _, size, vmin, vmax = yamr_format._write_chunk_file(out, fname, [("z",)])
+    w.commit([yamr_format._PartCommit(fname, size, vmin, vmax)], 0)
+    after = yamr_format.read_manifest(out, "ev")
+    assert after[: len(before)] == before  # prefix untouched
+    assert after[-1][0] == fname  # stream entry appended
+
+
+def test_yamr_stream_replay_never_truncates_committed_chunks(spark, tmp_path):
+    """A replayed micro-batch (new writer instance, same batch id)
+    writes its OWN chunk files and replaces the batch's manifest
+    entries; the superseded chunk file's bytes are untouched (old code
+    reopened the deterministic name with mode 'w', truncating data the
+    manifest and snapshots still referenced)."""
+    from yet_another_map_reduce_spark.sources import yamr_format
+
+    out = str(tmp_path / "replay")
+    import os
+
+    os.makedirs(out)
+    w1 = yamr_format.YamrStreamWriter({"path": out, "name": "ev"})
+    f1 = f"ev_part-b00007-{w1.token}-00000-a0.txt"
+    _, s1, mn, mx = yamr_format._write_chunk_file(out, f1, [("first",)])
+    w1.commit([yamr_format._PartCommit(f1, s1, mn, mx)], 7)
+    bytes1 = open(os.path.join(out, f1), "rb").read()
+
+    w2 = yamr_format.YamrStreamWriter({"path": out, "name": "ev"})
+    assert w2.token != w1.token
+    f2 = f"ev_part-b00007-{w2.token}-00000-a0.txt"
+    _, s2, mn2, mx2 = yamr_format._write_chunk_file(out, f2, [("replayed",)])
+    w2.commit([yamr_format._PartCommit(f2, s2, mn2, mx2)], 7)
+
+    manifest = yamr_format.read_manifest(out, "ev")
+    assert [f for f, _ in manifest] == [f2]  # batch entries replaced
+    assert open(os.path.join(out, f1), "rb").read() == bytes1  # intact

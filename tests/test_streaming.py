@@ -1596,3 +1596,26 @@ def test_socket_stream_reads_loopback_lines(spark):
         drained.set()
         q.stop()
         srv.close()
+
+
+def test_load_fp_ranges_tolerates_type_corrupt_sidecar(tmp_path):
+    """A sidecar with non-string or missing min/max must return None
+    (unpruned scan), never crash the ingest stream with TypeError."""
+    import json
+    import os
+
+    from yet_another_map_reduce_spark.streaming.ingest import _load_fp_ranges
+
+    gen = str(tmp_path / "batch=-2")
+    os.makedirs(gen)
+    side = os.path.join(gen, "_fp_ranges.json")
+    json.dump({"files": [{"min": 3, "max": "zz", "file": "f"}]}, open(side, "w"))
+    assert _load_fp_ranges(gen) is None
+    json.dump({"files": [{"max": "zz", "file": "f"}]}, open(side, "w"))
+    assert _load_fp_ranges(gen) is None
+    json.dump({"files": ["not-a-dict"]}, open(side, "w"))
+    assert _load_fp_ranges(gen) is None
+    json.dump(
+        {"files": [{"min": "aa", "max": "mm", "file": "f"}]}, open(side, "w")
+    )
+    assert _load_fp_ranges(gen) is not None

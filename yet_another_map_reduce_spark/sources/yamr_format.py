@@ -246,6 +246,71 @@ def _prefix_successor(p: str) -> str | None:
     return None
 
 
+#: NULL marker in chunk files (never produced by _encode_value for a
+#: real string: a leading backslash is always escaped to two)
+_NULL_TOKEN = "\\N"
+
+
+def _encode_value(v: str | None) -> str:
+    """One VALUE per chunk-file line, losslessly: NULL becomes ``\\N``,
+    and backslash / newline / carriage-return are backslash-escaped so
+    a value can never split into extra lines or collide with the NULL
+    marker (previously a NULL round-tripped as the 4-char string
+    'None' and an embedded newline split one row into two)."""
+    if v is None:
+        return _NULL_TOKEN
+    return (
+        str(v)
+        .replace("\\", "\\\\")
+        .replace("\n", "\\n")
+        .replace("\r", "\\r")
+    )
+
+
+def _decode_value(s: str) -> str | None:
+    """Exact inverse of :func:`_encode_value`."""
+    if s == _NULL_TOKEN:
+        return None
+    if "\\" not in s:
+        return s
+    out: list[str] = []
+    i = 0
+    unescape = {"n": "\n", "r": "\r", "\\": "\\"}
+    while i < len(s):
+        c = s[i]
+        if c == "\\" and i + 1 < len(s) and s[i + 1] in unescape:
+            out.append(unescape[s[i + 1]])
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def _write_chunk_file(
+    path: str, fname: str, rows
+) -> tuple[int, int, str | None, str | None]:
+    """The ONE chunk-file writer behind the batch writer, the stream
+    writer, and delete_where's rewrite (previously three drifting
+    copies): mode ``'x'`` (a name collision is a loud failure, never a
+    silent clobber of a possibly-committed chunk), escaped values, and
+    NULL-safe min/max stats (NULLs never update stats; a chunk without
+    stats is simply never pruned, which is safe).  Returns
+    ``(rows_written, file_bytes, vmin, vmax)``."""
+    full = os.path.join(path, fname)
+    wrote = 0
+    vmin = vmax = None
+    with open(full, "x", encoding="utf-8") as fh:
+        for row in rows:
+            v = row[0]
+            fh.write(_encode_value(v) + "\n")
+            wrote += 1
+            if v is not None:
+                vmin = v if vmin is None or v < vmin else vmin
+                vmax = v if vmax is None or v > vmax else vmax
+    return wrote, os.path.getsize(full), vmin, vmax
+
+
 class _ChunkPartition(InputPartition):
     def __init__(self, directory: str, filename: str):
         self.directory = directory
@@ -372,7 +437,7 @@ class YamrReader(DataSourceReader):
             os.path.join(partition.directory, partition.filename), encoding="utf-8"
         ) as fh:
             for i, line in enumerate(fh):
-                yield (partition.filename, i, line.rstrip("\n"))
+                yield (partition.filename, i, _decode_value(line.rstrip("\n")))
 
 
 class YamrReaderNoPushdown(YamrReader):
@@ -472,18 +537,9 @@ class YamrWriter(DataSourceWriter):
             f"{self.name}_part-g{self.generation:05d}-{self.token}"
             f"-{tc.partitionId():05d}-a{tc.attemptNumber()}.txt"
         )
-        full = os.path.join(self.path, fname)
         os.makedirs(self.path, exist_ok=True)
-        vmin = vmax = None
-        with open(full, "x", encoding="utf-8") as fh:
-            for row in iterator:
-                v = row[0]
-                fh.write(f"{v}\n")
-                if v is not None:  # NULLs never update stats; a chunk
-                    # without stats is simply never pruned, which is safe
-                    vmin = v if vmin is None or v < vmin else vmin
-                    vmax = v if vmax is None or v > vmax else vmax
-        return _PartCommit(fname, os.path.getsize(full), vmin, vmax)
+        _, size, vmin, vmax = _write_chunk_file(self.path, fname, iterator)
+        return _PartCommit(fname, size, vmin, vmax)
 
     def commit(self, messages):
         # manifest written LAST, driver-side, via atomic rename (plus a
@@ -516,9 +572,10 @@ class YamrWriter(DataSourceWriter):
 class YamrStreamReader(DataSourceStreamReader):
     """Structured-Streaming source tailing a manifest dataset.
 
-    The offset is the count of manifest entries consumed (the manifest
-    is append-ordered by the sink's sorted rewrite, so a prefix length
-    is a stable cursor).  Each micro-batch reads the chunk files in
+    The offset is the count of manifest entries consumed — a stable
+    cursor because EVERY manifest writer (batch append, stream commit,
+    delete_where) preserves existing entry order and appends its new
+    entries at the end; nothing ever globally re-sorts the list.  Each micro-batch reads the chunk files in
     ``[start, end)`` with one input partition per chunk — the same
     parallelism as the batch reader.  Chunks are immutable once listed
     (the manifest is only rewritten atomically), so replaying an offset
@@ -550,7 +607,7 @@ class YamrStreamReader(DataSourceStreamReader):
             os.path.join(partition.directory, partition.filename), encoding="utf-8"
         ) as fh:
             for i, line in enumerate(fh):
-                yield (partition.filename, i, line.rstrip("\n"))
+                yield (partition.filename, i, _decode_value(line.rstrip("\n")))
 
     def commit(self, end: dict) -> None:
         pass  # no source-side cleanup: chunks stay readable for replay
@@ -572,29 +629,32 @@ class YamrStreamWriter(DataSourceStreamWriter):
     def __init__(self, options: dict):
         self.path = options["path"]
         self.name = options.get("name", "data")
+        # run-unique token in every chunk filename, same rationale as
+        # YamrWriter: chunk files are IMMUTABLE once a manifest
+        # references them.  A replayed micro-batch (new writer instance
+        # after a restart) or a speculative duplicate attempt must
+        # write its OWN files — reopening the deterministic old name
+        # with mode 'w' would truncate a chunk the live manifest (and
+        # snapshots) still reference.  commit() replaces the batch's
+        # entries by bNNNNN- prefix, so replays converge regardless of
+        # token; losers are unreachable chunks vacuum() collects.
+        self.token = _uuid.uuid4().hex[:8]
 
     def write(self, iterator):
         from pyspark import TaskContext
 
         tc = TaskContext.get()
         batch = int(tc.getLocalProperty("streaming.sql.batchId"))
-        fname = f"{self.name}_part-b{batch:05d}-{tc.partitionId():05d}.txt"
-        full = os.path.join(self.path, fname)
+        fname = (
+            f"{self.name}_part-b{batch:05d}-{self.token}"
+            f"-{tc.partitionId():05d}-a{tc.attemptNumber()}.txt"
+        )
         os.makedirs(self.path, exist_ok=True)
-        wrote = 0
-        vmin = vmax = None
-        with open(full, "w", encoding="utf-8") as fh:
-            for row in iterator:
-                v = row[0]
-                fh.write(f"{v}\n")
-                wrote += 1
-                if v is not None:  # NULL-safe, same rule as the batch writer
-                    vmin = v if vmin is None or v < vmin else vmin
-                    vmax = v if vmax is None or v > vmax else vmax
+        wrote, size, vmin, vmax = _write_chunk_file(self.path, fname, iterator)
         if wrote == 0:
-            os.remove(full)  # empty partitions add no chunk
-            return _PartCommit("", 0)
-        return _PartCommit(fname, os.path.getsize(full), vmin, vmax)
+            os.remove(os.path.join(self.path, fname))  # no chunk for
+            return _PartCommit("", 0)  # an empty partition
+        return _PartCommit(fname, size, vmin, vmax)
 
     def commit(self, messages, batchId: int) -> None:
         prefix = f"{self.name}_part-b{batchId:05d}-"
@@ -606,16 +666,24 @@ class YamrStreamWriter(DataSourceStreamWriter):
             ]
         except FileNotFoundError:
             previous = []
-        entries = previous + [
+        # APPEND-ordered manifest: previous entries keep their order and
+        # this batch's entries (sorted within the batch for determinism)
+        # go at the END.  A global sort would insert entries mid-list —
+        # e.g. before a batch-append's g-prefixed chunks, or at the
+        # b99999->b100000 digit rollover — shifting every later entry
+        # under a tailing YamrStreamReader whose offset is a manifest
+        # PREFIX LENGTH: it would re-read shifted old entries and
+        # permanently skip the new ones.
+        entries = previous + sorted(
             (m.filename, m.filesize) for m in messages if m.filename
-        ]
+        )
         # every micro-batch commit is a snapshot version too: streaming
         # datasets get the same time-travel surface as batch ones;
         # expected_version pins the manifest read above — a concurrent
         # writer between read and commit aborts this micro-batch
         # (Structured Streaming retries it) rather than dropping rows
         _commit_manifest(
-            self.path, self.name, sorted(entries), expected_version=base_version
+            self.path, self.name, entries, expected_version=base_version
         )
         _merge_chunk_stats(
             self.path,
@@ -804,17 +872,32 @@ def delete_where(spark, path: str, name: str, predicate: str) -> dict:
     and carried chunks cost one manifest row each — a selective delete
     on a 100 TB dataset rewrites only the affected fraction.
     """
+    from pyspark.sql import functions as _F
+
     base_version = (list_versions(path, name) or [0])[-1]
     reader = lambda: (  # noqa: E731
         spark.read.format("yamr").option("path", path).option("name", name).load()
     )
-    total = reader().count()
-    # which chunks contain matches? (stats-pruned scan when pushable)
-    matches = reader().where(predicate)
-    touched = sorted(
-        r["part"] for r in matches.select("part").distinct().collect()
+    # total rows, deleted rows, and touched chunks from ONE per-part
+    # aggregate scan (chunk-count-bounded collect) — previously three
+    # jobs, one of which (the bare total count) read the full dataset
+    # anyway, defeating the pruned shape it paid for elsewhere
+    per_part = (
+        reader()
+        .groupBy("part")
+        .agg(
+            _F.count(_F.lit(1)).alias("n"),
+            _F.sum(
+                _F.expr(
+                    f"CASE WHEN coalesce(({predicate}), false) THEN 1 ELSE 0 END"
+                )
+            ).alias("matched"),
+        )
+        .collect()
     )
-    deleted = matches.count()
+    total = int(sum(r["n"] for r in per_part))
+    deleted = int(sum(r["matched"] for r in per_part))
+    touched = sorted(r["part"] for r in per_part if r["matched"])
     if not touched:
         # no-op delete still commits a (carried-only) version: every
         # delete is an auditable point in the snapshot history, Delta-
@@ -827,8 +910,6 @@ def delete_where(spark, path: str, name: str, predicate: str) -> dict:
             "rewritten_chunks": 0,
             "carried_chunks": len(carried),
         }
-
-    from pyspark.sql import functions as _F
 
     surviving = (
         reader()
@@ -862,28 +943,21 @@ def delete_where(spark, path: str, name: str, predicate: str) -> dict:
         fname = (
             f"{name}_part-g{generation:05d}-{token}-{pid:05d}-a{att}.txt"
         )
-        full = os.path.join(path, fname)
-        wrote = 0
-        vmin = vmax = None
-        with open(full, "x", encoding="utf-8") as fh:
-            for row in rows:
-                v = row[0]
-                fh.write(f"{v}\n")
-                wrote += 1
-                if v is not None:
-                    vmin = v if vmin is None or v < vmin else vmin
-                    vmax = v if vmax is None or v > vmax else vmax
+        wrote, size, vmin, vmax = _write_chunk_file(path, fname, rows)
         if wrote == 0:
-            os.remove(full)
+            os.remove(os.path.join(path, fname))
             return iter(())
-        return iter([(fname, os.path.getsize(full), vmin, vmax)])
+        return iter([(fname, size, vmin, vmax)])
 
     new_chunks = surviving.rdd.mapPartitionsWithIndex(_write_chunk).collect()
     carried = [
         e for e in read_manifest(path, name) if e[0] not in set(touched)
     ]
-    entries = sorted(
-        carried + [(fname, fsize) for fname, fsize, _, _ in new_chunks]
+    # carried entries keep their manifest order, rewrites append — a
+    # global sort would reorder the list under a tailing stream reader
+    # whose offset is a manifest prefix length
+    entries = carried + sorted(
+        (fname, fsize) for fname, fsize, _, _ in new_chunks
     )
     try:
         _commit_manifest(path, name, entries, expected_version=base_version)

@@ -286,7 +286,13 @@ def compact_seen(
     # already internally distinct), so overshooting the file count by
     # the cross-batch dup fraction is the whole cost of avoiding a
     # second distinct pass
-    n_bound = sum(spark.read.parquet(p).count() for p in paths)
+    # ONE metadata-only count job over all folded dirs (basePath keeps
+    # the sibling batch= dirs readable as one relation) — per-path
+    # counts were one sequential Spark job per directory, which after a
+    # day of 30 s micro-batches is thousands of driver round-trips
+    n_bound = (
+        spark.read.option("basePath", seen_dir).parquet(*paths).count()
+    )
     if rows_per_file is None:
         rows_per_file = max(4096, math.ceil(math.sqrt(max(1, n_bound))))
     num_files = max(1, math.ceil(n_bound / rows_per_file))
@@ -367,12 +373,24 @@ def _load_fp_ranges(gen_dir: str) -> list[dict] | None:
             os.path.join(gen_dir, _FP_RANGES_FILE), encoding="utf-8"
         ) as fh:
             files = json.load(fh)["files"]
-    except (FileNotFoundError, KeyError, ValueError):
+        # shape validation + overlap check inside the guard: a corrupted
+        # sidecar (non-string or missing min/max/file) must mean "None →
+        # unpruned scan", never a TypeError crashing the ingest stream —
+        # whether it surfaces here in the sort or later in the probe's
+        # string bisect
+        if not all(
+            isinstance(e.get("min"), str)
+            and isinstance(e.get("max"), str)
+            and isinstance(e.get("file"), str)
+            for e in files
+        ):
+            return None
+        files = sorted(files, key=lambda e: e["min"])
+        for a, b in zip(files, files[1:]):
+            if b["min"] <= a["max"]:
+                return None  # overlap: distrust the sidecar entirely
+    except (FileNotFoundError, KeyError, ValueError, TypeError, AttributeError):
         return None
-    files = sorted(files, key=lambda e: e["min"])
-    for a, b in zip(files, files[1:]):
-        if b["min"] <= a["max"]:
-            return None  # overlap: distrust the sidecar entirely
     return files
 
 
