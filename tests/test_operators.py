@@ -2023,3 +2023,81 @@ def test_banded_hamming_capped_buckets_names_the_drops(spark):
         ).count()
         == 0
     )
+
+
+def test_ivf_topk_tolerates_null_corpus_vectors(spark):
+    """A NULL embedding in the corpus must not crash the Arrow worker
+    (np.stack over None); it is assigned deterministically with NaN
+    cosine and can never outrank a real neighbor."""
+    from yet_another_map_reduce_spark.operators import similarity
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, None), (4, [0.0, 1.0])],
+        "id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.0])], "id long, embedding array<double>"
+    )
+    got = similarity.ivf_topk(
+        corpus, queries, "id", "embedding", k=2, nlist=2, nprobe=2
+    ).collect()
+    assert [r["neighbor_id"] for r in got] == [1, 2]  # real rows win
+
+
+def test_lsh_bucket_rejects_dim_mismatch(spark):
+    """A vector length differing from dim must raise, not silently
+    hash every row to bucket 0 (which degenerates the LSH join into an
+    unpruned cross join with plausible-looking output)."""
+    import pytest
+
+    from yet_another_map_reduce_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0])], "id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="lsh_bucket"):
+        similarity.lsh_bucket(df, "embedding", num_planes=4, dim=8).collect()
+    ok = similarity.lsh_bucket(df, "embedding", num_planes=4, dim=4).collect()
+    assert ok[0]["bucket"] is not None
+
+
+def test_build_ivfpq_index_refuses_to_clobber_concurrent_commit(spark, tmp_path):
+    """build's CURRENT swap goes through the same locked OCC
+    check-and-swap as appends: if another writer advances CURRENT while
+    the build runs, the build raises instead of silently orphaning the
+    other writer's committed version (and its consumed-token record)."""
+    import os
+
+    import pytest
+
+    from yet_another_map_reduce_spark.operators import similarity
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(8)],
+        "id long, embedding array<double>",
+    )
+    index_dir = str(tmp_path / "occ_idx")
+    books = similarity.train_pq_codebooks(corpus, "id", "embedding", m=2, k=2)
+    similarity.build_ivfpq_index_auto(
+        corpus, "id", "embedding", index_dir, books=books
+    )
+
+    orig = similarity._nearest_centroids
+
+    def advance_then_delegate(*a, **k):
+        cur = os.path.join(index_dir, "CURRENT")
+        if os.path.exists(cur):  # simulate a concurrent commit mid-build
+            with open(cur, "w", encoding="utf-8") as fh:
+                fh.write("v_concurrent")
+        return orig(*a, **k)
+
+    similarity._nearest_centroids = advance_then_delegate
+    try:
+        with pytest.raises(similarity.IndexConflictError, match="rebuild"):
+            similarity.build_ivfpq_index_auto(
+                corpus, "id", "embedding", index_dir, books=books
+            )
+    finally:
+        similarity._nearest_centroids = orig
+    # the concurrent committer's pointer survived the losing rebuild
+    assert open(os.path.join(index_dir, "CURRENT")).read() == "v_concurrent"

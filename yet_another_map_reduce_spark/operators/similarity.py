@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from yet_another_map_reduce_spark.functions import cosine_similarity, md5_hash64
+from yet_another_map_reduce_spark.functions import cosine_similarity
 from yet_another_map_reduce_spark.operators.quantize import round_half_up
 
 
@@ -190,6 +190,12 @@ def lsh_bucket(df: DataFrame, vec_col: str, num_planes: int = 8, dim: int = 64) 
 
     Pure expressions: each sign bit is a dot product against a literal
     array — broadcast as part of the plan, vectorized by codegen.
+
+    ``dim`` must match the vector length and is ENFORCED per row: with
+    a mismatch, ``zip_with`` pads with NULLs, every dot product goes
+    NULL, and every bit silently falls to 0 — all rows collapse into
+    bucket 0 and the LSH join degenerates into an unpruned cross join
+    with plausible-looking results.  Fail loudly instead.
     """
     out = df
     bit_cols = []
@@ -205,7 +211,17 @@ def lsh_bucket(df: DataFrame, vec_col: str, num_planes: int = 8, dim: int = 64) 
             lambda acc, v: acc + v,
         )
         bit_cols.append(F.when(dot_i >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
-    return out.withColumn("bucket", sum(bit_cols[1:], bit_cols[0]))
+    dim_ok = F.assert_true(
+        F.size(F.col(vec_col)) == dim,
+        F.concat_ws(
+            " ",
+            F.lit(f"lsh_bucket: vector length != dim={dim}:"),
+            F.size(F.col(vec_col)),
+        ),
+    )
+    return out.withColumn(
+        "bucket", F.when(dim_ok.isNull(), sum(bit_cols[1:], bit_cols[0]))
+    )
 
 
 def ivf_centroids(corpus: DataFrame, id_col: str, vec_col: str, nlist: int) -> DataFrame:
@@ -295,7 +311,14 @@ def _nearest_centroids(
     import pandas as pd
 
     rows = cent.select("centroid_id", "__centv").collect()
-    cids = np.array([int(r["centroid_id"]) for r in rows], dtype=np.int64)
+    try:
+        cids = np.array([int(r["centroid_id"]) for r in rows], dtype=np.int64)
+    except (ValueError, TypeError) as exc:
+        raise TypeError(
+            "IVF-family tiers require an INTEGER id column (the cell id "
+            "rides a 'centroid_id long' schema end to end); hash string "
+            "ids to int64 first (functions.md5_hash64)"
+        ) from exc
     C = np.stack(
         [np.asarray(r["__centv"], dtype=np.float64) for r in rows]
     )
@@ -308,11 +331,20 @@ def _nearest_centroids(
     base = df.select(F.col(id_out).alias("__rid"), v.alias("__v"))
 
     def _probe(batches):
+        nan_row = np.full(C.shape[1], np.nan)
         for pdf in batches:
             if not len(pdf):
                 continue
+            # NULL vectors become NaN rows (cos NaN -> -inf below ->
+            # assigned deterministically, never crash the worker) —
+            # the same NULLS-LAST discipline as cosine_topk._scan
             V = np.stack(
-                [np.asarray(x, dtype=np.float64) for x in pdf["__v"]]
+                [
+                    np.asarray(x, dtype=np.float64)
+                    if x is not None
+                    else nan_row
+                    for x in pdf["__v"]
+                ]
             )
             vn = np.sqrt(np.einsum("ij,ij->i", V, V))
             vn[vn == 0.0] = np.nan
@@ -691,10 +723,13 @@ def quantized_topk(
         F.col(id_col).alias("query_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__qv"),
     ).collect()
+    # query_id carries the QUERIES frame's id type, neighbor_id the
+    # corpus's — they share a column name but not necessarily a type
+    qid_t = queries.schema[id_col].dataType.simpleString()
     id_t = corpus.schema[id_col].dataType.simpleString()
     if not qrows:
         return corpus.sparkSession.createDataFrame(
-            [], f"query_id {id_t}, neighbor_id {id_t}, qcos double, qrank bigint"
+            [], f"query_id {qid_t}, neighbor_id {id_t}, qcos double, qrank bigint"
         )
     qids = np.array([r["query_id"] for r in qrows])
     qqs = [_q8(r["__qv"]) for r in qrows]
@@ -753,7 +788,7 @@ def quantized_topk(
             )
 
     cand = c.mapInPandas(
-        _scan, f"query_id {id_t}, neighbor_id {id_t}, qcos double"
+        _scan, f"query_id {qid_t}, neighbor_id {id_t}, qcos double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("qcos").desc_nulls_last(), F.col("neighbor_id").asc()
@@ -789,11 +824,27 @@ def train_pq_codebooks(
     SAME pass via an exploded (s, code, component) relation.
     """
     rows = corpus.orderBy(F.col(id_col).asc()).limit(k).select(vec_col).collect()
-    vecs = [[float(x) for x in r[vec_col]] for r in rows]
+    vecs = [[float(x) for x in r[vec_col]] for r in rows if r[vec_col] is not None]
+    if not vecs:
+        raise ValueError(
+            "train_pq_codebooks: corpus has no non-NULL vectors to seed from"
+        )
     dim = len(vecs[0])
+    if dim % m:
+        # FAISS raises on d % M too: silently training on dim//m-sized
+        # slices would drop the trailing dim % m components from every
+        # distance the codes ever produce — quiet recall loss, no error
+        raise ValueError(
+            f"train_pq_codebooks: dim={dim} not divisible by m={m}; "
+            "pad the vectors or pick an m that divides the dimension"
+        )
     sub = dim // m
+    # fewer rows than k: reuse seeds cyclically (duplicate centroids
+    # collapse toward distinct means over iterations; ties keep the
+    # lower id) instead of raising IndexError on small corpora
     books: list[list[list[float]]] = [
-        [vecs[j][s * sub : (s + 1) * sub] for j in range(k)] for s in range(m)
+        [vecs[j % len(vecs)][s * sub : (s + 1) * sub] for j in range(k)]
+        for s in range(m)
     ]
 
     def _code_expr(subv, book):  # struct-min argmin: (d asc, cid asc)
@@ -909,7 +960,6 @@ def pq_topk(
             corpus, id_col, vec_col, m=m, k=nclusters, iterations=iterations
         )
     m = len(books)
-    sub = len(books[0][0])
     enc = pq_encode(corpus, id_col, vec_col, books).select(
         F.col(id_col).alias("neighbor_id"), "pq_codes"
     )
@@ -1156,9 +1206,12 @@ def build_ivfpq_index(
     pointer file is swapped in atomically LAST (tmp + ``os.replace``).
     A reader resolving ``CURRENT`` therefore never sees a half-written
     index, an interrupted rebuild leaves the live version untouched,
-    and two concurrent rebuilds write disjoint subdirs (last pointer
-    swap wins — safe, training is deterministic so both bodies are
-    identical).  Orphan ``v_*`` dirs from crashed builds are invisible
+    and the swap runs through the SAME locked OCC check-and-swap as
+    appends/compactions (:func:`_locked_occ_commit`): if CURRENT
+    advanced while this build ran — a concurrent append, compaction,
+    or rebuild — the build raises :class:`IndexConflictError` instead
+    of silently orphaning the other writer's committed version.
+    Orphan ``v_*`` dirs from crashed/losing builds are invisible
     garbage, collectable by listing against ``CURRENT``.
 
     At 100 TB this runs once per corpus version; the index is bytes per
@@ -1180,6 +1233,13 @@ def build_ivfpq_index(
     import os
     import uuid
 
+    # OCC base: the live version observed BEFORE any work — the pointer
+    # swap below is conditional on it, so a rebuild can never clobber a
+    # version that an append/compaction committed concurrently
+    expected_live = _resolve_index_dir(index_dir)
+    # NULL-embedding rows can never be retrieved (cosine undefined) —
+    # indexing them would only plant NULL-coded rows in a cell
+    corpus = corpus.where(F.col(vec_col).isNotNull())
     assigned = _nearest_centroids(corpus, id_col, vec_col, centroids, 1).select(
         F.col("__rid").alias("neighbor_id"), "centroid_id"
     )
@@ -1202,10 +1262,14 @@ def build_ivfpq_index(
         os.path.join(build_dir, "_model.json"), "w", encoding="utf-8"
     ) as fh:
         json.dump({"centroids": cent_rows, "books": books}, fh)
-    tmp = os.path.join(index_dir, f"CURRENT.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}")
-    with open(tmp, "w", encoding="utf-8") as fh:
-        fh.write(version)
-    os.replace(tmp, os.path.join(index_dir, "CURRENT"))
+    # same locked OCC check-and-swap as append/compaction: a bare
+    # os.replace here could clobber a CURRENT that a concurrent append
+    # advanced after this build snapshotted its corpus — silently
+    # orphaning the appended segment AND dropping its consumed-token
+    # record (the build layout has no manifest), so a later replay of
+    # that token would re-append. A racing build now gets
+    # IndexConflictError and retries against the new live version.
+    _locked_occ_commit(index_dir, expected_live, version, "rebuild")
     return build_dir
 
 
@@ -1497,6 +1561,8 @@ def append_to_ivfpq_index(
     if token is not None and token in consumed:
         return live  # this batch already committed: replay is a no-op
 
+    # NULL-embedding rows can never be retrieved — same rule as the build
+    batch = batch.where(F.col(vec_col).isNotNull())
     assigned = _nearest_centroids(batch, id_col, vec_col, centroids, 1).select(
         F.col("__rid").alias("neighbor_id"), "centroid_id"
     )
@@ -1823,16 +1889,21 @@ def search_ivfpq_index(
     if probe_fraction is not None or nprobe is None:
         # centroids is the KB-scale model frame; counting it is free
         nprobe = _sized_nprobe(centroids.count(), probe_fraction)
-    probes = _nearest_centroids_expr(queries, id_col, vec_col, centroids, nprobe).select(
+    probe_plan = _nearest_centroids_expr(
+        queries, id_col, vec_col, centroids, nprobe
+    ).select(
         F.col("__rid").alias("query_id"), F.col("__v").alias("__qv"), "centroid_id"
     )
-    # collect |queries| x nprobe cell ids and dedupe DRIVER-side: same
-    # KB-scale bound as before, but without a 32-partition distinct
-    # shuffle — for the typical few-query probe that shuffle job was
-    # pure fixed overhead (r12: it alone cost ~0.3 s of a 3 s search)
-    cells = sorted(
-        {int(r["centroid_id"]) for r in probes.select("centroid_id").collect()}
-    )
+    # ONE probe execution: collect the |queries| x nprobe probe rows
+    # (query-batch-scale — the same KB/MB bound as the cell-id collect
+    # this extends) and replant them as a local relation.  Previously
+    # the probe plan ran twice — once for the cell collect, once inside
+    # the join — doubling the work, and a NONDETERMINISTIC query source
+    # (sample/limit) could yield a join-time probe set disagreeing with
+    # the isin(cells) pruning filter, silently dropping candidates.
+    prows = probe_plan.collect()
+    cells = sorted({int(r["centroid_id"]) for r in prows})
+    probes = spark.createDataFrame(prows, probe_plan.schema)
     # one pruned scan per manifest segment (each segment is its own
     # hive-partitioned parquet root, so PartitionFilters prune per
     # branch; a single multi-root read would confuse partition
