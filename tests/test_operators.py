@@ -2101,3 +2101,44 @@ def test_build_ivfpq_index_refuses_to_clobber_concurrent_commit(spark, tmp_path)
         similarity._nearest_centroids = orig
     # the concurrent committer's pointer survived the losing rebuild
     assert open(os.path.join(index_dir, "CURRENT")).read() == "v_concurrent"
+
+
+def test_text_review_fixes_short_empty_and_case_inputs(spark):
+    """Round-14 text-family review fixes, each pinned at the boundary
+    the fixture corpus never exercises: short docs keep=true in
+    repetition_stats (was NULL -> silently dropped by .where);
+    empty/whitespace docs are ABSENT from hash embeddings (was a
+    spurious shared unit vector); bm25 query terms normalize like
+    corpus tokens (uppercase matched nothing); duplicate vocab rows
+    don't inflate oov denominators; gapped chunking strides raise."""
+    import pytest
+
+    from yet_another_map_reduce_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [(1, "hello"), (2, "the the the the the the"), (3, "   "), (4, "")],
+        "doc_id long, text string",
+    )
+    rep = {r["doc_id"]: r["keep"] for r in text.repetition_stats(docs).collect()}
+    assert rep[1] is True  # 1 token: no n-grams, no repetition
+    assert rep[2] is False  # maximal repetition still drops
+
+    emb = text.hash_embed_dense(docs, "text", "doc_id", dim=4).collect()
+    assert sorted(r["doc_id"] for r in emb) == [1, 2]  # 3 and 4 absent
+
+    hits = text.bm25_search(docs, "text", "doc_id", ["The", " THE "], top=5)
+    assert [r["doc_id"] for r in hits.collect()] == [2]
+    with pytest.raises(ValueError, match="query_terms"):
+        text.bm25_search(docs, "text", "doc_id", ["", "   "])
+
+    vocab_dup = spark.createDataFrame(
+        [("the",), ("the",)], "token string"
+    )
+    oov = {
+        r["doc_id"]: (r["n_tokens"], r["oov_rate"])
+        for r in text.oov_stats(docs, "text", "doc_id", vocab_dup).collect()
+    }
+    assert oov[2][0] == 6  # duplicate vocab row must not double-count
+
+    with pytest.raises(ValueError, match="stride"):
+        text.chunk_documents(docs, "text", "doc_id", chunk_tokens=2, stride=3)

@@ -264,6 +264,17 @@ def chunk_documents(
     documents of any length (no per-doc array materialization).
     """
     stride = stride or chunk_tokens
+    if stride > chunk_tokens:
+        # a gap stride breaks the membership expansion: tokens in the
+        # gap get first_chunk > last_chunk, which F.sequence generates
+        # as a DESCENDING range instead of empty — the gap token lands
+        # in two wrong chunks and phantom chunks appear.  Overlap
+        # (stride < chunk) and exact tiling (stride == chunk) are the
+        # supported modes; gapped SAMPLING is a filter on the tiled
+        # output, not a chunking mode.
+        raise ValueError(
+            f"stride ({stride}) must be <= chunk_tokens ({chunk_tokens})"
+        )
     tok = df.select(F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok"))
     # chunk indices containing position p: ceil((p-W+1)/s) .. floor(p/s)
     first_chunk = F.greatest(
@@ -608,8 +619,16 @@ def repetition_stats(
         F.round(frac_of(3, "maxc"), 6).alias("top_trigram_frac"),
         F.round(frac_of(3, "dup"), 6).alias("dup_trigram_frac"),
     )
-    keep = (F.col("top_bigram_frac") <= max_top_bigram_frac) & (
-        F.col("dup_trigram_frac") <= max_dup_trigram_frac
+    # <3-token docs have no bigrams/trigrams: their fracs are NULL, and
+    # a bare AND would propagate NULL into keep — a downstream
+    # .where("keep") then silently DROPS every short document even
+    # though it contains no repetition.  No n-grams == no repetition ==
+    # frac 0.
+    keep = (
+        F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)) <= max_top_bigram_frac
+    ) & (
+        F.coalesce(F.col("dup_trigram_frac"), F.lit(0.0))
+        <= max_dup_trigram_frac
     )
     return out.withColumn("keep", keep)
 
@@ -893,7 +912,13 @@ def oov_stats(
         F.col(id_col), F.explode(tokens(text_col)).alias("token")
     )
     marked = tok.join(
-        F.broadcast(vocab.select("token", F.lit(True).alias("__in_vocab"))),
+        # distinct: the contract accepts ANY frame with a token column,
+        # and a duplicate vocab row would duplicate every matching
+        # corpus row through the left join, inflating n_tokens and
+        # corrupting oov_rate's denominator
+        F.broadcast(
+            vocab.select("token").distinct().withColumn("__in_vocab", F.lit(True))
+        ),
         "token",
         "left",
     )
@@ -990,7 +1015,14 @@ def hash_embed(
 
     from yet_another_map_reduce_spark.functions import md5_hash64
 
-    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("token")
+    ).where(F.length("token") > 0)
+    # the empty-token filter keeps token-free documents OUT of the
+    # output (the documented contract): tokens('') is [''] — without
+    # the filter every empty/whitespace doc got the identical
+    # full-weight unit vector at bucket md5('')%dim, and all of them
+    # became mutual nearest neighbors in any index built on top
     bucket = (md5_hash64("token") % dim).cast("bigint")
     cnt = tok.groupBy(F.col(id_col), bucket.alias("dim")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
@@ -1055,6 +1087,16 @@ def bm25_search(
     row, score rounded at 6 — ANSI-SQL replayable.
     """
     from pyspark.sql import Window
+
+    # corpus terms come out of tokens() lowercased+trimmed; query terms
+    # must go through the same normalization or an uppercase query term
+    # silently matches nothing (dedup: a repeated query term must not
+    # change df/tf arithmetic either way)
+    query_terms = sorted(
+        {t for t in (str(q).strip().lower() for q in query_terms) if t}
+    )
+    if not query_terms:
+        raise ValueError("bm25_search: query_terms is empty after normalization")
 
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
     # lens and tf are each consumed by two branches (stats + scoring

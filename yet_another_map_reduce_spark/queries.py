@@ -5642,7 +5642,8 @@ ORACLES: dict[str, str] = {
                     THEN dup * 1.0 / greatest(tot, 1) END), 6) AS dup_trigram_frac
             FROM per GROUP BY doc_id
         )
-        SELECT *, (top_bigram_frac <= 0.06 AND dup_trigram_frac <= 0.05) AS keep
+        SELECT *, (coalesce(top_bigram_frac, 0.0) <= 0.06
+                   AND coalesce(dup_trigram_frac, 0.0) <= 0.05) AS keep
         FROM rolled ORDER BY doc_id
     """,
     "corpus_boilerplate_ngrams": f"""
