@@ -2061,6 +2061,25 @@ def test_lsh_bucket_rejects_dim_mismatch(spark):
     assert ok[0]["bucket"] is not None
 
 
+def test_lsh_bucket_tolerates_null_vectors(spark):
+    """A NULL embedding must not fail the whole job (quarantine
+    discipline, matching build_ivfpq_index's vec IS NOT NULL filter)
+    and must not land in bucket 0: it gets a NULL bucket, which an
+    equi-join on bucket drops naturally."""
+    from yet_another_map_reduce_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0]), (2, None)],
+        "id long, embedding array<double>",
+    )
+    rows = {
+        r["id"]: r["bucket"]
+        for r in similarity.lsh_bucket(df, "embedding", num_planes=4, dim=4).collect()
+    }
+    assert rows[1] is not None
+    assert rows[2] is None
+
+
 def test_build_ivfpq_index_refuses_to_clobber_concurrent_commit(spark, tmp_path):
     """build's CURRENT swap goes through the same locked OCC
     check-and-swap as appends: if another writer advances CURRENT while

@@ -931,3 +931,115 @@ def test_yamr_stream_replay_never_truncates_committed_chunks(spark, tmp_path):
     manifest = yamr_format.read_manifest(out, "ev")
     assert [f for f, _ in manifest] == [f2]  # batch entries replaced
     assert open(os.path.join(out, f1), "rb").read() == bytes1  # intact
+
+
+def _write_yamr(spark, out, name, values, mode="overwrite"):
+    spark.createDataFrame(
+        [(v,) for v in values], "value string"
+    ).coalesce(1).write.format("yamr").option("path", out).option(
+        "name", name
+    ).mode(mode).save()
+
+
+def test_yamr_stream_offset_detects_delete_under_tail(spark, tmp_path):
+    """delete_where REMOVES touched entries mid-list, shifting every
+    later manifest index: a tailing stream reader with a purely
+    positional offset would silently skip unread chunks and re-read
+    consumed rows through the rewrite chunk.  The offset is now
+    self-validating (snapshot version + last-consumed entry name):
+    the next micro-batch after the delete fails loudly by default and,
+    under ignoreDeletes, repositions to exactly the not-yet-consumed
+    entries (the rewrite chunk re-delivering survivors of consumed
+    chunks is the documented Delta-ignoreDeletes caveat)."""
+    import pytest
+
+    from yet_another_map_reduce_spark.sources import yamr_format
+
+    yamr_format.register(spark)
+    out = str(tmp_path / "tail")
+    _write_yamr(spark, out, "tx", ["a1", "a2"])          # chunk 1
+    _write_yamr(spark, out, "tx", ["b1", "b2"], "append")  # chunk 2
+
+    rd = yamr_format.YamrStreamReader({"path": out, "name": "tx"})
+    start = rd.initialOffset()
+    o1 = rd.latestOffset()
+    assert o1["n"] == 2 and o1["last"] is not None
+    consumed = [
+        v for p in rd.partitions(start, o1) for _, _, v in rd.read(p)
+    ]
+    assert sorted(consumed) == ["a1", "a2", "b1", "b2"]
+
+    # more data arrives, then a delete rewrites chunk 1 (removes 'a1')
+    _write_yamr(spark, out, "tx", ["c1"], "append")        # chunk 3
+    yamr_format.delete_where(spark, out, "tx", "value = 'a1'")
+    o2 = rd.latestOffset()
+
+    with pytest.raises(yamr_format.NonAppendChangeError, match="ignoreDeletes"):
+        rd.partitions(o1, o2)
+
+    tol = yamr_format.YamrStreamReader(
+        {"path": out, "name": "tx", "ignoreDeletes": "true"}
+    )
+    vals = [v for p in tol.partitions(o1, o2) for _, _, v in tol.read(p)]
+    # unread chunk 3 is NOT skipped; chunk 1's survivor re-delivers
+    # via the rewrite chunk (documented); nothing else re-reads
+    assert sorted(vals) == ["a2", "c1"]
+
+
+def test_yamr_stream_replay_reads_offset_snapshot_after_delete(spark, tmp_path):
+    """Replaying a committed [start, end) range after a later delete
+    re-reads IDENTICAL data: planning reads the manifest SNAPSHOT of
+    the offset's version, not the live file."""
+    from yet_another_map_reduce_spark.sources import yamr_format
+
+    yamr_format.register(spark)
+    out = str(tmp_path / "replay2")
+    _write_yamr(spark, out, "tx", ["a1", "a2"])
+    rd = yamr_format.YamrStreamReader({"path": out, "name": "tx"})
+    start, end = rd.initialOffset(), rd.latestOffset()
+    first = sorted(
+        v for p in rd.partitions(start, end) for _, _, v in rd.read(p)
+    )
+    yamr_format.delete_where(spark, out, "tx", "value = 'a1'")
+    replay = sorted(
+        v for p in rd.partitions(start, end) for _, _, v in rd.read(p)
+    )
+    assert replay == first == ["a1", "a2"]
+
+
+def test_yamr_legacy_chunk_codec_reads_verbatim(spark, tmp_path):
+    """Chunk files written before the escape codec (plain .txt names)
+    are read VERBATIM — a legacy stored value like '\\N' or 'a\\nb'
+    must not be unescaped into NULL or a newline (the codec version
+    rides in the chunk FILENAME: only .esc.txt chunks decode)."""
+    import os
+
+    from yet_another_map_reduce_spark.sources import yamr_format
+
+    yamr_format.register(spark)
+    out = str(tmp_path / "legacy")
+    os.makedirs(out)
+    legacy = "tx_part-g00001-deadbeef-00000-a0.txt"  # pre-upgrade name
+    with open(os.path.join(out, legacy), "w", encoding="utf-8") as fh:
+        fh.write("\\N\n\\n\nNone\nplain\n")
+    size = os.path.getsize(os.path.join(out, legacy))
+    yamr_format._commit_manifest(out, "tx", [(legacy, size)])
+
+    back = sorted(
+        r["value"]
+        for r in spark.read.format("yamr")
+        .option("path", out).option("name", "tx").load().collect()
+    )
+    assert back == sorted(["\\N", "\\n", "None", "plain"])
+
+    # a post-upgrade append mixes codecs in one dataset: new chunk
+    # escapes, legacy chunk stays verbatim
+    _write_yamr(spark, out, "tx", ["x\ny"], "append")
+    names = [f for f, _ in yamr_format.read_manifest(out, "tx")]
+    assert any(f.endswith(".esc.txt") for f in names) and legacy in names
+    vals = sorted(
+        r["value"]
+        for r in spark.read.format("yamr")
+        .option("path", out).option("name", "tx").load().collect()
+    )
+    assert vals == sorted(["\\N", "\\n", "None", "plain", "x\ny"])

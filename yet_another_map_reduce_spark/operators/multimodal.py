@@ -679,7 +679,11 @@ def image_phash(df: DataFrame, hash_size: int = 8, kind: str = "ahash") -> DataF
       floats), keep the low-frequency ``hash_size``² block (row-major),
       bit = coefficient > median of the block's 63 non-DC
       coefficients (odd count → the median IS an element, no
-      interpolation).  Robust to brightness/contrast/illumination-
+      interpolation); the DC term itself is EXCLUDED from the packed
+      bits (it is the full grayscale sum — always above the AC median,
+      a constant-1 bit every image would collide on), so AC
+      coefficients 1..60 land in bits 0..59, the reference-pHash
+      convention.  Robust to brightness/contrast/illumination-
       gradient shifts: those live almost entirely in the DC and lowest
       AC coefficients, leaving the thresholded spectrum shape intact.
 
@@ -735,10 +739,15 @@ def image_phash(df: DataFrame, hash_size: int = 8, kind: str = "ahash") -> DataF
         coef = (dct_c @ g @ dct_c.T)[:hash_size, :hash_size].ravel()
         med = int(np.sort(coef[1:])[(n_cells - 1 - 1) // 2])
         bits = coef > med
+        # DC (coef[0]) is the full grayscale sum — essentially always
+        # above the AC median, so as a bit it is a constant 1 every
+        # image collides on.  Reference pHash implementations exclude
+        # DC from both the median and the bits: pack AC coefficients
+        # 1..60 into bits 0..59.
         ph = 0
-        for k in range(min(60, n_cells)):
+        for k in range(1, min(61, n_cells)):
             if bits[k]:
-                ph |= 1 << k
+                ph |= 1 << (k - 1)
         return ph
 
     hash_one = _hash_ahash if kind == "ahash" else _hash_dct

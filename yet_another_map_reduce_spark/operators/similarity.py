@@ -196,6 +196,12 @@ def lsh_bucket(df: DataFrame, vec_col: str, num_planes: int = 8, dim: int = 64) 
     NULL, and every bit silently falls to 0 — all rows collapse into
     bucket 0 and the LSH join degenerates into an unpruned cross join
     with plausible-looking results.  Fail loudly instead.
+
+    NULL vectors are tolerated, matching the quarantine discipline of
+    the index builders (``build_ivfpq_index`` filters ``vec IS NOT
+    NULL``): they get a NULL ``bucket``, which an equi-join on
+    ``bucket`` drops naturally — one bad row must not fail the job,
+    and it must not land in bucket 0 either.
     """
     out = df
     bit_cols = []
@@ -212,15 +218,19 @@ def lsh_bucket(df: DataFrame, vec_col: str, num_planes: int = 8, dim: int = 64) 
         )
         bit_cols.append(F.when(dot_i >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
     dim_ok = F.assert_true(
-        F.size(F.col(vec_col)) == dim,
+        F.col(vec_col).isNull() | (F.size(F.col(vec_col)) == dim),
         F.concat_ws(
             " ",
             F.lit(f"lsh_bucket: vector length != dim={dim}:"),
-            F.size(F.col(vec_col)),
+            F.coalesce(F.size(F.col(vec_col)).cast("string"), F.lit("NULL")),
         ),
     )
     return out.withColumn(
-        "bucket", F.when(dim_ok.isNull(), sum(bit_cols[1:], bit_cols[0]))
+        "bucket",
+        F.when(
+            dim_ok.isNull() & F.col(vec_col).isNotNull(),
+            sum(bit_cols[1:], bit_cols[0]),
+        ),
     )
 
 

@@ -8083,12 +8083,14 @@ def _dct_phash_oracle() -> str:
       ) WHERE rn = 32
     ),
     ph AS (
+      -- DC (k=0) excluded from the pack, matching the Spark kernel:
+      -- AC coefficients 1..60 land in bits 0..59
       SELECT blk.doc_id,
              CAST(sum(CASE WHEN blk.f > med.m
-                           THEN (1::BIGINT << blk.k) ELSE 0 END)
+                           THEN (1::BIGINT << (blk.k - 1)) ELSE 0 END)
                   AS BIGINT) AS phash
       FROM blk JOIN med USING (doc_id)
-      WHERE blk.k < 60
+      WHERE blk.k BETWEEN 1 AND 60
       GROUP BY blk.doc_id
     )
     SELECT CAST(doc_id AS BIGINT) AS media_id, phash, TRUE AS decodable

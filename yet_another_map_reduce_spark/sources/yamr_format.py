@@ -250,6 +250,25 @@ def _prefix_successor(p: str) -> str | None:
 #: real string: a leading backslash is always escaped to two)
 _NULL_TOKEN = "\\N"
 
+#: Chunk-codec version marker, carried in the FILENAME so a dataset
+#: can mix codecs (a pre-upgrade dataset appended to post-upgrade):
+#: ``*.esc.txt`` chunks use the lossless backslash-escape codec
+#: (:func:`_encode_value`/:func:`_decode_value`); plain ``*.txt``
+#: chunks are the legacy raw codec (values verbatim, NULL stored as
+#: the literal string ``'None'``) and are read back verbatim — never
+#: unescaped, so a legacy stored value like ``\\N`` can NOT silently
+#: turn into NULL.  Both directions key off the filename, keeping
+#: write/read symmetric per chunk with no sidecar needed.
+_ESC_SUFFIX = ".esc.txt"
+
+
+def _decode_chunk_line(fname: str, line: str) -> str | None:
+    """Decode one chunk-file line under the codec its FILENAME declares
+    (see :data:`_ESC_SUFFIX`)."""
+    if fname.endswith(_ESC_SUFFIX):
+        return _decode_value(line)
+    return line  # legacy raw codec: verbatim, no NULL marker
+
 
 def _encode_value(v: str | None) -> str:
     """One VALUE per chunk-file line, losslessly: NULL becomes ``\\N``,
@@ -295,15 +314,19 @@ def _write_chunk_file(
     copies): mode ``'x'`` (a name collision is a loud failure, never a
     silent clobber of a possibly-committed chunk), escaped values, and
     NULL-safe min/max stats (NULLs never update stats; a chunk without
-    stats is simply never pruned, which is safe).  Returns
-    ``(rows_written, file_bytes, vmin, vmax)``."""
+    stats is simply never pruned, which is safe).  The value codec is
+    chosen by the FILENAME (:data:`_ESC_SUFFIX`): every production
+    writer passes ``*.esc.txt`` names; a legacy ``*.txt`` name gets the
+    legacy raw codec so write and read stay symmetric per file.
+    Returns ``(rows_written, file_bytes, vmin, vmax)``."""
     full = os.path.join(path, fname)
+    escaped = fname.endswith(_ESC_SUFFIX)
     wrote = 0
     vmin = vmax = None
     with open(full, "x", encoding="utf-8") as fh:
         for row in rows:
             v = row[0]
-            fh.write(_encode_value(v) + "\n")
+            fh.write((_encode_value(v) if escaped else str(v)) + "\n")
             wrote += 1
             if v is not None:
                 vmin = v if vmin is None or v < vmin else vmin
@@ -433,11 +456,12 @@ class YamrReader(DataSourceReader):
     def read(self, partition: _ChunkPartition):
         if partition is None or partition.filename is None:
             return  # empty sentinel: all chunks pruned
+        fname = partition.filename
         with open(
-            os.path.join(partition.directory, partition.filename), encoding="utf-8"
+            os.path.join(partition.directory, fname), encoding="utf-8"
         ) as fh:
             for i, line in enumerate(fh):
-                yield (partition.filename, i, _decode_value(line.rstrip("\n")))
+                yield (fname, i, _decode_chunk_line(fname, line.rstrip("\n")))
 
 
 class YamrReaderNoPushdown(YamrReader):
@@ -535,7 +559,7 @@ class YamrWriter(DataSourceWriter):
         # vacuum() collects
         fname = (
             f"{self.name}_part-g{self.generation:05d}-{self.token}"
-            f"-{tc.partitionId():05d}-a{tc.attemptNumber()}.txt"
+            f"-{tc.partitionId():05d}-a{tc.attemptNumber()}{_ESC_SUFFIX}"
         )
         os.makedirs(self.path, exist_ok=True)
         _, size, vmin, vmax = _write_chunk_file(self.path, fname, iterator)
@@ -569,45 +593,160 @@ class YamrWriter(DataSourceWriter):
                 pass
 
 
+class NonAppendChangeError(RuntimeError):
+    """The manifest changed non-append-only under a tailing stream
+    reader (``delete_where`` removed entries mid-list, or a replayed
+    stream batch's entries were no longer at the tail because a batch
+    append interleaved).  A positional offset over the new list would
+    silently skip unread chunks and re-read consumed ones — fail loudly
+    instead (the Delta ``ignoreDeletes`` contract)."""
+
+
 class YamrStreamReader(DataSourceStreamReader):
     """Structured-Streaming source tailing a manifest dataset.
 
-    The offset is the count of manifest entries consumed — a stable
-    cursor because EVERY manifest writer (batch append, stream commit,
-    delete_where) preserves existing entry order and appends its new
-    entries at the end; nothing ever globally re-sorts the list.  Each micro-batch reads the chunk files in
-    ``[start, end)`` with one input partition per chunk — the same
-    parallelism as the batch reader.  Chunks are immutable once listed
-    (the manifest is only rewritten atomically), so replaying an offset
-    range re-reads identical data: exactly-once downstream composes.
+    The offset is ``{"n": entries_consumed, "v": snapshot_version,
+    "last": name_of_last_consumed_entry}`` — a prefix length made
+    SELF-VALIDATING.  Append-only writers (batch append, stream commit
+    of a new batch) keep the consumed prefix intact, so the common path
+    is a pure slice.  But the prefix is NOT unconditionally stable:
+    ``delete_where`` REMOVES touched entries mid-list, and a replayed
+    stream batch whose entries were no longer at the tail shifts
+    everything after them.  Each micro-batch therefore checks that the
+    entry at position ``n-1`` of the planning snapshot still carries
+    the recorded name; on mismatch it raises
+    :class:`NonAppendChangeError` unless ``.option("ignoreDeletes",
+    "true")`` is set, in which case it repositions exactly: the old
+    consumed prefix is read back from snapshot ``v`` (time travel), and
+    since every manifest rewrite preserves the relative order of
+    carried entries and appends new ones, the survivors of the consumed
+    prefix are precisely the longest leading run of current entries
+    drawn from that old prefix.  Rows from rewrite chunks that carry
+    surviving rows of consumed chunks ARE re-delivered under
+    ``ignoreDeletes`` — inherent to copy-on-write deletes under a
+    tailing reader (same caveat as Delta's option of the same name).
+
+    Planning and replay both read the SNAPSHOT manifest of the offset's
+    version, not the live file, so a replayed ``[start, end)`` range
+    re-reads identical data even after later deletes — exactly-once
+    downstream composes.  If retention vacuumed the needed snapshot,
+    the reader falls back to the live manifest only when the recorded
+    ``last`` name still validates; otherwise it fails rather than guess.
+    Legacy checkpoint offsets (``{"n": k}`` with no ``last``) skip
+    validation — same trust-the-writer behavior they were written under.
+
+    Each micro-batch reads the chunk files in ``[start, end)`` with one
+    input partition per chunk — the same parallelism as the batch
+    reader.  Chunk files are immutable once listed.
     """
 
     def __init__(self, options: dict):
         self.path = options["path"]
         self.name = options.get("name", "data")
+        self.ignore_deletes = (
+            str(options.get("ignoreDeletes", "false")).lower() == "true"
+        )
 
-    def _entries(self) -> list[tuple[str, int]]:
-        try:
-            return read_manifest(self.path, self.name)
-        except FileNotFoundError:
+    def _snapshot(self, version: int) -> list[tuple[str, int]] | None:
+        """Entries of snapshot ``version`` (None if vacuumed/absent)."""
+        if version <= 0:
             return []
+        try:
+            return read_manifest(self.path, self.name, version)
+        except (FileNotFoundError, ValueError):
+            return None
 
     def initialOffset(self) -> dict:
-        return {"n": 0}
+        return {"n": 0, "v": 0, "last": None}
 
     def latestOffset(self) -> dict:
-        return {"n": len(self._entries())}
+        # Observe the latest committed SNAPSHOT, not the live file: the
+        # (version, entries) pair is then consistent by immutability
+        # even if a writer replaces the live manifest mid-call.
+        versions = list_versions(self.path, self.name)
+        if not versions:
+            return {"n": 0, "v": 0, "last": None}
+        v = versions[-1]
+        entries = self._snapshot(v)
+        if entries is None:  # raced with vacuum retiring v: use live
+            try:
+                entries = read_manifest(self.path, self.name)
+            except FileNotFoundError:
+                entries = []
+        return {
+            "n": len(entries),
+            "v": v,
+            "last": entries[-1][0] if entries else None,
+        }
+
+    def _plan_entries(self, end: dict) -> list[tuple[str, int]]:
+        entries = self._snapshot(int(end.get("v", 0)))
+        if entries is not None and len(entries) >= end["n"]:
+            return entries
+        # snapshot vacuumed (or legacy offset with no version): the live
+        # manifest is acceptable ONLY if the recorded tail name still
+        # validates — otherwise this range is no longer replayable.
+        try:
+            live = read_manifest(self.path, self.name)
+        except FileNotFoundError:
+            live = []
+        last = end.get("last")
+        if end["n"] == 0 or last is None or (
+            len(live) >= end["n"] and live[end["n"] - 1][0] == last
+        ):
+            return live
+        raise NonAppendChangeError(
+            f"yamr stream '{self.name}' at {self.path}: snapshot "
+            f"v{end.get('v')} needed to replay this micro-batch was "
+            "vacuumed and the live manifest no longer matches the "
+            "recorded offset — increase vacuum retention (keep_versions) "
+            "for datasets with active stream readers"
+        )
 
     def partitions(self, start: dict, end: dict):
-        entries = self._entries()[start["n"] : end["n"]]
-        return [_ChunkPartition(self.path, fname) for fname, _ in entries]
+        entries = self._plan_entries(end)
+        lo, hi = start["n"], end["n"]
+        last = start.get("last")
+        prefix_ok = (
+            lo == 0
+            or last is None  # legacy checkpoint offset: no validation
+            or (len(entries) >= lo and entries[lo - 1][0] == last)
+        )
+        if not prefix_ok:
+            if not self.ignore_deletes:
+                raise NonAppendChangeError(
+                    f"yamr stream '{self.name}' at {self.path}: manifest "
+                    f"entries before the consumed offset (n={lo}, "
+                    f"last={last!r}) were removed or reordered — "
+                    "delete_where (or an interleaved stream-batch replay) "
+                    "rewrote consumed history.  Set .option('ignoreDeletes',"
+                    " 'true') to skip past it (rewrite chunks carrying "
+                    "surviving rows of consumed chunks will be re-read)."
+                )
+            old = self._snapshot(int(start.get("v", 0)))
+            if old is None:
+                raise NonAppendChangeError(
+                    f"yamr stream '{self.name}' at {self.path}: cannot "
+                    f"reposition after a non-append change — snapshot "
+                    f"v{start.get('v')} holding the consumed prefix was "
+                    "vacuumed; increase vacuum retention (keep_versions) "
+                    "for datasets with active stream readers"
+                )
+            consumed = {f for f, _ in old[:lo]}
+            lo = 0
+            while lo < len(entries) and entries[lo][0] in consumed:
+                lo += 1
+        return [
+            _ChunkPartition(self.path, fname) for fname, _ in entries[lo:hi]
+        ]
 
     def read(self, partition: _ChunkPartition):
+        fname = partition.filename
         with open(
-            os.path.join(partition.directory, partition.filename), encoding="utf-8"
+            os.path.join(partition.directory, fname), encoding="utf-8"
         ) as fh:
             for i, line in enumerate(fh):
-                yield (partition.filename, i, _decode_value(line.rstrip("\n")))
+                yield (fname, i, _decode_chunk_line(fname, line.rstrip("\n")))
 
     def commit(self, end: dict) -> None:
         pass  # no source-side cleanup: chunks stay readable for replay
@@ -647,7 +786,7 @@ class YamrStreamWriter(DataSourceStreamWriter):
         batch = int(tc.getLocalProperty("streaming.sql.batchId"))
         fname = (
             f"{self.name}_part-b{batch:05d}-{self.token}"
-            f"-{tc.partitionId():05d}-a{tc.attemptNumber()}.txt"
+            f"-{tc.partitionId():05d}-a{tc.attemptNumber()}{_ESC_SUFFIX}"
         )
         os.makedirs(self.path, exist_ok=True)
         wrote, size, vmin, vmax = _write_chunk_file(self.path, fname, iterator)
@@ -941,7 +1080,7 @@ def delete_where(spark, path: str, name: str, predicate: str) -> dict:
         tc = TaskContext.get()
         att = tc.attemptNumber() if tc is not None else 0
         fname = (
-            f"{name}_part-g{generation:05d}-{token}-{pid:05d}-a{att}.txt"
+            f"{name}_part-g{generation:05d}-{token}-{pid:05d}-a{att}{_ESC_SUFFIX}"
         )
         wrote, size, vmin, vmax = _write_chunk_file(path, fname, rows)
         if wrote == 0:
