@@ -2161,3 +2161,90 @@ def test_text_review_fixes_short_empty_and_case_inputs(spark):
 
     with pytest.raises(ValueError, match="stride"):
         text.chunk_documents(docs, "text", "doc_id", chunk_tokens=2, stride=3)
+
+
+def test_curation_reports_surface_short_docs_with_zero_rows(spark):
+    """decontaminate / boilerplate_ngram_stats / bigram_lm_score must
+    emit zero-count rows for docs shorter than the gram width — a
+    silent omission means a downstream keep-join drops the doc from
+    the corpus entirely (r14 deferred finding, fixed r15)."""
+    from yet_another_map_reduce_spark.operators import text
+
+    d = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "tiny"),           # 1 token: no 4/5-gram, no bigram
+            (3, ""),               # empty: tokens('') == ['']
+            (10, "alpha beta gamma delta epsilon zeta"),  # holdout twin
+        ],
+        "doc_id long, text string",
+    )
+
+    dec = {
+        r["doc_id"]: r
+        for r in text.decontaminate(
+            d.where("doc_id % 10 != 0"), d.where("doc_id % 10 = 0"), n=4
+        ).collect()
+    }
+    assert set(dec) == {1, 2, 3}
+    assert dec[1]["is_contaminated"]
+    for short in (2, 3):
+        row = dec[short]
+        assert row["total_ngrams"] == 0 and row["matched_ngrams"] == 0
+        assert row["contamination"] == 0.0 and row["is_contaminated"] is False
+
+    bp = {
+        r["doc_id"]: r
+        for r in text.boilerplate_ngram_stats(d, n=5, max_doc_freq=2).collect()
+    }
+    assert set(bp) == {1, 2, 3, 10}
+    for short in (2, 3):
+        assert bp[short]["total_ngrams"] == 0
+        assert bp[short]["keep"] is True
+
+    lm = {
+        r["doc_id"]: r for r in text.bigram_lm_score(d, "text", "doc_id").collect()
+    }
+    assert set(lm) == {1, 2, 3, 10}
+    for short in (2, 3):
+        row = lm[short]
+        assert row["n_bigrams"] == 0
+        assert row["avg_logprob"] is None and row["lm_bucket"] is None
+    assert lm[1]["lm_bucket"] in ("head", "middle", "tail")
+
+
+def test_first_fit_tree_matches_naive_linear_scan():
+    """The O(log B) tournament tree must reproduce the naive linear
+    first-fit scan BIT-FOR-BIT (lowest-id bin that fits, every time) —
+    it is a data-structure swap, not a semantics change."""
+    import random
+
+    from yet_another_map_reduce_spark.operators.text import _FirstFitTree
+
+    rng = random.Random(7)
+    for trial in range(20):
+        budget = rng.choice([64, 100, 1000])
+        docs = [rng.randint(0, int(budget * 1.3)) for _ in range(300)]
+        naive_bins: list[int] = []  # remaining per bin
+        naive_assign = []
+        for n in docs:
+            placed = None
+            for i, rem in enumerate(naive_bins):
+                if n <= rem:
+                    naive_bins[i] = rem - n
+                    placed = i
+                    break
+            if placed is None:
+                placed = len(naive_bins)
+                naive_bins.append(max(0, budget - n))
+            naive_assign.append(placed)
+
+        tree = _FirstFitTree()
+        tree_assign = []
+        for n in docs:
+            placed = tree.take_first_fit(n)
+            if placed is None:
+                placed = tree.n
+                tree.append(max(0, budget - n))
+            tree_assign.append(placed)
+        assert tree_assign == naive_assign, f"trial {trial} diverged"

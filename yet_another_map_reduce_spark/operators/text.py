@@ -315,6 +315,65 @@ def text_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+class _FirstFitTree:
+    """Leftmost-bin-that-fits in O(log B): an implicit tournament tree
+    whose leaves are bin remaining capacities and whose internal nodes
+    hold the max of their children.  ``take_first_fit`` descends
+    left-first, so it always returns the LOWEST bin id that fits —
+    EXACT first-fit semantics, bit-identical layouts to the naive
+    linear scan (pinned by a property test), unlike a best-fit heap
+    which changes packings.  The previous linear scan re-walked every
+    ever-opened bin per doc: O(docs²) per partition, a scale-killer on
+    the million-doc partitions this operator advertises."""
+
+    __slots__ = ("cap", "tree", "n")
+
+    def __init__(self) -> None:
+        self.cap = 1
+        self.tree = [-1, -1]  # 1-indexed heap layout; leaves at [cap, 2cap)
+        self.n = 0
+
+    def _grow(self) -> None:
+        leaves = self.tree[self.cap : self.cap + self.n]
+        self.cap *= 2
+        self.tree = [-1] * (2 * self.cap)
+        self.tree[self.cap : self.cap + self.n] = leaves
+        for i in range(self.cap - 1, 0, -1):
+            self.tree[i] = max(self.tree[2 * i], self.tree[2 * i + 1])
+
+    def append(self, rem: int) -> None:
+        """Open a new bin with ``rem`` remaining capacity (its id is
+        ``self.n`` before the call)."""
+        if self.n == self.cap:
+            self._grow()
+        i = self.cap + self.n
+        self.n += 1
+        self.tree[i] = rem
+        i //= 2
+        while i:
+            self.tree[i] = max(self.tree[2 * i], self.tree[2 * i + 1])
+            i //= 2
+
+    def take_first_fit(self, need: int) -> int | None:
+        """Id of the leftmost bin with remaining >= ``need`` (its
+        remaining is decremented), or None if no bin fits.  Unopened
+        leaves hold -1, so they can never satisfy ``need >= 0``."""
+        if self.tree[1] < need:
+            return None
+        i = 1
+        while i < self.cap:
+            i *= 2
+            if self.tree[i] < need:
+                i += 1
+        idx = i - self.cap
+        self.tree[i] -= need
+        i //= 2
+        while i:
+            self.tree[i] = max(self.tree[2 * i], self.tree[2 * i + 1])
+            i //= 2
+        return idx
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,
@@ -351,21 +410,15 @@ def pack_sequences(
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pid = TaskContext.get().partitionId()
-        bins: list[tuple[int, int]] = []  # (bin_local_id, remaining)
+        bins = _FirstFitTree()  # O(log B)/doc, exact first-fit layouts
         out_ids, out_bins = [], []
-        next_bin = 0
         for b in batches:
             for doc, n in zip(b["doc_id"], b["n_tokens"]):
-                placed = None
-                for i, (bid, rem) in enumerate(bins):
-                    if n <= rem:
-                        bins[i] = (bid, rem - n)
-                        placed = bid
-                        break
+                n = int(n)
+                placed = bins.take_first_fit(n)
                 if placed is None:
-                    placed = next_bin
-                    bins.append((next_bin, max(0, budget - n)))
-                    next_bin += 1
+                    placed = bins.n
+                    bins.append(max(0, budget - n))
                 out_ids.append(int(doc))
                 out_bins.append((pid << 32) | placed)
             yield pd.DataFrame({"doc_id": out_ids, "bin_id": out_bins})
@@ -507,7 +560,11 @@ def decontaminate(
 
     Per training doc: distinct n-grams, how many also occur in the
     holdout, their ratio, and an ``is_contaminated`` verdict at
-    ``threshold``.
+    ``threshold``.  EVERY training doc surfaces — docs with fewer than
+    ``n`` tokens get a zero-count row (``total_ngrams=0``,
+    ``contamination=0.0``, ``is_contaminated=false``) rather than
+    silently vanishing from the report (a downstream keep-join against
+    a report that omits short docs drops them from the corpus).
 
     Scale shape: a benchmark-eval-sized holdout's distinct-gram relation
     is broadcast (default) — the 100 TB train side is scanned once,
@@ -529,8 +586,12 @@ def decontaminate(
         .select(F.md5("shingle").alias("g"))
         .distinct()
     )
+    # keep_empty_docs: a short doc rides as one (id, NULL) row — the
+    # NULL key never matches the probe join and count("g") never
+    # counts it, so it folds to the zero-count row with no extra scan
+    # or join over the train relation
     doc_grams = (
-        exploded_shingles(train, text_col, id_col, n)
+        exploded_shingles(train, text_col, id_col, n, keep_empty_docs=True)
         .select(id_col, F.md5("shingle").alias("g"))
         .distinct()
     )
@@ -545,7 +606,7 @@ def decontaminate(
     return (
         flagged.groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("total_ngrams"),
+            F.count("g").alias("total_ngrams"),
             F.count("__hit").alias("matched_ngrams"),
         )
         .select(
@@ -646,7 +707,9 @@ def boilerplate_ngram_stats(
     ``max_doc_freq`` distinct documents is boilerplate (license headers,
     templated navigation, cookie banners); per document, report the
     fraction of its n-gram occurrences that are boilerplate and a keep
-    verdict.
+    verdict.  EVERY doc surfaces: fewer than ``n`` tokens → a
+    zero-count row with ``keep=true`` (no evidence of boilerplate),
+    never a silent omission a downstream keep-join would drop.
 
     Scale shape: document frequency is a distinct + count over md5 gram
     keys (two shuffles on fixed-width keys, map-side partials both
@@ -655,20 +718,24 @@ def boilerplate_ngram_stats(
     """
     from yet_another_map_reduce_spark.operators.dedup import exploded_shingles
 
-    grams = exploded_shingles(df, text_col, id_col, n).select(
+    # keep_empty_docs: a short doc's single (id, NULL) marker row has
+    # no docfreq entry (NULL key), so it must survive the join as LEFT
+    # and fold to the zero-count row via count("g")
+    grams = exploded_shingles(df, text_col, id_col, n, keep_empty_docs=True).select(
         id_col, F.md5("shingle").alias("g")
     )
     docfreq = (
-        grams.distinct()
+        grams.where(F.col("g").isNotNull())
+        .distinct()
         .groupBy("g")
         .agg(F.count(F.lit(1)).alias("gram_df"))
     )
-    joined = grams.join(docfreq, "g")
+    joined = grams.join(docfreq, "g", "left")
     frac = F.col("boilerplate_ngrams") / F.greatest(F.col("total_ngrams"), F.lit(1))
     return (
         joined.groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("total_ngrams"),
+            F.count("g").alias("total_ngrams"),
             F.sum(F.when(F.col("gram_df") > max_doc_freq, 1).otherwise(0)).alias(
                 "boilerplate_ngrams"
             ),
@@ -786,6 +853,14 @@ def bigram_lm_score(
     fluent), assigned by exact percent_rank with a doc-id tie-break so
     the bucketing is a pure function of the corpus.
 
+    EVERY doc surfaces: a doc with fewer than 2 tokens has no bigram
+    and gets ``n_bigrams=0, avg_logprob=NULL, lm_bucket=NULL`` — NULL
+    bucket is the honest verdict (no evidence either way; the caller's
+    keep-predicate decides how to treat it) and the row's presence
+    keeps downstream keep-joins from silently dropping short docs.
+    Zero-bigram docs never enter the tercile ranking, so buckets over
+    the scored docs are unchanged.
+
     Scale shape: the per-doc bigram aggregate is MATERIALIZED once —
     corpus bigram counts, unigram context counts, and the scoring join
     all fold from that cached summary relation, so the corpus is read
@@ -859,7 +934,7 @@ def bigram_lm_score(
     pr = F.when(
         F.col("__n") > 1, (F.col("__r") - 1) / (F.col("__n") - 1)
     ).otherwise(F.lit(0.0))
-    return ranked.select(
+    scored = ranked.select(
         F.col(id_col),
         "n_bigrams",
         "avg_logprob",
@@ -868,6 +943,20 @@ def bigram_lm_score(
         .otherwise(F.lit("tail"))
         .alias("lm_bucket"),
     )
+    # zero-bigram docs: an id-only anti-join against the (cached,
+    # doc-count-sized) summary — one column-pruned scan of the corpus
+    # id column, no token re-explode
+    empties = (
+        df.select(F.col(id_col))
+        .join(doc.select(id_col), id_col, "left_anti")
+        .select(
+            F.col(id_col),
+            F.lit(0).cast("bigint").alias("n_bigrams"),
+            F.lit(None).cast("double").alias("avg_logprob"),
+            F.lit(None).cast("string").alias("lm_bucket"),
+        )
+    )
+    return scored.unionByName(empties)
 
 
 def build_vocab(df: DataFrame, text_col: str, vocab_size: int) -> DataFrame:
@@ -961,9 +1050,12 @@ def pmi_cooccurrence(
     cnt = doctok.groupBy("token").agg(
         F.count(F.lit(1)).cast("bigint").alias("__c")
     )
-    kept = doctok.join(
-        F.broadcast(cnt.where(F.col("__c") >= min_token_docs)), "token"
-    )
+    # NO broadcast hint: the df >= min_token_docs token set grows with
+    # the corpus (a vocabulary-sized relation), so forcing it
+    # driver-side is an OOM at web scale.  Left to AQE, the join
+    # broadcasts only while the filtered count relation is actually
+    # under the threshold and falls back to a shuffle join beyond it.
+    kept = doctok.join(cnt.where(F.col("__c") >= min_token_docs), "token")
     a = kept.select(
         F.col(id_col), F.col("token").alias("token_a"), F.col("__c").alias("__ca")
     )

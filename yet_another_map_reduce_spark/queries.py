@@ -93,6 +93,146 @@ def _sql_word_grams(n: int, toks: str = "w") -> str:
     )
 
 
+def _plant_short_docs(d: DataFrame) -> DataFrame:
+    """Deterministically truncate a slice of the corpus to SHORT docs
+    (doc_id % 50 == 3 → first token only; % 50 == 7 → empty string) so
+    the short-doc zero-count contract of the curation reports
+    (decontaminate / boilerplate / bigram-LM emitting explicit zero
+    rows instead of omitting the doc) is exercised by the live oracle
+    gate — the fixture's natural minimum is 10 tokens, which would
+    leave the contract invisible to the hash.  SQL twin:
+    :data:`_SQL_PLANTED_DOCS`."""
+    from yet_another_map_reduce_spark.functions import tokens
+
+    toks = tokens(F.col("text"))
+    return d.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 50 == 3, F.array_join(F.slice(toks, 1, 1), ""))
+        .when(F.col("doc_id") % 50 == 7, F.lit(""))
+        .otherwise(F.col("text")),
+    )
+
+
+#: DuckDB twin of :func:`_plant_short_docs` — a derived table usable as
+#: the ``src`` of the curation-report oracle builders below.
+_SQL_PLANTED_DOCS = f"""(
+    SELECT doc_id,
+           CASE WHEN doc_id % 50 = 3
+                    THEN (string_split({_norm('text')}, ' '))[1]
+                WHEN doc_id % 50 = 7 THEN ''
+                ELSE text END AS text
+    FROM documents
+) AS __planted"""
+
+
+def _decontaminate_oracle(src: str = "documents") -> str:
+    """Oracle for ``text.decontaminate`` over ``src``: EVERY train doc
+    surfaces (zero-count row when it has no 4-gram), mirroring the
+    operator's short-doc contract."""
+    return f"""
+        WITH docs AS (SELECT doc_id, string_split({_norm('text')}, ' ') AS w
+                      FROM {src}),
+        dg AS (
+            SELECT DISTINCT doc_id, u.g FROM (
+                SELECT doc_id, unnest({_sql_word_grams(4)}) AS g
+                FROM docs WHERE len(w) >= 4) u
+        ),
+        hold AS (SELECT DISTINCT g FROM dg WHERE doc_id % 10 = 0),
+        train AS (SELECT * FROM dg WHERE doc_id % 10 <> 0),
+        base AS (SELECT doc_id FROM docs WHERE doc_id % 10 <> 0),
+        t AS (SELECT doc_id, count(*) AS total FROM train GROUP BY doc_id),
+        m AS (SELECT doc_id, count(*) AS matched
+              FROM train JOIN hold USING (g) GROUP BY doc_id)
+        SELECT b.doc_id,
+               CAST(coalesce(total, 0) AS BIGINT) AS total_ngrams,
+               CAST(coalesce(matched, 0) AS BIGINT) AS matched_ngrams,
+               round(coalesce(matched, 0) * 1.0
+                     / greatest(coalesce(total, 0), 1), 6) AS contamination,
+               coalesce(matched, 0) * 1.0
+                     / greatest(coalesce(total, 0), 1) > 0.01
+                   AS is_contaminated
+        FROM base b LEFT JOIN t USING (doc_id) LEFT JOIN m USING (doc_id)
+        ORDER BY b.doc_id
+    """
+
+
+def _boilerplate_oracle(src: str = "documents") -> str:
+    """Oracle for ``text.boilerplate_ngram_stats`` over ``src`` with
+    the same every-doc-surfaces contract (zero-count rows keep)."""
+    return f"""
+        WITH docs AS (SELECT doc_id, string_split({_norm('text')}, ' ') AS w
+                      FROM {src}),
+        g5 AS (
+            SELECT doc_id, u.g FROM (
+                SELECT doc_id, unnest({_sql_word_grams(5)}) AS g
+                FROM docs WHERE len(w) >= 5) u
+        ),
+        dfq AS (SELECT g, count(*) AS gram_df
+                FROM (SELECT DISTINCT doc_id, g FROM g5) GROUP BY g),
+        j AS (SELECT doc_id, count(*) AS total,
+                     sum(CASE WHEN gram_df > 2 THEN 1 ELSE 0 END) AS bp
+              FROM g5 JOIN dfq USING (g) GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(coalesce(total, 0) AS BIGINT) AS total_ngrams,
+               CAST(coalesce(bp, 0) AS BIGINT) AS boilerplate_ngrams,
+               round(coalesce(bp, 0) * 1.0
+                     / greatest(coalesce(total, 0), 1), 6) AS boilerplate_frac,
+               coalesce(bp, 0) * 1.0
+                     / greatest(coalesce(total, 0), 1) <= 0.05 AS keep
+        FROM (SELECT doc_id FROM docs) d LEFT JOIN j USING (doc_id)
+        ORDER BY d.doc_id
+    """
+
+
+def _bigram_lm_oracle(src: str = "documents") -> str:
+    """Oracle for ``text.bigram_lm_score`` over ``src``: zero-bigram
+    docs surface with ``n_bigrams=0, NULL avg_logprob, NULL lm_bucket``
+    and never enter the tercile ranking."""
+    norm = _NORM.format(c="text")
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, string_split({norm}, ' ') AS t FROM {src}),
+        tok AS (
+            SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos, unnest(t) AS tok
+            FROM toks),
+        big AS (
+            SELECT doc_id, tok AS prev,
+                   lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS cur
+            FROM tok),
+        bg AS (SELECT * FROM big WHERE cur IS NOT NULL),
+        db AS (SELECT doc_id, prev, cur, count(*) AS m
+               FROM bg GROUP BY doc_id, prev, cur),
+        bc AS (SELECT prev, cur, count(*) AS cb FROM bg GROUP BY prev, cur),
+        pc AS (SELECT prev, sum(cb) AS cp FROM bc GROUP BY prev),
+        v AS (SELECT count(DISTINCT tok) AS vs FROM tok),
+        term AS (
+            SELECT d.doc_id, d.m,
+                   d.m * ln((bc.cb + CAST(0.5 AS DOUBLE)) / (pc.cp + CAST(0.5 AS DOUBLE) * v.vs)) AS lp
+            FROM db d
+            JOIN bc ON d.prev = bc.prev AND d.cur = bc.cur
+            JOIN pc ON d.prev = pc.prev
+            CROSS JOIN v),
+        doc AS (
+            SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+                   round(sum(lp) / sum(m), 6) AS avg_logprob
+            FROM term GROUP BY doc_id),
+        r AS (
+            SELECT *, percent_rank() OVER (ORDER BY avg_logprob DESC, doc_id ASC) AS pr
+            FROM doc)
+        SELECT doc_id, n_bigrams, avg_logprob,
+               CASE WHEN pr < CAST(1.0 AS DOUBLE)/3 THEN 'head'
+                    WHEN pr < CAST(2.0 AS DOUBLE)/3 THEN 'middle'
+                    ELSE 'tail' END AS lm_bucket
+        FROM r
+        UNION ALL
+        SELECT t.doc_id, CAST(0 AS BIGINT) AS n_bigrams,
+               CAST(NULL AS DOUBLE) AS avg_logprob,
+               CAST(NULL AS VARCHAR) AS lm_bucket
+        FROM toks t LEFT JOIN doc USING (doc_id)
+        WHERE doc.doc_id IS NULL
+    """
+
+
 def _sql_hash64(expr: str, seed: int | None = None) -> str:
     """DuckDB twin of functions.md5_hash64."""
     inner = f"'{seed}:' || {expr}" if seed is not None else expr
@@ -1316,8 +1456,11 @@ def q_text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: docs with doc_id % 10 == 0 stand in
-    for the eval/holdout set; flag training docs sharing any 4-gram."""
-    d = read_table(spark, sf_dir, "documents")
+    for the eval/holdout set; flag training docs sharing any 4-gram.
+    Short docs are PLANTED (``_plant_short_docs``) so the hash gate
+    certifies the zero-count-row contract for docs below the gram
+    width, not just the happy path."""
+    d = _plant_short_docs(read_table(spark, sf_dir, "documents"))
     holdout = d.where(F.col("doc_id") % 10 == 0)
     train = d.where(F.col("doc_id") % 10 != 0)
     return text.decontaminate(train, holdout, n=4, threshold=0.01).orderBy("doc_id")
@@ -1376,8 +1519,9 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained bigram-LM scoring with head/middle/tail terciles
     (the CCNet perplexity-bucket shape, self-trained).  Hash-verified:
     the oracle retrains the same add-k LM and replays the exact tercile
-    assignment."""
-    d = read_table(spark, sf_dir, "documents")
+    assignment.  Short docs are PLANTED so the hash certifies the
+    zero-bigram rows (n_bigrams=0, NULL score/bucket)."""
+    d = _plant_short_docs(read_table(spark, sf_dir, "documents"))
     return text.bigram_lm_score(d, "text", "doc_id", add_k=0.5)
 
 
@@ -1654,8 +1798,9 @@ def q_pipeline_corpus_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_corpus_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style corpus-frequency boilerplate detection over 5-grams
-    (an n-gram in >2 distinct docs is boilerplate)."""
-    d = read_table(spark, sf_dir, "documents")
+    (an n-gram in >2 distinct docs is boilerplate).  Short docs are
+    PLANTED so the hash certifies their zero-count keep rows."""
+    d = _plant_short_docs(read_table(spark, sf_dir, "documents"))
     return text.boilerplate_ngram_stats(
         d, n=5, max_doc_freq=2, max_boilerplate_frac=0.05
     ).orderBy("doc_id")
@@ -4515,6 +4660,15 @@ _LANG_CASE = (
 )
 
 
+# Planted variants for the three curation-report rows: the registered
+# standalone queries run over _plant_short_docs(documents) so the
+# zero-count short-doc contract is hash-verified; the pipeline
+# composites below reuse the UNPLANTED builders (src="documents"),
+# matching their Spark side which does not plant.
+_PLANTED_TEXT_DECONTAMINATE = _decontaminate_oracle(_SQL_PLANTED_DOCS)
+_PLANTED_CORPUS_BOILERPLATE_NGRAMS = _boilerplate_oracle(_SQL_PLANTED_DOCS)
+_PLANTED_TEXT_BIGRAM_LM = _bigram_lm_oracle(_SQL_PLANTED_DOCS)
+
 ORACLES: dict[str, str] = {
     "feature_scaling": """
         WITH s AS (SELECT l_returnflag,
@@ -5231,42 +5385,7 @@ ORACLES: dict[str, str] = {
                CAST(max(e - s + 1) AS BIGINT) AS max_span
         FROM spans GROUP BY doc_id ORDER BY doc_id
     """,
-    "text_bigram_lm": f"""
-        WITH toks AS (
-            SELECT doc_id, string_split({_TEXT_NORM}, ' ') AS t FROM documents),
-        tok AS (
-            SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos, unnest(t) AS tok
-            FROM toks),
-        big AS (
-            SELECT doc_id, tok AS prev,
-                   lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS cur
-            FROM tok),
-        bg AS (SELECT * FROM big WHERE cur IS NOT NULL),
-        db AS (SELECT doc_id, prev, cur, count(*) AS m
-               FROM bg GROUP BY doc_id, prev, cur),
-        bc AS (SELECT prev, cur, count(*) AS cb FROM bg GROUP BY prev, cur),
-        pc AS (SELECT prev, sum(cb) AS cp FROM bc GROUP BY prev),
-        v AS (SELECT count(DISTINCT tok) AS vs FROM tok),
-        term AS (
-            SELECT d.doc_id, d.m,
-                   d.m * ln((bc.cb + CAST(0.5 AS DOUBLE)) / (pc.cp + CAST(0.5 AS DOUBLE) * v.vs)) AS lp
-            FROM db d
-            JOIN bc ON d.prev = bc.prev AND d.cur = bc.cur
-            JOIN pc ON d.prev = pc.prev
-            CROSS JOIN v),
-        doc AS (
-            SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
-                   round(sum(lp) / sum(m), 6) AS avg_logprob
-            FROM term GROUP BY doc_id),
-        r AS (
-            SELECT *, percent_rank() OVER (ORDER BY avg_logprob DESC, doc_id ASC) AS pr
-            FROM doc)
-        SELECT doc_id, n_bigrams, avg_logprob,
-               CASE WHEN pr < CAST(1.0 AS DOUBLE)/3 THEN 'head'
-                    WHEN pr < CAST(2.0 AS DOUBLE)/3 THEN 'middle'
-                    ELSE 'tail' END AS lm_bucket
-        FROM r
-    """,
+    "text_bigram_lm": _PLANTED_TEXT_BIGRAM_LM,
     "lateral_join": """
         SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
         FROM customer c,
@@ -5553,29 +5672,7 @@ ORACLES: dict[str, str] = {
                fingerprint
         FROM with_best
     """,
-    "text_decontaminate": f"""
-        WITH docs AS (SELECT doc_id, string_split({_norm('text')}, ' ') AS w
-                      FROM documents),
-        dg AS (
-            SELECT DISTINCT doc_id, u.g FROM (
-                SELECT doc_id, unnest({_sql_word_grams(4)}) AS g
-                FROM docs WHERE len(w) >= 4) u
-        ),
-        hold AS (SELECT DISTINCT g FROM dg WHERE doc_id % 10 = 0),
-        train AS (SELECT * FROM dg WHERE doc_id % 10 <> 0),
-        t AS (SELECT doc_id, count(*) AS total FROM train GROUP BY doc_id),
-        m AS (SELECT doc_id, count(*) AS matched
-              FROM train JOIN hold USING (g) GROUP BY doc_id)
-        SELECT t.doc_id,
-               CAST(total AS BIGINT) AS total_ngrams,
-               CAST(coalesce(matched, 0) AS BIGINT) AS matched_ngrams,
-               round(coalesce(matched, 0) * 1.0 / greatest(total, 1), 6)
-                   AS contamination,
-               coalesce(matched, 0) * 1.0 / greatest(total, 1) > 0.01
-                   AS is_contaminated
-        FROM t LEFT JOIN m ON t.doc_id = m.doc_id
-        ORDER BY t.doc_id
-    """,
+    "text_decontaminate": _PLANTED_TEXT_DECONTAMINATE,
     "text_line_dedup": """
     WITH toks AS (
       SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t FROM documents
@@ -5646,26 +5743,7 @@ ORACLES: dict[str, str] = {
                    AND coalesce(dup_trigram_frac, 0.0) <= 0.05) AS keep
         FROM rolled ORDER BY doc_id
     """,
-    "corpus_boilerplate_ngrams": f"""
-        WITH docs AS (SELECT doc_id, string_split({_norm('text')}, ' ') AS w
-                      FROM documents),
-        g5 AS (
-            SELECT doc_id, u.g FROM (
-                SELECT doc_id, unnest({_sql_word_grams(5)}) AS g
-                FROM docs WHERE len(w) >= 5) u
-        ),
-        dfq AS (SELECT g, count(*) AS gram_df
-                FROM (SELECT DISTINCT doc_id, g FROM g5) GROUP BY g),
-        j AS (SELECT doc_id, count(*) AS total,
-                     sum(CASE WHEN gram_df > 2 THEN 1 ELSE 0 END) AS bp
-              FROM g5 JOIN dfq USING (g) GROUP BY doc_id)
-        SELECT doc_id,
-               CAST(total AS BIGINT) AS total_ngrams,
-               CAST(bp AS BIGINT) AS boilerplate_ngrams,
-               round(bp * 1.0 / greatest(total, 1), 6) AS boilerplate_frac,
-               bp * 1.0 / greatest(total, 1) <= 0.05 AS keep
-        FROM j ORDER BY doc_id
-    """,
+    "corpus_boilerplate_ngrams": _PLANTED_CORPUS_BOILERPLATE_NGRAMS,
     "text_redact_pii": """
         SELECT doc_id,
                regexp_replace(
@@ -6903,9 +6981,9 @@ ORACLES["pipeline_corpus_hygiene"] = f"""
     SELECT d.doc_id, d.contamination, r.top_bigram_frac, r.dup_trigram_frac,
            b.boilerplate_frac,
            ((NOT d.is_contaminated) AND r.keep AND b.keep) AS keep
-    FROM ({ORACLES["text_decontaminate"]}) d
+    FROM ({_decontaminate_oracle()}) d
     JOIN ({ORACLES["text_repetition_stats"]}) r ON d.doc_id = r.doc_id
-    JOIN ({ORACLES["corpus_boilerplate_ngrams"]}) b ON d.doc_id = b.doc_id
+    JOIN ({_boilerplate_oracle()}) b ON d.doc_id = b.doc_id
     ORDER BY d.doc_id
 """
 
@@ -6916,7 +6994,7 @@ ORACLES["pipeline_curation_v2"] = f"""
            (c.kept_frac >= 0.5 AND l.lm_bucket <> 'tail'
             AND v.oov_rate <= 0.25) AS keep
     FROM ({ORACLES["dedup_chunks"]}) c
-    JOIN ({ORACLES["text_bigram_lm"]}) l ON c.doc_id = l.doc_id
+    JOIN ({_bigram_lm_oracle()}) l ON c.doc_id = l.doc_id
     JOIN ({ORACLES["vocab_oov"]}) v ON c.doc_id = v.doc_id
     ORDER BY c.doc_id
 """
