@@ -560,3 +560,130 @@ def test_audio_fingerprint_short_clip_pads_as_silence(spark):
     fp = multimodal.audio_fingerprint(wav).collect()[0]["afp"]
     # positions 13k >= 100 (k >= 8) are all silence -> bits set
     assert all(fp >> k & 1 for k in range(8, 60))
+
+
+def test_audio_near_dup_capped_buckets_reports_drops(spark):
+    """The family's third cap-report twin (no-silent-caps symmetry,
+    r14 verdict polish item): clips sharing a fingerprint band land in
+    the report when oversized, and the capped pairs call indeed
+    suppresses pairs the uncapped call emits."""
+    from yet_another_map_reduce_spark.operators import multimodal
+
+    # six clips with the same zero-crossing period -> identical afp:
+    # one oversized band bucket in every band at cap 4
+    ids = spark.createDataFrame([(3 + 8 * i,) for i in range(6)], "doc_id long")
+    media = multimodal.synthetic_wav_media(ids, "doc_id", n_samples=800)
+    report = multimodal.audio_near_dup_capped_buckets(
+        media, bands=4, max_bucket_size=4
+    ).collect()
+    assert report and max(r["n_ids"] for r in report) == 6
+    capped = multimodal.audio_near_dup_pairs(media, max_bucket_size=4).count()
+    uncapped = multimodal.audio_near_dup_pairs(media, max_bucket_size=None).count()
+    assert capped == 0 and uncapped == 15  # all C(6,2) pairs were capped away
+
+
+def _wav_from_samples(samples):
+    """RIFF PCM16 mono blob from an int16 numpy array."""
+    import struct
+
+    import numpy as np
+
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    fmt_chunk = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+    return bytearray(
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + fmt_chunk + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def test_audio_fingerprint_spectral_survives_dc_offset(spark):
+    """The spectral tier's reason to exist: a constant DC offset
+    shifts every zero crossing, flipping sign-tier bits wholesale, but
+    lands entirely in DFT bin 0 — which the band-energy fingerprint
+    excludes — so the spectral fingerprint is unchanged.  A re-gained
+    copy (x2) is also spectral-invariant (g² scales every energy, the
+    difference-of-differences signs survive)."""
+    import numpy as np
+
+    from yet_another_map_reduce_spark.operators import multimodal
+
+    rng = np.random.RandomState(3)
+    base = (rng.randint(-900, 900, size=768)).astype(np.int64)
+    rows = [
+        (1, _wav_from_samples(base)),
+        (2, _wav_from_samples(base + 500)),   # DC offset copy
+        (3, _wav_from_samples(base * 2)),     # re-gained copy
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+
+    sign = {
+        r["media_id"]: r["afp"]
+        for r in multimodal.audio_fingerprint(df, kind="sign").collect()
+    }
+    spec = {
+        r["media_id"]: r["afp"]
+        for r in multimodal.audio_fingerprint(df, kind="spectral").collect()
+    }
+    assert ham(sign[1], sign[2]) > 3     # sign tier misses the DC-offset dup
+    assert ham(spec[1], spec[2]) <= 3    # spectral tier keeps it
+    assert ham(spec[1], spec[3]) == 0    # gain-invariant by construction
+
+    # and through the pair pipeline knob
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in multimodal.audio_near_dup_pairs(
+            df, kind="spectral", max_bucket_size=None
+        ).collect()
+    }
+    assert (1, 2) in pairs and (1, 3) in pairs
+
+
+def test_audio_fingerprint_rejects_bad_spectral_bits(spark):
+    import pytest
+
+    from yet_another_map_reduce_spark.operators import multimodal
+
+    df = spark.createDataFrame([(1, bytearray(b"x"))], "media_id long, content binary")
+    with pytest.raises(ValueError, match="multiple"):
+        multimodal.audio_fingerprint(df, n_bits=59, kind="spectral")
+    with pytest.raises(ValueError, match="kind"):
+        multimodal.audio_fingerprint(df, kind="mfcc")
+
+
+def test_video_near_dup_dct_tier_catches_illumination_gradient(spark):
+    """kind='dct' through the video pipeline: two clips sharing a
+    frame up to a smooth illumination ramp pair under the DCT tier but
+    NOT under aHash at the same radius — the same discrimination case
+    as the still-image test, proven through the clip-level operator."""
+    import struct
+
+    import numpy as np
+
+    from yet_another_map_reduce_spark.operators import multimodal
+
+    rng = np.random.RandomState(1)
+    small = rng.randint(40, 216, size=(8, 8))
+    base1 = np.kron(small, np.ones((2, 2), dtype=np.int64))
+    base = np.stack([base1] * 3, axis=2).astype(np.uint8)
+    y, x = np.meshgrid(np.arange(16), np.arange(16), indexing="ij")
+    grad = (x * 60 // 15).astype(np.int64)[:, :, None]
+    shifted = np.clip(base.astype(np.int64) + grad, 0, 255).astype(np.uint8)
+
+    def clip(frames):
+        payload = b"".join(struct.pack("<I", len(p)) + p for p in frames)
+        return bytearray(b"MJPM" + struct.pack("<II", len(frames), 40) + payload)
+
+    rows = [
+        (1, clip([multimodal.encode_ppm(base)])),
+        (2, clip([multimodal.encode_ppm(shifted)])),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    a = multimodal.video_near_dup_pairs(
+        df, every_ms=40, max_hamming=3, kind="ahash", max_bucket_size=None
+    ).count()
+    d = multimodal.video_near_dup_pairs(
+        df, every_ms=40, max_hamming=3, kind="dct", max_bucket_size=None
+    ).count()
+    assert a == 0  # aHash misses the gradient near-dup at radius 3
+    assert d == 1  # the DCT tier pairs the clips

@@ -1021,29 +1021,85 @@ def video_near_dup_capped_buckets(
     )
 
 
+#: spectral-tier geometry: 64-sample frames, DFT bins 1..6 (six band
+#: energies), 5 band-difference bits per frame — n_bits must divide
+#: into whole frames of 5 bits.
+_SPECTRAL_FRAME = 64
+_SPECTRAL_BANDS = 6
+#: fixed-point DFT table scale 2^7: |re| <= 64 * 2^15 * 2^7 = 2^28,
+#: re^2 + im^2 < 2^57 — int64-safe with headroom, no floats anywhere
+_SPECTRAL_SCALE = 1 << 7
+
+
+def spectral_dft_tables() -> tuple[list[list[int]], list[list[int]]]:
+    """Fixed-point cos/sin DFT bases for the spectral audio tier:
+    ``COS[k][t] = round(scale * cos(2*pi*k*t/frame))`` (same for sin),
+    bins 1..``_SPECTRAL_BANDS``, plain Python ints — rounding happens
+    once, here, engine-portably (the :func:`dct_coeff_table`
+    discipline)."""
+    two_pi = 2.0 * math.pi
+    cos_t = [
+        [
+            int(round(_SPECTRAL_SCALE * math.cos(two_pi * k * t / _SPECTRAL_FRAME)))
+            for t in range(_SPECTRAL_FRAME)
+        ]
+        for k in range(1, _SPECTRAL_BANDS + 1)
+    ]
+    sin_t = [
+        [
+            int(round(_SPECTRAL_SCALE * math.sin(two_pi * k * t / _SPECTRAL_FRAME)))
+            for t in range(_SPECTRAL_FRAME)
+        ]
+        for k in range(1, _SPECTRAL_BANDS + 1)
+    ]
+    return cos_t, sin_t
+
+
 def audio_fingerprint(
-    df: DataFrame, n_bits: int = 60, stride: int = 13
+    df: DataFrame, n_bits: int = 60, stride: int = 13, kind: str = "sign"
 ) -> DataFrame:
-    """Sign-pattern audio fingerprint over PCM16 WAV blobs — the audio
-    member of the perceptual-hash family (:func:`image_phash` for
-    images, per-frame hashes for video): bit ``k`` is the sign of
-    sample ``k * stride`` (1 = non-negative), packed into the low
-    ``n_bits`` of a BIGINT.  The sign sequence at a fixed stride is an
-    amplitude-independent sketch of the waveform's zero-crossing
-    structure, so re-levelled or re-gained copies of a recording get
-    equal or Hamming-close fingerprints — the property near-dup needs.
-    A production deployment swaps this kernel for a spectral
-    fingerprint (chromaprint-style) behind the same (media_id, afp)
-    contract; sign-of-sample keeps it INTEGER-EXACT and replayable in
-    ANSI SQL, the discipline every hash in this repo follows.
+    """Audio fingerprint over PCM16 WAV blobs — the audio member of the
+    perceptual-hash family (:func:`image_phash` for images, per-frame
+    hashes for video).  Two tiers behind the same ``(media_id, afp)``
+    contract:
+
+    - ``kind="sign"`` (default): bit ``k`` is the sign of sample
+      ``k * stride`` (1 = non-negative), packed into the low ``n_bits``
+      of a BIGINT.  The sign sequence at a fixed stride is an
+      amplitude-independent sketch of the waveform's zero-crossing
+      structure, so re-levelled or re-gained copies get equal or
+      Hamming-close fingerprints.  Cheapest; sensitive to a constant
+      DC offset (a bias shifts every zero crossing and flips sign bits
+      wholesale).
+    - ``kind="spectral"``: chromaprint-style band-energy-difference
+      fingerprint — 64-sample frames, fixed-point integer DFT
+      (:func:`spectral_dft_tables`, scale 2^7, int64 matmuls — exact,
+      no floats), band energy ``E = re² + im²`` for bins 1..6, bit =
+      ``(E[f][b] - E[f][b+1]) - (E[f-1][b] - E[f-1][b+1]) > 0`` (frame
+      -1 ≡ silence).  Positive gain scales every energy by g², so the
+      difference-of-differences SIGNS are gain-invariant, and bin 0
+      (DC) is excluded, so a constant offset — the case the sign tier
+      misses — leaves the fingerprint intact (test-pinned).  ``stride``
+      is ignored; ``n_bits`` must be a multiple of 5 (five
+      band-difference bits per frame).
+
+    Both tiers are INTEGER-EXACT end to end (the repo-wide hash
+    discipline, making an ANSI-SQL replay possible for either).
 
     Output: ``(media_id, afp bigint, decodable boolean)`` — afp NULL
     for unparseable blobs (quarantine contract); recordings shorter
-    than ``n_bits * stride`` samples treat missing samples as silence
-    (sign bit 1), so short clips still fingerprint deterministically.
+    than the fingerprint span treat missing samples as silence, so
+    short clips still fingerprint deterministically.
     """
     if not 1 <= n_bits <= 60:
         raise ValueError(f"n_bits must be in [1, 60], got {n_bits}")
+    if kind not in ("sign", "spectral"):
+        raise ValueError(f"kind must be 'sign' or 'spectral', got {kind!r}")
+    if kind == "spectral" and n_bits % (_SPECTRAL_BANDS - 1) != 0:
+        raise ValueError(
+            f"spectral tier packs {_SPECTRAL_BANDS - 1} bits/frame; "
+            f"n_bits={n_bits} is not a multiple"
+        )
     out_schema = StructType(
         [
             StructField("media_id", LongType()),
@@ -1051,6 +1107,49 @@ def audio_fingerprint(
             StructField("decodable", BooleanType()),
         ]
     )
+
+    def _fp_sign(samples) -> int:
+        fp = 0
+        for k in range(n_bits):
+            pos = k * stride
+            if pos >= samples.size or samples[pos] >= 0:
+                fp |= 1 << k
+        return fp
+
+    tables = None  # built lazily inside the worker, shared across rows
+
+    def _fp_spectral(samples) -> int:
+        import numpy as np
+
+        nonlocal tables
+        if tables is None:
+            cos_t, sin_t = spectral_dft_tables()
+            tables = (
+                np.array(cos_t, dtype=np.int64).T,  # (frame, bands)
+                np.array(sin_t, dtype=np.int64).T,
+            )
+        cos_m, sin_m = tables
+        n_frames = n_bits // (_SPECTRAL_BANDS - 1)
+        need = n_frames * _SPECTRAL_FRAME
+        x = samples.astype(np.int64)
+        if x.size < need:  # missing samples are silence
+            x = np.concatenate([x, np.zeros(need - x.size, dtype=np.int64)])
+        seg = x[:need].reshape(n_frames, _SPECTRAL_FRAME)
+        re = seg @ cos_m  # (frames, bands), |.| <= 2^28
+        im = seg @ sin_m
+        energy = re * re + im * im  # < 2^57: int64-exact
+        band_diff = energy[:, :-1] - energy[:, 1:]  # (frames, bands-1)
+        prev = np.vstack(
+            [np.zeros((1, _SPECTRAL_BANDS - 1), dtype=np.int64), band_diff[:-1]]
+        )
+        bits = (band_diff - prev) > 0
+        fp = 0
+        for i, b in enumerate(bits.ravel()):
+            if b:
+                fp |= 1 << i
+        return fp
+
+    fp_one = _fp_sign if kind == "sign" else _fp_spectral
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -1063,12 +1162,7 @@ def audio_fingerprint(
                     ok.append(False)
                     continue
                 _, samples = parsed
-                fp = 0
-                for k in range(n_bits):
-                    pos = k * stride
-                    if pos >= samples.size or samples[pos] >= 0:
-                        fp |= 1 << k
-                fps.append(fp)
+                fps.append(fp_one(samples))
                 ok.append(True)
             yield pd.DataFrame(
                 {"media_id": ids, "afp": pd.array(fps, dtype="Int64"), "decodable": ok}
@@ -1084,6 +1178,7 @@ def audio_near_dup_pairs(
     n_bits: int = 60,
     stride: int = 13,
     max_bucket_size: int | None = 1000,
+    kind: str = "sign",
 ) -> DataFrame:
     """Audio near-duplicate pairs — :func:`audio_fingerprint` into the
     SHARED banded-Hamming pipeline (``dedup.banded_hamming_pairs``),
@@ -1096,7 +1191,7 @@ def audio_near_dup_pairs(
     to see exactly what a cap dropped (no-silent-caps discipline)."""
     from yet_another_map_reduce_spark.operators.dedup import banded_hamming_pairs
 
-    fp = audio_fingerprint(df, n_bits=n_bits, stride=stride).where(
+    fp = audio_fingerprint(df, n_bits=n_bits, stride=stride, kind=kind).where(
         F.col("afp").isNotNull()
     )
     return banded_hamming_pairs(
@@ -1106,5 +1201,39 @@ def audio_near_dup_pairs(
         bits=n_bits,
         bands=bands,
         max_hamming=max_hamming,
+        max_bucket_size=max_bucket_size,
+    )
+
+
+def audio_near_dup_capped_buckets(
+    df: DataFrame,
+    bands: int = 4,
+    n_bits: int = 60,
+    stride: int = 13,
+    max_bucket_size: int = 1000,
+    kind: str = "sign",
+) -> DataFrame:
+    """The no-silent-caps companion to :func:`audio_near_dup_pairs` —
+    the family twin of :func:`image_near_dup_capped_buckets` and
+    :func:`video_near_dup_capped_buckets`, completing the discipline
+    across all three media modalities: the fingerprint band buckets
+    the ``max_bucket_size`` cap would drop, same hashes, same
+    banding.  An oversized bucket on an audio corpus usually means
+    degenerate recordings (digital silence, test tones — the
+    sign-pattern fingerprint of pure silence is all-ones) that exact
+    content-hash dedup should absorb before near-dup runs."""
+    from yet_another_map_reduce_spark.operators.dedup import (
+        banded_hamming_capped_buckets,
+    )
+
+    fp = audio_fingerprint(df, n_bits=n_bits, stride=stride, kind=kind).where(
+        F.col("afp").isNotNull()
+    )
+    return banded_hamming_capped_buckets(
+        fp,
+        hash_col="afp",
+        id_col="media_id",
+        bits=n_bits,
+        bands=bands,
         max_bucket_size=max_bucket_size,
     )
