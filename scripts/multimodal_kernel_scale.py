@@ -80,6 +80,9 @@ def main() -> None:
             ),
             "image_phash_dct": lambda: force(multimodal.image_phash(img, kind="dct")),
             "audio_fingerprint": lambda: force(multimodal.audio_fingerprint(wav)),
+            "audio_fp_spectral": lambda: force(
+                multimodal.audio_fingerprint(wav, kind="spectral")
+            ),
             "video_frame_hashes": lambda: force(
                 multimodal._video_frame_fingerprints(vid, 40, 8, "ahash")
             ),

@@ -786,3 +786,123 @@ def test_avro_to_parquet_append_stats_are_deltas(spark, sf_dir, tmp_path):
     assert r2["rows"] == n2  # delta, not n1 + n2
     assert r2["out_files"] >= 1
     assert spark.read.parquet(out).count() == n1 + n2
+
+
+def test_reversed_union_order_decodes_correctly(spark, tmp_path):
+    """[T, \"null\"] unions (the standard layout when a field's default
+    is non-null) must decode by the union's ACTUAL null-branch
+    position — hard-coding branch 0 = null read every real value as
+    None and desynced the remaining fields (r15 review finding).
+    Exercised through BOTH decode paths (compiled fast path and the
+    interpreted _read_value path via a nested field)."""
+    out = os.path.join(str(tmp_path), "rev")
+    os.makedirs(out)
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "id", "type": ["long", "null"], "default": 7},
+            {"name": "t", "type": ["string", "null"], "default": "x"},
+            {
+                "name": "meta",
+                "type": [
+                    {
+                        "type": "record",
+                        "name": "m",
+                        "fields": [{"name": "w", "type": ["long", "null"]}],
+                    },
+                    "null",
+                ],
+            },
+        ],
+    }
+    rows = [(42, "a", (5,)), (None, None, None), (1, "b", (None,))]
+    p = os.path.join(out, "part-0.avro")
+    avro_format.write_container(p, rows, schema)
+    back = list(avro_format.read_container(p))
+    assert back == [(42, "a", (5,)), (None, None, None), (1, "b", (None,))]
+    # and through the DataSource (compiled/arrow paths as applicable)
+    avro_format.register(spark)
+    got = sorted(
+        (
+            (r["id"], r["t"])
+            for r in spark.read.format("pyavro")
+            .load(out)
+            .select("id", "t")
+            .collect()
+        ),
+        key=lambda x: (x[0] is None, x[0]),
+    )
+    assert got == [(1, "b"), (42, "a"), (None, None)]
+
+
+def test_multibranch_union_still_rejected(spark, tmp_path):
+    with pytest.raises(ValueError, match="union"):
+        avro_format._plan_type(["long", "string"], "f")
+    with pytest.raises(ValueError, match="union"):
+        avro_format._plan_type(["null", "long", "string"], "f")
+
+
+def test_writer_orphan_tmp_files_are_invisible(spark, tmp_path):
+    """Two-phase commit: task files land as *.avro.tmp and only commit
+    renames winners to *.avro — a failed/speculative attempt's orphan
+    never surfaces as live data (previously commit was a no-op and
+    readers globbed every *.avro, silently duplicating rows)."""
+    avro_format.register(spark)
+    out = str(tmp_path / "tp")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, t string")
+    df.coalesce(1).write.format("pyavro").mode("overwrite").save(out)
+    assert not [f for f in os.listdir(out) if f.endswith(".tmp")]
+    # plant an orphan attempt: complete container bytes, tmp suffix
+    avro_format.write_container(
+        os.path.join(out, "part-00000-dead-a0.avro.tmp"),
+        [(9, "orphan")],
+        {"type": "record", "name": "r", "fields": [
+            {"name": "id", "type": "long"}, {"name": "t", "type": "string"}]},
+    )
+    back = spark.read.format("pyavro").load(out).collect()
+    assert sorted(r["id"] for r in back) == [1, 2]  # orphan invisible
+
+
+def test_overwrite_preserves_old_data_until_commit(spark, tmp_path):
+    """A failed overwrite job must leave the old dataset intact:
+    deletion of the previous generation happens in commit(), after the
+    winners are renamed in — never at planning time (previously
+    __init__ cleared the destination before any task ran)."""
+    avro_format.register(spark)
+    out = str(tmp_path / "ow")
+    spark.createDataFrame([(1,)], "id long").write.format("pyavro").mode(
+        "overwrite"
+    ).save(out)
+    old = set(avro_format._list_avro_files(out))
+    assert old
+    # constructing the overwrite writer (= job planning) must not delete
+    w = avro_format.AvroWriter(
+        {"path": out}, spark.createDataFrame([(2,)], "id long").schema, True
+    )
+    assert set(avro_format._list_avro_files(out)) == old
+    w.abort([])  # failed job: abort, old data still live
+    assert set(avro_format._list_avro_files(out)) == old
+    assert spark.read.format("pyavro").load(out).collect()[0]["id"] == 1
+    # a successful overwrite does retire the old generation
+    spark.createDataFrame([(3,)], "id long").write.format("pyavro").mode(
+        "overwrite"
+    ).save(out)
+    back = spark.read.format("pyavro").load(out).collect()
+    assert [r["id"] for r in back] == [3]
+
+
+def test_encode_logical_tz_aware_uses_utc_epoch():
+    """A +02:00 datetime stores micros since the UTC epoch (instant
+    semantics), not micros since 1969-12-31T22:00Z."""
+    tz2 = datetime.timezone(datetime.timedelta(hours=2))
+    v = datetime.datetime(2020, 1, 1, 2, 0, tzinfo=tz2)  # == 2020-01-01T00:00Z
+    micros = avro_format._encode_logical(v, "timestamp-micros")
+    utc = datetime.datetime(2020, 1, 1, tzinfo=datetime.timezone.utc)
+    epoch = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+    assert micros == (utc - epoch) // datetime.timedelta(microseconds=1)
+    # naive values keep the naive epoch (timestamp_ntz semantics)
+    nv = datetime.datetime(2020, 1, 1)
+    assert avro_format._encode_logical(nv, "timestamp-micros") == (
+        nv - datetime.datetime(1970, 1, 1)
+    ) // datetime.timedelta(microseconds=1)

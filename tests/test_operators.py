@@ -2248,3 +2248,88 @@ def test_first_fit_tree_matches_naive_linear_scan():
                 tree.append(max(0, budget - n))
             tree_assign.append(placed)
         assert tree_assign == naive_assign, f"trial {trial} diverged"
+
+
+def test_chunk_dedup_surfaces_null_text_docs(spark):
+    """NULL text behaves as the empty string: the doc STAYS in the
+    output (one '' chunk) instead of vanishing through posexplode —
+    the 'one row per input document' contract (r15 review finding)."""
+    from yet_another_map_reduce_spark.operators import dedup
+
+    d = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in dedup.chunk_dedup(d, "text", "doc_id").collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[2]["n_chunks"] == 1  # NULL ≡ '' : one empty chunk
+    # first-occurrence of the '' chunk goes to the lower doc id
+    assert rows[2]["n_kept"] + rows[3]["n_kept"] == 1
+
+
+def test_connected_components_raise_instead_of_wrong_labels(spark):
+    """Exhausting max_iterations before the fixpoint raises (no-silent-
+    caps): partially-propagated labels split real components."""
+    import pytest
+
+    from yet_another_map_reduce_spark.operators import dedup
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(chain, max_iterations=2)
+    ok = dedup.connected_components(chain, max_iterations=25).collect()
+    assert {r["component"] for r in ok} == {0}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components_star(chain, max_iterations=1)
+
+
+def test_embedding_near_dup_gram_matches_exact_on_nulls(spark):
+    """The gram fast path's NULL contract matches the equi-join
+    variant: NULL vectors and NULL block keys contribute no pairs
+    (previously: np.stack crash / NULL-block pseudo-block pairs)."""
+    from yet_another_map_reduce_spark.operators import dedup
+
+    rows = [
+        (1, [1.0, 0.0], "blk"),
+        (2, [1.0, 0.0], "blk"),
+        (3, None, "blk"),          # NULL vector: crashed np.stack before
+        (4, [1.0, 0.0], None),     # NULL block: pseudo-block pairs before
+        (5, [1.0, 0.0], None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, vec array<double>, blk string")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_dup_pairs(df, "doc_id", "vec", "blk").collect()
+    }
+    gram = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_dup_pairs_gram(
+            df, "doc_id", "vec", "blk"
+        ).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_dup_pairs_lsh(
+            df, "doc_id", "vec", "blk", dim=2
+        ).collect()
+    }
+    assert exact == gram == lsh == {(1, 2)}
+
+
+def test_minhash_signatures_excludes_null_shingle_markers(spark):
+    """A keep_empty_docs=True shingle input must not give short docs
+    all-NULL signatures (whose band keys collide universally through
+    concat_ws NULL-skipping): NULL-shingle marker rows are dropped, so
+    short docs are excluded as the docstring promises."""
+    from yet_another_map_reduce_spark.operators import dedup
+
+    d = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x"), (3, "")], "doc_id long, text string"
+    )
+    sh = dedup.exploded_shingles(d, "text", "doc_id", 3, keep_empty_docs=True)
+    sig = dedup.minhash_signatures(d, "text", "doc_id", shingles=sh).collect()
+    ids = {r["doc_id"] for r in sig}
+    assert ids == {1}  # short docs excluded, not all-NULL-signatured
+    assert all(v is not None for r in sig for v in r["signature"])

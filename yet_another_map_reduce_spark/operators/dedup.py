@@ -170,7 +170,14 @@ def minhash_signatures(
     # (shuffle is O(docs), not O(shingles)).
     if shingles is None:
         shingles = exploded_shingles(df, text_col, id_col, shingle_k)
-    exploded = shingles.select(F.col(id_col), F.md5("shingle").alias("__hex"))
+    # defensively drop NULL-shingle marker rows (a keep_empty_docs=True
+    # input): md5(NULL)/conv(NULL) would make every min NULL, giving
+    # short docs all-NULL signatures whose band keys (concat_ws skips
+    # NULLs) COLLIDE UNIVERSALLY — every short doc would candidate-pair
+    # with every other instead of being excluded as documented
+    exploded = shingles.where(F.col("shingle").isNotNull()).select(
+        F.col(id_col), F.md5("shingle").alias("__hex")
+    )
     hashed = exploded.select(
         F.col(id_col),
         F.conv(F.substring("__hex", 1, 15), 16, 10).cast("bigint").alias("__ha"),
@@ -399,7 +406,7 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFr
         bits = 60  # md5_hash64 yields 60 usable bits
     tok = df.select(
         F.col(id_col),
-        F.explode(F.array_distinct(F.split(normalize_text(text_col), " "))).alias("__tok"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("__tok"),
     )
     hashed = tok.withColumn("__h", md5_hash64("__tok"))
     votes = hashed.groupBy(id_col).agg(
@@ -654,6 +661,13 @@ def connected_components(
 
     The convergence probe is a count() per round — a scalar aggregate,
     not a collect; driver memory stays O(1).
+
+    Exhausting ``max_iterations`` before the fixpoint RAISES instead of
+    returning silently-wrong labels (no-silent-caps discipline): a
+    component deeper than the round budget would otherwise come back
+    split into several bogus components, and a dedup keep-join would
+    keep duplicates with no signal anything was wrong.  Deep graphs
+    should use :func:`connected_components_star` (O(log n) rounds).
     """
     # materialize the edge list first: the symmetrizing union would
     # otherwise evaluate the (possibly expensive — e.g. full LSH
@@ -691,8 +705,14 @@ def connected_components(
         ).limit(1).count()
         labels = merged.select("id", F.col("new_component").alias("component"))
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} "
+        "iterations — the graph has a component deeper than the round "
+        "budget; raise max_iterations or use connected_components_star "
+        "(O(log n) rounds on any shape).  Refusing to return "
+        "partially-propagated labels (they would split real components)."
+    )
 
 
 def connected_components_star(
@@ -765,6 +785,7 @@ def connected_components_star(
         # count-based fixpoint probe compares) is deduplicated
         return out.distinct() if dedupe else out
 
+    converged = False
     for _ in range(max_iterations):
         e_next = star_round(
             star_round(e, small=False, dedupe=False), small=True
@@ -776,8 +797,20 @@ def connected_components_star(
             changed = e_next.exceptAll(e).limit(1).count()
             if changed == 0:
                 e = e_next
+                converged = True
                 break
         e = e_next
+    if not converged:
+        # worse than the propagation variant's failure mode: a
+        # non-star-forest edge set projects MULTIPLE (id, component)
+        # rows per id below — never return that silently
+        raise RuntimeError(
+            f"connected_components_star did not converge in "
+            f"{max_iterations} rounds (alternating star contraction is "
+            "O(log n) — this indicates an extreme graph or too small a "
+            "budget); raise max_iterations.  Refusing to project a "
+            "non-star-forest edge set into labels."
+        )
     roots = e.select(F.col("u").alias("component"), F.col("v").alias("id"))
     singletons = nodes.join(roots, nodes["id"] == roots["id"], "left_anti").select(
         F.col("id"), F.col("id").alias("component")
@@ -842,6 +875,14 @@ def embedding_near_dup_pairs_gram(
     flip the sign of a near-zero dot product — so "guard sub-blocks ==
     LSH-variant buckets" holds bit-for-bit, not just within float
     noise.
+
+    NULL handling matches the exact variant EXACTLY (part of the
+    same-contract promise): rows with a NULL vector contribute no
+    pairs (the equi-join variant's NULL dot/norm folds to NULL cos,
+    filtered), and rows with a NULL block key contribute no pairs (a
+    SQL equi-join never matches NULL keys) — both are filtered before
+    the groupBy rather than crashing ``np.stack`` or, worse, pooling
+    every NULL-block row into one pair-producing pseudo-block.
     """
     import numpy as np
     import pandas as pd
@@ -928,6 +969,7 @@ def embedding_near_dup_pairs_gram(
 
     return (
         df.select(F.col(id_col), F.col(vec_col), F.col(block_col))
+        .where(F.col(vec_col).isNotNull() & F.col(block_col).isNotNull())
         .groupBy(block_col)
         .applyInPandas(
             fn, schema="id_a long, id_b long, cos double, guarded boolean"
@@ -968,6 +1010,11 @@ def embedding_near_dup_pairs_lsh(
     """
     from yet_another_map_reduce_spark.operators.similarity import lsh_bucket
 
+    # NULL vector / NULL block rows contribute no pairs (the equi-join
+    # contract) — filter BEFORE banding: concat_ws below skips NULLs,
+    # so an unfiltered NULL block would otherwise pool rows by bucket
+    # alone and emit pairs a join on the block key would never produce
+    df = df.where(F.col(vec_col).isNotNull() & F.col(block_col).isNotNull())
     b = lsh_bucket(df, vec_col, num_planes, dim).withColumn(
         "__blk",
         F.concat_ws(
@@ -1011,10 +1058,19 @@ def chunk_dedup(
     through one sorted window partition — and the surviving chunks
     re-join on that same key before the final per-document rebuild.
     Nothing is ever corpus x corpus.
+
+    NULL text is treated as the empty string (one '' chunk), so the
+    "one row per input document" contract holds for EVERY input row —
+    a plain posexplode would silently drop NULL-text docs from the
+    output, and a downstream keep-join would drop them from the corpus
+    (the exploded_shingles keep_empty_docs hazard).
     """
     k = chunk_tokens
     tok = df.select(
-        F.col(id_col), F.posexplode(tokens(text_col)).alias("__pos", "__tok")
+        F.col(id_col),
+        F.posexplode(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias(
+            "__pos", "__tok"
+        ),
     )
     chunks = tok.groupBy(
         F.col(id_col), F.floor(F.col("__pos") / k).cast("bigint").alias("chunk_idx")
@@ -1085,17 +1141,21 @@ def duplicated_spans(
     1. positional shingles ``(id, pos, hash)`` — posexplode + lead,
        one window per doc; the 60-bit md5 hash is what shuffles, never
        shingle text;
-    2. corpus-duplicated positions: ONE exchange by hash + a window
-       count per hash, filtered in place (``count >= min_occurrences``;
-       intra-doc repeats count — a self-repeating doc is still
-       duplication).  Not a groupBy + join-back: that shape evaluates
-       the shingle pipeline TWICE (once per branch, no reuse) and
-       either broadcasts the duplicated-hash set — unbounded: on a
-       heavily duplicated corpus it approaches the distinct-shingle
-       count — or re-shuffles the corpus a second time for a sort-merge
-       join.  The window form computes shingles once and exchanges the
-       corpus exactly once on the hash (fixed-width rows), whatever the
-       duplication rate;
+    2. corpus-duplicated positions: the CACHED shingle relation (id,
+       pos, hash — fixed-width rows) aggregates by hash with MAP-SIDE
+       PARTIALS and joins the ``count >= min_occurrences`` hash set
+       back on the hash key (intra-doc repeats count — a
+       self-repeating doc is still duplication).  Deliberately NOT a
+       ``count().over(Window.partitionBy(hash))``: a window routes
+       every occurrence of a hash into ONE task with no partial
+       aggregation, so a boilerplate 8-gram repeated 10^8-10^9 times
+       (license headers at 100 TB) is a straggler-or-OOM hotspot —
+       and AQE's skew-join splitting rescues a sort-merge JOIN's hot
+       keys but never a window's.  The cache (the r6 pattern used by
+       every multi-branch operator here) keeps the shingle pipeline
+       single-evaluation; the duplicated-hash set is joined, never
+       broadcast (on a heavily duplicated corpus it approaches the
+       distinct-shingle count);
     3. gaps-and-islands per doc: coverage intervals ``[pos, pos+k-1]``
        merge while consecutive duplicated positions are ≤ ``k`` apart
        (overlapping or touching coverage) — lag + running sum, one
@@ -1111,18 +1171,24 @@ def duplicated_spans(
     )
     w = Window.partitionBy(id_col).orderBy("__pos")
     parts = [F.col("__tok")] + [F.lead("__tok", j).over(w) for j in range(1, k)]
-    sh = tok.select(
-        F.col(id_col),
-        F.col("__pos"),
-        md5_hash64(F.concat_ws(" ", *parts)).alias("__h"),
-        parts[-1].isNotNull().alias("__ok"),
-    ).where(F.col("__ok"))
-    wh = Window.partitionBy("__h")
-    hits = (
-        sh.withColumn("__n", F.count(F.lit(1)).over(wh))
-        .where(F.col("__n") >= min_occurrences)
-        .select(id_col, "__pos")
+    sh = (
+        tok.select(
+            F.col(id_col),
+            F.col("__pos"),
+            md5_hash64(F.concat_ws(" ", *parts)).alias("__h"),
+            parts[-1].isNotNull().alias("__ok"),
+        )
+        .where(F.col("__ok"))
+        .drop("__ok")
+        .transform(tracked_cache)
     )
+    dup_hashes = (
+        sh.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") >= min_occurrences)
+        .select("__h")
+    )
+    hits = sh.join(dup_hashes, "__h").select(id_col, "__pos")
     w2 = Window.partitionBy(id_col).orderBy("__pos")
     islands = hits.withColumn(
         "__new",

@@ -98,12 +98,14 @@ def _write_value(buf: io.BytesIO, v, typ, nullable: bool) -> None:
     """Encode one value.  ``typ`` is this module's plan tag: a primitive
     or logical-type name, or a nested tuple — ``("array", item_plan)``,
     ``("map", value_plan)``, ``("record", ((name, plan), ...))`` where
-    ``plan`` is ``(tag, nullable)``."""
+    ``plan`` is ``(tag, nullable)`` with nullable the 0/1/2 null-branch
+    code from :func:`_plan_type`."""
     if nullable:
+        nb = 0 if nullable == 1 else 1
         if v is None:
-            write_long(buf, 0)  # union branch 0 = null
+            write_long(buf, nb)  # the union's null branch
             return
-        write_long(buf, 1)
+        write_long(buf, 1 - nb)
     elif v is None:
         raise ValueError(f"NULL in non-nullable avro field of type {typ}")
     if isinstance(typ, tuple):
@@ -168,7 +170,9 @@ def _write_value(buf: io.BytesIO, v, typ, nullable: bool) -> None:
 def _read_value(view: memoryview, pos: int, typ, nullable: bool):
     if nullable:
         branch, pos = read_long(view, pos)
-        if branch == 0:
+        if branch not in (0, 1):
+            raise ValueError(f"corrupt avro union branch {branch}")
+        if branch == (0 if nullable == 1 else 1):
             return None, pos
     if isinstance(typ, tuple):
         kind = typ[0]
@@ -376,15 +380,22 @@ def _plan_field(f: dict) -> tuple[str, tuple]:
 
 
 def _plan_type(t, fname: str) -> tuple[str, tuple]:
-    nullable = False
+    # ``nullable`` is an int code carried through every plan tuple and
+    # into the compiled codecs: 0 = not a union, 1 = null is branch 0
+    # (["null", T]), 2 = null is branch 1 ([T, "null"] — the standard
+    # Avro layout whenever the field's default is non-null).  The
+    # branch POSITION must ride along: decoding a [T, "null"] union
+    # with null hard-coded as branch 0 silently reads every real value
+    # as NULL and desyncs the row (the r15 review finding).
+    nullable = 0
     if isinstance(t, list):
         branches = [b for b in t if b != "null"]
         if len(t) != 2 or len(branches) != 1:
             raise ValueError(
-                f"field {fname!r}: only 2-branch [null, T] unions "
-                "are supported"
+                f"field {fname!r}: only 2-branch unions with one "
+                "null branch are supported"
             )
-        nullable = True
+        nullable = 1 if t[0] == "null" else 2
         t = branches[0]
     if isinstance(t, dict) and t.get("logicalType") == "timestamp-micros":
         return "timestamp", ("timestamp-micros", nullable)
@@ -427,7 +438,16 @@ def _encode_logical(v, typ: str):
         import datetime as _dt
 
         if isinstance(v, _dt.datetime):
-            epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+            # tz-AWARE values measure against the UTC epoch (the spec's
+            # instant semantics): anchoring the epoch in the value's
+            # own tz offset would shift the stored micros by that
+            # offset (a +02:00 datetime would read back 2 h late from
+            # any compliant reader).  Naive values (timestamp_ntz /
+            # local-timestamp-micros) keep the naive epoch.
+            epoch = _dt.datetime(
+                1970, 1, 1,
+                tzinfo=_dt.timezone.utc if v.tzinfo is not None else None,
+            )
             # timedelta floordiv is exact integer microseconds;
             # total_seconds() is a float64 whose ulp near current epochs
             # (~1.8e15 us) is large enough to misround by a microsecond
@@ -520,10 +540,13 @@ def _compile_row_encoder(plans):
             return None  # outside the compiled subset
         lines.append(f"    v{i} = row[{i}]")
         if nullable:
+            nb = 0 if nullable == 1 else 1
             lines.append(f"    if v{i} is None:")
-            lines.append("        append(0)  # union branch 0 = null")
+            lines.append(f"        append({2 * nb})  # zigzag({nb}): null branch")
             lines.append("    else:")
-            lines.append("        append(2)  # zigzag(1): union branch 1")
+            lines.append(
+                f"        append({2 * (1 - nb)})  # zigzag({1 - nb}): value branch"
+            )
             lines.extend("    " + ln for b in body for ln in b.split("\n"))
         else:
             lines.append(f"    if v{i} is None:")
@@ -770,10 +793,17 @@ def _compile_block_decoder(plans):
             body.append(f"        {v} = None\n")
         if nullable:
             # union branch index is itself a varint (overlong encodings
-            # tolerated, same as read_long)
+            # tolerated, same as read_long); the null branch POSITION
+            # comes from the plan — never hard-coded 0
+            nb = 0 if nullable == 1 else 1
             lines.append(varint.format(out="branch"))
-            lines.append(f"        if branch == 0:")
+            lines.append(f"        if branch == {nb}:")
             lines.append(f"            {v} = None")
+            lines.append(f"        elif branch != {1 - nb}:")
+            lines.append(
+                "            raise ValueError("
+                "f'corrupt avro union branch {branch}')"
+            )
             lines.append(f"        else:")
             lines.extend(
                 "    " + ln for b in body for ln in b.rstrip("\n").split("\n")
@@ -1225,11 +1255,34 @@ class AvroReader(DataSourceReader):
 
 
 class _AvroCommit(WriterCommitMessage):
-    def __init__(self, path: str):
-        self.path = path
+    def __init__(self, tmp_path: str, final_path: str):
+        self.tmp_path = tmp_path
+        self.final_path = final_path
 
 
 class AvroWriter(DataSourceWriter):
+    """Two-phase batch writer (the FileOutputCommitter shape, kept
+    directory-compatible with external Avro tools — no manifest file a
+    foreign reader would trip over):
+
+    - tasks write ``*.avro.tmp`` files (invisible to readers, whose
+      glob is ``*.avro``) under attempt-unique names;
+    - ``commit`` renames ONLY the winning attempts' files to their
+      final ``*.avro`` names (os.replace — atomic per file), so a
+      failed/speculative attempt's complete-looking orphan can never
+      surface as live data (it would duplicate every row of the
+      winning attempt), and a half-written straggler can never turn
+      every future directory read into a corrupt-block error;
+    - ``overwrite`` deletes the PRE-EXISTING files inside ``commit``,
+      after the winners land — never at planning time (the previous
+      code cleared the destination in ``__init__``, so any failed
+      overwrite job destroyed the old dataset).  A reader racing the
+      commit window may transiently see old+new files together; a
+      crashed job leaves the old dataset intact plus invisible
+      ``*.avro.tmp`` garbage (re-running the overwrite converges and
+      ``abort`` cleans the known attempts).
+    """
+
     def __init__(self, options: dict, schema, overwrite: bool):
         self.path = options["path"]
         self.codec = options.get("codec", "deflate")
@@ -1237,9 +1290,13 @@ class AvroWriter(DataSourceWriter):
         self.avro_schema = spark_schema_to_avro(schema)
         self.overwrite = overwrite
         self.token = uuid.uuid4().hex[:8]
-        if overwrite and os.path.isdir(self.path):
-            for f in _list_avro_files(self.path):
-                os.remove(f)
+        # overwrite: snapshot what exists NOW; deletion happens in
+        # commit(), after this job's files are in place
+        self.previous = (
+            list(_list_avro_files(self.path))
+            if overwrite and os.path.isdir(self.path)
+            else []
+        )
 
     def write(self, iterator):
         from pyspark import TaskContext
@@ -1250,23 +1307,35 @@ class AvroWriter(DataSourceWriter):
             f"part-{tc.partitionId():05d}-{self.token}"
             f"-a{tc.attemptNumber()}.avro"
         )
-        full = os.path.join(self.path, fname)
+        final = os.path.join(self.path, fname)
+        tmp = final + ".tmp"
         write_container(
-            full,
+            tmp,
             iterator,
             self.avro_schema,
             codec=self.codec,
             block_rows=self.block_rows,
         )
-        return _AvroCommit(full)
+        return _AvroCommit(tmp, final)
 
     def commit(self, messages):
-        pass  # files land under unique names; nothing to publish
+        # publish winners first (atomic per-file renames), then retire
+        # the overwritten generation — a crash anywhere here never
+        # leaves the directory without the old data
+        for m in messages:
+            os.replace(m.tmp_path, m.final_path)
+        committed = {m.final_path for m in messages}
+        for f in self.previous:
+            if f not in committed:
+                try:
+                    os.remove(f)
+                except OSError:
+                    pass
 
     def abort(self, messages):
         for m in messages:
             try:
-                os.remove(m.path)
+                os.remove(m.tmp_path)
             except OSError:
                 pass
 
