@@ -191,3 +191,132 @@ def test_funnel_requires_strictly_later_steps(spark):
     assert set(out) == {1, 2}
     assert out[1]["stage"] == 3
     assert out[2]["stage"] == 2 and out[2]["t_purchase"] is None
+
+
+def test_gapfill_rejects_off_grid_buckets(spark):
+    """An input bucket not on the __lo + n*step grid fails loudly
+    instead of silently vanishing from the output (r15 review finding:
+    the spine left join kept only spine rows, so misaligned data was
+    LOST, not zero-filled)."""
+    import pytest
+
+    from yet_another_map_reduce_spark.operators import timeseries
+
+    rows = [
+        ("k", "2026-01-01 09:00:00", 1),
+        ("k", "2026-01-01 09:30:00", 2),  # off the hourly grid
+        ("k", "2026-01-01 11:00:00", 3),
+    ]
+    df = spark.createDataFrame(rows, "key string, bucket string, n int").select(
+        "key", F.col("bucket").cast("timestamp").alias("bucket"), "n"
+    )
+    with pytest.raises(Exception, match="off the 'interval 1 hour' grid"):
+        timeseries.gapfill(df, "key", "bucket", count_col="n").collect()
+    ok = timeseries.gapfill(
+        df.where("n != 2"), "key", "bucket", count_col="n"
+    ).collect()
+    assert {(r["bucket"].hour, r["n"]) for r in ok} == {(9, 1), (10, 0), (11, 3)}
+
+
+def test_rollup_hypertable_rejects_week_month_chain(spark):
+    """week is not a refinement boundary of month: the chain validator
+    raises instead of silently mis-bucketing (a Saturday 2026-08-01
+    event would land in July via week 2026-07-27)."""
+    import pytest
+
+    from yet_another_map_reduce_spark.operators import timeseries
+
+    df = spark.createDataFrame(
+        [(1, "2026-08-01 12:00:00", 1.0)], "id int, ts string, v double"
+    ).select("id", F.col("ts").cast("timestamp").alias("ts"), "v")
+    with pytest.raises(ValueError, match="week"):
+        timeseries.rollup_hypertable(df, ["id"], "ts", "v", grains=("day", "week", "month"))
+    with pytest.raises(ValueError, match="refinement"):
+        timeseries.rollup_hypertable(df, ["id"], "ts", "v", grains=("week", "year"))
+    # the valid chains still work, week-terminal included
+    for grains in (("hour", "day", "week"), ("day", "month", "quarter", "year")):
+        got = timeseries.rollup_hypertable(df, ["id"], "ts", "v", grains=grains)
+        assert got.count() == len(grains)
+
+
+def test_ewma_skips_and_carries_missing_values(spark):
+    """One NULL tick must not poison the rest of the key with NaN: the
+    row carries the previous ewma (NULL while nothing real seen yet)
+    and the recurrence state is untouched."""
+    from yet_another_map_reduce_spark.operators import timeseries
+
+    rows = [
+        ("k", 1, None),
+        ("k", 2, 4.0),
+        ("k", 3, None),
+        ("k", 4, 8.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, i long, v double")
+    got = {
+        r["i"]: r["ewma"]
+        for r in timeseries.ewma(df, "k", ["i"], "v", alpha=0.5).collect()
+    }
+    assert got[1] is None          # nothing real seen yet
+    assert got[2] == 4.0           # y0 = first real value
+    assert got[3] == 4.0           # missing: carried, state untouched
+    assert got[4] == 0.5 * 8.0 + 0.5 * 4.0
+
+
+def test_funnel_validates_steps(spark):
+    import pytest
+
+    from yet_another_map_reduce_spark.operators import timeseries
+
+    df = spark.createDataFrame(
+        [(1, "2026-01-01 00:00:00", "view")], "u int, ts string, t string"
+    ).select("u", F.col("ts").cast("timestamp").alias("ts"), "t")
+    with pytest.raises(ValueError, match="non-empty"):
+        timeseries.funnel(df, "u", "ts", "t", [])
+    with pytest.raises(ValueError, match="duplicate"):
+        timeseries.funnel(df, "u", "ts", "t", ["view", "click", "view"])
+
+
+def test_funnel_plan_stays_linear_in_steps(spark):
+    """Step i chains off the previous step's narrow frame: the step-0
+    aggregate must appear a bounded number of times in the final plan,
+    not 2^(k-1) (r15 review finding).  Probe: an 8-step funnel must
+    still analyze in bounded time and produce the right stages."""
+    from yet_another_map_reduce_spark.operators import timeseries
+
+    steps = [f"s{i}" for i in range(8)]
+    rows = [(1, f"2026-01-01 0{i}:00:00", f"s{i}") for i in range(8)]
+    rows += [(2, "2026-01-01 00:00:00", "s0")]
+    df = spark.createDataFrame(rows, "u int, ts string, t string").select(
+        "u", F.col("ts").cast("timestamp").alias("ts"), "t"
+    )
+    out = timeseries.funnel(df, "u", "ts", "t", steps)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # nxt_i textually embeds nxt_{i-1}, so the cached event relation
+    # appears O(k^2) times (k(k+1)/2 + k = 44 for k=8) — each occurrence
+    # is an InMemoryRelation SCAN, reused at execution.  The old
+    # out-chained form embedded the step-0 aggregate 2^(k-1) = 128+
+    # times and blew up plan canonicalization.
+    k = len(steps)
+    assert plan.count("InMemoryRelation") <= k * (k + 1) // 2 + k
+    got = {r["u"]: r["stage"] for r in out.collect()}
+    assert got == {1: 8, 2: 1}
+
+
+def test_top_k_per_group_rejects_rn_collision(spark):
+    import pytest
+
+    from yet_another_map_reduce_spark.operators import windows
+
+    df = spark.createDataFrame([(1, 1, 5)], "k int, __rn int, v int")
+    with pytest.raises(ValueError, match="__rn"):
+        windows.top_k_per_group(df, ["k"], [F.col("v")], 1)
+
+
+def test_zscore_rejects_temp_column_collision(spark):
+    import pytest
+
+    from yet_another_map_reduce_spark.operators import timeseries
+
+    df = spark.createDataFrame([(1, 1.0, 2.0)], "k int, v double, __mu double")
+    with pytest.raises(ValueError, match="__mu"):
+        timeseries.zscore_outliers(df, ["k"], "v")

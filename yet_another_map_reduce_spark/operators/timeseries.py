@@ -24,7 +24,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..caching import tracked_cache
@@ -66,10 +66,19 @@ def gapfill(
 ) -> DataFrame:
     """Fill missing time buckets per key with explicit rows.
 
-    ``bucketed`` must already be one row per (key, bucket).  Missing
-    buckets between each key's min and max get ``count_col`` = 0 and a
-    forward-filled value for each of ``ffill_cols`` (last non-null
-    earlier bucket; the first bucket always exists, so no leading nulls).
+    ``bucketed`` must already be one row per (key, bucket), with every
+    bucket ON the ``__lo + n*step`` grid (i.e. bucketed at the same
+    grain as ``step``).  Missing buckets between each key's min and max
+    get ``count_col`` = 0 and a forward-filled value for each of
+    ``ffill_cols`` (last non-null earlier bucket; the first bucket
+    always exists, so no leading nulls).
+
+    An OFF-grid input bucket (e.g. 30-minute buckets gap-filled with an
+    hourly step) fails loudly via a per-row assert instead of silently
+    vanishing: a plain spine-left-join keeps only spine rows, so
+    misaligned data would be LOST, not zero-filled — the worst possible
+    failure for a gap-filling operator.  The check rides the same
+    (full outer) join, no extra job.
     """
     bounds = bucketed.groupBy(key).agg(
         F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi")
@@ -77,17 +86,26 @@ def gapfill(
     spine = bounds.select(
         key,
         F.explode(F.expr(f"sequence(__lo, __hi, {step})")).alias(bucket_col),
+        F.lit(1).alias("__on_grid"),
     )
-    out = spine.join(bucketed, [key, bucket_col], "left")
+    out = spine.join(bucketed, [key, bucket_col], "full")
+    grid_ok = F.assert_true(
+        F.col("__on_grid").isNotNull(),
+        F.concat_ws(
+            " ",
+            F.lit(f"gapfill: input bucket off the '{step}' grid:"),
+            F.col(bucket_col).cast("string"),
+        ),
+    )
+    out = out.withColumn("__g", grid_ok).where(F.col("__g").isNull()).drop(
+        "__g", "__on_grid"
+    )
     if count_col:
         out = out.withColumn(count_col, F.coalesce(F.col(count_col), F.lit(0)).cast("bigint"))
-    w = (
-        Window.partitionBy(key)
-        .orderBy(bucket_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    from yet_another_map_reduce_spark.operators.windows import running
+
     for c in ffill_cols or []:
-        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+        out = running(out, [key], [bucket_col], F.last(c, ignorenulls=True), c)
     return out
 
 
@@ -105,6 +123,12 @@ def zscore_outliers(
     z-score so the result is bit-stable under double accumulation-order
     differences (oracle-parity rule; see queries.py docstring).
     """
+    clash = {"__mu", "__sigma"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"zscore_outliers: input already has {sorted(clash)} (the "
+            "operator's internal temp names) — rename them first"
+        )
     stats = df.groupBy(*keys).agg(
         F.round(F.avg(value_col), 6).alias("__mu"),
         F.round(F.stddev_samp(value_col), 6).alias("__sigma"),
@@ -140,9 +164,14 @@ def rollup_hypertable(
     checks this identity per grain).
 
     ``grains`` must run finest → coarsest and each coarser grain must be
-    a refinement boundary of ``date_trunc`` (hour ⊂ day ⊂ week ⊂ month
-    ⊂ year), otherwise re-truncating the finer bucket is not the same as
-    truncating the raw timestamp.
+    a refinement boundary of ``date_trunc``: any ascending run of
+    (minute, hour, day, month, quarter, year), with ``week`` allowed
+    ONLY as a final grain after day-or-finer.  Week boundaries are NOT
+    month/quarter/year boundaries (and vice versa): re-truncating a
+    week bucket to month attributes e.g. a Saturday 2026-08-01 event
+    (week starts 2026-07-27) to JULY — silently wrong buckets, so the
+    chain is VALIDATED and an invalid pair raises instead of
+    mis-aggregating.
 
     Scale notes (100 TB): the raw scan happens once; level N+1 shuffles
     only level N's output (|keys| x buckets rows, orders of magnitude
@@ -151,6 +180,23 @@ def rollup_hypertable(
     ingest time only the finest grain is recomputed for the touched
     window, and coarser grains fold the changed partials.
     """
+    if not grains:
+        raise ValueError("rollup_hypertable: grains must be non-empty")
+    chain = {
+        "second": 0, "minute": 1, "hour": 2, "day": 3,
+        "month": 4, "quarter": 5, "year": 6,
+    }
+    for a, b in zip(grains, grains[1:]):
+        ok = (
+            a in chain and b in chain and chain[a] < chain[b]
+        ) or (b == "week" and a in ("second", "minute", "hour", "day"))
+        if not ok:
+            raise ValueError(
+                f"rollup_hypertable: '{b}' after '{a}' is not a valid "
+                "date_trunc refinement chain (week boundaries are not "
+                "month/quarter/year boundaries and vice versa); got "
+                f"grains={grains!r}"
+            )
     finest = grains[0]
     level = df.groupBy(
         *keys, F.date_trunc(finest, F.col(ts_col)).alias("bucket")
@@ -211,24 +257,53 @@ def ewma(
     recurrence in the exact double-op order written above, so an ANSI-SQL
     recursive CTE replays it bit-for-bit (hash-verifiable).
 
+    Missing values (NULL, and NaN — indistinguishable after the Arrow
+    transfer) are SKIPPED-AND-CARRIED: the row's ``ewma`` repeats the
+    previous row's value (NULL while no real value has been seen yet)
+    and the recurrence state is untouched — one bad tick must not
+    poison every subsequent row of the key with NaN, which is what the
+    naive ``astype(float64)`` recurrence did (r15 review finding).
+    NULL order keys sort FIRST, matching SQL ``ORDER BY`` ascending
+    NULLS FIRST, so the replayed visit order is engine-identical.  The
+    registered oracle covers the NULL-free fixture; the NULL semantics
+    are pytest-pinned.
+
     Scale shape: one shuffle on the key; each group must fit an Arrow
     batch (time-series-per-entity, not the whole corpus — for
     million-row single keys, segment the key by epoch and stitch
     boundary state).  Returns input columns + ``ewma``.
     """
+    import math
+
     out_fields = df.select(key_col, *order_cols, value_col).schema.fields
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in out_fields)
     schema += ", ewma double"
     a = float(alpha)
 
     def _kernel(pdf):
-        pdf = pdf.sort_values(order_cols, kind="mergesort", ignore_index=True)
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values(
+            order_cols, kind="mergesort", ignore_index=True, na_position="first"
+        )
         x = pdf[value_col].astype("float64").to_numpy()
-        y = x.copy()
-        for i in range(1, len(y)):
-            # keep this exact op order: the SQL oracle replays it
-            y[i] = a * x[i] + (1.0 - a) * y[i - 1]
-        pdf["ewma"] = y
+        y = np.empty(len(x), dtype="float64")
+        prev = math.nan
+        for i in range(len(x)):
+            xi = x[i]
+            if math.isnan(xi):
+                y[i] = prev  # missing tick: carry, state untouched
+            elif math.isnan(prev):
+                prev = xi  # y_0 = x_0 at the first REAL value
+                y[i] = prev
+            else:
+                # keep this exact op order: the SQL oracle replays it
+                prev = a * xi + (1.0 - a) * prev
+                y[i] = prev
+        ew = pd.array(y, dtype="Float64")
+        ew[np.isnan(y)] = pd.NA  # leading-missing rows surface as NULL
+        pdf["ewma"] = ew
         return pdf
 
     out = (
@@ -261,26 +336,42 @@ def funnel(
     audit measured k raw-table scans for a k-step funnel without it).
     Per step: a min-aggregation (map-side partials) chained by
     co-partitioned joins on the user key — no window over raw events,
-    no per-user collect; AQE reuses the user partitioning.
+    no per-user collect; AQE reuses the user partitioning.  Step i
+    joins the PREVIOUS STEP's narrow (user, t_{i-1}) frame, not the
+    accumulated result: chaining off the accumulated frame embeds
+    out_{i-1} twice per step, growing the step-0 aggregate's plan
+    occurrences as 2^(k-1) for a k-step funnel (r15 review finding) —
+    semantically identical (the narrow frame holds exactly the users
+    with a non-null t_{i-1}), linear plan.
     """
+    if not steps:
+        raise ValueError("funnel: steps must be non-empty")
+    if len(set(steps)) != len(steps):
+        raise ValueError(
+            f"funnel: duplicate step names in {steps!r} would collide "
+            "on their t_<step> columns"
+        )
     ev = df.where(F.col(type_col).isin(list(steps))).select(
         user_col, ts_col, type_col
     ).transform(tracked_cache)
-    out = (
+    first = (
         ev.where(F.col(type_col) == steps[0])
         .groupBy(user_col)
         .agg(F.min(ts_col).alias(f"t_{steps[0]}"))
     )
+    out = first
+    prev_frame = first  # narrow (user, t_prev) of the previous step
     prev = f"t_{steps[0]}"
     for step in steps[1:]:
         nxt = (
             ev.where(F.col(type_col) == step)
-            .join(out.select(user_col, prev), user_col)
+            .join(prev_frame.select(user_col, prev), user_col)
             .where(F.col(ts_col) > F.col(prev))
             .groupBy(user_col)
             .agg(F.min(ts_col).alias(f"t_{step}"))
         )
         out = out.join(nxt, user_col, "left")
+        prev_frame = nxt
         prev = f"t_{step}"
     # stage = highest completed prefix: walk from the last step down
     expr = F.lit(len(steps))

@@ -31,6 +31,13 @@ def ranked(df: DataFrame, partition_by: list[str], order_by: list[Column | str],
 def top_k_per_group(df: DataFrame, partition_by: list[str], order_by: list[Column | str], k: int) -> DataFrame:
     """Top-k rows per group via row_number filter — the distributed
     replacement for any per-group ORDER BY ... LIMIT k."""
+    if "__rn" in df.columns:
+        # withColumn would silently CLOBBER the caller's column and
+        # drop() would then remove their data from the output
+        raise ValueError(
+            "top_k_per_group: input already has a '__rn' column (the "
+            "operator's internal temp name) — rename it first"
+        )
     return (
         row_numbered(df, partition_by, order_by, alias="__rn")
         .where(F.col("__rn") <= k)
