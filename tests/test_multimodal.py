@@ -687,3 +687,28 @@ def test_video_near_dup_dct_tier_catches_illumination_gradient(spark):
     ).count()
     assert a == 0  # aHash misses the gradient near-dup at radius 3
     assert d == 1  # the DCT tier pairs the clips
+
+
+def test_spectral_dft_tables_are_exact_fixed_point():
+    """The spectral tier's cos/sin bases are plain ints, rounded once
+    (engine-portable): bin k row t equals round(scale*cos(2πkt/64)),
+    cos row values at t=0 are the full scale, and the tables are what
+    the kernel actually folds (re-derived here independently)."""
+    import math
+
+    from yet_another_map_reduce_spark.operators.multimodal import (
+        _SPECTRAL_BANDS,
+        _SPECTRAL_FRAME,
+        _SPECTRAL_SCALE,
+        spectral_dft_tables,
+    )
+
+    cos_t, sin_t = spectral_dft_tables()
+    assert len(cos_t) == len(sin_t) == _SPECTRAL_BANDS
+    for k in range(_SPECTRAL_BANDS):
+        assert len(cos_t[k]) == _SPECTRAL_FRAME
+        assert cos_t[k][0] == _SPECTRAL_SCALE and sin_t[k][0] == 0
+        for t in (1, 7, 33):
+            ang = 2.0 * math.pi * (k + 1) * t / _SPECTRAL_FRAME
+            assert cos_t[k][t] == int(round(_SPECTRAL_SCALE * math.cos(ang)))
+            assert sin_t[k][t] == int(round(_SPECTRAL_SCALE * math.sin(ang)))

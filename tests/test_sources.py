@@ -1043,3 +1043,99 @@ def test_yamr_legacy_chunk_codec_reads_verbatim(spark, tmp_path):
         .option("path", out).option("name", "tx").load().collect()
     )
     assert vals == sorted(["\\N", "\\n", "None", "plain", "x\ny"])
+
+
+def test_jsonl_quarantine_handles_dotted_field_names(spark, tmp_path):
+    """Dotted JSON keys (routine in web-crawl JSONL) must project via
+    getField, not the string path form which misparses them as nested
+    struct paths (r15 review finding: FIELD_NOT_FOUND crash)."""
+    from pyspark.sql import types as T
+
+    from yet_another_map_reduce_spark.sources.readers import read_jsonl_quarantine
+
+    p = tmp_path / "dotted.jsonl"
+    p.write_text('{"user.name": "ada", "id": 1}\n{broken\n')
+    schema = T.StructType(
+        [T.StructField("user.name", T.StringType()), T.StructField("id", T.LongType())]
+    )
+    good, bad = read_jsonl_quarantine(spark, str(p), schema)
+    g = good.collect()
+    assert len(g) == 1 and g[0]["user.name"] == "ada" and g[0]["id"] == 1
+    assert bad.count() == 1
+
+
+def test_jsonl_quarantine_rejects_raw_line_in_schema(spark, tmp_path):
+    import pytest
+
+    from yet_another_map_reduce_spark.sources.readers import read_jsonl_quarantine
+
+    p = tmp_path / "x.jsonl"
+    p.write_text("{}\n")
+    with pytest.raises(ValueError, match="raw_line"):
+        read_jsonl_quarantine(spark, str(p), "id bigint, raw_line string")
+
+
+def test_compact_parquet_rejects_empty_or_remote_src(spark, tmp_path):
+    """total=0 must raise, not silently rewrite the dataset through one
+    task into a single file (the os.walk of a remote URI or typo'd
+    path yields nothing)."""
+    import pytest
+
+    from yet_another_map_reduce_spark.sources.writers import compact_parquet
+
+    empty = tmp_path / "nothing"
+    empty.mkdir()
+    with pytest.raises(FileNotFoundError, match="no local .parquet"):
+        compact_parquet(spark, str(empty), str(tmp_path / "out"))
+
+
+def test_read_table_events_does_not_mutate_caller_conf(spark, sf_dir):
+    """The nanosAsLong flip is scoped to a cloned session: the caller's
+    session conf is untouched before, during, and after (previously a
+    set/restore on the shared session raced concurrent reads)."""
+    from yet_another_map_reduce_spark.sources.readers import read_table
+
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    before = spark.conf.get(key, None)
+    df = read_table(spark, sf_dir, "events")
+    assert spark.conf.get(key, None) == before
+    # and the frame composes with frames from the caller's session
+    d = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("user_id")
+    )
+    assert df.join(d, "user_id").limit(1).count() in (0, 1)
+    assert df.schema["ts"].dataType.simpleString() == "timestamp"
+
+
+def test_read_table_nanos_generation_floor_division(spark, tmp_path):
+    """A genuine TIMESTAMP(NANOS) events file (synthesized via pyarrow)
+    converts with exact FLOOR division: a pre-1970 instant that is not
+    a whole microsecond must round DOWN (`div` truncation shifted it
+    +1 µs vs the oracle's floor-based epoch arithmetic)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from yet_another_map_reduce_spark.sources.readers import (
+        _events_ts_is_nanos,
+        read_table,
+    )
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2], type=pa.int64()),
+            "ts": pa.array([-1, 1_500], type=pa.timestamp("ns")),
+        }
+    )
+    papq.write_table(tbl, str(sf / "events.parquet"), store_schema=False)
+    assert _events_ts_is_nanos(str(sf / "events.parquet"))
+    rows = {r["event_id"]: r["ts"] for r in read_table(spark, str(sf), "events").collect()}
+    # -1 ns floors to -1 us (23:59:59.999999), NOT to epoch
+    assert rows[1] == dt.datetime(1969, 12, 31, 23, 59, 59, 999999)
+    # +1500 ns floors to +1 us
+    assert rows[2] == dt.datetime(1970, 1, 1, 0, 0, 0, 1)
+    # and the caller's session conf was never left flipped
+    assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None) is None

@@ -101,13 +101,17 @@ def read_jsonl_quarantine(
     Jackson parser, and keeps both halves lazy single-scan filters —
     no caching, no second pass.
     """
-    from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     if isinstance(schema, str):
         schema = T.StructType.fromDDL(schema)
     if "_corrupt_record" in schema.fieldNames():
         raise ValueError("schema must not declare _corrupt_record itself")
+    if "raw_line" in schema.fieldNames():
+        # the quarantined frame appends a verbatim `raw_line` column; a
+        # schema field of the same name would yield a duplicate-named
+        # column (AMBIGUOUS_REFERENCE downstream, unreadable parquet)
+        raise ValueError("schema must not declare raw_line itself")
     # a NEW StructType — StructType.add mutates in place, which would
     # leak _corrupt_record into the caller's schema object (and into
     # both returned frames' projections)
@@ -122,12 +126,18 @@ def read_jsonl_quarantine(
             {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
         ).alias("__r"),
     )
-    is_bad = F.col("__r").isNull() | F.col("__r._corrupt_record").isNotNull()
+    # getField, not F.col(f"__r.{name}"): a dotted (or backticked) JSON
+    # key — routine in web-crawl JSONL — parses as a nested path in the
+    # string form and fails with FIELD_NOT_FOUND
+    is_bad = (
+        F.col("__r").isNull()
+        | F.col("__r").getField("_corrupt_record").isNotNull()
+    )
     good = parsed.where(~is_bad).select(
-        *[F.col(f"__r.{f.name}").alias(f.name) for f in schema.fields]
+        *[F.col("__r").getField(f.name).alias(f.name) for f in schema.fields]
     )
     quarantined = parsed.where(is_bad).select(
-        *[F.col(f"__r.{f.name}").alias(f.name) for f in schema.fields],
+        *[F.col("__r").getField(f.name).alias(f.name) for f in schema.fields],
         F.col("__raw").alias("raw_line"),
     )
     return good, quarantined
@@ -155,6 +165,27 @@ def read_xml(
     return r.load(path)
 
 
+_NANOS_CONF_LOCK = __import__("threading").Lock()
+
+
+def _events_ts_is_nanos(path: str) -> bool:
+    """True iff the events parquet stores ``ts`` as TIMESTAMP(NANOS),
+    decided from one file footer via pyarrow — no Spark conf touched."""
+    import pyarrow.parquet as papq
+
+    p = path
+    if os.path.isdir(p):
+        parts = sorted(f for f in os.listdir(p) if f.endswith(".parquet"))
+        if not parts:
+            return False
+        p = os.path.join(p, parts[0])
+    try:
+        field = papq.read_schema(p).field("ts")
+    except (KeyError, OSError):
+        return False
+    return str(field.type) == "timestamp[ns]"
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one canonical test table from a scale-factor directory.
 
@@ -168,25 +199,43 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name != "events":
         return spark.read.parquet(path)
-    # scoped conf flip: TIMESTAMP(NANOS) files need nanosAsLong or the
-    # reader rejects them; the schema is resolved eagerly by
-    # spark.read.parquet, so restoring right after is safe — and a LATER
-    # read of some other TIMESTAMP(NANOS) parquet in the same session
-    # fails loudly instead of silently seeing bigint
-    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    try:
+    # Detect the ts physical type from ONE parquet footer via pyarrow —
+    # no Spark session conf involved — and only flip the session-global
+    # nanosAsLong when the file genuinely is TIMESTAMP(NANOS).  The
+    # flip races concurrent parquet reads on the same session (another
+    # thread's NANOS read in the window silently infers bigint), so:
+    # (a) on the common µs-physical generation no flip ever happens and
+    # there is no window at all; (b) on a NANOS generation the flip is
+    # serialized by a module lock against our own concurrent
+    # read_table calls, with the residual cross-reader window
+    # documented here.  NOT spark.newSession(): a cloned session would
+    # dodge the race but pins every events-derived plan to the clone's
+    # conf, silently ignoring the caller's runtime conf changes
+    # (broadcast thresholds, AQE knobs) for those plans.
+    if _events_ts_is_nanos(path):
+        with _NANOS_CONF_LOCK:
+            prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            try:
+                df = spark.read.parquet(path)  # schema resolved eagerly
+            finally:
+                if prev is None:
+                    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+                else:
+                    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    else:
         df = spark.read.parquet(path)
-    finally:
-        if prev is None:
-            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-        else:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
     from pyspark.sql.types import LongType, TimestampNTZType
 
     if isinstance(df.schema["ts"].dataType, LongType):
-        # integer `div` — float division would lose precision on int64 nanos
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # exact FLOOR division in bigint: `div` truncates toward zero,
+        # which shifts every pre-1970 non-whole-microsecond nanosecond
+        # instant +1 µs vs the oracle's floor-based epoch arithmetic;
+        # float division would lose precision above 2^53 outright
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000")),
+        )
     elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
         # session tz is pinned UTC (session.py), so this reinterprets the
         # stored wall clock as the same UTC instant the nanos path built;

@@ -135,6 +135,12 @@ def compact_parquet(
     ingest at scale (every micro-batch a sliver; a year later the
     listing alone takes minutes).  Sizing uses the actual on-disk bytes
     — never ``count()`` — so the planning cost is one file listing.
+
+    ``src`` must be a LOCAL path this process can walk: sizing uses
+    ``os.walk``, so a remote URI (hdfs://, s3://) or a typo'd path
+    would yield total=0 and silently funnel the whole dataset through
+    ONE task into one giant file — fail loudly instead (a remote
+    deployment swaps the sizing for a Hadoop FS listing).
     """
     import math
     import os
@@ -145,6 +151,12 @@ def compact_parquet(
         for f in files
         if f.endswith(".parquet")
     )
+    if total == 0:
+        raise FileNotFoundError(
+            f"compact_parquet: no local .parquet bytes under {src!r} — "
+            "remote URIs and empty/mistyped paths would otherwise "
+            "silently rewrite the dataset through a single task"
+        )
     n = max(1, math.ceil(total / target_file_bytes))
     spark.read.parquet(src).repartition(n).write.mode("overwrite").parquet(dst)
     return n
@@ -177,10 +189,23 @@ def write_training_shards(
 
     Layout: Hive-partitioned ``shard_id=N/`` directories — one file per
     shard unless ``max_records_per_file`` splits it for loaders that
-    stream fixed-size chunks.  Scale shape: one hash shuffle on the
-    ≤``num_shards``-value shard key to co-locate each shard in one
-    task, a per-task sort, then a parallel write; no global sort
-    bottleneck, no driver materialization.
+    stream fixed-size chunks.  Scale shape: one RANGE shuffle on the
+    ≤``num_shards``-value shard key — not ``repartition(num_shards,
+    "shard_id")``, which HASHES the shard values into the same number
+    of buckets and balls-in-bins leaves ~1/e of the write tasks empty
+    while stragglers carry 2-4 shards (~4× the balanced wall-clock at
+    corpus scale); range placement is ~1:1 shard-to-task and a single
+    shard value can never split across range boundaries, so output
+    CONTENT is identical either way (range sampling only moves task
+    placement, membership stays the pure hash function above) — then a
+    per-task sort and a parallel write; no global sort bottleneck, no
+    driver materialization.  The within-file sort carries the
+    ``id_col`` tiebreak: at ~10^9+ ids the 2^60 hash domain yields
+    expected shuffle_key collisions, and without the tiebreak two
+    colliding rows would land in nondeterministic relative file order
+    — breaking the bit-stable read-order contract the loader relies on
+    (``deterministic_shuffle`` and ``read_training_shards`` already
+    tiebreak on the id).
     """
     from yet_another_map_reduce_spark.operators.sampling import deterministic_shuffle
 
@@ -189,8 +214,8 @@ def write_training_shards(
         "shard_id", F.expr(f"CAST(shuffle_key DIV {width} AS INT)")
     )
     writer = (
-        shards.repartition(num_shards, "shard_id")
-        .sortWithinPartitions("shard_id", "shuffle_key")
+        shards.repartitionByRange(num_shards, "shard_id")
+        .sortWithinPartitions("shard_id", "shuffle_key", id_col)
         .write.mode(mode)
         .partitionBy("shard_id")
     )
