@@ -2702,33 +2702,42 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio near-dup (``multimodal.audio_near_dup_pairs``) under the
-    hash gate — completing the modality symmetry (image r13, video r14,
-    audio here).  The sign-pattern fingerprint is amplitude-independent
-    by construction, and the fixture proves it concretely: documents
-    ``i`` and ``i+8`` synthesize square waves with DIFFERENT amplitudes
-    but the same half-period, so they must land at hamming 0 — the
-    re-gained-copy story a real audio dedup needs.  The oracle replays
-    everything arithmetically: the sign of sample ``13k`` of a square
-    wave with half-period ``4 + (i % 8)``, the 60-bit pack, the 4x15
-    banding self-join, exact ``bit_count(xor)``, folded per hamming."""
+    hash gate, BOTH tiers in one row (r15 upgrade, registry-wall
+    consolidation): ``sign`` (zero-crossing pattern) and ``spectral``
+    (band-energy-difference over the fixed-point integer DFT).  The
+    fixture proves amplitude independence concretely: documents ``i``
+    and ``i+8`` synthesize square waves with DIFFERENT amplitudes but
+    the same half-period, so both tiers must land them at hamming 0 —
+    the re-gained-copy story a real audio dedup needs.  The oracle
+    replays everything arithmetically: the sign of sample ``13k`` for
+    the sign tier; for the spectral tier the SAME inlined cos/sin
+    integer tables the kernel folds (``spectral_dft_tables``, scale
+    2^7), the per-frame band energies re²+im², the
+    difference-of-differences bits, the 60-bit pack; then the shared
+    4x15 banding self-join, exact ``bit_count(xor)``, folded per
+    (tier, hamming)."""
     from yet_another_map_reduce_spark.functions import md5_hash64
     from yet_another_map_reduce_spark.operators import multimodal
 
     d = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
     wav = multimodal.synthetic_wav_media(d, "doc_id", rate=8000, n_samples=800)
-    pairs = multimodal.audio_near_dup_pairs(
-        wav, bands=4, max_hamming=3, max_bucket_size=None
-    )
+
+    def tier(kind: str) -> DataFrame:
+        return multimodal.audio_near_dup_pairs(
+            wav, bands=4, max_hamming=3, max_bucket_size=None, kind=kind
+        ).withColumn("tier", F.lit(kind))
+
+    pairs = tier("sign").unionByName(tier("spectral"))
     return (
         pairs.withColumn(
             "h", md5_hash64(F.concat_ws("|", F.col("id_a"), F.col("id_b")))
         )
-        .groupBy("hamming")
+        .groupBy("tier", "hamming")
         .agg(
             F.count("*").alias("n_pairs"),
             F.expr("bit_xor(h)").alias("pair_hash_xor"),
         )
-        .orderBy("hamming")
+        .orderBy("tier", "hamming")
     )
 
 
@@ -8178,8 +8187,25 @@ def _dct_phash_oracle() -> str:
 
 ORACLES["multimodal_phash_dct"] = _dct_phash_oracle()
 
-ORACLES["multimodal_audio_neardup"] = f"""
-    WITH fp AS (
+def _audio_neardup_oracle() -> str:
+    """Two-tier oracle: the sign fingerprint is a closed form of the
+    square-wave rule; the spectral fingerprint replays the kernel's
+    integer DFT from the SAME fixed-point tables
+    (``multimodal.spectral_dft_tables``, scale 2^7) inlined as
+    literals — rounding happens once, in Python, never in SQL."""
+    from yet_another_map_reduce_spark.operators.multimodal import (
+        spectral_dft_tables,
+    )
+
+    cos_t, sin_t = spectral_dft_tables()
+    c_rows = ",".join(
+        f"({k + 1},{t},{cos_t[k][t]},{sin_t[k][t]})"
+        for k in range(len(cos_t))
+        for t in range(len(cos_t[k]))
+    )
+    return f"""
+    WITH c(k, t, cv, sv) AS (VALUES {c_rows}),
+    sfp_sign AS (
       SELECT doc_id,
              CAST(sum(CASE WHEN ((g.k * 13) // (4 + (doc_id % 8))) % 2 = 0
                            THEN (1::BIGINT << g.k) ELSE 0 END) AS BIGINT) AS afp
@@ -8187,32 +8213,75 @@ ORACLES["multimodal_audio_neardup"] = f"""
       WHERE doc_id < 300
       GROUP BY doc_id
     ),
+    samp AS (
+      SELECT doc_id, g.t AS t,
+             CAST((1000 + (doc_id % 100) * 10)
+                  * (CASE WHEN ((g.t // (4 + (doc_id % 8))) % 2) = 0
+                          THEN 1 ELSE -1 END) AS BIGINT) AS s
+      FROM documents, generate_series(0, 767) AS g(t)
+      WHERE doc_id < 300
+    ),
+    e AS (
+      SELECT samp.doc_id, samp.t // 64 AS f, c.k,
+             CAST(sum(samp.s * c.cv) AS BIGINT) AS re,
+             CAST(sum(samp.s * c.sv) AS BIGINT) AS im
+      FROM samp JOIN c ON c.t = samp.t % 64
+      GROUP BY samp.doc_id, samp.t // 64, c.k
+    ),
+    en AS (SELECT doc_id, f, k, re*re + im*im AS nrg FROM e),
+    bd AS (
+      SELECT a.doc_id, a.f, a.k - 1 AS b, a.nrg - b2.nrg AS d
+      FROM en a JOIN en b2 ON a.doc_id = b2.doc_id AND a.f = b2.f
+                           AND b2.k = a.k + 1
+    ),
+    bits AS (
+      SELECT cur.doc_id, cur.f * 5 + cur.b AS i,
+             CASE WHEN cur.d - coalesce(prev.d, 0) > 0 THEN 1 ELSE 0 END AS bit
+      FROM bd cur LEFT JOIN bd prev
+        ON prev.doc_id = cur.doc_id AND prev.f = cur.f - 1 AND prev.b = cur.b
+    ),
+    sfp_spec AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN bit = 1 THEN (1::BIGINT << i)
+                           ELSE 0 END) AS BIGINT) AS afp
+      FROM bits GROUP BY doc_id
+    ),
+    fp AS (
+      SELECT 'sign' AS tier, doc_id, afp FROM sfp_sign
+      UNION ALL
+      SELECT 'spectral' AS tier, doc_id, afp FROM sfp_spec
+    ),
     banded AS (
-      SELECT doc_id, afp, b.band,
+      SELECT tier, doc_id, afp, b.band,
              CASE WHEN b.band < 3
                   THEN (afp >> (b.band*15)) & 32767
                   ELSE afp >> 45 END AS band_key
       FROM fp, generate_series(0, 3) AS b(band)
     ),
     cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, a.afp AS fa,
+      SELECT DISTINCT a.tier, a.doc_id AS id_a, a.afp AS fa,
                       b2.doc_id AS id_b, b2.afp AS fb
       FROM banded a
-      JOIN banded b2 ON a.band = b2.band AND a.band_key = b2.band_key
+      JOIN banded b2 ON a.tier = b2.tier AND a.band = b2.band
+                     AND a.band_key = b2.band_key
                      AND a.doc_id < b2.doc_id
     ),
     pairs AS (
-      SELECT id_a, id_b, bit_count(xor(fa, fb)) AS hamming
+      SELECT tier, id_a, id_b, bit_count(xor(fa, fb)) AS hamming
       FROM cand WHERE bit_count(xor(fa, fb)) <= 3
     )
-    SELECT CAST(hamming AS BIGINT) AS hamming,
+    SELECT tier,
+           CAST(hamming AS BIGINT) AS hamming,
            CAST(count(*) AS BIGINT) AS n_pairs,
            CAST(bit_xor({_sql_hash64("(id_a || '|' || id_b)")}) AS BIGINT)
                AS pair_hash_xor
     FROM pairs
-    GROUP BY hamming
-    ORDER BY hamming
+    GROUP BY tier, hamming
+    ORDER BY tier, hamming
 """
+
+
+ORACLES["multimodal_audio_neardup"] = _audio_neardup_oracle()
 
 ORACLES["ingest_pipeline_stats"] = f"""
     WITH base AS (
