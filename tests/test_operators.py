@@ -2333,3 +2333,109 @@ def test_minhash_signatures_excludes_null_shingle_markers(spark):
     ids = {r["doc_id"] for r in sig}
     assert ids == {1}  # short docs excluded, not all-NULL-signatured
     assert all(v is not None for r in sig for v in r["signature"])
+
+
+def test_grouped_ranked_tiers_agree_on_null_group_keys(spark):
+    """grouped_ranked's broadcast join-back is null-safe: NULL-keyed
+    rows rank as their own group in BOTH tiers (the big tier silently
+    dropped them before — entire groups vanishing with input size)."""
+    from pyspark.sql import functions as F
+
+    from yet_another_map_reduce_spark.operators import sorts
+
+    rows = [(i, None if i % 2 else "g") for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    small = sorts.grouped_ranked_adaptive(
+        df, ["grp"], [F.col("id").asc()], group_total_col="n_grp", n=20
+    )
+    big = sorts.grouped_ranked_adaptive(
+        df, ["grp"], [F.col("id").asc()], group_total_col="n_grp",
+        n=20, single_task_threshold=1,
+    )
+    key = lambda t: (t[0] is None, t[0] or "", t[1])  # noqa: E731
+    s = sorted(((r["grp"], r["id"], r["rank"], r["n_grp"]) for r in small.collect()), key=key)
+    b = sorted(((r["grp"], r["id"], r["rank"], r["n_grp"]) for r in big.collect()), key=key)
+    assert s == b
+    assert sum(1 for g, *_ in s if g is None) == 10
+
+
+def test_rollup_distinguishes_null_keys_from_subtotals(spark):
+    """GROUPING-based fill: a genuine NULL key group keeps its NULL,
+    only subtotal levels read '(all)' — a blind coalesce merged both
+    into the same label (r15 review finding)."""
+    from pyspark.sql import functions as F
+
+    from yet_another_map_reduce_spark.operators import aggregates
+
+    df = spark.createDataFrame(
+        [("a", 1), (None, 2), (None, 3)], "k string, v int"
+    )
+    out = {
+        (r["k"],): r["n"]
+        for r in aggregates.rollup_agg(
+            df, ["k"], [F.count(F.lit(1)).alias("n")]
+        ).collect()
+    }
+    assert out[("a",)] == 1
+    assert out[(None,)] == 2      # the real NULL-key group, kept as NULL
+    assert out[("(all)",)] == 3   # the grand total, unambiguous
+
+
+def test_percentiles_labels_round_and_reject_collisions(spark):
+    import pytest
+
+    from yet_another_map_reduce_spark.operators import aggregates
+
+    df = spark.createDataFrame([(1, float(i)) for i in range(100)], "k int, v double")
+    out = aggregates.percentiles(df, ["k"], "v", [0.29, 0.95])
+    assert "p29" in out.columns and "p95" in out.columns  # int() gave p28/p94
+    with pytest.raises(ValueError, match="collide"):
+        aggregates.percentiles(df, ["k"], "v", [0.001, 0.002])
+
+
+def test_frequent_items_tolerates_column_named_item(spark):
+    from yet_another_map_reduce_spark.operators import aggregates
+
+    df = spark.createDataFrame(
+        [("x",)] * 5 + [("y",)] * 2, "item string"
+    )
+    top = aggregates.frequent_items(df, "item", k=4).collect()
+    assert top[0]["item"] == "x" and top[0]["count"] == 5
+    hh = aggregates.heavy_hitters_exact(df, "item", k=2).collect()
+    assert [r["item"] for r in hh] == ["x"]
+
+
+def test_histogram_fixed_validates_and_skips_nulls(spark):
+    import pytest
+
+    from yet_another_map_reduce_spark.operators import aggregates
+
+    df = spark.createDataFrame([(1.0,), (None,), (2.0,)], "x double")
+    with pytest.raises(ValueError, match="nbuckets"):
+        aggregates.histogram_fixed(df, "x", 0.0, 10.0, 0)
+    with pytest.raises(ValueError, match="hi > lo"):
+        aggregates.histogram_fixed(df, "x", 5.0, 5.0, 4)
+    rows = aggregates.histogram_fixed(df, "x", 0.0, 10.0, 5).collect()
+    assert all(r["bucket"] is not None for r in rows)
+    assert sum(r["n"] for r in rows) == 2  # NULL excluded, not a bucket
+
+
+def test_profile_columns_approx_tier_and_odd_names(spark):
+    from yet_another_map_reduce_spark.operators import aggregates
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b")], ["the id", "odd-name"]
+    )
+    exact = {
+        r["col_name"]: (r["n_rows"], r["n_nulls"], r["n_distinct"])
+        for r in aggregates.profile_columns(df, ["the id", "odd-name"]).collect()
+    }
+    assert exact["the id"] == (3, 0, 2)
+    assert exact["odd-name"] == (3, 1, 2)
+    approx = {
+        r["col_name"]: r["n_distinct"]
+        for r in aggregates.profile_columns(
+            df, ["the id"], exact_distinct=False
+        ).collect()
+    }
+    assert approx["the id"] == 2  # HLL exact at tiny cardinality

@@ -187,3 +187,82 @@ def test_balanced_sample_caps_and_covers_every_cluster(spark, sf_dir):
     assert set(got) == set(sizes), "every non-empty cluster must contribute"
     for cid, n in sizes.items():
         assert got[cid] == min(20, n), (cid, n, got[cid])
+
+
+def test_reservoir_tiers_agree_on_null_group_keys(spark):
+    """The big tier's summary join-back is null-safe: a NULL group key
+    is a group (the window tier's semantics), not a dropped row —
+    previously the same call returned different samples depending only
+    on input size (r15 review finding)."""
+    from yet_another_map_reduce_spark.operators import sampling
+
+    rows = [(i, None if i % 2 else "g") for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    small = sampling.reservoir_per_group(df, ["grp"], "id", k=3, n=40)
+    big = sampling.reservoir_per_group(
+        df, ["grp"], "id", k=3, n=40, single_task_threshold=1
+    )
+    key = lambda t: (t[0] is None, t[0] or "", t[1])  # noqa: E731
+    s = sorted(((r["grp"], r["id"]) for r in small.collect()), key=key)
+    b = sorted(((r["grp"], r["id"]) for r in big.collect()), key=key)
+    assert s == b
+    assert sum(1 for g, _ in s if g is None) == 3  # NULL group sampled
+
+
+def test_hash_split_keeps_null_ids_exhaustive(spark):
+    """NULL ids land in SOME bucket (hashed as ''), so disjoint ranges
+    stay jointly exhaustive — previously NULL-id rows vanished from
+    train, val, AND test."""
+    from yet_another_map_reduce_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(str(i),) for i in range(20)] + [(None,)], "id string"
+    )
+    a = sampling.hash_split(df, "id", 0, 500).count()
+    b = sampling.hash_split(df, "id", 500, 1000).count()
+    assert a + b == 21  # the NULL-id row is in exactly one split
+
+
+def test_mixture_sample_replicates_null_id_rows(spark):
+    """A NULL-id row with weight >= 1 yields floor(weight) copies, not
+    silent omission (NULL hash propagated into __copies before)."""
+    from yet_another_map_reduce_spark.operators import sampling
+
+    df = spark.createDataFrame([("en", None), ("en", "a")], "lang string, id string")
+    out = sampling.mixture_sample(df, "lang", "id", {"en": 2.0}).collect()
+    ids = sorted(
+        ((r["id"], r["copy_id"]) for r in out),
+        key=lambda t: (t[0] is not None, t[0] or "", t[1]),
+    )
+    assert ids == [(None, 1), (None, 2), ("a", 1), ("a", 2)]
+
+
+def test_mixture_by_weights_tolerates_caller_weight_column(spark):
+    """weights_df's weight column is namespaced internally: a df that
+    already carries 'weight' no longer hits an ambiguous reference,
+    and the caller's column survives in the output."""
+    from yet_another_map_reduce_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [("en", "a", 7.0), ("de", "b", 9.0)], "lang string, id string, weight double"
+    )
+    wdf = spark.createDataFrame([("en", 2.0)], "lang string, weight double")
+    out = sampling.mixture_sample_by_weights(df, "lang", "id", wdf).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["id"], []).append(r["weight"])
+    assert by_id["a"] == [7.0, 7.0]  # en weight 2 -> two copies, caller col intact
+    assert by_id["b"] == [9.0]       # default weight 1
+
+
+def test_sampling_guards_reject_column_collisions(spark):
+    import pytest
+
+    from yet_another_map_reduce_spark.operators import sampling
+
+    df = spark.createDataFrame([(1, 2)], "id long, shuffle_key long")
+    with pytest.raises(ValueError, match="shuffle_key"):
+        sampling.deterministic_shuffle(df, "id")
+    df2 = spark.createDataFrame([("en", 1, 3)], "lang string, id long, copy_id long")
+    with pytest.raises(ValueError, match="copy_id"):
+        sampling.mixture_sample(df2, "lang", "id", {"en": 1.0})

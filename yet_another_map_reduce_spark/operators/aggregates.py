@@ -37,28 +37,50 @@ def approx_distinct_count(df: DataFrame, keys: list[str], col: str, alias: str, 
 
 
 def rollup_agg(df: DataFrame, keys: list[str], aggs: list[Column], fill: str = "(all)") -> DataFrame:
-    """GROUP BY ROLLUP with subtotal key levels COALESCEd to ``fill`` so
-    results are unambiguous even when real data contains NULL keys."""
-    out = df.rollup(*keys).agg(*aggs)
+    """GROUP BY ROLLUP with SUBTOTAL key levels set to ``fill``, decided
+    by ``GROUPING(k)`` — not a blind COALESCE, which would also rewrite
+    genuine NULL key VALUES and make a real NULL-country group
+    indistinguishable from the grand total (any re-grouping on the key
+    would then merge them into a wrong number).  Real NULL keys stay
+    NULL; only subtotal markers become ``fill``."""
+    out = df.rollup(*keys).agg(
+        *aggs, *[F.grouping(k).alias(f"__g_{k}") for k in keys]
+    )
     for k in keys:
-        out = out.withColumn(k, F.coalesce(F.col(k), F.lit(fill)))
-    return out
+        out = out.withColumn(
+            k, F.when(F.col(f"__g_{k}") == 1, F.lit(fill)).otherwise(F.col(k))
+        )
+    return out.drop(*[f"__g_{k}" for k in keys])
 
 
 def cube_agg(df: DataFrame, keys: list[str], aggs: list[Column], fill: str = "(all)") -> DataFrame:
-    """GROUP BY CUBE — all 2^k grouping sets in one pass."""
-    out = df.cube(*keys).agg(*aggs)
+    """GROUP BY CUBE — all 2^k grouping sets in one pass; subtotal
+    levels marked via ``GROUPING`` exactly as :func:`rollup_agg`."""
+    out = df.cube(*keys).agg(
+        *aggs, *[F.grouping(k).alias(f"__g_{k}") for k in keys]
+    )
     for k in keys:
-        out = out.withColumn(k, F.coalesce(F.col(k), F.lit(fill)))
-    return out
+        out = out.withColumn(
+            k, F.when(F.col(f"__g_{k}") == 1, F.lit(fill)).otherwise(F.col(k))
+        )
+    return out.drop(*[f"__g_{k}" for k in keys])
 
 
 def percentiles(df: DataFrame, keys: list[str], col: str, probs: list[float]) -> DataFrame:
     """Approximate percentiles (t-digest style) — mergeable sketches, the
-    only sane percentile at scale."""
+    only sane percentile at scale.  Column ``pNN`` names come from
+    ``round(p*100)`` with a collision guard: plain ``int()`` truncation
+    mislabeled float-fuzzy probs (0.29 → 'p28') and silently produced
+    DUPLICATE column names for sub-percent or >2-decimal probs."""
+    names = [f"p{round(p * 100)}" for p in probs]
+    if len(set(names)) != len(names):
+        raise ValueError(
+            f"percentiles: probs {probs} collide at whole-percent "
+            f"labels {names}; space them at least 1% apart or alias "
+            "manually"
+        )
     aggs = [
-        F.percentile_approx(col, p).alias(f"p{int(p * 100)}")
-        for p in probs
+        F.percentile_approx(col, p).alias(n) for p, n in zip(probs, names)
     ]
     return df.groupBy(*keys).agg(*aggs)
 
@@ -99,12 +121,22 @@ def histogram_fixed(
     nbuckets: int,
 ) -> DataFrame:
     """Fixed-width histogram: one row per non-empty bucket with count and
-    value range.  Out-of-range values clamp into the edge buckets.
+    value range.  Out-of-range values clamp into the edge buckets;
+    NULL values are excluded (previously they surfaced as a spurious
+    ``bucket=NULL`` row with NULL bounds, easily misread as data).
 
     The bucket index is plain ``floor((x - lo) / step)`` (not
     ``width_bucket``) so the exact same double expression runs in the
     SQL oracle; single shuffle with map-side partials, fully codegen'd.
     """
+    if nbuckets < 1:
+        raise ValueError(f"histogram_fixed: nbuckets must be >= 1, got {nbuckets}")
+    if not hi > lo:
+        raise ValueError(
+            f"histogram_fixed: need hi > lo, got lo={lo} hi={hi} "
+            "(step would be zero and every bucket NULL/divide-by-zero)"
+        )
+    df = df.where(F.col(col).isNotNull())
     step = (hi - lo) / nbuckets
     bucket = (
         F.least(
@@ -126,23 +158,42 @@ def histogram_fixed(
     )
 
 
-def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+def profile_columns(
+    df: DataFrame, cols: list[str], exact_distinct: bool = True
+) -> DataFrame:
     """Data-quality profile: one output row per column with row count,
-    null count, and exact distinct count.
+    null count, and distinct count.
 
-    Single aggregate pass over the input (all per-column counters fold in
-    one job), then a ``stack`` unpivot of the 1-row result — the unpivot
-    costs nothing because it runs on one row.
+    One aggregate JOB either way, but the distinct tier matters at
+    scale: ``exact_distinct=True`` uses ``countDistinct`` per column,
+    which Spark plans with an Expand node replicating every input row
+    ``len(cols)+1`` times before partial aggregation — exact answers,
+    ~(k+1)× map-side volume, the small/medium-data default.
+    ``exact_distinct=False`` swaps in ``approx_count_distinct`` (HLL,
+    default 5% rsd): NO Expand, fixed-size sketches, the 100 TB path —
+    profiling 10 columns of a 100 TB table with the exact tier would
+    expand ~1.1 PB of rows.  Columns are addressed positionally (no
+    name interpolation into SQL text), so names with quotes, spaces, or
+    hyphens profile fine.
     """
+    dcount = F.countDistinct if exact_distinct else F.approx_count_distinct
     aggs = [F.count(F.lit(1)).alias("__n")]
-    for c in cols:
-        aggs.append(F.sum(F.col(c).isNull().cast("bigint")).alias(f"__null_{c}"))
-        aggs.append(F.countDistinct(c).alias(f"__dist_{c}"))
+    for i, c in enumerate(cols):
+        aggs.append(F.sum(F.col(c).isNull().cast("bigint")).alias(f"__null_{i}"))
+        aggs.append(dcount(F.col(c)).alias(f"__dist_{i}"))
     row = df.agg(*aggs)
-    stack = ", ".join(f"'{c}', __n, __null_{c}, __dist_{c}" for c in cols)
-    return row.selectExpr(
-        f"stack({len(cols)}, {stack}) AS (col_name, n_rows, n_nulls, n_distinct)"
-    )
+    per = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"__null_{i}").alias("n_nulls"),
+            F.col(f"__dist_{i}").cast("bigint").alias("n_distinct"),
+        )
+        for i, c in enumerate(cols)
+    ]
+    return row.select(
+        F.explode(F.array(*per)).alias("__p")
+    ).select("__p.col_name", "__p.n_rows", "__p.n_nulls", "__p.n_distinct")
 
 
 def frequent_items(
@@ -181,10 +232,15 @@ def frequent_items(
     )
     if not exact_recount:
         return cands
+    # internal name namespaced: with df[col] itself (or any df column)
+    # named 'item', the bare F.col('item') join/groupBy would resolve
+    # against BOTH sides and fail with an ambiguous reference
+    probe = cands.select(F.col("item").alias("__item"))
     exact = (
-        df.join(F.broadcast(cands.select("item")), df[col] == F.col("item"), "inner")
-        .groupBy("item")
+        df.join(F.broadcast(probe), df[col] == F.col("__item"), "inner")
+        .groupBy("__item")
         .agg(F.count(F.lit(1)).alias("count"))
+        .select(F.col("__item").alias("item"), "count")
         .orderBy(F.col("count").desc(), F.col("item"))
     )
     return exact
@@ -257,14 +313,16 @@ def heavy_hitters_exact(df: DataFrame, col: str, k: int) -> DataFrame:
     )[:k]
     spark = df.sparkSession
     item_type = df.schema[col].dataType.simpleString()
+    # namespaced candidate column: a df column named 'item' (including
+    # col itself) would make the join condition and groupBy ambiguous
     cands = spark.createDataFrame(
-        [(item,) for _, item in cand_rows], schema=f"item {item_type}"
+        [(item,) for _, item in cand_rows], schema=f"__item {item_type}"
     )
     return (
-        df.join(F.broadcast(cands), df[col] == F.col("item"), "inner")
-        .groupBy("item")
+        df.join(F.broadcast(cands), df[col] == F.col("__item"), "inner")
+        .groupBy("__item")
         .agg(F.count(F.lit(1)).alias("count"))
         .where(F.col("count") * (k + 1) > F.lit(n))
-        .select("item", "count")
+        .select(F.col("__item").alias("item"), "count")
         .orderBy(F.col("count").desc(), F.col("item"))
     )

@@ -26,6 +26,33 @@ from pyspark.sql import functions as F
 from yet_another_map_reduce_spark.functions import md5_hash64
 
 
+def _guard_cols(df: DataFrame, op: str, *names: str) -> None:
+    """Refuse inputs whose columns collide with an operator's internal
+    or output names — withColumn would silently CLOBBER the caller's
+    data and a later drop() would remove it from the output."""
+    clash = sorted(set(names) & set(df.columns))
+    if clash:
+        raise ValueError(
+            f"{op}: input already has column(s) {clash} (this operator's "
+            "internal/output names) — rename them first"
+        )
+
+
+def _id_bucket(id_col: Column | str, seed: int) -> Column:
+    """Deterministic 0-999 hash bucket of the id, NULL-TOTAL: a NULL id
+    hashes as the empty string instead of propagating NULL through md5
+    — otherwise NULL-id rows silently vanish from every split (breaking
+    hash_split's jointly-exhaustive contract) and from mixture samples
+    even at weight >= 1.  Non-null ids hash exactly as before (the
+    coalesce is an identity for them), so existing oracles are
+    unaffected; NULL collides with the genuine empty-string id, which
+    is deterministic and documented."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.pmod(
+        md5_hash64(F.coalesce(c.cast("string"), F.lit("")), seed), F.lit(1000)
+    )
+
+
 def hash_split(
     df: DataFrame,
     id_col: Column | str,
@@ -35,8 +62,9 @@ def hash_split(
 ) -> DataFrame:
     """Deterministic Bernoulli-by-hash slice: rows whose hash bucket (0-999)
     falls in [permille_lo, permille_hi).  Disjoint ranges give disjoint,
-    jointly exhaustive train/val/test splits."""
-    bucket = F.pmod(md5_hash64(id_col, seed), F.lit(1000))
+    jointly exhaustive train/val/test splits (NULL ids included — see
+    :func:`_id_bucket`)."""
+    bucket = _id_bucket(id_col, seed)
     return df.where((bucket >= permille_lo) & (bucket < permille_hi))
 
 
@@ -57,7 +85,7 @@ def stratified_hash_sample(
     shuffle, no state, pushdown-friendly."""
     if not fractions:
         raise ValueError("fractions must name at least one stratum")
-    bucket = F.pmod(md5_hash64(id_col, seed), F.lit(1000))
+    bucket = _id_bucket(id_col, seed)
     thresh = None
     for value, frac in fractions.items():
         cond = F.col(strata_col) == value
@@ -93,7 +121,14 @@ def reservoir_per_group(
     at all: only the tiny summary and the surviving candidates move.
     Both tiers keep exactly the same rows (k smallest by (hash, id)
     per group; every global winner is a winner within its own input
-    partition)."""
+    partition).  The summary join-back is NULL-SAFE on the group keys:
+    ``Window.partitionBy`` treats NULL as a group, so a null-unsafe
+    equi-join would silently drop every NULL-keyed row from the big
+    tier only — same data, different sample, rows lost at scale (r15
+    review finding)."""
+    from functools import reduce
+
+    _guard_cols(df, "reservoir_per_group", "__h", "__pid", "__mid", "__m0", "__r")
     h = md5_hash64(id_col, seed)
     if n is None:
         n = df.count()
@@ -111,12 +146,23 @@ def reservoir_per_group(
         .withColumn("__mid", F.monotonically_increasing_id())
     )
     mins = local.groupBy("__pid", *keys).agg(F.min("__mid").alias("__m0"))
+    mins = mins.select(
+        F.col("__pid").alias("__pid2"),
+        *[F.col(c).alias(f"__k_{c}") for c in keys],
+        "__m0",
+    )
+    cond = reduce(
+        lambda a, b: a & b,
+        [local["__pid"] == F.col("__pid2")]
+        + [local[c].eqNullSafe(F.col(f"__k_{c}")) for c in keys],
+    )
     cand = (
-        local.join(F.broadcast(mins), ["__pid", *keys])
+        local.join(F.broadcast(mins), cond)
         # rows of one (partition, group) are contiguous in the local
         # sort and mids increment by one per row, so this IS the
         # 0-based local rank (the global_ranked mid contract)
         .where(F.col("__mid") - F.col("__m0") < k)
+        .drop("__pid2", *[f"__k_{c}" for c in keys])
     )
     w = Window.partitionBy(*keys).orderBy(F.col("__h"), F.col(id_col))
     return (
@@ -139,6 +185,7 @@ def deterministic_shuffle(df: DataFrame, id_col: Column | str, seed: int = 0) ->
     correctness oracle.  A different ``seed`` gives an independent
     epoch order.
     """
+    _guard_cols(df, "deterministic_shuffle", "shuffle_key")
     return df.withColumn("shuffle_key", md5_hash64(id_col, seed)).orderBy(
         "shuffle_key", F.col(id_col) if isinstance(id_col, str) else id_col
     )
@@ -179,8 +226,10 @@ def _replicate_by_weight(
     df: DataFrame, w: Column, id_col: Column | str, seed: int
 ) -> DataFrame:
     """Shared keep/replicate kernel: floor(w) copies plus one extra with
-    probability frac(w), decided by the row's hash bucket."""
-    bucket = F.pmod(md5_hash64(id_col, seed), F.lit(1000))
+    probability frac(w), decided by the row's hash bucket (NULL-total:
+    a NULL id must still yield floor(w) copies, not vanish)."""
+    _guard_cols(df, "mixture_sample", "__copies", "copy_id")
+    bucket = _id_bucket(id_col, seed)
     base = F.floor(w).cast("bigint")
     extra = (bucket < F.round((w - F.floor(w)) * 1000, 0)).cast("bigint")
     copies = (base + extra).alias("__copies")
@@ -211,8 +260,14 @@ def mixture_sample_by_weights(
     literal; groups missing from ``weights_df`` fall back to
     ``default_weight``.
     """
-    w = F.coalesce(F.col(weight_col), F.lit(float(default_weight)))
-    joined = df.join(
-        F.broadcast(weights_df.select(group_col, weight_col)), on=group_col, how="left"
+    # internal weight name: if df itself carries a column named
+    # weight_col, the join would duplicate the name — the coalesce
+    # becomes ambiguous (or silently reads the caller's column as the
+    # sampling weight) and drop() strips the caller's data
+    _guard_cols(df, "mixture_sample_by_weights", "__w")
+    wdf = weights_df.select(
+        F.col(group_col), F.col(weight_col).alias("__w")
     )
-    return _replicate_by_weight(joined, w, id_col, seed).drop(weight_col)
+    w = F.coalesce(F.col("__w"), F.lit(float(default_weight)))
+    joined = df.join(F.broadcast(wdf), on=group_col, how="left")
+    return _replicate_by_weight(joined, w, id_col, seed).drop("__w")

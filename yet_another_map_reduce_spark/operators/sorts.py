@@ -97,6 +97,14 @@ def global_ranked(
     #    seeded from the RDD id (deterministic), the sort is total by
     #    the order-cols contract, and the id assignment is a pure
     #    function of partition layout.
+    clash = sorted(
+        {"__pid", "__mid", "__cnt", "__mid0", "__off", rank_col} & set(df.columns)
+    )
+    if clash:
+        raise ValueError(
+            f"global_ranked: input already has column(s) {clash} (internal"
+            "/output names) — rename them first (withColumn would clobber)"
+        )
     local = (
         df.repartitionByRange(*order_cols)
         .sortWithinPartitions(*order_cols)
@@ -197,7 +205,15 @@ def grouped_ranked(
     percent_rank = (rank-1)/(n_group-1), per-group ntile, quotas).
     The order must be total within each group (include a unique
     tiebreaker) — the global_ranked contract.
+
+    The summary join-back is NULL-SAFE on the group keys: a window's
+    ``partitionBy`` treats NULL as a group, so a plain (null-unsafe)
+    equi-join here would silently DROP every NULL-keyed row from this
+    tier while the adaptive small tier ranks them — entire groups
+    appearing or vanishing with input size (r15 review finding).
     """
+    from functools import reduce
+
     from pyspark.sql import functions as F
 
     gorder = [F.col(c).asc() for c in group_cols] + list(order_cols)
@@ -205,14 +221,24 @@ def grouped_ranked(
     aggs = [F.min("__grank").alias("__g0")]
     if group_total_col is not None:
         aggs.append(F.count(F.lit(1)).cast("bigint").alias(group_total_col))
-    per = g.groupBy(*group_cols).agg(*aggs)
+    per = g.groupBy(*group_cols).agg(
+        *aggs
+    )
+    per = per.select(
+        *[F.col(c).alias(f"__k_{c}") for c in group_cols],
+        *[c for c in per.columns if c not in group_cols],
+    )
+    cond = reduce(
+        lambda a, b: a & b,
+        [g[c].eqNullSafe(F.col(f"__k_{c}")) for c in group_cols],
+    )
     out = (
-        g.join(F.broadcast(per), list(group_cols))
+        g.join(F.broadcast(per), cond)
         .withColumn(
             rank_col,
             (F.col("__grank") - F.col("__g0") + 1).cast("bigint"),
         )
-        .drop("__grank", "__g0")
+        .drop("__grank", "__g0", *[f"__k_{c}" for c in group_cols])
     )
     return out
 

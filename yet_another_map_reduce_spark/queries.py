@@ -5183,15 +5183,23 @@ ORACLES: dict[str, str] = {
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
     "agg_rollup": """
-        SELECT coalesce(l_returnflag, '(all)') AS l_returnflag,
-               coalesce(l_linestatus, '(all)') AS l_linestatus,
+        -- GROUPING-based fill, the exact twin of rollup_agg: only
+        -- SUBTOTAL levels read '(all)'; a genuine NULL key value would
+        -- stay NULL (indistinguishable-from-subtotal was the r15
+        -- review finding; lineitem's keys happen to be non-null)
+        SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN '(all)'
+                    ELSE l_returnflag END AS l_returnflag,
+               CASE WHEN GROUPING(l_linestatus) = 1 THEN '(all)'
+                    ELSE l_linestatus END AS l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty,
                CAST(count(*) AS BIGINT) AS n_rows
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
     "agg_cube": """
-        SELECT coalesce(l_returnflag, '(all)') AS l_returnflag,
-               coalesce(l_linestatus, '(all)') AS l_linestatus,
+        SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN '(all)'
+                    ELSE l_returnflag END AS l_returnflag,
+               CASE WHEN GROUPING(l_linestatus) = 1 THEN '(all)'
+                    ELSE l_linestatus END AS l_linestatus,
                round(sum(l_extendedprice), 2) AS sum_price,
                CAST(count(*) AS BIGINT) AS n_rows
         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
