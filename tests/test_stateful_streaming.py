@@ -220,3 +220,93 @@ def test_streaming_dedup_on_rocksdb_state_store(spark, tmp_path):
             spark.conf.unset(provider_key)
         else:
             spark.conf.set(provider_key, prev)
+
+
+def test_fold_batch_skips_nat_and_carries_state():
+    """The shared sessionize fold: an all-NULL-ts chunk yields NaT and
+    must not poison later chunks' maxima; state's last_ts participates
+    so a late batch can't move the session timestamp backwards."""
+    import pandas as pd
+
+    from yet_another_map_reduce_spark.streaming.stateful import _fold_batch
+
+    c1 = pd.DataFrame({"value": [1.0], "ts": pd.to_datetime([None])})
+    c2 = pd.DataFrame({"value": [2.0], "ts": pd.to_datetime(["2024-01-01 10:00"])})
+    n, total, last = _fold_batch([c1, c2], 0, 0.0, None)
+    assert n == 2 and total == 3.0
+    assert last == pd.Timestamp("2024-01-01 10:00")  # NaT chunk skipped
+    # a LATE batch (older max) keeps the stored, newer last_ts
+    c3 = pd.DataFrame({"value": [1.0], "ts": pd.to_datetime(["2024-01-01 09:30"])})
+    n, total, last = _fold_batch([c3], n, total, last)
+    assert last == pd.Timestamp("2024-01-01 10:00")
+
+
+def test_interval_join_right_outer_keeps_key(spark):
+    """right/full outer: an unmatched RIGHT row must carry its real key
+    (the left copy is NULL there; dropping the right copy erased it)."""
+    from yet_another_map_reduce_spark.streaming.stateful import (
+        stream_stream_interval_join,
+    )
+
+    left = spark.createDataFrame(
+        [("a", "2024-01-01 10:00:00")], "k string, lts string"
+    ).select("k", F.col("lts").cast("timestamp").alias("lts"))
+    right = spark.createDataFrame(
+        [("a", "2024-01-01 10:05:00"), ("zzz", "2024-01-01 10:05:00")],
+        "k string, rts string",
+    ).select("k", F.col("rts").cast("timestamp").alias("rts"))
+    out = stream_stream_interval_join(
+        left, right, "k", "lts", "rts", "1 hour", "10 minutes", how="right_outer"
+    ).collect()
+    keys = sorted(r["k"] for r in out)
+    assert keys == ["a", "zzz"]  # the unmatched right key survives
+    # and the inner path still keeps its original single-key shape
+    inner = stream_stream_interval_join(
+        left, right, "k", "lts", "rts", "1 hour", "10 minutes"
+    )
+    assert inner.columns.count("k") == 1
+
+
+def test_windowed_tolerates_key_named_window(spark):
+    """A grouping key named 'window' must not collide with the window
+    struct (AMBIGUOUS_REFERENCE on window.start before)."""
+    from yet_another_map_reduce_spark.streaming.windows import tumbling_windowed
+
+    df = spark.createDataFrame(
+        [("2024-01-01 10:10:00", "w1", 1.0)], "ts_s string, window string, v double"
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "window", "v")
+    out = tumbling_windowed(
+        df, "ts", "1 hour", ["window"], [F.count(F.lit(1)).alias("n")]
+    ).collect()
+    assert out[0]["window"] == "w1" and out[0]["n"] == 1
+    assert out[0]["window_start"] is not None
+
+
+def test_streaming_dedup_always_includes_event_time(spark, tmp_path):
+    """streaming_dedup dedups on (keys + ts): two same-key events at
+    different times BOTH survive (exact dedup), and the state store is
+    watermark-bounded because ts is a dedup column."""
+    import os
+
+    from yet_another_map_reduce_spark.streaming import file_stream, streaming_dedup
+
+    src = os.path.join(str(tmp_path), "sd")
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00"),
+            (1, "2024-01-01 00:00:00"),  # exact dup: dropped
+            (1, "2024-01-01 00:05:00"),  # same key, later ts: kept
+        ],
+        "k long, ts_str string",
+    ).withColumn("ts", F.col("ts_str").cast("timestamp")).drop("ts_str")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    out = streaming_dedup(
+        file_stream(spark, src, df.schema, fmt="parquet"), ["k"], "ts", "1 hour"
+    )
+    q = (
+        out.writeStream.format("memory").queryName("sd_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT k, ts FROM sd_out").collect()
+    assert len(rows) == 2 and {r["k"] for r in rows} == {1}

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from yet_another_map_reduce_spark.sources.readers import read_table
 from yet_another_map_reduce_spark.streaming import (
     file_stream,
-    streaming_dedup,
+    streaming_dedup_fuzzy,
     tumbling_windowed,
     with_watermark,
 )
@@ -58,6 +58,10 @@ def test_tumbling_window_stream_equals_batch(spark, sf_dir, tmp_path):
 
 
 def test_streaming_dedup_drops_repeats(spark, tmp_path):
+    """Per-key-within-horizon dedup is the FUZZY variant's contract
+    (dropDuplicatesWithinWatermark, state bounded by the horizon);
+    plain streaming_dedup is exact (key, ts) dedup — key-only dedup
+    through it would keep unbounded state (r15 review finding)."""
     src_dir = os.path.join(str(tmp_path), "dup_src")
     df = spark.createDataFrame(
         [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:05:00"), (2, "2024-01-01 00:06:00")],
@@ -66,7 +70,7 @@ def test_streaming_dedup_drops_repeats(spark, tmp_path):
     df.coalesce(1).write.mode("overwrite").parquet(src_dir)
 
     stream = file_stream(spark, src_dir, df.schema, fmt="parquet")
-    deduped = streaming_dedup(stream, ["k"], "ts", watermark="1 hour")
+    deduped = streaming_dedup_fuzzy(stream, ["k"], "ts", watermark="1 hour")
     q = (
         deduped.writeStream.format("memory")
         .queryName("dedup_out")

@@ -27,7 +27,11 @@ from yet_another_map_reduce_spark.streaming.ingest import (
     seen_probe_paths,
     streaming_ingest_pipeline,
 )
-from yet_another_map_reduce_spark.streaming.sources import file_stream, rate_stream
+from yet_another_map_reduce_spark.streaming.sources import (
+    file_stream,
+    rate_stream,
+    socket_stream,
+)
 from yet_another_map_reduce_spark.streaming.joins import foreach_batch_upsert, stream_static_enrich
 
 __all__ = [
@@ -41,6 +45,7 @@ __all__ = [
     "seen_probe_paths",
     "session_windowed",
     "sliding_windowed",
+    "socket_stream",
     "stream_static_enrich",
     "stream_stream_interval_join",
     "streaming_dedup",

@@ -1,7 +1,9 @@
 """Custom stateful streaming operators.
 
 ``streaming_dedup`` uses Spark's built-in ``dropDuplicates`` +
-watermark (state = seen keys within the watermark horizon — bounded).
+watermark over (keys + event time) — the event-time column must be a
+dedup column for the watermark to bound the state store;
+``streaming_dedup_fuzzy`` is the per-key-within-horizon variant.
 
 ``sessionize_with_state`` shows the ``applyInPandasWithState`` shape for
 semantics the built-ins can't express (custom session payloads,
@@ -27,9 +29,18 @@ from pyspark.sql.types import (
 
 
 def streaming_dedup(df: DataFrame, key_cols: list[str], ts_col: str, watermark: str) -> DataFrame:
-    """Exactly-once-per-key within the watermark horizon.  The watermark
-    bounds the dedup state store — without it state grows unboundedly."""
-    return df.withWatermark(ts_col, watermark).dropDuplicates(key_cols)
+    """EXACT (key, event-time) dedup with a state store bounded by the
+    watermark.  ``ts_col`` is always part of the dedup columns — that
+    is what MAKES the state bounded: ``dropDuplicates`` only evicts
+    watermark-aged state when the event-time column is among the dedup
+    keys; without it every distinct key ever seen stays in state for
+    the stream's lifetime (the unbounded-growth bug this fn previously
+    had when callers passed keys without the timestamp).  For
+    once-per-key-within-the-horizon semantics regardless of event time
+    (collapsing re-sends with drifted timestamps), use
+    :func:`streaming_dedup_fuzzy`."""
+    cols = list(dict.fromkeys([*key_cols, ts_col]))
+    return df.withWatermark(ts_col, watermark).dropDuplicates(cols)
 
 
 SESSION_OUTPUT_SCHEMA = StructType(
@@ -45,8 +56,27 @@ SESSION_STATE_SCHEMA = StructType(
     [
         StructField("n_events", LongType()),
         StructField("total_value", DoubleType()),
+        # last_ts LIVES IN STATE: emitting only the current batch's max
+        # let a late-arriving batch move a session's last-activity
+        # timestamp BACKWARDS across micro-batches (r15 review finding)
+        StructField("last_ts", TimestampType()),
     ]
 )
+
+
+def _fold_batch(pdfs, n: int, total: float, last_ts):
+    """Shared per-batch fold for both sessionize implementations: count,
+    sum, and the max event time — skipping NaT chunk maxima (a chunk
+    whose ts values are all NULL yields NaT, and ``max(NaT, m)`` would
+    stay NaT forever because NaT comparisons return False)."""
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        m = pdf["ts"].max()
+        if pd.isna(m):
+            continue
+        last_ts = m if last_ts is None else max(last_ts, m)
+    return n, total, last_ts
 
 
 def sessionize_with_state(events: DataFrame, timeout_ms: int = 30_000) -> DataFrame:
@@ -67,14 +97,14 @@ def sessionize_with_state(events: DataFrame, timeout_ms: int = 30_000) -> DataFr
             state.remove()
             return
         (user_id,) = key
-        n, total = state.get if state.exists else (0, 0.0)
-        last_ts = None
-        for pdf in pdfs:
-            n += len(pdf)
-            total += float(pdf["value"].sum())
-            m = pdf["ts"].max()
-            last_ts = m if last_ts is None else max(last_ts, m)
-        state.update((n, total))
+        n, total, last_ts = state.get if state.exists else (0, 0.0, None)
+        n, total, last_ts = _fold_batch(pdfs, n, total, last_ts)
+        stored = (
+            last_ts.to_pydatetime()
+            if isinstance(last_ts, pd.Timestamp)
+            else last_ts
+        )
+        state.update((n, total, stored))
         state.setTimeoutDuration(timeout_ms)
         yield pd.DataFrame(
             {
@@ -118,14 +148,16 @@ def sessionize_with_tws(events: DataFrame, ttl_ms: int | None = None) -> DataFra
             )
 
         def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
-            n, total = self._state.get() if self._state.exists() else (0, 0.0)
-            last_ts = None
-            for pdf in rows:
-                n += len(pdf)
-                total += float(pdf["value"].sum())
-                m = pdf["ts"].max()
-                last_ts = m if last_ts is None else max(last_ts, m)
-            self._state.update((n, total))
+            n, total, last_ts = (
+                self._state.get() if self._state.exists() else (0, 0.0, None)
+            )
+            n, total, last_ts = _fold_batch(rows, n, total, last_ts)
+            stored = (
+                last_ts.to_pydatetime()
+                if isinstance(last_ts, pd.Timestamp)
+                else last_ts
+            )
+            self._state.update((n, total, stored))
             yield pd.DataFrame(
                 {
                     "user_id": [key[0]],
@@ -191,6 +223,17 @@ def stream_stream_interval_join(
         & (rw[right_ts] >= lw[left_ts])
         & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {within}"))
     )
-    # drop the right copy of the key: the left one is authoritative (and
-    # non-NULL in outer results), so downstream selects are unambiguous
-    return lw.join(rw, cond, how).drop(rw[key])
+    joined = lw.join(rw, cond, how)
+    if how.replace("_", "") in ("rightouter", "right", "fullouter", "full", "outer"):
+        # right/full outer: an unmatched RIGHT row has a NULL left key,
+        # so dropping the right copy would erase the real key from the
+        # output — coalesce the two into one authoritative column
+        return (
+            joined.withColumn("__k", F.coalesce(lw[key], rw[key]))
+            .drop(lw[key])
+            .drop(rw[key])
+            .withColumnRenamed("__k", key)
+        )
+    # inner/left joins: the left copy is authoritative and non-NULL, so
+    # dropping the right copy keeps the original column order
+    return joined.drop(rw[key])

@@ -17,6 +17,23 @@ def with_watermark(df: DataFrame, ts_col: str, delay: str) -> DataFrame:
     return df.withWatermark(ts_col, delay)
 
 
+def _windowed(
+    df: DataFrame, win_col: Column, prefix: str, keys: list[str], aggs: list[Column]
+) -> DataFrame:
+    """ONE flatten body for all three window shapes (previously three
+    drifting copies): the window struct is aliased to an internal name
+    so a grouping key itself named 'window'/'session_window' cannot
+    collide with the struct column (AMBIGUOUS_REFERENCE on
+    ``window.start`` before)."""
+    return (
+        df.groupBy(win_col.alias("__win"), *keys)
+        .agg(*aggs)
+        .withColumn(f"{prefix}_start", F.col("__win.start"))
+        .withColumn(f"{prefix}_end", F.col("__win.end"))
+        .drop("__win")
+    )
+
+
 def tumbling_windowed(
     df: DataFrame,
     ts_col: str,
@@ -26,13 +43,7 @@ def tumbling_windowed(
 ) -> DataFrame:
     """Fixed non-overlapping windows; emits window_start/window_end
     columns (flattened from the window struct for a stable schema)."""
-    return (
-        df.groupBy(F.window(ts_col, width), *keys)
-        .agg(*aggs)
-        .withColumn("window_start", F.col("window.start"))
-        .withColumn("window_end", F.col("window.end"))
-        .drop("window")
-    )
+    return _windowed(df, F.window(ts_col, width), "window", keys, aggs)
 
 
 def sliding_windowed(
@@ -44,13 +55,7 @@ def sliding_windowed(
     aggs: list[Column],
 ) -> DataFrame:
     """Overlapping windows: each event lands in width/slide windows."""
-    return (
-        df.groupBy(F.window(ts_col, width, slide), *keys)
-        .agg(*aggs)
-        .withColumn("window_start", F.col("window.start"))
-        .withColumn("window_end", F.col("window.end"))
-        .drop("window")
-    )
+    return _windowed(df, F.window(ts_col, width, slide), "window", keys, aggs)
 
 
 def session_windowed(
@@ -63,10 +68,4 @@ def session_windowed(
     """Data-driven windows that close after ``gap`` of inactivity per
     key — Spark's native session_window (merging handled by the engine,
     state bounded by the watermark in streaming mode)."""
-    return (
-        df.groupBy(F.session_window(ts_col, gap), *keys)
-        .agg(*aggs)
-        .withColumn("session_start", F.col("session_window.start"))
-        .withColumn("session_end", F.col("session_window.end"))
-        .drop("session_window")
-    )
+    return _windowed(df, F.session_window(ts_col, gap), "session", keys, aggs)
