@@ -153,6 +153,24 @@ def perceptron_train_averaged(
     return df.sparkSession.createDataFrame(trajectory, schema)
 
 
+def _margin(weights: list[int], feature_cols: list[str]):
+    """Shared margin expression (bias first) for the scorer and the
+    gate — ONE definition so a fix can never apply to one and silently
+    miss the other (the perceptron_train delegation rationale).  The
+    length check matters: zip silently truncates, so a weights list
+    missing the bias would apply the first feature weight AS the bias
+    and drop the last feature — every margin silently wrong."""
+    if len(weights) != len(feature_cols) + 1:
+        raise ValueError(
+            f"expected {len(feature_cols) + 1} weights (bias first) for "
+            f"{len(feature_cols)} features, got {len(weights)}"
+        )
+    return sum(
+        (F.lit(w) * F.col(c).cast("long") for w, c in zip(weights[1:], feature_cols)),
+        F.lit(weights[0]),
+    )
+
+
 def perceptron_score(
     df: DataFrame,
     weights: list[int],
@@ -162,10 +180,7 @@ def perceptron_score(
     """Score rows with a trained weight vector (bias first): returns
     (id, margin, predicted ±1).  Map-only — the model ships as plan
     literals, same as k-means assignment; no shuffle, no Python."""
-    margin = sum(
-        (F.lit(w) * F.col(c).cast("long") for w, c in zip(weights[1:], feature_cols)),
-        F.lit(weights[0]),
-    )
+    margin = _margin(weights, feature_cols)
     return df.select(
         F.col(id_col),
         margin.alias("margin"),
@@ -190,10 +205,7 @@ def quality_gate(
     tests/test_streaming.py::test_streaming_quality_gate_matches_batch).
     Unlike :func:`perceptron_score` it keeps the full payload, since a
     gate's consumers want the documents, not just the verdicts."""
-    margin = sum(
-        (F.lit(w) * F.col(c).cast("long") for w, c in zip(weights[1:], feature_cols)),
-        F.lit(weights[0]),
-    )
+    margin = _margin(weights, feature_cols)
     return df.withColumns(
         {
             "margin": margin,

@@ -96,9 +96,12 @@ def range_join(
     if broadcast_right:
         r2 = F.broadcast(r2)
     on = ["__bucket"] + (extra_on or [])
+    # per-side attribute references in the residual: bare F.col() is an
+    # AMBIGUOUS_REFERENCE whenever the two inputs share column names —
+    # the normal case for same-schema interval data
     return (
         l2.join(r2, on=on, how="inner")
-        .where((F.col(left_point) >= F.col(right_lo)) & (F.col(left_point) <= F.col(right_hi)))
+        .where((l2[left_point] >= r2[right_lo]) & (l2[left_point] <= r2[right_hi]))
         .drop("__bucket")
     )
 
@@ -111,6 +114,7 @@ def interval_overlap_join(
     right_lo: str,
     right_hi: str,
     bucket_width: float,
+    extra_on: list[str] | None = None,
     broadcast_right: bool = True,
 ) -> DataFrame:
     """Interval-interval overlap join: [l_lo,l_hi] ∩ [r_lo,r_hi] ≠ ∅.
@@ -121,6 +125,11 @@ def interval_overlap_join(
     only accepted in the single bucket containing the overlap's start
     (``bucket == floor(max(lo_l, lo_r)/width)``), so the output is
     duplicate-free by construction.
+
+    ``extra_on`` mirrors :func:`range_join` (same mechanism, same
+    hazard): with ``broadcast_right=False`` a shuffle on the
+    low-cardinality bucket keys alone is pathologically skewed — pass
+    real join keys to give the shuffle cardinality.
     """
 
     def exploded(df: DataFrame, lo: str, hi: str) -> DataFrame:
@@ -138,12 +147,14 @@ def interval_overlap_join(
     r2 = exploded(right, right_lo, right_hi)
     if broadcast_right:
         r2 = F.broadcast(r2)
-    overlap_start = F.greatest(F.col(left_lo), F.col(right_lo))
+    on = ["__bucket"] + (extra_on or [])
+    # per-side refs: bare F.col() is ambiguous for same-schema sides
+    overlap_start = F.greatest(l2[left_lo], r2[right_lo])
     return (
-        l2.join(r2, on="__bucket", how="inner")
+        l2.join(r2, on=on, how="inner")
         .where(
-            (F.col(left_lo) <= F.col(right_hi))
-            & (F.col(right_lo) <= F.col(left_hi))
+            (l2[left_lo] <= r2[right_hi])
+            & (r2[right_lo] <= l2[left_hi])
             & (F.col("__bucket") == F.floor(overlap_start / F.lit(bucket_width)))
         )
         .drop("__bucket")
@@ -170,50 +181,73 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction}")
+    clash = sorted(set(right_values) & set(left.columns))
+    if clash:
+        raise ValueError(
+            f"asof_join: right_values {clash} collide with left column "
+            "names — the output would carry duplicate columns; rename "
+            "one side first"
+        )
 
     lcols = left.columns
+    # ONE struct carries ALL right values: filling each value column
+    # independently with last(ignorenulls) mixed fields from DIFFERENT
+    # right rows whenever a matched row had a NULL in one value column
+    # (a composite row that never existed — r15 review finding).  NULL
+    # right_time rows are excluded up front: they can never be a valid
+    # as-of match, but under nulls-first ordering they were carried as
+    # the "most recent" value for left rows with no real match.
     tagged_left = left.select(
         F.col(on).alias("__k"),
         F.col(left_time).alias("__t"),
         F.lit(0).alias("__side"),
         F.struct(*[F.col(c) for c in lcols]).alias("__l"),
-        *[F.lit(None).cast(right.schema[v].dataType).alias(f"__r_{v}") for v in right_values],
+        F.lit(None)
+        .cast(
+            "struct<"
+            + ",".join(
+                f"`{v}`:{right.schema[v].dataType.simpleString()}"
+                for v in right_values
+            )
+            + ">"
+        )
+        .alias("__r"),
     )
-    tagged_right = right.select(
+    tagged_right = right.where(F.col(right_time).isNotNull()).select(
         F.col(on).alias("__k"),
         F.col(right_time).alias("__t"),
         F.lit(1).alias("__side"),
-        F.lit(None).cast(
-            tagged_left.schema["__l"].dataType
-        ).alias("__l"),
-        *[F.col(v).alias(f"__r_{v}") for v in right_values],
+        F.lit(None).cast(tagged_left.schema["__l"].dataType).alias("__l"),
+        F.struct(*[F.col(v) for v in right_values]).alias("__r"),
     )
     both = tagged_left.unionByName(tagged_right)
 
+    # final tiebreak on the value struct itself: several right rows at
+    # the same (key, time) previously resolved to an arbitrary one
+    # (partitioning-dependent — breaking the repo's bit-for-bit oracle
+    # contract); struct ordering makes "the greatest value row wins"
+    # deterministic.  Requires orderable value types (maps excluded).
     if direction == "backward":
         # right rows sort before left rows at equal time => <= semantics
         w = (
             Window.partitionBy("__k")
-            .orderBy(F.col("__t").asc(), F.col("__side").desc())
+            .orderBy(F.col("__t").asc(), F.col("__side").desc(), F.col("__r").asc())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
     else:
         w = (
             Window.partitionBy("__k")
-            .orderBy(F.col("__t").desc(), F.col("__side").desc())
+            .orderBy(F.col("__t").desc(), F.col("__side").desc(), F.col("__r").asc())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
 
     filled = both.select(
         "__side",
         "__l",
-        *[
-            F.last(F.col(f"__r_{v}"), ignorenulls=True).over(w).alias(f"__rv_{v}")
-            for v in right_values
-        ],
+        F.last(F.col("__r"), ignorenulls=True).over(w).alias("__rv"),
     ).where(F.col("__side") == 0)
 
     return filled.select(
         *[F.col(f"__l.{c}").alias(c) for c in lcols],
-        *[F.col(f"__rv_{v}").alias(v) for v in right_values],
+        *[F.col("__rv").getField(v).alias(v) for v in right_values],
     )

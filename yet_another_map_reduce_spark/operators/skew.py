@@ -48,12 +48,23 @@ def salted_group_agg(
     """Two-phase aggregation over salted groups.
 
     ``aggs`` is a list of (column, fn, alias) with fn in
-    {sum, count, min, max}.  ``salt_col`` is any reasonably-distributed
-    existing column used to derive the deterministic salt.
+    {sum, count, min, max}.  ``salt_col`` must VARY WITHIN a hot group
+    (any row-level column not functionally determined by ``keys``):
+    the salt is ``hash(salt_col) % salt``, so a salt column that is
+    constant per group — e.g. one of the grouping keys — gives every
+    row of the hot group the SAME salt, and the salting is a silent
+    no-op (results stay correct, the hot task stays hot).  Rejected
+    loudly for the directly-detectable case.
     """
     for _, fn, _ in aggs:
         if fn not in _ALGEBRAIC:
             raise ValueError(f"{fn} is not algebraic-mergeable; use plain groupBy")
+    if salt_col in keys:
+        raise ValueError(
+            f"salted_group_agg: salt_col {salt_col!r} is a grouping key — "
+            "constant within every group, so the salt cannot spread a hot "
+            "group (silent no-op); pass a row-varying column instead"
+        )
     salted = df.withColumn("__salt", F.pmod(F.xxhash64(salt_col), F.lit(salt)))
     phase1 = salted.groupBy(*keys, "__salt").agg(
         *[_ALGEBRAIC[fn][0](c).alias(f"__p_{alias}") for c, fn, alias in aggs]
@@ -76,10 +87,31 @@ def salted_join(
     """Replicated salted join: big side salted on an existing column,
     small side exploded onto all ``salt`` buckets.
 
-    Result-identical to ``big.join(small, big_key == small_key)``; the
-    shuffle key (key, salt) spreads each hot key over ``salt`` tasks at
-    the cost of replicating the small side ``salt`` times.
+    Result-identical to ``big.join(small, big_key == small_key)`` for
+    the SUPPORTED join types (inner and the left-preserving family).
+    ``how='right'/'full'`` is rejected: the exploded small side would
+    emit every unmatched small row ``salt`` times (plus null-padded
+    phantoms for replicas whose salt never matched) — silently corrupt
+    under the result-identical claim.
+
+    ``salt_col`` must VARY WITHIN a hot key: a salt derived from the
+    join key itself is constant per key, so the hot key still lands on
+    one task while the small side is replicated for nothing — rejected
+    loudly (the salting-no-op trap).
     """
+    if how.replace("_", "") not in ("inner", "left", "leftouter", "leftsemi", "leftanti"):
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — the exploded small "
+            "side would duplicate small-preserved rows across salt "
+            "replicas; use a plain join (optionally with AQE skew "
+            "handling) for right/full outer"
+        )
+    if salt_col == big_key:
+        raise ValueError(
+            f"salted_join: salt_col {salt_col!r} equals the join key — the "
+            "salt is then constant within each hot key and spreads "
+            "nothing (silent no-op); pass a row-varying big-side column"
+        )
     b = big.withColumn("__salt", F.pmod(F.xxhash64(salt_col), F.lit(salt)))
     s = small.withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
     # per-side attribute references (b[...]/s[...]) — a bare F.col() is

@@ -926,13 +926,19 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Replicated salted join — result-identical to the plain join."""
+    """Replicated salted join — result-identical to the plain join.
+    ``salt_col`` is a row-varying column (l_linenumber), NOT the join
+    key: a key-derived salt is constant within each hot key and
+    spreads nothing (the r15 review's silent-no-op finding; the
+    operator now rejects that case outright)."""
     from yet_another_map_reduce_spark.operators import skew
 
-    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
     o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
     joined = skew.salted_join(
-        li, o, big_key="l_orderkey", small_key="o_orderkey", salt_col="l_orderkey", salt=8
+        li, o, big_key="l_orderkey", small_key="o_orderkey", salt_col="l_linenumber", salt=8
     )
     return (
         joined.groupBy("o_orderstatus")
