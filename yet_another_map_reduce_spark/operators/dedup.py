@@ -1,8 +1,10 @@
 """Deduplication operators for large-scale training-data pipelines.
 
 Not present in the reference (its data model is opaque lines); mandated
-by the north star.  All variants are pure DataFrame expressions — no
-Python UDFs — so they run in whole-stage codegen and scale linearly:
+by the north star.  All variants are either pure DataFrame expressions
+(whole-stage codegen) or vectorized Arrow kernels (``mapInPandas`` over
+JVM-tokenized arrays — never row-at-a-time Python UDFs), so they scale
+linearly:
 
 - exact:        hash-groupBy on normalized text (one shuffle on a hash,
                 never on the full document body);
@@ -80,6 +82,153 @@ def exploded_shingles(
             F.col(id_col),
             F.when(F.col("__ok"), F.col("shingle")).alias("shingle"),
         )
+    )
+
+
+def _md5_ha_hb(grams: list[bytes]):
+    """Vectorized md5 split into the (h_a, h_b) double-hash family the
+    whole repo uses (``md5_hash64`` discipline, exact int64):
+
+        h_a = first 15 hex digits  = bytes[0:8] big-endian >> 4   (60 bits)
+        h_b = hex digits 16..23    = (b7 & 0xF) << 28 | b8..b11 >> 4
+
+    Identical bit-for-bit to the expression form
+    ``conv(substring(md5(g),1,15),16,10)`` / ``conv(substring(md5(g),16,8),16,10)``
+    — md5 is md5 in any engine, and the nibble arithmetic above is just
+    the hex-substring reading of the same digest.
+    """
+    import hashlib
+
+    import numpy as np
+
+    if not grams:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    dig = b"".join(hashlib.md5(g).digest() for g in grams)
+    arr = np.frombuffer(dig, dtype=">u8").reshape(-1, 2)
+    ha = (arr[:, 0] >> np.uint64(4)).astype(np.int64)
+    hb = (
+        ((arr[:, 0] & np.uint64(0xF)) << np.uint64(28))
+        | (arr[:, 1] >> np.uint64(36))
+    ).astype(np.int64)
+    return ha, hb
+
+
+def _doc_grams(toks, k: int) -> list[bytes]:
+    """UTF-8 word-k-gram byte strings of one tokenized document —
+    exactly ``concat_ws(" ", t_i..t_{i+k-1})`` per complete window."""
+    ts = [t.encode("utf-8") for t in toks]
+    return [b" ".join(ts[i : i + k]) for i in range(len(ts) - k + 1)]
+
+
+def _tokenized(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, token array) with tokenization evaluated ONCE per row in
+    codegen — the projection feeding every gram kernel.  NULL text stays
+    a NULL array (kernels map it to the marker/skip conventions)."""
+    return df.select(F.col(id_col).alias("__id"), tokens(text_col).alias("__toks"))
+
+
+def gram_hash_rows(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    *,
+    counts: bool = False,
+    keep_empty_docs: bool = False,
+) -> DataFrame:
+    """Per-document word-k-gram md5 rows via ONE map-only Arrow kernel:
+    ``(id, g)`` with ``g = md5(shingle)`` hex, DISTINCT per document —
+    plus the gram multiplicity ``c`` when ``counts=True``.
+
+    Replaces the ``exploded_shingles → md5 → distinct/groupBy`` chain
+    for report-style consumers (decontaminate, boilerplate stats): the
+    shingle window exchange + sort AND the per-doc distinct shuffle both
+    disappear — per-document gram work is local by definition (guide
+    §2.4: remove shuffles outright; §4.2: batch work in a vectorized
+    kernel).  Bit-identical keys: the kernel md5s the same UTF-8 bytes
+    the ``concat_ws(" ", ...)`` expression produced.
+
+    ``keep_empty_docs=True`` keeps the `(id, NULL g)` marker row for
+    docs with no complete k-gram (NULL text included) — ``c`` rides as
+    0 so ``sum(c)`` folds to the zero-count row the way ``count(g)``
+    does over the NULL marker.
+    """
+    import pandas as pd
+
+    schema = f"__id {df.schema[id_col].dataType.simpleString()}, g string"
+    if counts:
+        schema += ", c bigint"
+
+    def gen(batches):
+        import hashlib
+
+        for pdf in batches:
+            out_id, out_g, out_c = [], [], []
+            for did, toks in zip(pdf["__id"], pdf["__toks"]):
+                grams = _doc_grams(toks, k) if toks is not None else []
+                if not grams:
+                    if keep_empty_docs:
+                        out_id.append(did)
+                        out_g.append(None)
+                        out_c.append(0)
+                    continue
+                if counts:
+                    agg: dict[bytes, int] = {}
+                    for g in grams:
+                        agg[g] = agg.get(g, 0) + 1
+                    for g, c in agg.items():
+                        out_id.append(did)
+                        out_g.append(hashlib.md5(g).hexdigest())
+                        out_c.append(c)
+                else:
+                    for g in dict.fromkeys(grams):
+                        out_id.append(did)
+                        out_g.append(hashlib.md5(g).hexdigest())
+                        out_c.append(1)
+            cols = {"__id": out_id, "g": out_g}
+            if counts:
+                cols["c"] = pd.array(out_c, dtype="Int64")
+            yield pd.DataFrame(cols)
+
+    return (
+        _tokenized(df, text_col, id_col)
+        .mapInPandas(gen, schema)
+        .withColumnRenamed("__id", id_col)
+    )
+
+
+def shingle_sets(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    """(id, distinct shingle strings) per document — the per-doc shingle
+    SET as one array row, kernel-computed (no explode, no collect_set
+    shuffle).  Set membership is what downstream ``array_intersect`` /
+    ``array_union`` sizes consume, so element order is free."""
+    import pandas as pd
+
+    id_t = df.schema[id_col].dataType.simpleString()
+
+    def gen(batches):
+        for pdf in batches:
+            out_id, out_s = [], []
+            for did, toks in zip(pdf["__id"], pdf["__toks"]):
+                if toks is None:
+                    continue
+                ts = list(toks)
+                if len(ts) < k:
+                    continue
+                out_id.append(did)
+                out_s.append(
+                    list(
+                        dict.fromkeys(
+                            " ".join(ts[i : i + k]) for i in range(len(ts) - k + 1)
+                        )
+                    )
+                )
+            yield pd.DataFrame({"__id": out_id, "__set": out_s})
+
+    return (
+        _tokenized(df, text_col, id_col)
+        .mapInPandas(gen, f"__id {id_t}, __set array<string>")
+        .withColumnRenamed("__id", id_col)
     )
 
 
@@ -161,15 +310,48 @@ def minhash_signatures(
     excluded (they can't be meaningfully near-dup'd by shingling).
     ``shingles`` accepts a precomputed :func:`exploded_shingles` result
     so multi-stage pipelines shingle the corpus once.
+
+    Default path (no precomputed ``shingles``): ONE map-only Arrow
+    kernel over the JVM-tokenized corpus — per document, md5 every
+    k-gram window and fold the ``num_hashes`` affine minima locally
+    (r15, guide §2.4/§4.2: a per-document aggregate needs NO exchange;
+    the previous posexplode → window(lead) → groupBy chain shuffled the
+    whole token stream twice to compute a value that never leaves its
+    row).  Values are bit-identical: same UTF-8 gram bytes, same md5,
+    same h_a + i*h_b int64 arithmetic (see :func:`_md5_ha_hb`), checked
+    by the kernel≡expression parity test.
     """
     # One md5 per shingle; the i-th hash family is the affine combination
     # h_a + i*h_b (Kirsch-Mitzenmacher double hashing) — k families for
     # the price of one digest.  h_a uses 60 bits, h_b is folded to 32,
     # so h_a + 11*h_b < 2^61 never overflows int64 in any engine.
-    # Row-per-shingle shape keeps map-side partial aggregation in play
-    # (shuffle is O(docs), not O(shingles)).
     if shingles is None:
-        shingles = exploded_shingles(df, text_col, id_col, shingle_k)
+        import numpy as np
+        import pandas as pd
+
+        id_t = df.schema[id_col].dataType.simpleString()
+        seeds = np.arange(num_hashes, dtype=np.int64)[None, :]
+
+        def gen(batches):
+            for pdf in batches:
+                out_id, out_sig = [], []
+                for did, toks in zip(pdf["__id"], pdf["__toks"]):
+                    if toks is None:
+                        continue
+                    grams = _doc_grams(toks, shingle_k)
+                    if not grams:
+                        continue
+                    ha, hb = _md5_ha_hb(grams)
+                    mins = (ha[:, None] + seeds * hb[:, None]).min(axis=0)
+                    out_id.append(did)
+                    out_sig.append(mins.tolist())
+                yield pd.DataFrame({"__id": out_id, "signature": out_sig})
+
+        return (
+            _tokenized(df, text_col, id_col)
+            .mapInPandas(gen, f"__id {id_t}, signature array<bigint>")
+            .withColumnRenamed("__id", id_col)
+        )
     # defensively drop NULL-shingle marker rows (a keep_empty_docs=True
     # input): md5(NULL)/conv(NULL) would make every min NULL, giving
     # short docs all-NULL signatures whose band keys (concat_ws skips
@@ -336,10 +518,13 @@ def ngram_jaccard_pairs(
     The classic two-stage near-dup pipeline: cheap banded-LSH candidate
     generation, then exact ``|A∩B| / |A∪B|`` only on candidates.
 
-    The corpus is shingled ONCE (``localCheckpoint`` materializes the
-    exploded shingles) and reused by both stages — signature hashing and
-    exact set verification — instead of re-tokenizing the whole corpus
-    per stage.
+    Signatures come from the map-only minhash kernel (r15 — the former
+    shared-``localCheckpoint`` exploded-shingle relation existed to
+    amortize the window-exchange shingling both stages paid; with
+    per-doc kernels neither stage shuffles tokens at all, so there is
+    nothing left to checkpoint) and verification sets from
+    :func:`shingle_sets` (per-doc local, replacing the corpus-wide
+    ``collect_set`` shuffle of representative shingles).
 
     Verification is per CONTENT-CLASS pair, not per id pair: exact
     duplicates (same normalized-text fingerprint) have identical
@@ -356,8 +541,7 @@ def ngram_jaccard_pairs(
     contract (the pairs are the product); cluster consumers should use
     ``minhash_lsh_edges`` instead.
     """
-    shingled = exploded_shingles(df, text_col, id_col, shingle_k).localCheckpoint()
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, shingles=shingled)
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
     cands = minhash_lsh_pairs(
         df, text_col, id_col, num_hashes, bands, shingle_k, max_bucket_size, signatures=sig
     )
@@ -368,10 +552,13 @@ def ngram_jaccard_pairs(
         cls.select(F.col(id_col).alias("id_b"), F.col("__cls").alias("__cb")), "id_b"
     )
     reps = cls.groupBy("__cls").agg(F.min(id_col).alias(id_col))
+    # representative docs only reach the set kernel (dup-heavy corpora:
+    # reps ≪ docs); the id join moves doc text once, where the previous
+    # shape shuffled the exploded shingle relation — strictly heavier
     rsets = (
-        shingled.join(reps, id_col)
-        .groupBy("__cls")
-        .agg(F.collect_set("shingle").alias("__set"))
+        shingle_sets(df.join(reps.select(id_col), id_col), text_col, id_col, shingle_k)
+        .join(reps, id_col)
+        .select("__cls", "__set")
     )
     cpairs = cands2.select("__ca", "__cb").distinct()
     verified = (

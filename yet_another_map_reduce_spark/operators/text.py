@@ -568,33 +568,29 @@ def decontaminate(
 
     Scale shape: a benchmark-eval-sized holdout's distinct-gram relation
     is broadcast (default) — the 100 TB train side is scanned once,
-    exploded, and aggregated with map-side partials; nothing big ever
-    shuffles on a long string (grams reduce to fixed-width md5 keys
-    first).  ``broadcast_holdout=False`` switches the overlap probe to
-    a plain equi-join on the md5 key for holdouts past the broadcast
-    ceiling (e.g. decontaminating one corpus against another corpus) —
-    same result, one extra shuffle.  Gram rows come from
-    ``dedup.exploded_shingles`` (posexplode + lead), not
-    ``explode(transform(...))`` — Catalyst's project-collapsing
-    re-evaluates the tokenizer per array element in the latter
-    (measured ~10× slower, see exploded_shingles' docstring).
+    per-doc-distinct gram md5 rows come straight out of ONE map-only
+    Arrow kernel (``dedup.gram_hash_rows``, r15: per-document distinct
+    grams are local by definition, so the former posexplode → window →
+    corpus-wide ``distinct()`` pair of exchanges is gone — guide §2.4),
+    and the per-doc rollup aggregates with map-side partials; nothing
+    big ever shuffles on a long string (grams reduce to fixed-width md5
+    keys in the kernel).  ``broadcast_holdout=False`` switches the
+    overlap probe to a plain equi-join on the md5 key for holdouts past
+    the broadcast ceiling (e.g. decontaminating one corpus against
+    another corpus) — same result, one extra shuffle.
     """
-    from yet_another_map_reduce_spark.operators.dedup import exploded_shingles
+    from yet_another_map_reduce_spark.operators.dedup import gram_hash_rows
 
     hold_grams = (
-        exploded_shingles(holdout, text_col, id_col, n)
-        .select(F.md5("shingle").alias("g"))
-        .distinct()
+        gram_hash_rows(holdout, text_col, id_col, n).select("g").distinct()
     )
     # keep_empty_docs: a short doc rides as one (id, NULL) row — the
     # NULL key never matches the probe join and count("g") never
     # counts it, so it folds to the zero-count row with no extra scan
     # or join over the train relation
-    doc_grams = (
-        exploded_shingles(train, text_col, id_col, n, keep_empty_docs=True)
-        .select(id_col, F.md5("shingle").alias("g"))
-        .distinct()
-    )
+    doc_grams = gram_hash_rows(
+        train, text_col, id_col, n, keep_empty_docs=True
+    ).select(id_col, "g")
     probe = F.broadcast(hold_grams) if broadcast_holdout else hold_grams
     # ONE pass over the train grams: a flagged LEFT join against the
     # holdout set lets a single aggregate produce both the total and
@@ -633,52 +629,67 @@ def repetition_stats(
     occurrences whose trigram repeats at all — the published signals for
     machine-generated or boilerplate text (Gopher's repetition filters).
 
-    One posexplode of the token stream + ONE lead-window pass builds
-    unigrams, bigrams, and trigrams side by side (``stack`` unpivots
-    them into (n, gram) rows) → one (doc, n, gram) count with map-side
-    partials → one per-doc rollup. Grams shuffle as md5 keys, never the
-    raw strings; everything else is conditional aggregation inside
-    whole-stage codegen.
+    Every metric is a pure per-document aggregate, so the whole
+    computation runs in ONE map-only Arrow kernel (r15, guide §2.4: the
+    former posexplode → lead-window → two groupBys shuffled the token
+    stream three times for values that never leave their row; per-doc
+    n-gram counting is a local dict fold).  The kernel emits the raw
+    integer counts (max gram count / total / duplicated occurrences per
+    n) and the fractions stay JVM expressions — the same
+    ``round(maxc / greatest(tot, 1), 6)`` double division as before, so
+    values are bit-identical to the shuffled form.
     """
-    from pyspark.sql import Window
+    from yet_another_map_reduce_spark.operators.dedup import _tokenized
 
-    tok = df.select(
-        F.col(id_col), F.posexplode(tokens(text_col)).alias("__pos", "__tok")
+    import pandas as pd
+
+    id_t = df.schema[id_col].dataType.simpleString()
+    cnt_cols = ["maxc1", "tot1", "maxc2", "tot2", "maxc3", "tot3", "dup3"]
+
+    def gen(batches):
+        def per_n(toks: list[str], n: int) -> tuple[int, int, int]:
+            c: dict[str, int] = {}
+            for i in range(len(toks) - n + 1):
+                g = " ".join(toks[i : i + n])
+                c[g] = c.get(g, 0) + 1
+            if not c:
+                return 0, 0, 0
+            vals = c.values()
+            return max(vals), sum(vals), sum(v for v in vals if v > 1)
+
+        for pdf in batches:
+            rows = {k: [] for k in ["__id", *cnt_cols]}
+            for did, toks in zip(pdf["__id"], pdf["__toks"]):
+                if toks is None:
+                    continue  # NULL text never produced token rows
+                ts = list(toks)
+                m1, t1, _ = per_n(ts, 1)
+                m2, t2, _ = per_n(ts, 2)
+                m3, t3, d3 = per_n(ts, 3)
+                for k, v in zip(
+                    ["__id", *cnt_cols], [did, m1, t1, m2, t2, m3, t3, d3]
+                ):
+                    rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    counted = _tokenized(df, text_col, id_col).mapInPandas(
+        gen, f"__id {id_t}, " + ", ".join(f"{c} bigint" for c in cnt_cols)
     )
-    w = Window.partitionBy(id_col).orderBy("__pos")
-    l1 = F.lead("__tok", 1).over(w)
-    l2 = F.lead("__tok", 2).over(w)
-    wide = tok.select(
-        F.col(id_col),
-        F.col("__tok").alias("g1"),
-        F.when(l1.isNotNull(), F.concat_ws(" ", F.col("__tok"), l1)).alias("g2"),
-        F.when(l2.isNotNull(), F.concat_ws(" ", F.col("__tok"), l1, l2)).alias("g3"),
-    )
-    grams = (
-        wide.select(
-            F.col(id_col),
-            F.expr("stack(3, 1, g1, 2, g2, 3, g3) AS (n, gram)"),
+
+    def frac_of(num: str, tot: str) -> Column:
+        # a doc with no n-gram at this n had no (id, n) row in the old
+        # grouped form → the max(when(...)) came out NULL; tot == 0
+        # reproduces that absence exactly
+        return F.when(
+            F.col(tot) > 0, F.col(num) / F.greatest(F.col(tot), F.lit(1))
         )
-        .where(F.col("gram").isNotNull())
-        .select(id_col, "n", F.md5("gram").alias("g"))
-    )
-    cnt = grams.groupBy(id_col, "n", "g").agg(F.count(F.lit(1)).alias("c"))
-    per_n = cnt.groupBy(id_col, "n").agg(
-        F.max("c").alias("maxc"),
-        F.sum("c").alias("tot"),
-        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup"),
-    )
 
-    def frac_of(n: int, num: str) -> Column:
-        return F.max(
-            F.when(F.col("n") == n, F.col(num) / F.greatest(F.col("tot"), F.lit(1)))
-        )
-
-    out = per_n.groupBy(id_col).agg(
-        F.round(frac_of(1, "maxc"), 6).alias("top_unigram_frac"),
-        F.round(frac_of(2, "maxc"), 6).alias("top_bigram_frac"),
-        F.round(frac_of(3, "maxc"), 6).alias("top_trigram_frac"),
-        F.round(frac_of(3, "dup"), 6).alias("dup_trigram_frac"),
+    out = counted.select(
+        F.col("__id").alias(id_col),
+        F.round(frac_of("maxc1", "tot1"), 6).alias("top_unigram_frac"),
+        F.round(frac_of("maxc2", "tot2"), 6).alias("top_bigram_frac"),
+        F.round(frac_of("maxc3", "tot3"), 6).alias("top_trigram_frac"),
+        F.round(frac_of("dup3", "tot3"), 6).alias("dup_trigram_frac"),
     )
     # <3-token docs have no bigrams/trigrams: their fracs are NULL, and
     # a bare AND would propagate NULL into keep — a downstream
@@ -711,34 +722,35 @@ def boilerplate_ngram_stats(
     zero-count row with ``keep=true`` (no evidence of boilerplate),
     never a silent omission a downstream keep-join would drop.
 
-    Scale shape: document frequency is a distinct + count over md5 gram
-    keys (two shuffles on fixed-width keys, map-side partials both
-    times); the per-doc join is gram-keyed, so boilerplate concentration
-    skews at 100 TB are exactly the skew AQE's join splitting handles.
+    Scale shape (r15): per-doc gram multiplicities ``(id, g, c)`` come
+    out of ONE map-only Arrow kernel (``dedup.gram_hash_rows(counts=
+    True)`` — already distinct per document, so document frequency is a
+    single count over md5 keys with map-side partials, and the former
+    posexplode → window exchange plus the corpus-wide pre-``distinct``
+    shuffle are gone, guide §2.4); the per-doc join is gram-keyed, so
+    boilerplate concentration skews at 100 TB are exactly the skew
+    AQE's join splitting handles.
     """
-    from yet_another_map_reduce_spark.operators.dedup import exploded_shingles
+    from yet_another_map_reduce_spark.operators.dedup import gram_hash_rows
 
-    # keep_empty_docs: a short doc's single (id, NULL) marker row has
-    # no docfreq entry (NULL key), so it must survive the join as LEFT
-    # and fold to the zero-count row via count("g")
-    grams = exploded_shingles(df, text_col, id_col, n, keep_empty_docs=True).select(
-        id_col, F.md5("shingle").alias("g")
+    # keep_empty_docs: a short doc's single (id, NULL, c=0) marker row
+    # has no docfreq entry (NULL key), so it must survive the join as
+    # LEFT and fold to the zero-count row via sum(c)=0
+    grams = gram_hash_rows(
+        df, text_col, id_col, n, counts=True, keep_empty_docs=True
     )
-    docfreq = (
-        grams.where(F.col("g").isNotNull())
-        .distinct()
-        .groupBy("g")
-        .agg(F.count(F.lit(1)).alias("gram_df"))
+    docfreq = grams.where(F.col("g").isNotNull()).groupBy("g").agg(
+        F.count(F.lit(1)).alias("gram_df")
     )
     joined = grams.join(docfreq, "g", "left")
     frac = F.col("boilerplate_ngrams") / F.greatest(F.col("total_ngrams"), F.lit(1))
     return (
         joined.groupBy(id_col)
         .agg(
-            F.count("g").alias("total_ngrams"),
-            F.sum(F.when(F.col("gram_df") > max_doc_freq, 1).otherwise(0)).alias(
-                "boilerplate_ngrams"
-            ),
+            F.sum("c").alias("total_ngrams"),
+            F.sum(
+                F.when(F.col("gram_df") > max_doc_freq, F.col("c")).otherwise(0)
+            ).alias("boilerplate_ngrams"),
         )
         .select(
             F.col(id_col),
@@ -872,31 +884,54 @@ def bigram_lm_score(
     ~10^8 documents swap it for approx-percentile thresholds at the
     cost of hash-exactness.
     """
-    from pyspark.sql import Window
+    # ONE map-only Arrow kernel pass (r15): per-document bigram counts
+    # (a local dict fold — the former posexplode → lead-window exchange
+    # shuffled the token stream to compute adjacency that is row-local)
+    # PLUS the per-doc distinct tokens as marker rows (cur=NULL), so the
+    # vocabulary size V no longer needs its own second corpus
+    # scan+explode — the corpus is now read ONCE into this cached
+    # relation (plus the id-only column-pruned scan for empties below).
+    from yet_another_map_reduce_spark.operators.dedup import _tokenized
 
-    tok = df.select(
-        F.col(id_col), F.posexplode(tokens(text_col)).alias("__pos", "__tok")
+    import pandas as pd
+
+    id_t = df.schema[id_col].dataType.simpleString()
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"__id": [], "prev": [], "cur": [], "__m": []}
+            for did, toks in zip(pdf["__id"], pdf["__toks"]):
+                if toks is None:
+                    continue  # NULL text never produced token rows
+                ts = list(toks)
+                big: dict[tuple[str, str], int] = {}
+                for a, b in zip(ts, ts[1:]):
+                    big[(a, b)] = big.get((a, b), 0) + 1
+                for (a, b), m in big.items():
+                    out["__id"].append(did)
+                    out["prev"].append(a)
+                    out["cur"].append(b)
+                    out["__m"].append(m)
+                for t in set(ts):  # vocabulary marker rows
+                    out["__id"].append(did)
+                    out["prev"].append(t)
+                    out["cur"].append(None)
+                    out["__m"].append(None)
+            out["__m"] = pd.array(out["__m"], dtype="Int64")
+            yield pd.DataFrame(out)
+
+    rows = (
+        _tokenized(df, text_col, id_col)
+        .mapInPandas(gen, f"__id {id_t}, prev string, cur string, __m bigint")
+        .withColumnRenamed("__id", id_col)
+        .transform(tracked_cache)
     )
-    wseq = Window.partitionBy(id_col).orderBy("__pos")
-    big = (
-        tok.select(
-            F.col(id_col),
-            F.col("__tok").alias("prev"),
-            F.lead("__tok", 1).over(wseq).alias("cur"),
-        )
-        .where(F.col("cur").isNotNull())
-    )
-    # materialized: docbig feeds the corpus bigram counts (bc -> pc)
-    # AND the scoring join — without the cache each branch re-runs the
-    # whole scan→explode→window pipeline (r6 scan audit: 4 FileScans
-    # despite the "same aggregate" wording below).  With it the corpus
-    # is read twice total: once into this aggregate, once for V.
-    docbig = big.groupBy(id_col, "prev", "cur").agg(
-        F.count(F.lit(1)).alias("__m")
-    ).transform(tracked_cache)
+    docbig = rows.where(F.col("cur").isNotNull())
     bc = docbig.groupBy("prev", "cur").agg(F.sum("__m").alias("__cb"))
     pc = bc.groupBy("prev").agg(F.sum("__cb").alias("__cp"))
-    vdf = tok.agg(F.countDistinct("__tok").alias("__V"))
+    vdf = rows.where(F.col("cur").isNull()).agg(
+        F.countDistinct("prev").alias("__V")
+    )
 
     term = (
         docbig.join(bc, ["prev", "cur"])

@@ -54,6 +54,20 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Cached plans compile with AQE applied (default false keeps the
+        # static shuffle width for output-partitioning compatibility):
+        # without it every persist()/cache() — the operator-owned
+        # tracked_cache relations, streaming ingest's per-batch vecs —
+        # materializes and is re-read at the STATIC partition count
+        # (shuffle_partitions tasks per downstream stage even for
+        # KB-scale cached relations, each paying scheduler + Python
+        # worker overhead), and skew-split/coalesce never applies to
+        # cached subtrees at any scale.  Measured r15: ingest pipeline
+        # 2-5x faster, every tracked_cache query 1.3-3x (OPTIMIZATION_r15.md).
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         # --- shuffle sizing ---
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.files.maxPartitionBytes", "134217728")  # 128 MB
