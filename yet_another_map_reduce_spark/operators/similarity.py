@@ -293,7 +293,12 @@ def _nearest_centroids_expr(
 
 
 def _nearest_centroids(
-    df: DataFrame, id_out: str, vec_col: str, cent: DataFrame, nprobe: int
+    df: DataFrame,
+    id_out: str,
+    vec_col: str,
+    cent: DataFrame,
+    nprobe: int,
+    passthrough: list[str] | None = None,
 ) -> DataFrame:
     """Per row: the ``nprobe`` nearest centroids by cosine — MAP-ONLY.
 
@@ -307,6 +312,14 @@ def _nearest_centroids(
     nlist ~ sqrt(n) that exchange carries ``O(n^1.5)`` array-payload
     rows — ~32 GB at the 100x replica — for what is arithmetically a
     per-row reduction.
+
+    ``passthrough`` names extra input columns carried through the
+    kernel unchanged (r15): the IVF-PQ paths attach the expression-
+    computed ``pq_codes`` to each row BEFORE the kernel, so cell
+    assignment and codes come out of ONE map-only pass — the previous
+    ``assigned.join(enc, id)`` re-keyed two corpus-sized relations on
+    the id for what is arithmetically a per-row zip (a full corpus
+    shuffle at 100 TB, guide §2.4).
 
     The cosine is quantized to 9 digits BEFORE ranking and ties go to
     the LOWER centroid id — exactly what the DuckDB oracles replay.
@@ -337,8 +350,11 @@ def _nearest_centroids(
     cn = np.sqrt(np.einsum("ij,ij->i", C, C))
     cn[cn == 0.0] = np.nan
 
+    extra = list(passthrough or [])
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    base = df.select(F.col(id_out).alias("__rid"), v.alias("__v"))
+    base = df.select(
+        F.col(id_out).alias("__rid"), v.alias("__v"), *[F.col(c) for c in extra]
+    )
 
     def _probe(batches):
         nan_row = np.full(C.shape[1], np.nan)
@@ -363,28 +379,33 @@ def _nearest_centroids(
             S = np.where(np.isnan(S), -np.inf, S)  # NULLS LAST
             if nprobe == 1:
                 best = S.argmax(axis=1)  # first max = lower cid
-                yield pd.DataFrame(
-                    {
-                        "__rid": pdf["__rid"].to_numpy(),
-                        "__v": pdf["__v"].to_numpy(),
-                        "centroid_id": cids[best],
-                    }
-                )
+                out = {
+                    "__rid": pdf["__rid"].to_numpy(),
+                    "__v": pdf["__v"].to_numpy(),
+                    "centroid_id": cids[best],
+                }
+                for c in extra:
+                    out[c] = pdf[c].to_numpy()
+                yield pd.DataFrame(out)
             else:
                 k = min(nprobe, S.shape[1])
                 top = np.argsort(-S, axis=1, kind="stable")[:, :k]
                 idx = np.repeat(np.arange(len(pdf)), k)
-                yield pd.DataFrame(
-                    {
-                        "__rid": pdf["__rid"].to_numpy()[idx],
-                        "__v": pdf["__v"].to_numpy()[idx],
-                        "centroid_id": cids[top.ravel()],
-                    }
-                )
+                out = {
+                    "__rid": pdf["__rid"].to_numpy()[idx],
+                    "__v": pdf["__v"].to_numpy()[idx],
+                    "centroid_id": cids[top.ravel()],
+                }
+                for c in extra:
+                    out[c] = pdf[c].to_numpy()[idx]
+                yield pd.DataFrame(out)
 
     rid_t = base.schema["__rid"].dataType.simpleString()
+    extra_schema = "".join(
+        f", {c} {base.schema[c].dataType.simpleString()}" for c in extra
+    )
     return base.mapInPandas(
-        _probe, f"__rid {rid_t}, __v array<double>, centroid_id long"
+        _probe, f"__rid {rid_t}, __v array<double>, centroid_id long" + extra_schema
     )
 
 
@@ -916,6 +937,16 @@ def pq_encode(
     each vector compresses to ``m`` small ints (64 float32 dims → 4
     bytes at m=4: a 64× scan reduction for the candidate-ranking pass).
     """
+    return corpus.select(
+        F.col(id_col), _pq_codes_expr(vec_col, books).alias("pq_codes")
+    )
+
+
+def _pq_codes_expr(vec_col: str, books: list[list[list[float]]]) -> Column:
+    """The PQ code array as a pure Column expression over ``vec_col`` —
+    shared by :func:`pq_encode` and the fused assign+encode paths
+    (build/append/ivfpq_topk attach it to the row BEFORE the cell-
+    assignment kernel so no corpus self-join is needed)."""
     m = len(books)
     sub = len(books[0][0])
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
@@ -935,10 +966,9 @@ def pq_encode(
             cands.append(F.struct(F.round(d, 6).alias("d"), F.lit(j).alias("j")))
         return F.array_min(F.array(*cands))["j"]
 
-    codes = F.array(
+    return F.array(
         *[_code(F.slice(v, s * sub + 1, sub), books[s]) for s in range(m)]
     )
-    return corpus.select(F.col(id_col), codes.alias("pq_codes"))
 
 
 def pq_topk(
@@ -1090,9 +1120,6 @@ def ivfpq_topk(
         if centroids is not None
         else ivf_centroids(corpus, id_col, vec_col, nlist)
     )
-    assigned = _nearest_centroids(corpus, id_col, vec_col, cent, 1).select(
-        F.col("__rid").alias("neighbor_id"), "centroid_id"
-    )
     probes = _nearest_centroids_expr(queries, id_col, vec_col, cent, nprobe).select(
         F.col("__rid").alias("query_id"), F.col("__v").alias("__qv"), "centroid_id"
     )
@@ -1100,10 +1127,17 @@ def ivfpq_topk(
         books = train_pq_codebooks(
             corpus, id_col, vec_col, m=m, k=nclusters, iterations=iterations
         )
-    enc = pq_encode(corpus, id_col, vec_col, books).withColumnRenamed(
-        id_col, "neighbor_id"
-    )
-    index = assigned.join(enc, "neighbor_id")
+    # fused assign+encode: codes ride the row INTO the cell-assignment
+    # kernel (one map-only pass; the previous assigned⋈enc self-join
+    # shuffled the corpus twice on the id for a per-row zip)
+    index = _nearest_centroids(
+        corpus.withColumn("pq_codes", _pq_codes_expr(vec_col, books)),
+        id_col,
+        vec_col,
+        cent,
+        1,
+        passthrough=["pq_codes"],
+    ).select(F.col("__rid").alias("neighbor_id"), "centroid_id", "pq_codes")
     scored = (
         index.join(
             F.broadcast(probes.withColumn("__lut", _adc_lut(books))),
@@ -1250,17 +1284,20 @@ def build_ivfpq_index(
     # NULL-embedding rows can never be retrieved (cosine undefined) —
     # indexing them would only plant NULL-coded rows in a cell
     corpus = corpus.where(F.col(vec_col).isNotNull())
-    assigned = _nearest_centroids(corpus, id_col, vec_col, centroids, 1).select(
-        F.col("__rid").alias("neighbor_id"), "centroid_id"
-    )
-    enc = pq_encode(corpus, id_col, vec_col, books).withColumnRenamed(
-        id_col, "neighbor_id"
-    )
+    # fused assign+encode (see ivfpq_topk): one map-only pass, no
+    # corpus self-join before the partitioned write
+    encoded = _nearest_centroids(
+        corpus.withColumn("pq_codes", _pq_codes_expr(vec_col, books)),
+        id_col,
+        vec_col,
+        centroids,
+        1,
+        passthrough=["pq_codes"],
+    ).select(F.col("__rid").alias("neighbor_id"), "pq_codes", "centroid_id")
     version = f"v_{uuid.uuid4().hex[:12]}"
     build_dir = os.path.join(index_dir, version)
     (
-        assigned.join(enc, "neighbor_id")
-        .write.mode("overwrite")
+        encoded.write.mode("overwrite")
         .partitionBy("centroid_id")
         .parquet(build_dir)
     )
@@ -1573,16 +1610,19 @@ def append_to_ivfpq_index(
 
     # NULL-embedding rows can never be retrieved — same rule as the build
     batch = batch.where(F.col(vec_col).isNotNull())
-    assigned = _nearest_centroids(batch, id_col, vec_col, centroids, 1).select(
-        F.col("__rid").alias("neighbor_id"), "centroid_id"
-    )
-    enc = pq_encode(batch, id_col, vec_col, books).withColumnRenamed(
-        id_col, "neighbor_id"
-    )
+    # fused assign+encode (see ivfpq_topk): one map-only pass over the
+    # batch, no batch self-join before the segment write
+    encoded = _nearest_centroids(
+        batch.withColumn("pq_codes", _pq_codes_expr(vec_col, books)),
+        id_col,
+        vec_col,
+        centroids,
+        1,
+        passthrough=["pq_codes"],
+    ).select(F.col("__rid").alias("neighbor_id"), "pq_codes", "centroid_id")
     seg_name = f"seg_{token}" if token is not None else f"seg_{uuid.uuid4().hex[:12]}"
     (
-        assigned.join(enc, "neighbor_id")
-        .write.mode("overwrite")
+        encoded.write.mode("overwrite")
         .partitionBy("centroid_id")
         .parquet(os.path.join(index_dir, seg_name))
     )

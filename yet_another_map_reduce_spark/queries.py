@@ -2349,28 +2349,45 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb, q, "vec_id", "embedding", k=10, shortlist=30, books=books
         ),
     }
-    out = None
-    for tier, approx in tiers.items():
-        hits = approx.select(
-            "query_id", "neighbor_id", F.lit(1).alias("__hit")
-        )
-        rep = (
-            exact.join(hits, ["query_id", "neighbor_id"], "left")
-            .groupBy("query_id")
-            .agg(
-                F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
-                .cast("bigint")
-                .alias("n_overlap")
-            )
-            .select(
+    # ONE join + ONE aggregate over a tier-tagged union (r15): the
+    # former per-tier join→groupBy→union chain planned three copies of
+    # the exact-baseline subtree and three aggregation exchanges — at
+    # bench scale each extra exchange is a sequential AQE stage
+    # materialization, and at any scale the exact baseline (a full
+    # corpus scan) must not be re-derived per tier.  Same rows: the
+    # left join against the per-tier hit set and the per-(tier, query)
+    # overlap count are unchanged, just batched.
+    from functools import reduce as _reduce
+
+    hits = _reduce(
+        DataFrame.unionByName,
+        [
+            approx.select(
                 F.lit(tier).alias("tier"),
                 "query_id",
-                "n_overlap",
-                F.round(F.col("n_overlap") / 10, 6).alias("recall_at_10"),
+                "neighbor_id",
+                F.lit(1).alias("__hit"),
             )
+            for tier, approx in tiers.items()
+        ],
+    )
+    tier_names = spark.createDataFrame([(t,) for t in tiers], "tier string")
+    return (
+        exact.crossJoin(F.broadcast(tier_names))
+        .join(hits, ["tier", "query_id", "neighbor_id"], "left")
+        .groupBy("tier", "query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_overlap")
         )
-        out = rep if out is None else out.unionByName(rep)
-    return out
+        .select(
+            "tier",
+            "query_id",
+            "n_overlap",
+            F.round(F.col("n_overlap") / 10, 6).alias("recall_at_10"),
+        )
+    )
 
 
 def q_embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
