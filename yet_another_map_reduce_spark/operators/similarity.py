@@ -207,14 +207,14 @@ def lsh_bucket(df: DataFrame, vec_col: str, num_planes: int = 8, dim: int = 64) 
     bit_cols = []
     for i in range(num_planes):
         plane = _hyperplane(dim, i)
-        dot_i = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.array(*[F.lit(v) for v in plane]),
-                lambda x, y: x.cast("double") * y,
-            ),
-            F.lit(0.0).cast("double"),
-            lambda acc, v: acc + v,
+        # ONE SQL string per plane (r15, same rationale as
+        # _pq_codes_expr): the Column form made a py4j call per
+        # component — num_planes × dim round trips per construction
+        arr = ",".join(_dlit(v) for v in plane)
+        dot_i = F.expr(
+            f"aggregate(zip_with(`{vec_col}`, array({arr}), "
+            "(a, b) -> cast(a as double) * b), "
+            "cast(0.0 as double), (acc, x) -> acc + x)"
         )
         bit_cols.append(F.when(dot_i >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
     dim_ok = F.assert_true(
@@ -643,8 +643,6 @@ def kmeans_assign(
     """
     import math
 
-    from yet_another_map_reduce_spark.functions import norm
-
     cent = (
         centroids
         if centroids is not None
@@ -658,22 +656,26 @@ def kmeans_assign(
         n = math.sqrt(sum(x * x for x in c)) or 1.0
         units.append((int(r["centroid_id"]), [x / n for x in c]))
 
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    cands = []
-    for cid, unit in units:
-        d = F.aggregate(
-            F.zip_with(v, F.array(*[F.lit(x) for x in unit]), lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        # same 6-digit rounding + lower-id tiebreak as training's
-        # assign_expr, so assignment here == the last training pass
-        cands.append(F.struct(F.round(d, 6).alias("d"), F.lit(-cid).alias("ni")))
-    best = F.array_max(F.array(*cands))
+    # ONE SQL string (r15, same rationale as _pq_codes_expr): the
+    # Column-API form made a py4j round trip per centroid component —
+    # nlist × dim literals per plan construction.  Same expressions:
+    # dot against unit centroids, 6-digit round, lower-id tiebreak via
+    # max of (d, -cid) structs.
+    v = f"transform(`{vec_col}`, x -> cast(x as double))"
+    cands = ",".join(
+        "named_struct('d', round("
+        f"aggregate(zip_with({v}, array({','.join(_dlit(x) for x in unit)}), "
+        f"(a, b) -> a * b), 0.0D, (acc, x) -> acc + x), 6), 'ni', {-cid})"
+        for cid, unit in units
+    )
+    best = f"array_max(array({cands}))"
     return corpus.select(
         F.col(id_col),
-        (-best["ni"]).cast("bigint").alias("cluster_id"),
-        F.round(F.try_divide(best["d"], norm(v)), 6).alias("cos"),
+        F.expr(f"cast(-(({best}).ni) as bigint)").alias("cluster_id"),
+        F.expr(
+            f"round(try_divide(({best}).d, "
+            f"sqrt(aggregate({v}, 0.0D, (acc, x) -> acc + x * x))), 6)"
+        ).alias("cos"),
     )
 
 
@@ -878,28 +880,22 @@ def train_pq_codebooks(
         for s in range(m)
     ]
 
-    def _code_expr(subv, book):  # struct-min argmin: (d asc, cid asc)
-        cands = []
-        for j, cent in enumerate(book):
-            d = F.aggregate(
-                F.zip_with(
-                    subv,
-                    F.array(*[F.lit(c) for c in cent]),
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            cands.append(F.struct(F.round(d, 6).alias("d"), F.lit(j).alias("j")))
-        return F.array_min(F.array(*cands))["j"]
+    # struct-min argmin as ONE SQL string per subspace (r15, same
+    # rationale as _pq_codes_expr: no py4j call per literal)
+    def _code_sql(subv_sql: str, book) -> str:
+        cands = ",".join(
+            f"named_struct('d', round({_sq_l2_sql(subv_sql, cent)}, 6), 'j', {j})"
+            for j, cent in enumerate(book)
+        )
+        return f"array_min(array({cands})).j"
 
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    v = f"transform(`{vec_col}`, x -> cast(x as double))"
     for _ in range(iterations):
         per_s = [
-            F.struct(
-                F.lit(s).alias("s"),
-                _code_expr(F.slice(v, s * sub + 1, sub), books[s]).alias("code"),
-                F.slice(v, s * sub + 1, sub).alias("sv"),
+            F.expr(
+                f"named_struct('s', {s}, "
+                f"'code', {_code_sql(f'slice({v}, {s * sub + 1}, {sub})', books[s])}, "
+                f"'sv', slice({v}, {s * sub + 1}, {sub}))"
             )
             for s in range(m)
         ]
@@ -942,32 +938,52 @@ def pq_encode(
     )
 
 
+def _dlit(x: float) -> str:
+    """A SQL double literal with the exact bits of the Python float:
+    ``repr`` round-trips doubles and the ``D`` suffix keeps Spark from
+    parsing plain decimals as DECIMAL."""
+    return f"{x!r}D"
+
+
+def _sq_l2_sql(subv_sql: str, cent: list[float]) -> str:
+    """``aggregate(zip_with(subv, cent, (a,b)->(a-b)*(a-b)), 0.0, +)`` as
+    SQL text — the same squared-L2 fold the Column form built."""
+    arr = ",".join(_dlit(c) for c in cent)
+    return (
+        f"aggregate(zip_with({subv_sql}, array({arr}), "
+        "(a, b) -> (a - b) * (a - b)), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
 def _pq_codes_expr(vec_col: str, books: list[list[list[float]]]) -> Column:
     """The PQ code array as a pure Column expression over ``vec_col`` —
     shared by :func:`pq_encode` and the fused assign+encode paths
     (build/append/ivfpq_topk attach it to the row BEFORE the cell-
-    assignment kernel so no corpus self-join is needed)."""
+    assignment kernel so no corpus self-join is needed).
+
+    Generated as ONE SQL string (r15): the Column-API form made a py4j
+    round trip per literal/operator — ~1.1 s of driver time PER PLAN
+    CONSTRUCTION for m=4, k=8, dim=64 codebooks, paid again on every
+    invocation (the bench constructs the plan per timed run, and a real
+    driver constructs it per job).  ``F.expr`` parses the same
+    expression tree JVM-side in ~3 ms; semantics are identical
+    (same zip_with/aggregate folds, same 6-digit round, same
+    struct-min argmin with ties to the lower code id).
+    """
     m = len(books)
     sub = len(books[0][0])
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    v = f"transform(`{vec_col}`, x -> cast(x as double))"
 
-    def _code(subv, book):
-        cands = []
-        for j, cent in enumerate(book):
-            d = F.aggregate(
-                F.zip_with(
-                    subv,
-                    F.array(*[F.lit(c) for c in cent]),
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            cands.append(F.struct(F.round(d, 6).alias("d"), F.lit(j).alias("j")))
-        return F.array_min(F.array(*cands))["j"]
+    def _code(s: int, book: list[list[float]]) -> str:
+        subv = f"slice({v}, {s * sub + 1}, {sub})"
+        cands = ",".join(
+            f"named_struct('d', round({_sq_l2_sql(subv, cent)}, 6), 'j', {j})"
+            for j, cent in enumerate(book)
+        )
+        return f"array_min(array({cands})).j"
 
-    return F.array(
-        *[_code(F.slice(v, s * sub + 1, sub), books[s]) for s in range(m)]
+    return F.expr(
+        "array(" + ",".join(_code(s, books[s]) for s in range(m)) + ")"
     )
 
 
@@ -1035,31 +1051,24 @@ def _adc_lut(books: list[list[list[float]]]) -> Column:
     re-derived the full m×k table for EVERY scored row (~16k
     interpreted float ops/row — measured ~0.3 ms/row, the entire cost
     of the 100× persisted-index search); per-row work is now just
-    ``m`` array lookups (:func:`_adc_dist_from_lut`)."""
+    ``m`` array lookups (:func:`_adc_dist_from_lut`).
+
+    Generated as ONE SQL string (r15, same rationale as
+    :func:`_pq_codes_expr`): the Column-API form cost ~0.85 s of py4j
+    round trips per plan construction."""
     m = len(books)
     sub = len(books[0][0])
 
-    def _lut(subv, book):
-        return F.array(
-            *[
-                F.round(
-                    F.aggregate(
-                        F.zip_with(
-                            subv,
-                            F.array(*[F.lit(c) for c in cent]),
-                            lambda a, b: (a - b) * (a - b),
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    ),
-                    6,
-                )
-                for cent in book
-            ]
+    def _lut(s: int, book: list[list[float]]) -> str:
+        subv = f"slice(__qv, {s * sub + 1}, {sub})"
+        return (
+            "array("
+            + ",".join(f"round({_sq_l2_sql(subv, cent)}, 6)" for cent in book)
+            + ")"
         )
 
-    return F.array(
-        *[_lut(F.slice(F.col("__qv"), s * sub + 1, sub), books[s]) for s in range(m)]
+    return F.expr(
+        "array(" + ",".join(_lut(s, books[s]) for s in range(m)) + ")"
     )
 
 
