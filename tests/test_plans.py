@@ -1285,17 +1285,21 @@ def test_zorder_value_all_null_column_degrades_to_bucket_zero(spark):
 
 
 def test_remove_common_lines_plan_shape(spark, sf_dir):
-    """The line-dedup scale contract: the boilerplate-key removal is a
-    BROADCAST anti-join (the line stream must not shuffle to meet a
-    tiny key set) and the corpus pays exactly one body-bearing
-    reassembly exchange — the plan that survives a 100x scale-up."""
+    """The line-dedup scale contract (re-pinned r15): the rewrite is a
+    per-document array filter against the ONE-ROW broadcast boilerplate
+    key set — document text must never shuffle (the pre-r15 shape
+    anti-joined the exploded line stream and re-assembled docs through
+    a corpus-sized collect_list exchange).  The only exchanges left
+    belong to the key-frequency aggregation (fixed-width md5 keys)."""
     from yet_another_map_reduce_spark.operators import text
     from yet_another_map_reduce_spark.sources.readers import read_table
 
     d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     out = text.remove_common_lines(d, max_doc_freq=2)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
-    # no sort-merge path anywhere: the only non-broadcast joins allowed
-    # are hash joins over the doc-id spine
+    # the key set reaches every doc row via a broadcast, never a shuffle
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    # no sort-merge path anywhere, and no doc-body reassembly exchange:
+    # the only aggregate is the key-frequency count (no collect_list)
     assert "SortMergeJoin" not in plan, plan
+    assert "collect_list" not in plan, plan

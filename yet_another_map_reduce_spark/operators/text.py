@@ -791,60 +791,46 @@ def remove_common_lines(
 
     Returns ``(id_col, text_col cleaned, n_lines, n_removed)``.
 
-    Scale shape: document frequency is a distinct + count over md5 line
-    keys (fixed-width, map-side partials, two key shuffles); the
-    removal is a LEFT ANTI join against ONLY the offending keys — a
-    relation of boilerplate classes, typically minuscule next to the
-    corpus, so AQE broadcasts it and the line stream never shuffles for
-    the join (plan-pinned at sf, re-verified on the 100x replica); if a
-    pathological corpus ever pushes the class set past the broadcast
-    threshold, Spark degrades to a shuffled anti-join on the md5 key —
-    one extra fixed-width-key shuffle, still never all-pairs; reassembly
-    then shuffles each surviving line once on ``id_col`` — one
-    corpus-sized shuffle, the same cost class as ``pack_sequences``.
+    Scale shape (r15): document frequency is a distinct + count over md5
+    line keys (fixed-width, map-side partials, two key shuffles); the
+    REWRITE is then a per-document array ``filter`` against the
+    boilerplate key set carried as ONE broadcast array row — document
+    text never shuffles at all.  The previous shape anti-joined the
+    exploded line stream and re-assembled documents with a
+    ``groupBy(id).collect_list`` — a full corpus-sized shuffle of line
+    TEXT (plus the per-doc sort) for what is a row-local deletion once
+    the offending keys are known (guide §2.4/§8: decide with small
+    rows, never move the payload).  The key set is boilerplate CLASSES
+    (typically minuscule); a pathological corpus that blows it past
+    broadcast size needs the old join form back — that corpus pays a
+    text shuffle either way.
     """
     split_col = F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
+    keyed_line = lambda l: F.when(  # noqa: E731 — shared line-key rule
+        F.length(F.trim(l)) >= min_line_chars, F.md5(F.trim(l))
+    )
     lines = df.select(
-        F.col(id_col),
-        F.posexplode(split_col).alias("__pos", "__line"),
-    )
-    keyed = lines.withColumn(
-        "__k",
-        F.when(
-            F.length(F.trim(F.col("__line"))) >= min_line_chars,
-            F.md5(F.trim(F.col("__line"))),
-        ),
-    )
-    boiler = (
-        keyed.where(F.col("__k").isNotNull())
-        .select("__k", id_col)
+        F.col(id_col), F.explode(split_col).alias("__line")
+    ).select(F.col(id_col), keyed_line(F.col("__line")).alias("__k"))
+    boiler_set = (
+        lines.where(F.col("__k").isNotNull())
         .distinct()
         .groupBy("__k")
         .agg(F.count(F.lit(1)).alias("__df"))
         .where(F.col("__df") > max_doc_freq)
-        .select("__k")
+        .agg(F.collect_set("__k").alias("__ks"))
     )
-    kept = keyed.join(boiler, "__k", "left_anti")
-    spine = df.select(
-        F.col(id_col), F.size(split_col).alias("n_lines")
+    is_boiler = lambda l: F.array_contains(  # noqa: E731
+        F.col("__ks"), keyed_line(l)
     )
-    rebuilt = kept.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
-                lambda x: x["__line"],
-            ),
-            join_sep if join_sep is not None else sep,
-        ).alias("__text"),
-        F.count(F.lit(1)).alias("__kept"),
-    )
-    return spine.join(rebuilt, id_col, "left").select(
+    kept_arr = F.filter(split_col, lambda l: ~F.coalesce(is_boiler(l), F.lit(False)))
+    return df.crossJoin(F.broadcast(boiler_set)).select(
         F.col(id_col),
-        F.coalesce(F.col("__text"), F.lit("")).alias(text_col),
-        F.col("n_lines").cast("bigint").alias("n_lines"),
-        (F.col("n_lines") - F.coalesce(F.col("__kept"), F.lit(0)))
-        .cast("bigint")
-        .alias("n_removed"),
+        F.array_join(
+            kept_arr, join_sep if join_sep is not None else sep
+        ).alias(text_col),
+        F.size(split_col).cast("bigint").alias("n_lines"),
+        (F.size(split_col) - F.size(kept_arr)).cast("bigint").alias("n_removed"),
     )
 
 
