@@ -2439,3 +2439,81 @@ def test_profile_columns_approx_tier_and_odd_names(spark):
         ).collect()
     }
     assert approx["the id"] == 2  # HLL exact at tiny cardinality
+
+
+def test_gram_kernels_match_expression_path(spark):
+    """r15 kernel≡expression parity: the map-only Arrow gram kernels
+    (gram_hash_rows, shingle_sets, and the minhash-signature kernel)
+    must be bit-identical to the window/explode expression path they
+    replaced — same UTF-8 gram bytes, same md5, same affine minima.
+    Covers NULL text, short docs (markers), empty string, and repeats."""
+    from yet_another_map_reduce_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat the cat sat"),
+            (2, "the  CAT   sat"),  # normalization collapses whitespace
+            (3, "too short"),
+            (4, None),
+            (5, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    # expression twin of gram_hash_rows(counts=True, keep_empty_docs=True)
+    exploded = dedup.exploded_shingles(df, "text", "doc_id", 3, keep_empty_docs=True)
+    from pyspark.sql import functions as F
+
+    want = {
+        (r["doc_id"], r["g"], r["c"])
+        for r in exploded.select(
+            "doc_id", F.md5("shingle").alias("g")
+        )
+        .groupBy("doc_id", "g")
+        .agg(
+            F.when(
+                F.max(F.col("g").isNotNull().cast("int")) == 1, F.count("g")
+            ).otherwise(F.lit(0)).alias("c")
+        )
+        .collect()
+    }
+    got = {
+        (r["doc_id"], r["g"], r["c"])
+        for r in dedup.gram_hash_rows(
+            df, "text", "doc_id", 3, counts=True, keep_empty_docs=True
+        ).collect()
+    }
+    assert got == want
+    # distinct (no counts, no markers) variant: rows are the distinct keys
+    got2 = {
+        (r["doc_id"], r["g"])
+        for r in dedup.gram_hash_rows(df, "text", "doc_id", 3).collect()
+    }
+    assert got2 == {(d, g) for d, g, _ in want if g is not None}
+
+    # shingle_sets: per-doc distinct shingle strings == collect_set twin
+    want_sets = {
+        r["doc_id"]: set(r["s"])
+        for r in exploded.where(F.col("shingle").isNotNull())
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("s"))
+        .collect()
+    }
+    got_sets = {
+        r["doc_id"]: set(r["__set"])
+        for r in dedup.shingle_sets(df, "text", "doc_id", 3).collect()
+    }
+    assert got_sets == want_sets
+
+    # minhash kernel == the expression path over precomputed shingles
+    sig_kernel = {
+        r["doc_id"]: list(r["signature"])
+        for r in dedup.minhash_signatures(df, "text", "doc_id", 12, 3).collect()
+    }
+    sig_expr = {
+        r["doc_id"]: list(r["signature"])
+        for r in dedup.minhash_signatures(
+            df, "text", "doc_id", 12, 3,
+            shingles=dedup.exploded_shingles(df, "text", "doc_id", 3),
+        ).collect()
+    }
+    assert sig_kernel == sig_expr

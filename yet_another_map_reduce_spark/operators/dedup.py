@@ -223,7 +223,12 @@ def shingle_sets(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame
                         )
                     )
                 )
-            yield pd.DataFrame({"__id": out_id, "__set": out_s})
+            # explicit object Series: pandas turns a list column whose
+            # cells all share one length into a 2D ndarray, which Arrow
+            # cannot convert to list<string>
+            yield pd.DataFrame(
+                {"__id": out_id, "__set": pd.Series(out_s, dtype=object)}
+            )
 
     return (
         _tokenized(df, text_col, id_col)
@@ -345,7 +350,13 @@ def minhash_signatures(
                     mins = (ha[:, None] + seeds * hb[:, None]).min(axis=0)
                     out_id.append(did)
                     out_sig.append(mins.tolist())
-                yield pd.DataFrame({"__id": out_id, "signature": out_sig})
+                yield pd.DataFrame(
+                    {
+                        "__id": out_id,
+                        # object Series: see shingle_sets (2D-ndarray trap)
+                        "signature": pd.Series(out_sig, dtype=object),
+                    }
+                )
 
         return (
             _tokenized(df, text_col, id_col)
