@@ -1,4 +1,4 @@
-"""Capture .explain("formatted") for named queries into plans/r15/.
+"""Capture .explain("formatted") for named queries into plans/r16/.
 
 Usage:
     python scripts/capture_plans.py before <query> [query ...]
@@ -16,7 +16,7 @@ from yet_another_map_reduce_spark import plans  # noqa: E402
 from yet_another_map_reduce_spark.queries import QUERIES  # noqa: E402
 from yet_another_map_reduce_spark.session import build_session  # noqa: E402
 
-OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15")
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r16")
 
 
 def main() -> None:

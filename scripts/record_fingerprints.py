@@ -36,7 +36,7 @@ from yet_another_map_reduce_spark.fingerprints import (  # noqa: E402
     FINGERPRINTS_FILE,
     correctness_history,
     load_recorded,
-    query_fingerprint,
+    query_components,
 )
 from yet_another_map_reduce_spark.queries import ORACLES, QUERIES  # noqa: E402
 
@@ -60,10 +60,8 @@ def main() -> None:
             recorded[q] = {"fingerprint": None, "round": last_green[q]}
             updated.append(f"{q} (marked stale)")
         elif last_green[q] == latest:
-            recorded[q] = {
-                "fingerprint": query_fingerprint(q, QUERIES, ORACLES),
-                "round": latest,
-            }
+            fpr, parts = query_components(q, QUERIES, ORACLES)
+            recorded[q] = {"fingerprint": fpr, "round": latest, "parts": parts}
             updated.append(q)
         elif args.rehash or (args.bootstrap and q not in recorded):
             if args.rehash and q in recorded and recorded[q].get("fingerprint") is None:
@@ -74,9 +72,11 @@ def main() -> None:
                 # branch does implicitly by skipping)
                 updated.append(f"{q} (stale marker kept)")
                 continue
+            fpr, parts = query_components(q, QUERIES, ORACLES)
             recorded[q] = {
-                "fingerprint": query_fingerprint(q, QUERIES, ORACLES),
+                "fingerprint": fpr,
                 "round": last_green[q],
+                "parts": parts,
             }
             updated.append(f"{q} (r{last_green[q]})")
 

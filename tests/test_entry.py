@@ -281,3 +281,57 @@ def test_fingerprint_follows_function_local_imports():
     finally:
         dedup.banded_hamming_pairs = orig
     assert fp.query_fingerprint(name, QUERIES, ORACLES) == before
+
+
+def test_shared_only_drift_does_not_outrank_direct_rewrite(tmp_path):
+    """r15 verdict #1: an edit to a universally-shared helper
+    (session.py) flips ALL 200 fingerprints; the rewritten tier then
+    sorted cheapest-first and the driver's 50-query window verified 50
+    trivia while the actually-rewritten heavy queries hid at positions
+    109-198.  Pin the fix: a query whose OWN component drifted (direct
+    rewrite) outranks queries whose only drifted component is shared
+    across most of the registry, and the direct tier sorts
+    cost-DESCENDING."""
+    import json
+
+    from yet_another_map_reduce_spark.fingerprints import query_components
+    from yet_another_map_reduce_spark.queries import QUERIES, ordered_queries
+
+    greens = list(QUERIES)[:8]
+    green_row = {"hash_match": True, "err": None, "spark_rows": 1}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({q: green_row for q in greens})
+    )
+    comps = {q: query_components(q) for q in greens}
+    # a component present in every green's closure == universally shared
+    shared_keys = set.intersection(*(set(c[1]) for c in comps.values()))
+    assert shared_keys, "test premise: greens share at least one component"
+    k_shared = sorted(shared_keys)[0]
+    direct_a, direct_b, shared_only = greens[0], greens[1], greens[2]
+    recorded = {}
+    for q, (fpr, parts) in comps.items():
+        recorded[q] = {"fingerprint": fpr, "round": 1, "parts": dict(parts)}
+    # direct_a / direct_b: simulate a drift in a component unique to the
+    # query (its per-query oracle part)
+    for q in (direct_a, direct_b):
+        recorded[q]["fingerprint"] = "drifted-" + q
+        recorded[q]["parts"][f"<oracle>{q}"] = "0" * 12
+    # shared_only: ONLY the universally-shared component drifted
+    recorded[shared_only]["fingerprint"] = "drifted-" + shared_only
+    recorded[shared_only]["parts"][k_shared] = "f" * 12
+    (tmp_path / "QUERY_FINGERPRINTS.json").write_text(json.dumps(recorded))
+    # frozen costs: direct_b is the expensive one -> must front direct_a
+    (tmp_path / "BASELINE_QUERIES.json").write_text(
+        json.dumps({"queries": {direct_a: 0.2, direct_b: 9.5, shared_only: 99.0}})
+    )
+
+    ordered = list(ordered_queries(root=str(tmp_path)))
+    # both direct rewrites outrank the shared-only invalidation, even
+    # though the shared-only query is by far the most expensive
+    assert ordered.index(direct_a) < ordered.index(shared_only)
+    assert ordered.index(direct_b) < ordered.index(shared_only)
+    # cost-descending within the direct tier
+    assert ordered.index(direct_b) < ordered.index(direct_a)
+    # the shared-only invalidation still precedes unchanged green rows
+    unchanged = greens[3]
+    assert ordered.index(shared_only) < ordered.index(unchanged)

@@ -204,6 +204,44 @@ def _transitive_sources(fn: types.FunctionType) -> list[str]:
     return [f"{k}\x01{sources[k]}" for k in sorted(sources)]
 
 
+def query_components(
+    name: str,
+    queries: dict | None = None,
+    oracles: dict | None = None,
+) -> tuple[str, dict[str, str]]:
+    """``(fingerprint, components)`` for a registered query: the
+    rolled-up hex digest (identical to :func:`query_fingerprint`) plus
+    a per-component short hash keyed by qualified source name.  The
+    component map lets a later pass attribute WHICH part of the
+    transitive closure drifted — a query's own function or a
+    narrowly-shared operator helper (a direct rewrite) vs a
+    universally-shared helper like the session builder (which flips
+    every caller at once and carries no per-query signal)."""
+    if queries is None or oracles is None:
+        from yet_another_map_reduce_spark.queries import ORACLES, QUERIES
+
+        queries = queries if queries is not None else QUERIES
+        oracles = oracles if oracles is not None else ORACLES
+    h = hashlib.sha256()
+    comps: dict[str, str] = {}
+    for part in _transitive_sources(queries[name]):
+        h.update(part.encode("utf-8", "replace"))
+        h.update(b"\0")
+        key, _, src = part.partition("\x01")
+        comps[key] = hashlib.sha256(src.encode("utf-8", "replace")).hexdigest()[:12]
+    sql = oracles.get(name)
+    if sql is not None:
+        h.update(sql.encode("utf-8", "replace"))
+        # the oracle component is keyed PER QUERY: every oracle-bearing
+        # query has an oracle part, so a bare "<oracle>" key would have
+        # registry-wide spread and an oracle edit would misclassify as
+        # shared-only drift
+        comps[f"<oracle>{name}"] = hashlib.sha256(
+            sql.encode("utf-8", "replace")
+        ).hexdigest()[:12]
+    return h.hexdigest(), comps
+
+
 def query_fingerprint(
     name: str,
     queries: dict | None = None,
@@ -212,19 +250,7 @@ def query_fingerprint(
     """Stable hex digest of a registered query's transitive source +
     oracle SQL.  Changes iff the query's plan-producing code or its
     oracle contract changed."""
-    if queries is None or oracles is None:
-        from yet_another_map_reduce_spark.queries import ORACLES, QUERIES
-
-        queries = queries if queries is not None else QUERIES
-        oracles = oracles if oracles is not None else ORACLES
-    h = hashlib.sha256()
-    for part in _transitive_sources(queries[name]):
-        h.update(part.encode("utf-8", "replace"))
-        h.update(b"\0")
-    sql = oracles.get(name)
-    if sql is not None:
-        h.update(sql.encode("utf-8", "replace"))
-    return h.hexdigest()
+    return query_components(name, queries, oracles)[0]
 
 
 _ROUND_RE = re.compile(r"^CORRECTNESS_r(\d+)\.json$")
@@ -289,6 +315,74 @@ def load_recorded(root: str) -> dict[str, dict]:
         return {}
 
 
+#: a drifted component is "shared" (carries no per-query signal) when it
+#: appears in the transitive closure of at least this fraction of the
+#: queries under classification — e.g. the session builder or a registry
+#: loader, which flip EVERY caller's fingerprint on any edit.
+SHARED_SPREAD_FRACTION = 0.5
+
+
+def classify_rewritten(
+    root: str,
+    green_queries: list[str],
+    queries: dict | None = None,
+    oracles: dict | None = None,
+) -> tuple[set[str], set[str]]:
+    """``(rewritten, direct)``: ``rewritten`` is the subset of
+    ``green_queries`` whose current fingerprint differs from the
+    recorded green-time fingerprint (or that has no usable record);
+    ``direct`` ⊆ ``rewritten`` are those whose drift includes at least
+    one NON-universally-shared component — the query's own function,
+    its oracle SQL, or an operator helper with limited fan-out.
+
+    The distinction exists because a one-line edit to a module in every
+    query's closure (session.py in r15) flips all 200 fingerprints at
+    once; ranking that tier by cost-ascending then let the actually
+    rewritten heavy queries dodge the driver's 50-query oracle window
+    entirely (r15 verdict #1).  Direct rewrites must outrank
+    shared-only invalidations.  Classification errs toward ``direct``:
+    v1 records without component parts, missing records, and stale
+    markers all classify direct (unknown provenance == assume a real
+    rewrite)."""
+    recorded = load_recorded(root)
+    rewritten: set[str] = set()
+    direct: set[str] = set()
+    current: dict[str, dict[str, str]] = {}
+    for q in green_queries:
+        fpr, comps = query_components(q, queries, oracles)
+        current[q] = comps
+        rec = recorded.get(q)
+        if not rec or not rec.get("fingerprint"):
+            rewritten.add(q)
+            direct.add(q)
+            continue
+        if fpr != rec["fingerprint"]:
+            rewritten.add(q)
+            if not isinstance(rec.get("parts"), dict) or not rec["parts"]:
+                direct.add(q)
+    # spread(key) = number of classified queries whose closure (current
+    # or recorded) contains the component; keys near registry-wide
+    # spread carry no per-query signal
+    spread: dict[str, int] = {}
+    for q in green_queries:
+        rec = recorded.get(q) or {}
+        parts = rec.get("parts") if isinstance(rec.get("parts"), dict) else {}
+        for k in set(current[q]) | set(parts):
+            spread[k] = spread.get(k, 0) + 1
+    threshold = SHARED_SPREAD_FRACTION * max(len(green_queries), 1)
+    for q in rewritten - direct:
+        rec_parts = recorded[q]["parts"]
+        cur = current[q]
+        changed = {
+            k
+            for k in set(rec_parts) | set(cur)
+            if rec_parts.get(k) != cur.get(k)
+        }
+        if any(spread.get(k, 0) < threshold for k in changed):
+            direct.add(q)
+    return rewritten, direct
+
+
 def rewritten_since_green(
     root: str,
     green_queries: list[str],
@@ -298,13 +392,4 @@ def rewritten_since_green(
     """Subset of ``green_queries`` whose current fingerprint differs
     from the recorded green-time fingerprint — including queries with
     no record (conservative: unverified provenance == rewritten)."""
-    recorded = load_recorded(root)
-    out: set[str] = set()
-    for q in green_queries:
-        rec = recorded.get(q)
-        if not rec or not rec.get("fingerprint"):
-            out.add(q)
-            continue
-        if query_fingerprint(q, queries, oracles) != rec["fingerprint"]:
-            out.add(q)
-    return out
+    return classify_rewritten(root, green_queries, queries, oracles)[0]

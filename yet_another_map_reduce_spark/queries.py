@@ -8696,7 +8696,18 @@ def ordered_queries(root: str | None = None) -> dict[str, Callable[[SparkSession
        fingerprint recorded when the driver last saw it green, or no
        fingerprint was ever recorded.  A plan rewrite invalidates the
        green; ranking these behind merely-stale rows let ~10 r6/r7
-       rewrites dodge the driver's oracle for rounds (r7 verdict #1);
+       rewrites dodge the driver's oracle for rounds (r7 verdict #1).
+       Within this tier, DIRECT rewrites (the query's own source, its
+       oracle, or a narrowly-shared operator helper drifted) come
+       first, cost-DESCENDING — the most expensive rewrites carry the
+       most code and the most risk; shared-only invalidations (a
+       universally-shared helper such as session.py flipped every
+       fingerprint at once) follow, oldest-green-first then
+       cost-descending.  Without the split, the r15 session.py edit
+       marked all 200 queries rewritten and the cost-ascending sort
+       filled the driver's 50-query window with trivia while the 30
+       actually-rewritten heavy queries landed at positions 109-198
+       (r15 verdict #1);
     3. never-verified queries next, cheapest first by frozen baseline.
        A query whose only green rows were rows-only (``err ==
        "no_oracle"``) but which NOW has an ``ORACLES`` entry counts as
@@ -8746,15 +8757,22 @@ def ordered_queries(root: str | None = None) -> dict[str, Callable[[SparkSession
         and last_green[q] == last_seen[q]
         and not _never_hash_verified(q)
     ]
-    from yet_another_map_reduce_spark.fingerprints import rewritten_since_green
+    from yet_another_map_reduce_spark.fingerprints import classify_rewritten
 
-    rewritten_set = rewritten_since_green(root, green_all, QUERIES, ORACLES)
-    rewritten = sorted(
-        (q for q in green_all if q in rewritten_set),
-        key=lambda q: (float(cost.get(q, 999.0)), q),
+    rewritten_set, direct_set = classify_rewritten(root, green_all, QUERIES, ORACLES)
+    rewritten_direct = sorted(
+        (q for q in green_all if q in direct_set),
+        key=lambda q: (-float(cost.get(q, 999.0)), q),
+    )
+    rewritten_shared = sorted(
+        (q for q in green_all if q in rewritten_set and q not in direct_set),
+        key=lambda q: (last_green[q], -float(cost.get(q, 999.0)), q),
     )
     green = sorted(
         (q for q in green_all if q not in rewritten_set),
         key=lambda q: (last_green[q], q),
     )
-    return {q: QUERIES[q] for q in failed + rewritten + fresh + green}
+    return {
+        q: QUERIES[q]
+        for q in failed + rewritten_direct + rewritten_shared + fresh + green
+    }
