@@ -2517,3 +2517,49 @@ def test_gram_kernels_match_expression_path(spark):
         ).collect()
     }
     assert sig_kernel == sig_expr
+
+
+def test_percentile_exact_dist_bit_identical(spark):
+    """percentile_exact_dist must reproduce F.percentile BIT-identically
+    (same order statistics, same (hi-pos)*v_lo + (pos-lo)*v_hi IEEE
+    interpolation) — it replaces the single-reducer value-map merge in
+    agg_median / agg_percentiles_approx, so any drift here is an oracle
+    hash break.  Adversarial data: duplicates, negatives, 1-row and
+    even/odd group sizes, and p=0/1 edge probs."""
+    import random
+    import struct
+
+    from yet_another_map_reduce_spark.operators.aggregates import (
+        percentile_exact_dist,
+    )
+
+    random.seed(7)
+    rows = []
+    for g, nvals in (("a", 1), ("b", 2), ("c", 7), ("d", 100), ("e", 501)):
+        pool = [round(random.uniform(-500, 500), 2) for _ in range(max(3, nvals // 3))]
+        for _ in range(nvals):
+            rows.append(
+                (
+                    g,
+                    random.choice(pool)
+                    if random.random() < 0.5
+                    else random.uniform(-1e4, 1e4),
+                )
+            )
+    df = spark.createDataFrame(rows, "g string, x double")
+    probs = [0.0, 0.01, 0.25, 0.5, 0.731, 0.99, 1.0]
+    arr = ",".join(map(str, probs))
+    ref = {
+        r[0]: r[1]
+        for r in df.groupBy("g")
+        .agg(F.expr(f"percentile(x, array({arr}))"))
+        .collect()
+    }
+    got = {
+        r[0]: r[1] for r in percentile_exact_dist(df, "g", "x", probs).collect()
+    }
+    assert set(got) == set(ref)
+    for k in ref:
+        assert len(got[k]) == len(probs)
+        for i, (a, b) in enumerate(zip(ref[k], got[k])):
+            assert struct.pack("d", a) == struct.pack("d", b), (k, probs[i], a, b)

@@ -16,7 +16,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -83,6 +83,152 @@ def percentiles(df: DataFrame, keys: list[str], col: str, probs: list[float]) ->
         F.percentile_approx(col, p).alias(n) for p, n in zip(probs, names)
     ]
     return df.groupBy(*keys).agg(*aggs)
+
+
+def percentile_exact_dist(
+    df: DataFrame, key: str, col: str, probs: list[float]
+) -> DataFrame:
+    """Exact interpolated percentiles per group, computed WITHOUT the
+    single-reducer value-map merge of Spark's ``percentile`` aggregate.
+
+    ``percentile(col, array(...))`` is an ObjectAggregate: every task
+    builds a value→count map, and ONE reduce task per group merges all
+    of them and sorts the full distinct-value set — a per-group memory
+    ceiling and a serial merge that cannot parallelize (profiled r15:
+    the merge stage was 3 tasks / 4.6 task-s at sf0.1; at 100 TB one
+    task would buffer a group's whole value set).  This helper computes
+    the SAME doubles with every stage either map-side-partial or
+    bounded by the value DOMAIN, never the data size (guide §8: decide
+    with small rows):
+
+    1. histogram ``groupBy(key, floor(value))`` — partial agg, shuffle
+       rows bounded by groups × integer-value domain;
+    2. cumulative counts per group via a window over the *histogram*;
+    3. per requested prob, locate the bucket(s) holding 0-based ranks
+       ``floor/ceil(pos)``, ``pos = prob · (n−1)`` (a broadcast join
+       against the histogram);
+    4. re-scan ONLY rows in the needed buckets (broadcast join on the
+       bucket id), rank within each tiny bucket, pick the exact order
+       statistics;
+    5. interpolate with the Percentile aggregate's own formula
+       ``(hi − pos)·v_lo + (pos − lo)·v_hi`` — identical IEEE double
+       operations, so the result is bit-identical (pinned by the
+       property test against ``F.percentile`` itself).
+
+    Contract / caveats (callers must hold these for exact equivalence):
+    values non-null and finite (a group with ONLY nulls is dropped
+    here, where ``percentile`` would emit NULL; NaN sorts before
+    everything via the null bucket where ``percentile`` sorts it last);
+    the value domain must be wide enough that ``floor`` buckets stay
+    small (true for 2-decimal prices; a domain inside [0,1) would put
+    every row in one bucket).
+    """
+    v = F.col(col).cast("double")
+    base = df.where(v.isNotNull()).select(
+        F.col(key).alias("__k"), v.alias("__v")
+    )
+    hist = base.groupBy("__k", F.floor("__v").alias("__b")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    w = Window.partitionBy("__k").orderBy("__b")
+    cum = hist.select(
+        "__k", "__b", "__c", F.sum("__c").over(w).alias("__cum")
+    )
+    n = hist.groupBy("__k").agg(F.sum("__c").alias("__n"))
+    ranks = n.select(
+        "__k",
+        "__n",
+        F.posexplode(
+            F.array(*[F.lit(float(p)) for p in probs])
+        ).alias("__pi", "__prob"),
+    ).select(
+        "__k",
+        "__pi",
+        "__prob",
+        (F.col("__prob") * (F.col("__n") - F.lit(1)).cast("double")).alias(
+            "__pos"
+        ),
+    )
+    need = (
+        ranks.withColumn("__lo", F.floor("__pos"))
+        .withColumn("__hi", F.ceil("__pos"))
+        .select(
+            "__k",
+            "__pi",
+            "__pos",
+            "__lo",
+            "__hi",
+            F.posexplode(F.array("__lo", "__hi")).alias("__side", "__r"),
+        )
+    )
+    located = (
+        cum.join(F.broadcast(need), "__k")
+        .where(
+            (F.col("__r") >= F.col("__cum") - F.col("__c"))
+            & (F.col("__r") < F.col("__cum"))
+        )
+        .select(
+            "__k",
+            "__pi",
+            "__pos",
+            "__lo",
+            "__hi",
+            "__side",
+            "__b",
+            (F.col("__r") - (F.col("__cum") - F.col("__c"))).alias("__j"),
+        )
+    )
+    buckets = located.select(
+        F.col("__k").alias("__bk"), F.col("__b").alias("__nb")
+    ).distinct()
+    picked = base.join(
+        F.broadcast(buckets),
+        (F.col("__k") == F.col("__bk")) & (F.floor("__v") == F.col("__nb")),
+    ).select("__k", "__v", "__nb")
+    ranked = picked.withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy("__k", "__nb").orderBy("__v")
+        )
+        - F.lit(1),
+    )
+    loc = located.select(
+        F.col("__k").alias("__lk"),
+        "__pi",
+        "__pos",
+        "__lo",
+        "__hi",
+        "__side",
+        "__b",
+        "__j",
+    )
+    hit = ranked.join(
+        F.broadcast(loc),
+        (F.col("__k") == F.col("__lk"))
+        & (F.col("__nb") == F.col("__b"))
+        & (F.col("__rn") == F.col("__j")),
+    )
+    res = hit.groupBy("__k", "__pi", "__pos", "__lo", "__hi").agg(
+        F.max(F.when(F.col("__side") == 0, F.col("__v"))).alias("__vlo"),
+        F.max(F.when(F.col("__side") == 1, F.col("__v"))).alias("__vhi"),
+    )
+    val = F.when(F.col("__lo") == F.col("__hi"), F.col("__vlo")).otherwise(
+        (F.col("__hi").cast("double") - F.col("__pos")) * F.col("__vlo")
+        + (F.col("__pos") - F.col("__lo").cast("double")) * F.col("__vhi")
+    )
+    return (
+        res.select("__k", "__pi", val.alias("__val"))
+        .groupBy("__k")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("__pi", "__val"))
+            ).alias("__s")
+        )
+        .select(
+            F.col("__k").alias(key),
+            F.transform("__s", lambda s: s["__val"]).alias("__p"),
+        )
+    )
 
 
 def hll_sketch_count(

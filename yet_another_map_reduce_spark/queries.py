@@ -496,12 +496,14 @@ def q_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact median + interpolated quartiles (mergeable sketch variants
     live in aggregates.percentiles for the 100 TB path)."""
     li = read_table(spark, sf_dir, "lineitem")
-    # one percentile aggregate with an array argument = one sort per
-    # group instead of three
-    pct = F.percentile("l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    # distributed exact order statistics: bit-identical to
+    # percentile(col, array(0.25, 0.5, 0.75)) but with no single-reducer
+    # value-map merge (see aggregates.percentile_exact_dist; parity
+    # pinned by test_percentile_exact_dist_bit_identical)
     return (
-        li.groupBy("l_returnflag")
-        .agg(pct.alias("__p"))
+        aggregates.percentile_exact_dist(
+            li, "l_returnflag", "l_extendedprice", [0.25, 0.5, 0.75]
+        )
         .select(
             "l_returnflag",
             F.round(F.element_at("__p", 2), 4).alias("median_price"),
@@ -2779,14 +2781,18 @@ def q_agg_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal TRUE: a green hash certifies the sketch's error bound —
     upgrading the old rows-only check to a real verification."""
     li = read_table(spark, sf_dir, "lineitem")
+    # the sketch halves stay one parallel agg; the exact reference
+    # values come from the distributed order-statistics helper
+    # (bit-identical to the percentile aggregate, no single-reducer
+    # merge) and attach via a broadcast-size join on the 3 flag groups
+    ex = aggregates.percentile_exact_dist(
+        li, "l_returnflag", "l_extendedprice", [0.45, 0.5, 0.55, 0.90, 0.95, 0.99]
+    ).select("l_returnflag", F.col("__p").alias("ex"))
     g = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         F.percentile_approx("l_extendedprice", 0.5).alias("a50"),
         F.percentile_approx("l_extendedprice", 0.95).alias("a95"),
-        F.expr(
-            "percentile(l_extendedprice, array(0.45, 0.5, 0.55, 0.90, 0.95, 0.99))"
-        ).alias("ex"),
-    )
+    ).join(ex, "l_returnflag", "left")
     return g.select(
         "l_returnflag",
         "n",
