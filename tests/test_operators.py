@@ -2563,3 +2563,50 @@ def test_percentile_exact_dist_bit_identical(spark):
         assert len(got[k]) == len(probs)
         for i, (a, b) in enumerate(zip(ref[k], got[k])):
             assert struct.pack("d", a) == struct.pack("d", b), (k, probs[i], a, b)
+
+
+def test_local_relation_matches_plain_createdataframe(spark):
+    """local_relation must be a drop-in for createDataFrame: identical
+    schema and values (doubles bit-exact) on the model/grid shapes the
+    operators build, a LocalTableScan plan on the Arrow path, and a
+    silent fallback for rows Arrow can't transpose."""
+    import struct
+
+    from yet_another_map_reduce_spark.localrel import local_relation
+
+    cases = [
+        ([(1, [0.1, -2.5e300]), (2, None), (None, [])],
+         "vec_id long, embedding array<double>"),
+        ([("a",), ("b",)], "tier string"),
+        ([(0.5,), (0.9,)], "threshold double"),
+        ([], "fp string"),
+        ([(1, 2, 3.5, "x", True)], "a int, b long, c double, d string, e boolean"),
+    ]
+    for rows, ddl in cases:
+        a = spark.createDataFrame(rows, ddl)
+        b = local_relation(spark, rows, ddl)
+        assert a.schema == b.schema, ddl
+        ra, rb = a.collect(), b.collect()
+        assert len(ra) == len(rb)
+        for x, y in zip(ra, rb):
+            for u, v in zip(x, y):
+                if isinstance(u, float):
+                    assert struct.pack("d", u) == struct.pack("d", v)
+                elif isinstance(u, list):
+                    assert [
+                        struct.pack("d", i) if isinstance(i, float) else i
+                        for i in u
+                    ] == [
+                        struct.pack("d", i) if isinstance(i, float) else i
+                        for i in v
+                    ]
+                else:
+                    assert u == v, (ddl, x, y)
+    # Arrow path plans as a JVM LocalTableScan (no Python workers)
+    plan = local_relation(
+        spark, [(1, [1.0])], "vec_id long, embedding array<double>"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan
+    # dict rows (keys would transpose) take the classic path unharmed
+    d = local_relation(spark, [{"k": "v1"}, {"k": "v2"}], "k string")
+    assert sorted(r["k"] for r in d.collect()) == ["v1", "v2"]

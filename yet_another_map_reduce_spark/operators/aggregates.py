@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from yet_another_map_reduce_spark.localrel import local_relation
 
 
 def group_agg(df: DataFrame, keys: list[str], aggs: list[Column]) -> DataFrame:
@@ -461,8 +462,8 @@ def heavy_hitters_exact(df: DataFrame, col: str, k: int) -> DataFrame:
     item_type = df.schema[col].dataType.simpleString()
     # namespaced candidate column: a df column named 'item' (including
     # col itself) would make the join condition and groupBy ambiguous
-    cands = spark.createDataFrame(
-        [(item,) for _, item in cand_rows], schema=f"__item {item_type}"
+    cands = local_relation(
+        spark, [(item,) for _, item in cand_rows], f"__item {item_type}"
     )
     return (
         df.join(F.broadcast(cands), df[col] == F.col("__item"), "inner")

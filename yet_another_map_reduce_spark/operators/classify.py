@@ -37,6 +37,7 @@ oscillation the raw final weights suffer on non-separable corpora.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from yet_another_map_reduce_spark.localrel import local_relation
 
 
 def perceptron_train(
@@ -150,7 +151,7 @@ def perceptron_train_averaged(
         + ", "
         + ", ".join(f"s{k} long" for k in range(n + 1))
     )
-    return df.sparkSession.createDataFrame(trajectory, schema)
+    return local_relation(df.sparkSession, trajectory, schema)
 
 
 def _margin(weights: list[int], feature_cols: list[str]):

@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from yet_another_map_reduce_spark.functions import cosine_similarity
+from yet_another_map_reduce_spark.localrel import local_relation
 from yet_another_map_reduce_spark.operators.quantize import round_half_up
 
 
@@ -72,7 +73,8 @@ def cosine_topk(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__qv"),
     ).collect()
     if not qrows:  # no queries -> empty result, schema intact
-        return corpus.sparkSession.createDataFrame(
+        return local_relation(
+            corpus.sparkSession,
             [],
             f"query_id {queries.schema[query_id_col].dataType.simpleString()}, "
             f"neighbor_id {corpus.schema[id_col].dataType.simpleString()}, "
@@ -611,8 +613,10 @@ def train_ivf_centroids(
         cents = new_cents
 
     spark = corpus.sparkSession
-    return spark.createDataFrame(
-        [(i, c) for i, c in enumerate(cents)], "centroid_id long, __centv array<double>"
+    return local_relation(
+        spark,
+        [(i, c) for i, c in enumerate(cents)],
+        "centroid_id long, __centv array<double>",
     )
 
 
@@ -761,8 +765,10 @@ def quantized_topk(
     qid_t = queries.schema[id_col].dataType.simpleString()
     id_t = corpus.schema[id_col].dataType.simpleString()
     if not qrows:
-        return corpus.sparkSession.createDataFrame(
-            [], f"query_id {qid_t}, neighbor_id {id_t}, qcos double, qrank bigint"
+        return local_relation(
+            corpus.sparkSession,
+            [],
+            f"query_id {qid_t}, neighbor_id {id_t}, qcos double, qrank bigint",
         )
     qids = np.array([r["query_id"] for r in qrows])
     qqs = [_q8(r["__qv"]) for r in qrows]
@@ -1855,7 +1861,8 @@ def load_ivfpq_model(spark, index_dir: str):
             model = json.load(fh)
     except FileNotFoundError:
         return None, None
-    cent = spark.createDataFrame(
+    cent = local_relation(
+        spark,
         [(cid, vec) for cid, vec in model["centroids"]],
         "centroid_id bigint, __centv array<double>",
     )
@@ -1962,7 +1969,7 @@ def search_ivfpq_index(
     # the isin(cells) pruning filter, silently dropping candidates.
     prows = probe_plan.collect()
     cells = sorted({int(r["centroid_id"]) for r in prows})
-    probes = spark.createDataFrame(prows, probe_plan.schema)
+    probes = local_relation(spark, prows, probe_plan.schema)
     # one pruned scan per manifest segment (each segment is its own
     # hive-partitioned parquet root, so PartitionFilters prune per
     # branch; a single multi-root read would confuse partition

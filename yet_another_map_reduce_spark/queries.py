@@ -44,6 +44,7 @@ from yet_another_map_reduce_spark.operators import (
 )
 from yet_another_map_reduce_spark.sources.readers import read_table
 from yet_another_map_reduce_spark.caching import tracked_cache
+from yet_another_map_reduce_spark.localrel import local_relation
 from yet_another_map_reduce_spark.streaming.windows import (
     session_windowed,
     sliding_windowed,
@@ -1866,8 +1867,8 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    grid = spark.createDataFrame(
-        [(t / 100.0,) for t in range(50, 91, 10)], "threshold double"
+    grid = local_relation(
+        spark, [(t / 100.0,) for t in range(50, 91, 10)], "threshold double"
     )
     return (
         grid.join(F.broadcast(per_bucket), F.col("bucket") >= F.col("threshold"))
@@ -2373,7 +2374,7 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             for tier, approx in tiers.items()
         ],
     )
-    tier_names = spark.createDataFrame([(t,) for t in tiers], "tier string")
+    tier_names = local_relation(spark, [(t,) for t in tiers], "tier string")
     return (
         exact.crossJoin(F.broadcast(tier_names))
         .join(hits, ["tier", "query_id", "neighbor_id"], "left")

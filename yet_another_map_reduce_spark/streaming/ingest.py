@@ -51,6 +51,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, functions as F
 
 from yet_another_map_reduce_spark.operators import classify, dedup, similarity, text
+from yet_another_map_reduce_spark.localrel import local_relation
 
 
 def ingest_batch(
@@ -440,7 +441,7 @@ def read_seen_pruned(spark, seen_dir: str, keys: list[str]) -> DataFrame:
     whole relation."""
     paths, _, _ = seen_probe_paths(seen_dir, keys)
     if not paths:
-        return spark.createDataFrame([], "fp string")
+        return local_relation(spark, [], "fp string")
     return spark.read.parquet(*paths).select("fp")
 
 
