@@ -31,6 +31,35 @@ from yet_another_map_reduce_spark.localrel import local_relation
 from yet_another_map_reduce_spark.operators.quantize import round_half_up
 
 
+def _dcast(vec_col: str) -> Column:
+    """``transform(vec, x -> cast(x as double))`` parsed as ONE SQL
+    string: the Column-API higher-order-function builder costs ~9 ms of
+    py4j round trips PER CALL (measured, r16) and the eager ANN
+    constructors build it up to a dozen times per plan.  Identical
+    expression semantics — same cast on every element."""
+    return F.expr(f"transform(`{vec_col}`, x -> cast(x as double))")
+
+
+def collect_query_matrix(
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str | None = None,
+) -> list:
+    """ONE collect of the query side in the shape every eager tier
+    consumes (``query_id``, double-cast ``__qv``).  Multi-tier callers
+    (``ann_recall_report`` runs the exact baseline AND the int8 tier
+    over the same queries) pass the result to each tier's ``qrows=``
+    so the query subtree executes once instead of once per tier —
+    each extra collect is a full Spark job (~0.2 s at sf0.1, a full
+    query-side scan at scale)."""
+    query_id_col = query_id_col or id_col
+    return queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _dcast(vec_col).alias("__qv"),
+    ).collect()
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -38,6 +67,7 @@ def cosine_topk(
     vec_col: str,
     query_id_col: str | None = None,
     k: int = 10,
+    qrows: list | None = None,
 ) -> DataFrame:
     """Exact top-k nearest corpus vectors per query vector (cosine).
 
@@ -68,10 +98,8 @@ def cosine_topk(
     import pandas as pd
 
     query_id_col = query_id_col or id_col
-    qrows = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__qv"),
-    ).collect()
+    if qrows is None:
+        qrows = collect_query_matrix(queries, id_col, vec_col, query_id_col)
     if not qrows:  # no queries -> empty result, schema intact
         return local_relation(
             corpus.sparkSession,
@@ -95,7 +123,7 @@ def cosine_topk(
     else:  # every query vector NULL: no matmul possible, all-NaN scores
         Q, qn = None, None
 
-    cv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cv = _dcast(vec_col)
     c = corpus.select(F.col(id_col).alias("neighbor_id"), cv.alias("__cv"))
 
     def _scan(batches):
@@ -245,7 +273,7 @@ def ivf_centroids(corpus: DataFrame, id_col: str, vec_col: str, nlist: int) -> D
     independent for the correctness gate.  The centroid set is tiny
     (``nlist`` rows) and always broadcast.
     """
-    cv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cv = _dcast(vec_col)
     return (
         corpus.orderBy(F.col(id_col).asc())
         .limit(nlist)
@@ -269,7 +297,7 @@ def _nearest_centroids_expr(
     NULL cosines last."""
     from yet_another_map_reduce_spark.functions import dot, norm
 
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    v = _dcast(vec_col)
     scored = (
         df.select(F.col(id_out).alias("__rid"), v.alias("__v"))
         .crossJoin(F.broadcast(cent))
@@ -353,7 +381,7 @@ def _nearest_centroids(
     cn[cn == 0.0] = np.nan
 
     extra = list(passthrough or [])
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    v = _dcast(vec_col)
     base = df.select(
         F.col(id_out).alias("__rid"), v.alias("__v"), *[F.col(c) for c in extra]
     )
@@ -544,7 +572,7 @@ def train_ivf_centroids(
     ``centroids`` parameter, with ``centroid_id`` densely renumbered
     ``0..nlist-1``.
     """
-    cv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cv = _dcast(vec_col)
     seeds = (
         corpus.orderBy(F.col(id_col).asc())
         .limit(nlist)
@@ -701,7 +729,7 @@ def quantize_embeddings(
     All-zero vectors quantize to all zeros (scale 0) and rank last via
     ``try_divide`` NULLs downstream rather than raising.
     """
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    v = _dcast(vec_col)
     maxabs = F.array_max(F.transform(v, lambda x: F.abs(x)))
     scale = F.when(maxabs > 0, F.lit(127.0) / maxabs).otherwise(F.lit(0.0))
     q = F.transform(v, lambda x: F.floor(x * scale + F.lit(0.5)).cast("bigint"))
@@ -714,6 +742,7 @@ def quantized_topk(
     id_col: str,
     vec_col: str,
     k: int = 10,
+    qrows: list | None = None,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors over int8-quantized vectors —
     the memory-bandwidth tier of the ANN stack (quantize → integer dot),
@@ -756,10 +785,8 @@ def quantized_topk(
         scale = 127.0 / ma if ma > 0 else 0.0
         return np.floor(v * scale + 0.5)
 
-    qrows = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__qv"),
-    ).collect()
+    if qrows is None:
+        qrows = collect_query_matrix(queries, id_col, vec_col)
     # query_id carries the QUERIES frame's id type, neighbor_id the
     # corpus's — they share a column name but not necessarily a type
     qid_t = queries.schema[id_col].dataType.simpleString()
@@ -784,7 +811,7 @@ def quantized_topk(
     else:
         Q, qn = None, None
 
-    cv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cv = _dcast(vec_col)
     c = corpus.select(F.col(id_col).alias("neighbor_id"), cv.alias("__cv"))
 
     def _scan(batches):
@@ -1022,25 +1049,35 @@ def pq_topk(
             corpus, id_col, vec_col, m=m, k=nclusters, iterations=iterations
         )
     m = len(books)
+    # every DataFrame op after the giant literal expressions enter the
+    # plan re-analyzes the whole tree (m·k·dim literal nodes), so the
+    # chain is collapsed into as few transformations as possible
+    # (measured ~20 ms per op on these plans, r16)
     enc = pq_encode(corpus, id_col, vec_col, books).select(
         F.col(id_col).alias("neighbor_id"), "pq_codes"
     )
-    qv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     q = queries.select(
-        F.col(id_col).alias("query_id"), qv.alias("__qv")
-    ).withColumn("__lut", _adc_lut(books))
-    scored = (
-        enc.crossJoin(F.broadcast(q))
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("adist", _adc_dist_from_lut(m))
-    )
+        F.col(id_col).alias("query_id"),
+        _dcast(vec_col).alias("__qv"),
+    ).select("query_id", _adc_lut(books).alias("__lut"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("adist").asc(), F.col("neighbor_id").asc()
     )
+    scored = (
+        enc.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id", _adc_dist_from_lut(m).alias("adist")
+        )
+    )
     return (
-        scored.withColumn("qrank", F.row_number().over(w).cast("bigint"))
+        scored.select(
+            "query_id",
+            "neighbor_id",
+            "adist",
+            F.row_number().over(w).cast("bigint").alias("qrank"),
+        )
         .where(F.col("qrank") <= k)
-        .select("query_id", "neighbor_id", "adist", "qrank")
     )
 
 
@@ -1153,21 +1190,36 @@ def ivfpq_topk(
         1,
         passthrough=["pq_codes"],
     ).select(F.col("__rid").alias("neighbor_id"), "centroid_id", "pq_codes")
-    scored = (
-        index.join(
-            F.broadcast(probes.withColumn("__lut", _adc_lut(books))),
-            "centroid_id",
-        )
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("adist", _adc_dist_from_lut(len(books)))
-    )
+    # chain collapsed to minimize re-analysis of the literal-heavy plan
+    # (same rationale as pq_topk, r16); __qv is pruned from the
+    # broadcast side once the LUT is derived
     w = Window.partitionBy("query_id").orderBy(
         F.col("adist").asc(), F.col("neighbor_id").asc()
     )
+    scored = (
+        index.join(
+            F.broadcast(
+                probes.select(
+                    "query_id", "centroid_id", _adc_lut(books).alias("__lut")
+                )
+            ),
+            "centroid_id",
+        )
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _adc_dist_from_lut(len(books)).alias("adist"),
+        )
+    )
     return (
-        scored.withColumn("qrank", F.row_number().over(w).cast("bigint"))
+        scored.select(
+            "query_id",
+            "neighbor_id",
+            "adist",
+            F.row_number().over(w).cast("bigint").alias("qrank"),
+        )
         .where(F.col("qrank") <= k)
-        .select("query_id", "neighbor_id", "adist", "qrank")
     )
 
 
@@ -1234,16 +1286,27 @@ def ivfpq_rerank_topk(
     cand = nvec.join(F.broadcast(sl), "neighbor_id").join(
         F.broadcast(qvec), "query_id"
     )
-    scored = cand.withColumn(
-        "cos", F.round(cosine_similarity(F.col("__qv"), F.col("__nv")), 6)
-    )
+    # collapsed chain (fewer re-analyses of the literal-heavy shortlist
+    # lineage, r16): score and rank in two selects instead of
+    # withColumn -> withColumn -> where -> select
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc_nulls_last(), F.col("neighbor_id").asc()
     )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_similarity(F.col("__qv"), F.col("__nv")), 6).alias(
+            "cos"
+        ),
+    )
     return (
-        scored.withColumn("rerank", F.row_number().over(w).cast("bigint"))
+        scored.select(
+            "query_id",
+            "neighbor_id",
+            "cos",
+            F.row_number().over(w).cast("bigint").alias("rerank"),
+        )
         .where(F.col("rerank") <= k)
-        .select("query_id", "neighbor_id", "cos", "rerank")
     )
 
 

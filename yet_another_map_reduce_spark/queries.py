@@ -2339,12 +2339,18 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     once per row."""
     emb = read_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 5)
-    exact = similarity.cosine_topk(emb, q, "vec_id", "embedding", k=10).select(
-        "query_id", "neighbor_id"
-    )
+    # ONE collect of the query matrix shared by the exact baseline and
+    # the int8 tier (each eager tier otherwise re-runs the query
+    # subtree as its own Spark job at construction — r16)
+    qrows = similarity.collect_query_matrix(q, "vec_id", "embedding")
+    exact = similarity.cosine_topk(
+        emb, q, "vec_id", "embedding", k=10, qrows=qrows
+    ).select("query_id", "neighbor_id")
     books = _pq_books(emb, sf_dir)
     tiers = {
-        "int8": similarity.quantized_topk(emb, q, "vec_id", "embedding", k=10),
+        "int8": similarity.quantized_topk(
+            emb, q, "vec_id", "embedding", k=10, qrows=qrows
+        ),
         "pq_adc": similarity.pq_topk(
             emb, q, "vec_id", "embedding", k=10, books=books
         ),
