@@ -1147,12 +1147,21 @@ def ivfpq_topk(
     iterations: int = 2,
     centroids: DataFrame | None = None,
     books: list[list[list[float]]] | None = None,
+    keep_vec: bool = False,
 ) -> DataFrame:
     """The composed IVF-PQ index — the FAISS shape end to end: corpus
     vectors live in inverted-file cells (nearest seed centroid), each
     compressed to ``m`` PQ codes; a query probes ``nprobe`` of
     ``nlist`` cells and ranks ONLY the cell-mates, by ADC lookup-table
     distance instead of full-vector arithmetic.
+
+    ``keep_vec=True`` additionally returns the candidate's double-cast
+    full vector as ``__nv`` — the assignment kernel already emits it,
+    so the re-rank tier can score its shortlist WITHOUT a second corpus
+    scan (r16; see :func:`ivfpq_rerank_topk`).  The top-k window then
+    carries vector payloads, which is why it is opt-in: only the
+    re-rank pipeline (bounded ``|Q|·nprobe/nlist`` candidate fraction)
+    wants that trade.
 
     Scale shape: the two prunings multiply — I/O touches
     ~``nprobe/nlist`` of the corpus (file-level when the encoded index
@@ -1182,6 +1191,7 @@ def ivfpq_topk(
     # fused assign+encode: codes ride the row INTO the cell-assignment
     # kernel (one map-only pass; the previous assigned⋈enc self-join
     # shuffled the corpus twice on the id for a per-row zip)
+    vec_out = [F.col("__v").alias("__nv")] if keep_vec else []
     index = _nearest_centroids(
         corpus.withColumn("pq_codes", _pq_codes_expr(vec_col, books)),
         id_col,
@@ -1189,10 +1199,13 @@ def ivfpq_topk(
         cent,
         1,
         passthrough=["pq_codes"],
-    ).select(F.col("__rid").alias("neighbor_id"), "centroid_id", "pq_codes")
+    ).select(
+        F.col("__rid").alias("neighbor_id"), "centroid_id", "pq_codes", *vec_out
+    )
     # chain collapsed to minimize re-analysis of the literal-heavy plan
     # (same rationale as pq_topk, r16); __qv is pruned from the
     # broadcast side once the LUT is derived
+    vec_out2 = ["__nv"] if keep_vec else []
     w = Window.partitionBy("query_id").orderBy(
         F.col("adist").asc(), F.col("neighbor_id").asc()
     )
@@ -1210,6 +1223,7 @@ def ivfpq_topk(
             "query_id",
             "neighbor_id",
             _adc_dist_from_lut(len(books)).alias("adist"),
+            *vec_out2,
         )
     )
     return (
@@ -1218,6 +1232,7 @@ def ivfpq_topk(
             "neighbor_id",
             "adist",
             F.row_number().over(w).cast("bigint").alias("qrank"),
+            *vec_out2,
         )
         .where(F.col("qrank") <= k)
     )
@@ -1246,15 +1261,21 @@ def ivfpq_rerank_topk(
     scored with TRUE cosine against their full vectors, and the final
     top ``k`` come from the exact scores.
 
-    Scale shape: the expensive exactness is confined to ``|Q| ×
-    shortlist`` rows.  The shortlist (fixed-width id pairs) is
-    BROADCAST back onto the corpus, so fetching the candidates' full
-    vectors is one map-side pruned corpus scan — no corpus shuffle, no
-    |Q|×|C| anything; the re-rank window runs over the tiny candidate
-    relation.  Cost = ADC search + one corpus scan + k·|Q| arithmetic,
-    while recall@k approaches exact search as ``shortlist/k`` grows
-    (quantization error only hurts if a true top-k neighbor falls
-    outside the ADC top-``shortlist``).
+    Scale shape (r16 — fused single scan): the expensive exactness is
+    confined to ``|Q| × shortlist`` rows.  The candidate's full vector
+    rides OUT of the assignment kernel alongside its PQ codes
+    (``ivfpq_topk(keep_vec=True)`` — the kernel already materializes
+    it), so the shortlist arrives with its vectors attached and the
+    former second corpus scan (broadcast the shortlist ids, re-fetch
+    vectors map-side) is gone: ONE corpus scan total.  The trade is
+    that the ADC top-``shortlist`` window carries vector payloads —
+    bounded by the probed candidate fraction ``|Q|·nprobe/nlist`` of
+    the corpus, vs. a full second pass over the id+vector columns; for
+    query batches small enough to broadcast (the tier's contract) the
+    fused form moves strictly fewer bytes.  Cost = ADC search +
+    shortlist·|Q| exact arithmetic, while recall@k approaches exact
+    search as ``shortlist/k`` grows (quantization error only hurts if
+    a true top-k neighbor falls outside the ADC top-``shortlist``).
 
     Exact-scoring semantics match ``cosine_topk``'s oracle contract:
     cosine in double, rounded to 6 digits BEFORE ranking, ties to the
@@ -1276,16 +1297,12 @@ def ivfpq_rerank_topk(
         iterations=iterations,
         centroids=centroids,
         books=books,
-    ).select("query_id", "neighbor_id")
-    nvec = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv")
-    )
+        keep_vec=True,
+    ).select("query_id", "neighbor_id", "__nv")
     qvec = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )
-    cand = nvec.join(F.broadcast(sl), "neighbor_id").join(
-        F.broadcast(qvec), "query_id"
-    )
+    cand = sl.join(F.broadcast(qvec), "query_id")
     # collapsed chain (fewer re-analyses of the literal-heavy shortlist
     # lineage, r16): score and rank in two selects instead of
     # withColumn -> withColumn -> where -> select
