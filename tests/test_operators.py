@@ -2610,3 +2610,70 @@ def test_local_relation_matches_plain_createdataframe(spark):
     # dict rows (keys would transpose) take the classic path unharmed
     d = local_relation(spark, [{"k": "v1"}, {"k": "v2"}], "k string")
     assert sorted(r["k"] for r in d.collect()) == ["v1", "v2"]
+
+
+def test_dlit_non_finite_literals(spark):
+    """r15 ADVICE: repr-based double literals produced 'nanD'/'infD'
+    which do not parse — a NaN/Inf model component must build a valid
+    literal with F.lit-identical semantics, not raise at construction."""
+    import math
+
+    from yet_another_map_reduce_spark.operators.similarity import (
+        _dlit,
+        _sq_l2_sql,
+    )
+
+    df = spark.range(1)
+    for v in [float("nan"), float("inf"), float("-inf"), 1.5, -2.5e-300, 0.0]:
+        got = df.select(F.expr(_dlit(v)).alias("x")).collect()[0]["x"]
+        want = df.select(F.lit(v).alias("x")).collect()[0]["x"]
+        assert (math.isnan(got) and math.isnan(want)) or got == want, v
+    # a NaN centroid component constructs (no AnalysisException) and
+    # propagates NaN through the L2 fold like the old Column form
+    expr = _sq_l2_sql("array(1.0D, 2.0D)", [float("nan"), 0.5])
+    assert math.isnan(df.select(F.expr(expr).alias("d")).collect()[0]["d"])
+
+
+def test_remove_common_lines_fallback_matches_fast_path(spark):
+    """The size-guarded anti-join fallback (broadcast_key_limit
+    exceeded) must be row-for-row identical to the broadcast-array fast
+    path — including docs that lose every line, short-line exemptions,
+    duplicate kept lines, and custom join separators (r16, closing the
+    r15 ADVICE on remove_common_lines scalability)."""
+    from yet_another_map_reduce_spark.operators import text
+
+    rows = [
+        (1, "shared boilerplate line\nunique alpha text here\nshort"),
+        (2, "shared boilerplate line\nunique beta text here\nshort"),
+        (3, "shared boilerplate line\nanother repeat line ok\nzz"),
+        (4, "another repeat line ok\nshared boilerplate line"),
+        (5, "shared boilerplate line"),
+        (6, None),
+        (7, "unique gamma text here\nunique gamma text here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for kwargs in ({}, {"join_sep": " | "}, {"max_doc_freq": 3}):
+        fast = {
+            r["doc_id"]: (r["text"], r["n_lines"], r["n_removed"])
+            for r in text.remove_common_lines(
+                df, broadcast_key_limit=10**6, **kwargs
+            ).collect()
+        }
+        slow = {
+            r["doc_id"]: (r["text"], r["n_lines"], r["n_removed"])
+            for r in text.remove_common_lines(
+                df, broadcast_key_limit=0, **kwargs
+            ).collect()
+        }
+        assert fast == slow, kwargs
+    # the guard-off form (None) also agrees
+    off = {
+        r["doc_id"]: (r["text"], r["n_lines"], r["n_removed"])
+        for r in text.remove_common_lines(
+            df, broadcast_key_limit=None
+        ).collect()
+    }
+    assert off == {
+        r["doc_id"]: (r["text"], r["n_lines"], r["n_removed"])
+        for r in text.remove_common_lines(df).collect()
+    }

@@ -974,7 +974,17 @@ def pq_encode(
 def _dlit(x: float) -> str:
     """A SQL double literal with the exact bits of the Python float:
     ``repr`` round-trips doubles and the ``D`` suffix keeps Spark from
-    parsing plain decimals as DECIMAL."""
+    parsing plain decimals as DECIMAL.  Non-finite values need the
+    function form — ``repr`` yields ``nan``/``inf``, which do not parse
+    as literals (r15 ADVICE: a NaN centroid component would otherwise
+    raise AnalysisException at plan construction, where the old
+    ``F.lit`` Column form built a valid NaN literal)."""
+    if x != x:
+        return "double('NaN')"
+    if x == float("inf"):
+        return "double('Infinity')"
+    if x == float("-inf"):
+        return "double('-Infinity')"
     return f"{x!r}D"
 
 

@@ -770,6 +770,7 @@ def remove_common_lines(
     min_line_chars: int = 10,
     sep: str = "\n",
     join_sep: str | None = None,
+    broadcast_key_limit: int | None = 65536,
 ) -> DataFrame:
     """C4/Dolma-style corpus-level line dedup: REWRITE each document by
     deleting the individual lines that occur in more than
@@ -801,9 +802,19 @@ def remove_common_lines(
     TEXT (plus the per-doc sort) for what is a row-local deletion once
     the offending keys are known (guide §2.4/§8: decide with small
     rows, never move the payload).  The key set is boilerplate CLASSES
-    (typically minuscule); a pathological corpus that blows it past
-    broadcast size needs the old join form back — that corpus pays a
-    text shuffle either way.
+    (typically minuscule), but its size grows with the corpus, so the
+    fast path is SIZE-GUARDED (r16, closing the r15 ADVICE): the key
+    relation is localCheckpoint-ed and counted at construction; at most
+    ``broadcast_key_limit`` keys it rides as the broadcast array row
+    (``array_contains`` is a linear probe per line AND a single row has
+    a ~2 GB ceiling — both fine only while the set is small), and past
+    the limit the rewrite falls back to the pre-r15 exploded anti-join
+    + ordered reassembly, whose shuffles scale with the data instead of
+    ceiling-ing.  ``broadcast_key_limit=None`` disables the guard (and
+    the construction-time count) entirely.  The checkpoint means the
+    key aggregation runs exactly once per call either way — at
+    construction instead of execution — and is never cached across
+    calls.
     """
     split_col = F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
     keyed_line = lambda l: F.when(  # noqa: E731 — shared line-key rule
@@ -812,14 +823,22 @@ def remove_common_lines(
     lines = df.select(
         F.col(id_col), F.explode(split_col).alias("__line")
     ).select(F.col(id_col), keyed_line(F.col("__line")).alias("__k"))
-    boiler_set = (
+    boiler_keys = (
         lines.where(F.col("__k").isNotNull())
         .distinct()
         .groupBy("__k")
         .agg(F.count(F.lit(1)).alias("__df"))
         .where(F.col("__df") > max_doc_freq)
-        .agg(F.collect_set("__k").alias("__ks"))
+        .select("__k")
     )
+    if broadcast_key_limit is not None:
+        boiler_keys = boiler_keys.localCheckpoint(eager=True)
+        if boiler_keys.count() > broadcast_key_limit:
+            return _remove_lines_antijoin(
+                df, boiler_keys, split_col, keyed_line,
+                text_col, id_col, sep, join_sep,
+            )
+    boiler_set = boiler_keys.agg(F.collect_set("__k").alias("__ks"))
     is_boiler = lambda l: F.array_contains(  # noqa: E731
         F.col("__ks"), keyed_line(l)
     )
@@ -831,6 +850,53 @@ def remove_common_lines(
         ).alias(text_col),
         F.size(split_col).cast("bigint").alias("n_lines"),
         (F.size(split_col) - F.size(kept_arr)).cast("bigint").alias("n_removed"),
+    )
+
+
+def _remove_lines_antijoin(
+    df: DataFrame,
+    boiler_keys: DataFrame,
+    split_col,
+    keyed_line,
+    text_col: str,
+    id_col: str,
+    sep: str,
+    join_sep: str | None,
+) -> DataFrame:
+    """The scale fallback for :func:`remove_common_lines` when the
+    boilerplate key set exceeds the broadcast guard: posexplode every
+    line, anti-join the key relation (a hash join probe instead of a
+    per-line linear array scan, and no single-row ceiling), and
+    reassemble documents in original line order.  Pays the corpus-text
+    shuffle the fast path avoids — row-for-row identical output
+    (pinned by the fallback property test)."""
+    pos_lines = df.select(
+        F.col(id_col), F.posexplode(split_col).alias("__pos", "__line")
+    ).select(
+        F.col(id_col), "__pos", "__line", keyed_line(F.col("__line")).alias("__k")
+    )
+    kept = pos_lines.join(boiler_keys, "__k", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s["__line"],
+            ),
+            join_sep if join_sep is not None else sep,
+        ).alias("__text"),
+        F.count(F.lit(1)).cast("bigint").alias("__n_kept"),
+    )
+    return (
+        df.select(F.col(id_col), F.size(split_col).cast("bigint").alias("n_lines"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__text"), F.lit("")).alias(text_col),
+            "n_lines",
+            (F.col("n_lines") - F.coalesce(F.col("__n_kept"), F.lit(0))).alias(
+                "n_removed"
+            ),
+        )
     )
 
 
