@@ -2677,3 +2677,84 @@ def test_remove_common_lines_fallback_matches_fast_path(spark):
         r["doc_id"]: (r["text"], r["n_lines"], r["n_removed"])
         for r in text.remove_common_lines(df).collect()
     }
+
+
+def test_vectorized_text_kernels_match_dict_fold(spark):
+    """r16: the vectorized (factorize + np.unique) kernel bodies of
+    repetition_stats and bigram_lm_score must emit exactly the rows the
+    per-token dict folds emitted — counts, marker rows, NULL-text
+    skips, sub-n-gram docs, repeats, and whitespace-normalized text."""
+    from yet_another_map_reduce_spark.operators import text
+
+    rows = [
+        (1, "a b a b a b a b c"),
+        (2, "x"),
+        (3, None),
+        (4, ""),
+        (5, "one two three four five one two three"),
+        (6, "z z z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # dict-fold reference for repetition counts (the pre-r16 kernel)
+    from yet_another_map_reduce_spark.functions import tokens as tok_expr
+
+    toks = {
+        r["doc_id"]: list(r["t"]) if r["t"] is not None else None
+        for r in df.select("doc_id", tok_expr("text").alias("t")).collect()
+    }
+
+    def per_n(ts, n):
+        c = {}
+        for i in range(len(ts) - n + 1):
+            g = " ".join(ts[i : i + n])
+            c[g] = c.get(g, 0) + 1
+        if not c:
+            return 0, 0, 0
+        v = c.values()
+        return max(v), sum(v), sum(x for x in v if x > 1)
+
+    got = {
+        r["doc_id"]: r
+        for r in text.repetition_stats(df, "doc_id", "text").collect()
+    }
+    for did, ts in toks.items():
+        if ts is None:
+            assert did not in got
+            continue
+        m2, t2, _ = per_n(ts, 2)
+        m3, t3, d3 = per_n(ts, 3)
+        r = got[did]
+        want_b = round(m2 / max(t2, 1), 6) if t2 > 0 else None
+        want_d = round(d3 / max(t3, 1), 6) if t3 > 0 else None
+        assert r["top_bigram_frac"] == want_b, (did, r)
+        assert r["dup_trigram_frac"] == want_d, (did, r)
+
+    # bigram_lm_score against a full Python reference: corpus counts,
+    # vocabulary, and per-doc add-k log-prob must match to the 6-digit
+    # rounding the kernel relation feeds
+    import math
+
+    got_lm = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+        for r in text.bigram_lm_score(df, "text", "doc_id").collect()
+    }
+    corpus = {d: ts for d, ts in toks.items() if ts is not None}
+    cb, cp, vocab = {}, {}, set()
+    for ts in corpus.values():
+        vocab.update(ts)
+        for a, b in zip(ts, ts[1:]):
+            cb[(a, b)] = cb.get((a, b), 0) + 1
+            cp[a] = cp.get(a, 0) + 1
+    V, k = len(vocab), 0.5
+    for did, ts in corpus.items():
+        pairs = list(zip(ts, ts[1:]))
+        n, lm = got_lm[did]
+        assert n == len(pairs), (did, n)
+        if not pairs:
+            assert lm is None
+            continue
+        ref = sum(
+            math.log((cb[p] + k) / (cp[p[0]] + k * V)) for p in pairs
+        ) / len(pairs)
+        assert abs(lm - round(ref, 6)) < 1e-9, (did, lm, ref)

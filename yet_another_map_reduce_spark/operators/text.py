@@ -647,29 +647,82 @@ def repetition_stats(
     cnt_cols = ["maxc1", "tot1", "maxc2", "tot2", "maxc3", "tot3", "dup3"]
 
     def gen(batches):
-        def per_n(toks: list[str], n: int) -> tuple[int, int, int]:
-            c: dict[str, int] = {}
-            for i in range(len(toks) - n + 1):
-                g = " ".join(toks[i : i + n])
-                c[g] = c.get(g, 0) + 1
-            if not c:
-                return 0, 0, 0
-            vals = c.values()
-            return max(vals), sum(vals), sum(v for v in vals if v > 1)
+        # Vectorized n-gram counting (r16, guide §4.2: the former
+        # per-position Python dict fold was ~1 µs/gram of interpreted
+        # work ×3 n-gram orders).  One hash-based pd.factorize per
+        # BATCH maps tokens to int codes; per document the codes are
+        # densified (np.unique, pure C) so adjacent-code arithmetic
+        # packs each n-gram into one int64 (local vocab Vd ≤ doc
+        # length, so Vd³ < 2^63 for any doc under ~2M tokens — guarded
+        # with a dict fallback), and counts come from
+        # np.unique(return_counts).  A code n-tuple equals a
+        # ``" ".join`` gram string 1:1 because ``tokens()`` splits on
+        # whitespace (no token contains the join separator), so every
+        # emitted count is identical to the dict fold's.
+        import numpy as np
+
+        def per_doc_counts(c: "np.ndarray") -> tuple[int, ...]:
+            if c.size == 0:
+                return (0, 0, 0, 0, 0, 0, 0)
+            du, dinv = np.unique(c, return_inverse=True)
+            vd = np.int64(du.size + 1)
+            if du.size > 1_500_000:  # Vd^3 could overflow int64
+                return _per_doc_counts_dict(c)
+            cnt1 = np.bincount(dinv)
+            m1, t1 = int(cnt1.max()), int(c.size)
+            b = dinv[:-1] * vd + dinv[1:]
+            if b.size:
+                cnt2 = np.unique(b, return_counts=True)[1]
+                m2, t2 = int(cnt2.max()), int(b.size)
+            else:
+                m2 = t2 = 0
+            tri = (dinv[:-2] * vd + dinv[1:-1]) * vd + dinv[2:]
+            if tri.size:
+                cnt3 = np.unique(tri, return_counts=True)[1]
+                m3, t3 = int(cnt3.max()), int(tri.size)
+                d3 = int(cnt3[cnt3 > 1].sum())
+            else:
+                m3 = t3 = d3 = 0
+            return (m1, t1, m2, t2, m3, t3, d3)
+
+        def _per_doc_counts_dict(c: "np.ndarray") -> tuple[int, ...]:
+            out = []
+            for n in (1, 2, 3):
+                agg: dict = {}
+                for i in range(c.size - n + 1):
+                    g = tuple(c[i : i + n])
+                    agg[g] = agg.get(g, 0) + 1
+                if not agg:
+                    out.extend([0, 0] + ([0] if n == 3 else []))
+                    continue
+                vals = agg.values()
+                out.extend([max(vals), sum(vals)])
+                if n == 3:
+                    out.append(sum(v for v in vals if v > 1))
+            return tuple(out)
 
         for pdf in batches:
+            docs = [
+                (did, np.asarray(t, dtype=object))
+                for did, t in zip(pdf["__id"], pdf["__toks"])
+                if t is not None  # NULL text never produced token rows
+            ]
             rows = {k: [] for k in ["__id", *cnt_cols]}
-            for did, toks in zip(pdf["__id"], pdf["__toks"]):
-                if toks is None:
-                    continue  # NULL text never produced token rows
-                ts = list(toks)
-                m1, t1, _ = per_n(ts, 1)
-                m2, t2, _ = per_n(ts, 2)
-                m3, t3, d3 = per_n(ts, 3)
-                for k, v in zip(
-                    ["__id", *cnt_cols], [did, m1, t1, m2, t2, m3, t3, d3]
-                ):
-                    rows[k].append(v)
+            if docs:
+                flat = np.concatenate([t for _, t in docs])
+                codes = (
+                    pd.factorize(flat, use_na_sentinel=False)[0]
+                    if flat.size
+                    else np.empty(0, dtype=np.int64)
+                )
+                pos = 0
+                for did, t in docs:
+                    c = codes[pos : pos + t.size]
+                    pos += t.size
+                    vals = per_doc_counts(np.asarray(c, dtype=np.int64))
+                    rows["__id"].append(did)
+                    for k, v in zip(cnt_cols, vals):
+                        rows[k].append(v)
             yield pd.DataFrame(rows)
 
     counted = _tokenized(df, text_col, id_col).mapInPandas(
@@ -950,26 +1003,71 @@ def bigram_lm_score(
     id_t = df.schema[id_col].dataType.simpleString()
 
     def gen(batches):
+        # Vectorized bigram/vocabulary fold (r16, guide §4.2: the former
+        # per-position tuple-dict fold was interpreted Python per
+        # token).  One hash-based pd.factorize per BATCH; per document
+        # the codes are densified (np.unique, C) so each bigram packs
+        # into one int64 (local vocab ≤ doc length keeps Vd² far from
+        # 2^63), np.unique(return_counts) yields the multiplicities,
+        # and the distinct-token markers fall out of the same densify.
+        # Exact-string equality throughout — identical rows to the dict
+        # fold, in sorted rather than first-seen order (order never
+        # survives the downstream aggregates).
+        import numpy as np
+
         for pdf in batches:
-            out = {"__id": [], "prev": [], "cur": [], "__m": []}
-            for did, toks in zip(pdf["__id"], pdf["__toks"]):
-                if toks is None:
-                    continue  # NULL text never produced token rows
-                ts = list(toks)
-                big: dict[tuple[str, str], int] = {}
-                for a, b in zip(ts, ts[1:]):
-                    big[(a, b)] = big.get((a, b), 0) + 1
-                for (a, b), m in big.items():
-                    out["__id"].append(did)
-                    out["prev"].append(a)
-                    out["cur"].append(b)
-                    out["__m"].append(m)
-                for t in set(ts):  # vocabulary marker rows
-                    out["__id"].append(did)
-                    out["prev"].append(t)
-                    out["cur"].append(None)
-                    out["__m"].append(None)
-            out["__m"] = pd.array(out["__m"], dtype="Int64")
+            docs = [
+                (did, np.asarray(t, dtype=object))
+                for did, t in zip(pdf["__id"], pdf["__toks"])
+                if t is not None  # NULL text never produced token rows
+            ]
+            ids, prevs, curs, ms = [], [], [], []
+            if docs:
+                flat = np.concatenate([t for _, t in docs])
+                if flat.size:
+                    codes, uniq = pd.factorize(flat, use_na_sentinel=False)
+                else:
+                    codes = np.empty(0, dtype=np.int64)
+                    uniq = np.empty(0, dtype=object)
+                uniq = np.asarray(uniq, dtype=object)
+                pos = 0
+                for did, t in docs:
+                    c = np.asarray(codes[pos : pos + t.size], dtype=np.int64)
+                    pos += t.size
+                    if c.size == 0:
+                        continue
+                    du, dinv = np.unique(c, return_inverse=True)
+                    vd = np.int64(du.size + 1)
+                    b = dinv[:-1] * vd + dinv[1:]
+                    if b.size:
+                        ub, m = np.unique(b, return_counts=True)
+                        gprev = du[(ub // vd).astype(np.int64)]
+                        gcur = du[(ub % vd).astype(np.int64)]
+                        ids.append(np.full(ub.size, did, dtype=object))
+                        prevs.append(uniq[gprev])
+                        curs.append(uniq[gcur])
+                        ms.append(np.asarray(m, dtype=np.int64))
+                    # vocabulary marker rows (cur=NULL); -1 marks NULL
+                    # multiplicity (real counts are always >= 1)
+                    ids.append(np.full(du.size, did, dtype=object))
+                    prevs.append(uniq[du])
+                    curs.append(np.full(du.size, None, dtype=object))
+                    ms.append(np.full(du.size, -1, dtype=np.int64))
+            if ids:
+                flat_m = np.concatenate(ms)
+                out = {
+                    "__id": pd.Series(np.concatenate(ids), dtype=object),
+                    "prev": pd.Series(np.concatenate(prevs), dtype=object),
+                    "cur": pd.Series(np.concatenate(curs), dtype=object),
+                    "__m": pd.arrays.IntegerArray(flat_m, mask=flat_m < 0),
+                }
+            else:
+                out = {
+                    "__id": [],
+                    "prev": [],
+                    "cur": [],
+                    "__m": pd.array([], dtype="Int64"),
+                }
             yield pd.DataFrame(out)
 
     rows = (
