@@ -766,23 +766,64 @@ def banded_hamming_pairs(
     One fixed-width-key shuffle for band grouping; hash payloads are
     8 bytes, so the original records (documents, image bytes) never
     travel.  Returns ``(id_a, id_b, hamming bigint)``.
+
+    Cross-band duplicates are eliminated at GENERATION when no bucket
+    cap is set (r16): a pair colliding in several bands is emitted only
+    from its FIRST colliding band (a per-pair bit test on the XOR —
+    band ``j`` collides iff the band-``j`` bits of ``a.h XOR b.h`` are
+    zero), so every candidate pair is globally unique by construction
+    and the former ``.distinct()`` — a full exchange of the candidate
+    set, up to ``bands``× the unique pairs, plus its dedup CPU —
+    disappears (guide §2.3/§2.4).  Same rows: within one band a pair
+    can only meet in one bucket, and across bands exactly one band is
+    "first".  With ``max_bucket_size`` the rule would be WRONG — a pair
+    whose first colliding band sat in a capped (dropped) bucket must
+    still surface from a later uncapped band — so the capped path keeps
+    the ``.distinct()``.
     """
     if max_hamming > bands - 1:
         raise ValueError("bands must exceed max_hamming (pigeonhole guarantee)")
+    width = bits // bands
     groups = _hamming_band_groups(fp, hash_col, id_col, bits, bands)
+    xor = F.col("a.h").bitwiseXOR(F.col("b.h"))
     if max_bucket_size is not None:
         groups = groups.where(F.size("__g") <= max_bucket_size)
-    pairs = (
-        groups.select(F.explode("__g").alias("a"), "__g")
-        .select("a", F.explode("__g").alias("b"))
-        .where(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.bit_count(F.col("a.h").bitwiseXOR(F.col("b.h"))).alias("hamming"),
+        pairs = (
+            groups.select(F.explode("__g").alias("a"), "__g")
+            .select("a", F.explode("__g").alias("b"))
+            .where(F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.bit_count(xor).alias("hamming"),
+            )
+            .distinct()
         )
-        .distinct()
-    )
+    else:
+
+        def _band_zero(xor_col, j: int):
+            col = F.shiftrightunsigned(xor_col, j * width)
+            if j < bands - 1:
+                col = col.bitwiseAND(F.lit((1 << width) - 1))
+            return col == 0
+
+        first_band = ~F.greatest(
+            F.lit(False),
+            *[
+                (F.lit(j) < F.col("band")) & _band_zero(xor, j)
+                for j in range(bands - 1)
+            ],
+        )
+        pairs = (
+            groups.select(F.explode("__g").alias("a"), "__g", "band")
+            .select("a", F.explode("__g").alias("b"), "band")
+            .where((F.col("a.id") < F.col("b.id")) & first_band)
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.bit_count(xor).alias("hamming"),
+            )
+        )
     return pairs.where(F.col("hamming") <= max_hamming).select(
         "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")
     )

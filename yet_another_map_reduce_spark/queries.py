@@ -94,6 +94,24 @@ def _sql_word_grams(n: int, toks: str = "w") -> str:
     )
 
 
+def _spread_small(df: DataFrame, *cols: str) -> DataFrame:
+    """Adaptive parallelism for an expensive per-row kernel/projection
+    over a SMALL input (guide §2.5 input skew): single-row-group local
+    parquet cannot be split, so at bench scale a 1-2 MB table feeds the
+    whole scoring/synthesis stage to ONE task (profiled r16: 1.5-2.3
+    serial CPU-seconds while 31 cores idle) and the 8-core/32-core
+    scaling measurement reads flat.  When the plan has fewer partitions
+    than the session's default parallelism, hash-repartition on the
+    given key; when input splits already exceed the cores — every real
+    at-scale scan — this is a NO-OP, so no corpus-sized shuffle is ever
+    introduced (the guard is what makes this scale-safe rather than a
+    local[32] constant)."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p, *cols) if cols else df.repartition(p)
+    return df
+
+
 def _plant_short_docs(d: DataFrame) -> DataFrame:
     """Deterministically truncate a slice of the corpus to SHORT docs
     (doc_id % 50 == 3 → first token only; % 50 == 7 → empty string) so
@@ -1448,13 +1466,16 @@ def q_text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     count vs BPE token count (`text.bpe_token_count`, the drop-in
     upgrade for `bpe_ish_token_count` behind chunking/packing).  One
     projection, zero shuffles beyond the train-once vocab pass shared
-    via _bpe_merges."""
+    via _bpe_merges — plus the guarded small-input spread: the BPE
+    count is ~1.1 serial CPU-s over the unsplittable bench file, and
+    the orderBy's range sampler evaluates the projection a second
+    time, so kernel parallelism matters twice here (r16)."""
     d = read_table(spark, sf_dir, "documents")
     merges = _bpe_merges(d, sf_dir)
     words = F.regexp_extract_all(
         F.lower(F.col("text")), F.lit(text.BPE_WORD_RE), F.lit(0)
     )
-    return d.select(
+    return _spread_small(d, "doc_id").select(
         "doc_id",
         F.size(words).cast("bigint").alias("n_words"),
         text.bpe_token_count("text", merges, n_docs=_doc_count(d, sf_dir))
@@ -1976,7 +1997,7 @@ def q_pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     id per fingerprint) → token + chunk accounting.  One scan, one
     window shuffle on the fixed-width fingerprint — the composition a
     100 TB corpus-prep job runs nightly."""
-    d = read_table(spark, sf_dir, "documents")
+    d = _spread_small(read_table(spark, sf_dir, "documents"), "doc_id")
     scored = d.select(
         "doc_id",
         text.lang_id("text").alias("lang"),
@@ -2631,7 +2652,10 @@ def q_multimodal_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yet_another_map_reduce_spark.functions import md5_hash64
     from yet_another_map_reduce_spark.operators import multimodal
 
-    d = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    d = _spread_small(
+        read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 400),
+        "doc_id",
+    )
     video = multimodal.synthetic_video_media(
         d, "doc_id", n_frames=6, frame_ms=40, width=8, height=8
     )
