@@ -120,11 +120,26 @@ def _doc_grams(toks, k: int) -> list[bytes]:
     return [b" ".join(ts[i : i + k]) for i in range(len(ts) - k + 1)]
 
 
-def _tokenized(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def _tokenized(
+    df: DataFrame, text_col: str, id_col: str, spread: bool = True
+) -> DataFrame:
     """(id, token array) with tokenization evaluated ONCE per row in
     codegen — the projection feeding every gram kernel.  NULL text stays
-    a NULL array (kernels map it to the marker/skip conventions)."""
-    return df.select(F.col(id_col).alias("__id"), tokens(text_col).alias("__toks"))
+    a NULL array (kernels map it to the marker/skip conventions).
+
+    The input is adaptively spread first (r16): the gram kernels are
+    the CPU-dense half of every dedup/text path, and an unsplittable
+    small scan otherwise feeds them to one task (guide §2.5; the spread
+    is a guarded no-op whenever input splits already exceed cores).
+    Callers whose input already went through an exchange (join outputs)
+    pass ``spread=False`` — those are exchange-parallel already and the
+    guard's physical-planning probe is pure overhead there."""
+    from yet_another_map_reduce_spark.partitioning import spread_small
+
+    base = spread_small(df, id_col) if spread else df
+    return base.select(
+        F.col(id_col).alias("__id"), tokens(text_col).alias("__toks")
+    )
 
 
 def gram_hash_rows(
@@ -197,7 +212,9 @@ def gram_hash_rows(
     )
 
 
-def shingle_sets(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+def shingle_sets(
+    df: DataFrame, text_col: str, id_col: str, k: int, spread: bool = True
+) -> DataFrame:
     """(id, distinct shingle strings) per document — the per-doc shingle
     SET as one array row, kernel-computed (no explode, no collect_set
     shuffle).  Set membership is what downstream ``array_intersect`` /
@@ -231,7 +248,7 @@ def shingle_sets(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame
             )
 
     return (
-        _tokenized(df, text_col, id_col)
+        _tokenized(df, text_col, id_col, spread=spread)
         .mapInPandas(gen, f"__id {id_t}, __set array<string>")
         .withColumnRenamed("__id", id_col)
     )
@@ -567,7 +584,13 @@ def ngram_jaccard_pairs(
     # reps ≪ docs); the id join moves doc text once, where the previous
     # shape shuffled the exploded shingle relation — strictly heavier
     rsets = (
-        shingle_sets(df.join(reps.select(id_col), id_col), text_col, id_col, shingle_k)
+        shingle_sets(
+            df.join(reps.select(id_col), id_col),
+            text_col,
+            id_col,
+            shingle_k,
+            spread=False,  # the reps join output is exchange-parallel
+        )
         .join(reps, id_col)
         .select("__cls", "__set")
     )

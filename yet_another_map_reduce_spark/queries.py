@@ -105,11 +105,11 @@ def _spread_small(df: DataFrame, *cols: str) -> DataFrame:
     given key; when input splits already exceed the cores — every real
     at-scale scan — this is a NO-OP, so no corpus-sized shuffle is ever
     introduced (the guard is what makes this scale-safe rather than a
-    local[32] constant)."""
-    p = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < p:
-        return df.repartition(p, *cols) if cols else df.repartition(p)
-    return df
+    local[32] constant).  Canonical implementation:
+    :func:`yet_another_map_reduce_spark.partitioning.spread_small`."""
+    from yet_another_map_reduce_spark.partitioning import spread_small
+
+    return spread_small(df, *cols)
 
 
 def _plant_short_docs(d: DataFrame) -> DataFrame:
