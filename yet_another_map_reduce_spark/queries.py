@@ -3086,7 +3086,10 @@ def q_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     are all hash-verified in one query."""
     d = read_table(spark, sf_dir, "documents")
     merges = _bpe_merges(d, sf_dir)
-    dd = d.select(
+    # guarded spread: the BPE-count projection is ~1.1 serial CPU-s
+    # over the unsplittable bench file (r16 profile); packing itself is
+    # layout-invariant by contract, so the spread cannot change rows
+    dd = _spread_small(d, "doc_id").select(
         "doc_id",
         text.bpe_token_count("text", merges, n_docs=_doc_count(d, sf_dir))
         .cast("bigint")
@@ -3925,7 +3928,10 @@ def q_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic ~10% test split of lineitem by id-hash bucket
     (operators/sampling.hash_split) — reproducible across cluster
-    layouts, unlike seeded RNG sampling; pure narrow filter."""
+    layouts, unlike seeded RNG sampling; pure narrow filter.  A
+    guarded spread was A/B-tested here and REVERTED (r16): shuffling
+    the 40 MB row payload cost more than parallelizing the 1.8 CPU-s
+    of per-row md5 saved (1.53 → 1.81 s min-of-legs)."""
     li = read_table(spark, sf_dir, "lineitem")
     rowid = F.concat(
         F.col("l_orderkey").cast("string"),
